@@ -1,0 +1,75 @@
+"""SparkSession construction / normalization.
+
+The engine requires a handful of runtime-settable SQL confs; they are safe
+to apply to an externally-created session (the test driver owns its own
+``SparkSession``), so ``configure_session`` is idempotent and only touches
+runtime confs.
+
+Scale posture (SURVEY.md §7 "100 TB posture"): AQE on (skew-join splitting
++ post-shuffle coalescing), broadcast threshold left at Spark default so
+dimension tables broadcast, shuffle partitions tuned by the caller per
+deployment (local tests use the core count; a 1000-executor cluster would
+use 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs the engine depends on. All are settable on a live session.
+_RUNTIME_CONFS = {
+    # Deterministic timestamp semantics: testdata parquet is TIMESTAMP_NTZ;
+    # with a UTC session, NTZ -> TIMESTAMP casts are timezone-free, so
+    # epoch arithmetic matches any ANSI engine (DuckDB oracle).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as epoch-nanos BIGINT instead (exact).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle-partition coalescing and skew
+    # join splitting — essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf removed/renamed on some Spark builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hudi_spark_plus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    for local runs; on a real cluster pass ``None`` master via spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())

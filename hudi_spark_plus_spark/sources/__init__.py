@@ -1,0 +1,3 @@
+from hudi_spark_plus_spark.sources.loaders import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
