@@ -1,0 +1,247 @@
+"""CDC check queries q-cdc-1..3 (FIXTURES.md §2/§3) over a deterministic
+fixture derived from ``orders``.
+
+The driver's DuckDB oracle only pre-registers the ten testdata tables, so
+``cdc_events`` is derived — identically in Spark and in the oracle SQL
+(pure integer arithmetic on ``orders``, no randomness) — giving the CDC
+semantics a real hash-checked oracle:
+
+* q-cdc-1: last-write-wins dedup (N8/N9), ties broken by arrival seq
+* q-cdc-2: upsert/delete split cardinality (N11)
+* q-cdc-3: END-TO-END — wrap the events into real JSON envelopes, run the
+  full engine pipeline (parse -> key -> dedup -> merge) through THREE
+  sequential micro-batches into four lake tables under a temp dir, read
+  the final snapshots back; must equal the oracle's single SQL replay.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from hudi_spark_plus_spark.operators.sync import sync_batch
+from hudi_spark_plus_spark.plans import config as cfg
+from hudi_spark_plus_spark.sources.loaders import load_table
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+# Identical derivation in both engines: ~4 (db, table) routes, ~200 keys
+# per route -> multiple versions per key, 1/7 deletes, coarse ts with
+# duplicates (tie-break coverage), seq = unique arrival order.
+_DERIVE_EXPRS = [
+    "o_orderkey AS seq",
+    "CASE WHEN o_orderkey % 2 = 0 THEN 'db1' ELSE 'db2' END AS db_name",
+    "CASE WHEN o_orderkey % 3 = 0 THEN 't_order' ELSE 't_customer' END AS table_name",
+    "CASE WHEN o_orderkey % 7 = 0 THEN 'delete' "
+    "WHEN o_orderkey % 5 = 0 THEN 'insert' ELSE 'update' END AS op",
+    "CAST(1723500000 + (o_orderkey % 50) AS BIGINT) AS ts",
+    "o_custkey % 200 AS key_id",
+    "o_orderstatus AS col_a",
+    "o_totalprice AS col_b",
+]
+
+CDC_EVENTS_CTE = """
+    WITH cdc_events AS (
+      SELECT o_orderkey AS seq,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'db1' ELSE 'db2' END AS db_name,
+             CASE WHEN o_orderkey % 3 = 0 THEN 't_order'
+                  ELSE 't_customer' END AS table_name,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                  WHEN o_orderkey % 5 = 0 THEN 'insert'
+                  ELSE 'update' END AS op,
+             CAST(1723500000 + (o_orderkey % 50) AS BIGINT) AS ts,
+             o_custkey % 200 AS key_id,
+             o_orderstatus AS col_a,
+             o_totalprice AS col_b
+      FROM orders
+    )
+"""
+
+ROW_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("key_id", LongType()),
+        StructField("col_a", StringType()),
+        StructField("col_b", DoubleType()),
+    ]
+)
+
+
+def derive_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").selectExpr(*_DERIVE_EXPRS)
+
+
+def build_envelopes(events: DataFrame) -> DataFrame:
+    """Flat events -> one JSON change envelope per (db, table, ts, op)
+    group, matching the reference format exactly
+    (BinlogSyncHoodieCommand.scala:44-52; FIXTURES.md §4)."""
+    schema_json = json.dumps(json.loads(ROW_SCHEMA.json()))
+    rows = (
+        events.groupBy("db_name", "table_name", "ts", "op")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seq", "key_id", "col_a", "col_b"))
+            ).alias("rows")
+        )
+    )
+    return rows.select(
+        F.to_json(
+            F.struct(
+                F.col("db_name").alias("databaseName"),
+                F.col("table_name").alias("tableName"),
+                F.lit(schema_json).alias("schema"),
+                F.col("op").alias("type"),
+                F.col("ts").alias("timestamp"),
+                F.col("rows").alias("rows"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+
+
+def sync_options(base_path: str) -> dict[str, str]:
+    """Reference-API options for the four fixture tables (README.md
+    surface: templated global path + per-table namespaced keys)."""
+    opts = {
+        cfg.HOODIE_PATH: base_path + "/{db}/ods_{db}_{table}",
+        cfg.SOURCE_SHUFFLE_PARALLELISM: "8",
+        cfg.SINK_SHUFFLE_PARALLELISM: "4",
+        cfg.DEDUP_ORDER_FIELDS: "seq",
+        cfg.BUCKETS: "4",
+    }
+    for db in ("db1", "db2"):
+        for t in ("t_customer", "t_order"):
+            p = f"{db}.{t}."
+            opts[p + cfg.RECORDKEY_FIELD] = "key_id"
+            opts[p + cfg.PRECOMBINE_FIELD] = "seq"
+            opts[p + cfg.TABLE_NAME] = f"ods_{db}_{t}"
+    return opts
+
+
+def run_cdc_pipeline(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """q-cdc-3 engine side: envelopes -> n sequential micro-batches ->
+    four lake tables -> final snapshots unioned."""
+    events = derive_cdc_events(spark, sf_dir)
+    max_seq = events.agg(F.max("seq")).first()[0]
+    step = max_seq // n_batches + 1
+    work = tempfile.mkdtemp(prefix="hsp_cdc_")
+    opts = sync_options(work)
+    try:
+        for b in range(n_batches):
+            lo, hi = b * step, (b + 1) * step
+            env = build_envelopes(
+                events.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+            )
+            sync_batch(spark, env, opts, batch_id=b)
+        out = None
+        for db in ("db1", "db2"):
+            for t in ("t_customer", "t_order"):
+                lake = LakeTable(
+                    spark, f"{work}/{db}/ods_{db}_{t}", buckets=4
+                )
+                snap = lake.snapshot().select(
+                    F.lit(db).alias("db_name"),
+                    F.lit(t).alias("table_name"),
+                    "key_id",
+                    "col_a",
+                    F.round("col_b", 4).alias("col_b"),
+                )
+                out = snap if out is None else out.unionByName(snap)
+        # materialize before the temp dir disappears
+        result = out.orderBy("db_name", "table_name", "key_id")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_cdc_1(spark, sf_dir):
+    """LWW dedup over the flat fixture — engine primitive N9 (window
+    row_number, single shuffle)."""
+    ev = derive_cdc_events(spark, sf_dir)
+    w = Window.partitionBy("db_name", "table_name", "key_id").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("db_name", "table_name", "key_id", "op", "col_a")
+        .orderBy("db_name", "table_name", "key_id")
+    )
+
+
+def q_cdc_2(spark, sf_dir):
+    """Upsert/delete split cardinality after dedup (N11)."""
+    ev = derive_cdc_events(spark, sf_dir)
+    w = Window.partitionBy("db_name", "table_name", "key_id").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    surv = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        surv.withColumn(
+            "bucket",
+            F.when(F.col("op") == "delete", "delete").otherwise("upsert"),
+        )
+        .groupBy("db_name", "table_name", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("db_name", "table_name", "bucket")
+    )
+
+
+def q_cdc_3(spark, sf_dir):
+    """Full envelope->lake-table pipeline vs SQL replay (H1/H2/H5/Q5)."""
+    return run_cdc_pipeline(spark, sf_dir)
+
+
+CDC_QUERIES = {
+    "q-cdc-1": q_cdc_1,
+    "q-cdc-2": q_cdc_2,
+    "q-cdc-3": q_cdc_3,
+}
+
+CDC_ORACLES = {
+    "q-cdc-1": CDC_EVENTS_CTE
+    + """
+        SELECT db_name, table_name, key_id, op, col_a FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY db_name, table_name, key_id
+              ORDER BY ts DESC, seq DESC) AS rn
+          FROM cdc_events) t WHERE rn = 1
+        ORDER BY db_name, table_name, key_id
+    """,
+    "q-cdc-2": CDC_EVENTS_CTE
+    + """
+        SELECT db_name, table_name,
+               CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS bucket,
+               COUNT(*) AS cnt
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db_name, table_name, key_id
+                  ORDER BY ts DESC, seq DESC) AS rn
+              FROM cdc_events) t WHERE rn = 1
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q-cdc-3": CDC_EVENTS_CTE
+    + """
+        SELECT db_name, table_name, key_id, col_a,
+               ROUND(col_b, 4) AS col_b FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY db_name, table_name, key_id
+              ORDER BY ts DESC, seq DESC) AS rn
+          FROM cdc_events) t
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY db_name, table_name, key_id
+    """,
+}

@@ -4,52 +4,43 @@ Every implemented operator from SURVEY.md §2 contributes one entry to
 ``all_queries()`` and (when SQL-expressible) a DuckDB oracle to
 ``all_oracles()``. Keys must match; column names must match between the
 Spark DataFrame and the oracle SQL (driver hashes columns sorted by name).
+Modules without an oracle entry get the driver's weaker rows-only check
+(documented per query).
 """
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# (module, queries-dict attr, oracles-dict attr)
+_SOURCES = [
+    ("hudi_spark_plus_spark.operators.relational", "RELATIONAL_QUERIES", "RELATIONAL_ORACLES"),
+    ("hudi_spark_plus_spark.operators.cdc_queries", "CDC_QUERIES", "CDC_ORACLES"),
+    ("hudi_spark_plus_spark.operators.window_queries", "WINDOW_QUERIES", "WINDOW_ORACLES"),
+    ("hudi_spark_plus_spark.operators.llm_queries", "LLM_QUERIES", "LLM_ORACLES"),
+]
+
+
+def _gather(attr_idx: int) -> dict:
+    out: dict = {}
+    for mod_name, qattr, oattr in _SOURCES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        attr = (qattr, oattr)[attr_idx]
+        out.update(getattr(mod, attr, {}))
+    return out
+
 
 def all_queries() -> dict[str, QueryFn]:
-    from hudi_spark_plus_spark.operators.relational import RELATIONAL_QUERIES
-
-    out: dict[str, QueryFn] = {}
-    out.update(RELATIONAL_QUERIES)
-    try:
-        from hudi_spark_plus_spark.operators.cdc_queries import CDC_QUERIES
-
-        out.update(CDC_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from hudi_spark_plus_spark.operators.llm_queries import LLM_QUERIES
-
-        out.update(LLM_QUERIES)
-    except ImportError:
-        pass
-    return out
+    return _gather(0)
 
 
 def all_oracles() -> dict[str, str]:
-    from hudi_spark_plus_spark.operators.relational import RELATIONAL_ORACLES
-
-    out: dict[str, str] = {}
-    out.update(RELATIONAL_ORACLES)
-    try:
-        from hudi_spark_plus_spark.operators.cdc_queries import CDC_ORACLES
-
-        out.update(CDC_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from hudi_spark_plus_spark.operators.llm_queries import LLM_ORACLES
-
-        out.update(LLM_ORACLES)
-    except ImportError:
-        pass
-    return out
+    return _gather(1)

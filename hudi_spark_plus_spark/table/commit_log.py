@@ -1,0 +1,179 @@
+"""Commit log — the lake table's timeline (SURVEY §4.4.1, H5/H6/H7).
+
+The reference delegates this to Hudi's commit timeline (pom.xml dep); our
+format is a minimal JSON-manifest log:
+
+    <table>/_commits/00000000000000000001.json
+    <table>/data/b=<bucket>/<uuid>.parquet
+
+Each manifest is the COMPLETE table state at that version (list of live
+files + per-file stats), written to a temp name and atomically renamed —
+single-writer, crash-safe (a half-written temp file is invisible).
+Idempotence (H5): each commit records its ``batch_id``; re-running a
+micro-batch after failure/restart is a no-op if the id is already present
+in the timeline.
+
+Per-file stats (min/max record key, row count, bucket) are the file-skip
+index — the Spark-native equivalent of the reference's vendored Bloom key
+index (BloomFilter.java:31-104): at upsert time only buckets/files whose
+key range intersects the batch are read; at query time files are pruned by
+key predicate before the parquet scan is planned.
+
+Manifests list full state, so reading version N never replays history;
+``changed_files(begin, end]`` supports incremental reads (H7) by diffing
+manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    min_key: str | None = None
+    max_key: str | None = None
+
+
+@dataclass
+class Commit:
+    version: int
+    batch_id: str | None
+    operation: str  # "upsert" | "delete" | "insert" | "bulk_insert" | "merge"
+    files: list[FileEntry] = field(default_factory=list)
+    schema_json: str | None = None
+    ts_millis: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "batch_id": self.batch_id,
+                "operation": self.operation,
+                "files": [asdict(f) for f in self.files],
+                "schema_json": self.schema_json,
+                "ts_millis": self.ts_millis,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Commit":
+        d = json.loads(s)
+        return Commit(
+            version=d["version"],
+            batch_id=d.get("batch_id"),
+            operation=d["operation"],
+            files=[FileEntry(**f) for f in d.get("files", [])],
+            schema_json=d.get("schema_json"),
+            ts_millis=d.get("ts_millis", 0),
+        )
+
+
+class CommitLog:
+    COMMITS_DIR = "_commits"
+    DATA_DIR = "data"
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.commits_path = os.path.join(table_path, self.COMMITS_DIR)
+
+    # -- timeline reads ----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.commits_path):
+            return []
+        out = []
+        for f in os.listdir(self.commits_path):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read(self, version: int) -> Commit:
+        with open(self._commit_file(version)) as fh:
+            return Commit.from_json(fh.read())
+
+    def latest(self) -> Commit | None:
+        vs = self.versions()
+        return self.read(vs[-1]) if vs else None
+
+    def has_batch(self, batch_id: str) -> bool:
+        """Idempotence check (H5): was this micro-batch already committed?"""
+        return any(self.read(v).batch_id == batch_id for v in self.versions())
+
+    def live_files(self, version: int | None = None) -> list[FileEntry]:
+        c = self.read(version) if version is not None else self.latest()
+        return c.files if c else []
+
+    def changed_files(self, begin: int, end: int | None = None) -> list[FileEntry]:
+        """Files added in versions (begin, end] — incremental read (H7)."""
+        vs = [v for v in self.versions() if v > begin and (end is None or v <= end)]
+        before = {
+            f.path for f in (self.live_files(begin) if begin in self.versions() else [])
+        }
+        seen: dict[str, FileEntry] = {}
+        for v in vs:
+            for f in self.read(v).files:
+                if f.path not in before and f.path not in seen:
+                    seen[f.path] = f
+        return list(seen.values())
+
+    # -- commit write ------------------------------------------------------
+
+    def commit(
+        self,
+        operation: str,
+        files: list[FileEntry],
+        batch_id: str | None = None,
+        schema_json: str | None = None,
+    ) -> Commit:
+        os.makedirs(self.commits_path, exist_ok=True)
+        latest = self.latest()
+        version = (latest.version + 1) if latest else 1
+        c = Commit(
+            version=version,
+            batch_id=batch_id,
+            operation=operation,
+            files=files,
+            schema_json=schema_json or (latest.schema_json if latest else None),
+            ts_millis=int(time.time() * 1000),
+        )
+        # atomic publish: temp file + rename (same filesystem)
+        fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(c.to_json())
+        target = self._commit_file(version)
+        if os.path.exists(target):  # lost a single-writer race
+            os.unlink(tmp)
+            raise RuntimeError(f"commit conflict at version {version}")
+        os.rename(tmp, target)
+        return c
+
+    # -- paths -------------------------------------------------------------
+
+    def _commit_file(self, version: int) -> str:
+        return os.path.join(self.commits_path, f"{version:020d}.json")
+
+    def data_dir(self) -> str:
+        return os.path.join(self.table_path, self.DATA_DIR)
+
+    def new_data_subdir(self) -> tuple[str, str]:
+        """(absolute path, table-relative path) for a fresh data directory."""
+        rel = os.path.join(self.DATA_DIR, uuid.uuid4().hex)
+        absd = os.path.join(self.table_path, rel)
+        os.makedirs(absd, exist_ok=True)
+        return absd, rel
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.table_path, rel)

@@ -1,0 +1,285 @@
+"""Keyed lake table: Parquet + commit log + LWW merge (SURVEY M3).
+
+Reimplements the table-format semantics the reference delegates to Hudi
+(SURVEY §2.3 H1-H8) over plain Parquet and the JSON commit log:
+
+* ``merge``   — copy-on-write upsert+delete in ONE pass: full-outer join
+  of the affected snapshot slice with the batch on ``_key``; the batch row
+  wins iff ``batch._ts >= snapshot._ts`` (precombine, quirk Q5: an older
+  event never overwrites a newer row; ties go to the incoming batch,
+  matching the reference's arrival-order last-wins). A winning delete is
+  kept as a TOMBSTONE row (``_deleted = true``) rather than dropped, so a
+  late-arriving upsert with an older ``_ts`` cannot resurrect a deleted
+  key in a later batch (H1/H2; the "late event never overwrites" quirk
+  test in SURVEY §5.2.4). ``snapshot()`` filters tombstones out.
+* ``insert`` / ``bulk_insert`` — plain file append (H3).
+* ``snapshot`` — read live files from the latest manifest (H6).
+* ``incremental`` — rows of files added in a commit range (H7).
+
+Scale design (100 TB posture): rows are hash-bucketed by record key
+(``pmod(xxhash64(_key), buckets)``). A merge only reads+rewrites the
+buckets that contain batch keys — cost is O(affected buckets), not
+O(table). md5 record keys are uniformly distributed, so buckets cannot
+skew. Within the merge there is exactly ONE shuffle (the join on _key);
+the bucket-partitioned write reuses it via ``repartition(_bucket)``.
+File-level min/max key stats in the manifest provide query-time file
+skipping — the role of the reference's Bloom key index
+(BloomFilter.java:31-104) — plus parquet-native bloom filters can be
+enabled on ``_key`` via ``parquet.bloom.filter.enabled#_key``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
+from hudi_spark_plus_spark.table.keygen import (
+    BUCKET_COL,
+    KEY_COL,
+    OP_COL,
+    TS_COL,
+    bucket_expr,
+)
+
+DELETE_OP = "delete"
+DELETED_COL = "_deleted"
+
+
+def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
+    """Scan a freshly-written ``_bucket=N`` tree; build manifest entries
+    with per-file row counts and min/max record key from parquet footers
+    (driver-side, one footer read per new file)."""
+    entries: list[FileEntry] = []
+    base = os.path.join(table_path, subdir_rel)
+    for f in sorted(glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))):
+        rel = os.path.relpath(f, table_path)
+        bucket = int(f.split("_bucket=")[1].split(os.sep)[0])
+        md = pq.ParquetFile(f).metadata
+        min_key = max_key = None
+        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        ki = names.get(KEY_COL)
+        if ki is not None:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                min_key, max_key = min(mins), max(maxs)
+        entries.append(
+            FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
+                      min_key=min_key, max_key=max_key)
+        )
+    return entries
+
+
+class LakeTable:
+    """One keyed lake table (TableMetaInfo equivalent, SURVEY §1.1.3)."""
+
+    def __init__(self, spark: SparkSession, path: str, buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.buckets = buckets
+        self.log = CommitLog(path)
+
+    # -- reads -------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.log.latest() is not None
+
+    def schema(self) -> StructType | None:
+        c = self.log.latest()
+        if c is None or not c.schema_json:
+            return None
+        import json
+
+        return StructType.fromJson(json.loads(c.schema_json))
+
+    def snapshot(
+        self, version: int | None = None, include_deleted: bool = False
+    ) -> DataFrame:
+        """Current (or time-travel) table state as a DataFrame (H6).
+        Tombstone rows are hidden unless ``include_deleted``."""
+        files = self.log.live_files(version)
+        df = self._read_files(files)
+        if not include_deleted and DELETED_COL in df.columns:
+            df = df.where(~F.col(DELETED_COL))
+        return df
+
+    def incremental(self, begin: int, end: int | None = None) -> DataFrame:
+        """Rows of files added in versions (begin, end] (H7)."""
+        return self._read_files(self.log.changed_files(begin, end))
+
+    def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:
+        """Bucket- and stats-pruned snapshot slice for a set of record keys
+        (the query-side of the Bloom-index capability, K1/H8)."""
+        buckets = {
+            r[0]
+            for r in keys_df.select(
+                bucket_expr(F.col(KEY_COL), self.buckets)
+            ).distinct().collect()
+        }
+        lo_hi = [
+            (r[0], r[1])
+            for r in keys_df.agg(F.min(KEY_COL), F.max(KEY_COL)).collect()
+        ]
+        lo, hi = lo_hi[0]
+        files = [
+            f
+            for f in self.log.live_files()
+            if f.bucket in buckets
+            and (f.max_key is None or hi is None or f.min_key <= hi)
+            and (f.min_key is None or lo is None or f.max_key >= lo)
+        ]
+        return self._read_files(files)
+
+    def _read_files(self, files: list[FileEntry]) -> DataFrame:
+        if not files:
+            sch = self.schema()
+            if sch is None:
+                raise ValueError(f"lake table at {self.path} has no commits")
+            return self.spark.createDataFrame([], sch)
+        return self.spark.read.schema(self.schema()).parquet(
+            *[self.log.abs_path(f.path) for f in files]
+        )
+
+    # -- writes ------------------------------------------------------------
+
+    def insert(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        parallelism: int = 2,
+        operation: str = "insert",
+    ) -> None:
+        """Plain partitioned append, no merge (H3). ``df`` must already
+        carry _key and _ts columns (use prepare helpers in operators.cdc)."""
+        if batch_id is not None and self.log.has_batch(batch_id):
+            return
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets))
+        absd, rel = self.log.new_data_subdir()
+        (
+            out.repartition(parallelism, F.col(BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(absd)
+        )
+        new_files = _collect_file_entries(self.path, rel)
+        prev = self.log.latest()
+        carry = prev.files if prev else []
+        self.log.commit(
+            operation,
+            carry + new_files,
+            batch_id=batch_id,
+            schema_json=self._payload_schema_json(df),
+        )
+
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: str | None = None,
+        parallelism: int | None = None,
+    ) -> None:
+        """One-pass LWW upsert+delete merge (H1/H2/Q5).
+
+        ``batch``: payload columns + ``_key`` + ``_ts`` + ``_op``; at most
+        one row per key (run LWW dedup first, operators.cdc.lww_dedup).
+        """
+        if batch_id is not None and self.log.has_batch(batch_id):
+            return  # idempotent re-run (H5)
+
+        batch = batch.withColumn(
+            BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+        )
+        # Selective COW: only buckets containing batch keys are touched.
+        affected = {
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        }
+        prev = self.log.latest()
+        live = prev.files if prev else []
+        carry = [f for f in live if f.bucket not in affected]
+        hit = [f for f in live if f.bucket in affected]
+
+        snap_schema = self.schema()
+        if snap_schema is not None and hit:
+            snap = self.spark.read.schema(snap_schema).parquet(
+                *[self.log.abs_path(f.path) for f in hit]
+            )
+        elif snap_schema is not None:
+            snap = self.spark.createDataFrame([], snap_schema)
+        else:
+            snap = None
+
+        payload_cols = [
+            c for c in batch.columns if c not in (OP_COL, BUCKET_COL, DELETED_COL)
+        ]
+        if snap is not None:
+            # additive schema evolution: union of payload columns
+            for c in snap.columns:
+                if c not in payload_cols and c not in (BUCKET_COL, DELETED_COL):
+                    payload_cols.append(c)
+            b = batch
+            s = snap
+            for c in payload_cols:
+                if c not in b.columns:
+                    b = b.withColumn(c, F.lit(None).cast(dict(s.dtypes)[c]))
+                if c not in s.columns:
+                    s = s.withColumn(c, F.lit(None).cast(dict(batch.dtypes)[c]))
+            b = b.alias("b")
+            s = s.alias("s")
+            j = s.join(b, F.col(f"s.{KEY_COL}") == F.col(f"b.{KEY_COL}"), "full_outer")
+            batch_wins = F.col(f"b.{KEY_COL}").isNotNull() & (
+                F.col(f"s.{KEY_COL}").isNull()
+                | (F.col(f"b.{TS_COL}") >= F.col(f"s.{TS_COL}"))
+            )
+            merged = j.select(
+                *[
+                    F.when(batch_wins, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                    for c in payload_cols
+                ],
+                # tombstone: winning delete, or carried-over prior tombstone
+                F.when(batch_wins, F.col(f"b.{OP_COL}") == DELETE_OP)
+                .otherwise(F.coalesce(F.col(f"s.{DELETED_COL}"), F.lit(False)))
+                .alias(DELETED_COL),
+            )
+        else:
+            merged = batch.select(
+                *payload_cols,
+                (F.col(OP_COL) == DELETE_OP).alias(DELETED_COL),
+            )
+
+        merged = merged.withColumn(
+            BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+        )
+        absd, rel = self.log.new_data_subdir()
+        n = parallelism or max(1, len(affected))
+        (
+            merged.repartition(n, F.col(BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(absd)
+        )
+        new_files = _collect_file_entries(self.path, rel)
+        schema_json = self._payload_schema_json(merged)
+        self.log.commit(
+            "merge", carry + new_files, batch_id=batch_id, schema_json=schema_json
+        )
+
+    @staticmethod
+    def _payload_schema_json(df: DataFrame) -> str:
+        """Stored-file schema: payload + _key/_ts/_deleted meta (never the
+        transient _op/_bucket columns)."""
+        drop = {OP_COL, BUCKET_COL}
+        kept = StructType([f for f in df.schema.fields if f.name not in drop])
+        return kept.json()

@@ -1,0 +1,183 @@
+"""CDC pipeline tests: oracle parity, reference quirks, replay property
+(SURVEY §5.2.3-4)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.operators import cdc
+from hudi_spark_plus_spark.operators.cdc_queries import (
+    CDC_ORACLES,
+    CDC_QUERIES,
+    build_envelopes,
+    sync_options,
+)
+from hudi_spark_plus_spark.operators.sync import sync_batch
+from hudi_spark_plus_spark.plans import config as cfg
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+from tests.harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(CDC_QUERIES))
+def test_cdc_query_matches_oracle(name, spark, sf_dir, con):
+    compare(CDC_QUERIES[name](spark, sf_dir), con, CDC_ORACLES[name], name)
+
+
+def _mk_events(spark, rows):
+    """rows: (seq, db, table, op, ts, key_id, col_a, col_b)"""
+    return spark.createDataFrame(
+        rows,
+        "seq long, db_name string, table_name string, op string, ts long,"
+        " key_id long, col_a string, col_b double",
+    )
+
+
+def test_envelope_parse_path(spark):
+    """N7/N17/N18: envelope JSON -> exploded typed records."""
+    ev = _mk_events(spark, [(1, "db1", "t_customer", "update", 100, 7, "x", 1.5)])
+    env = build_envelopes(ev)
+    parsed = cdc.parse_envelopes(env)
+    row = parsed.collect()[0]
+    assert row[cdc.DB_COL] == "db1" and row[cdc.TABLE_COL] == "t_customer"
+    assert row[cdc.OP_COL] == "upsert" and row["_ts"] == 100
+    schema = cdc.decode_schema(row[cdc.SCHEMA_COL])
+    decoded = cdc.decode_rows(parsed, schema).collect()[0]
+    assert decoded["key_id"] == 7 and decoded["col_b"] == 1.5
+
+
+def test_quirk_q1_misconfigured_table_isolated(spark, tmp_path):
+    """Q1 fix: a table with missing config must not poison the batch's
+    other tables (the reference's non-local return aborts them all)."""
+    ev = _mk_events(
+        spark,
+        [
+            (1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+            (2, "db1", "t_mystery", "update", 10, 2, "b", 2.0),  # unconfigured
+        ],
+    )
+    opts = sync_options(str(tmp_path))
+    status = sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    assert status["db1.t_customer"] == "ok"
+    assert status["db1.t_mystery"].startswith("skipped")
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    assert lake.snapshot().count() == 1
+
+
+def test_quirk_q2_delete_only_table(spark, tmp_path):
+    """Q2 fix: a table whose batch slice is deletes-only must still be
+    processed (reference hits an empty upsert RDD and skips)."""
+    opts = sync_options(str(tmp_path))
+    up = _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+                            (2, "db1", "t_order", "update", 10, 5, "b", 2.0)])
+    sync_batch(spark, build_envelopes(up), opts, batch_id=0)
+    dels = _mk_events(spark, [(3, "db1", "t_customer", "delete", 20, 1, None, None),
+                              (4, "db1", "t_order", "update", 20, 6, "c", 3.0)])
+    status = sync_batch(spark, build_envelopes(dels), opts, batch_id=1)
+    assert status == {"db1.t_customer": "ok", "db1.t_order": "ok"}
+    cust = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    assert cust.snapshot().count() == 0  # deleted
+    orde = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_order", buckets=4)
+    assert orde.snapshot().count() == 2
+
+
+def test_quirk_q5_same_key_insert_delete_one_batch(spark, tmp_path):
+    """Q5: same-key insert+delete in one batch nets to the larger ts."""
+    opts = sync_options(str(tmp_path))
+    ev = _mk_events(
+        spark,
+        [
+            (1, "db1", "t_customer", "update", 10, 1, "born", 1.0),
+            (2, "db1", "t_customer", "delete", 20, 1, None, None),  # delete last
+            (3, "db1", "t_customer", "delete", 10, 2, None, None),
+            (4, "db1", "t_customer", "update", 20, 2, "alive", 2.0),  # upsert last
+        ],
+    )
+    sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    rows = {r["key_id"]: r["col_a"] for r in lake.snapshot().collect()}
+    assert rows == {2: "alive"}
+
+
+def test_sync_batch_idempotent_replay(spark, tmp_path):
+    """H5: re-running a committed micro-batch is a no-op."""
+    opts = sync_options(str(tmp_path))
+    ev = _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0)])
+    env = build_envelopes(ev)
+    sync_batch(spark, env, opts, batch_id=7)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    v = lake.log.latest().version
+    sync_batch(spark, env, opts, batch_id=7)  # replay after "crash"
+    assert lake.log.latest().version == v
+    assert lake.snapshot().count() == 1
+
+
+def test_retention_writes_raw_envelopes(spark, tmp_path):
+    """Q4 fix: keepbinlog actually persists the raw envelope stream."""
+    opts = sync_options(str(tmp_path / "tables"))
+    opts[cfg.KEEP_BINLOG_ENABLE] = "true"
+    opts[cfg.BINLOG_PATH] = str(tmp_path / "binlog")
+    ev = _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0)])
+    sync_batch(spark, build_envelopes(ev), opts, batch_id=3)
+    kept = spark.read.text(str(tmp_path / "binlog" / "batch_id=3"))
+    assert kept.count() == 1
+    assert "databaseName" in kept.first()[0]
+
+
+def test_transformer_sql_hook(spark, tmp_path):
+    """N19: <SRC> placeholder SQL transform applied pre-merge."""
+    opts = sync_options(str(tmp_path))
+    opts["db1.t_customer." + cfg.TRANSFORMER_SQL] = (
+        "SELECT seq, key_id, UPPER(col_a) AS col_a, col_b * 10 AS col_b"
+        " FROM <SRC>"
+    )
+    ev = _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 1, "abc", 1.5)])
+    sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    row = lake.snapshot().collect()[0]
+    assert row["col_a"] == "ABC" and row["col_b"] == 15.0
+
+
+def test_cdc_replay_property(spark, tmp_path):
+    """SURVEY §5.2.3: random upsert/delete sequences, arbitrary batch
+    boundaries (arrival-ordered), vs a single-threaded dict replay
+    honoring LWW by (ts, seq)."""
+    rng = random.Random(42)
+    n, keys = 400, 30
+    events = []
+    for seq in range(n):
+        op = "delete" if rng.random() < 0.2 else "update"
+        events.append(
+            (seq, "db1", "t_customer", op, rng.randrange(20),
+             rng.randrange(keys), f"v{seq}", float(seq))
+        )
+    # oracle: dict replay, winner = max (ts, seq) per key
+    best = {}
+    for seq, _db, _t, op, ts, k, a, b in events:
+        if k not in best or (ts, seq) >= (best[k][0], best[k][1]):
+            best[k] = (ts, seq, op, a, b)
+    expect = {k: (v[3], v[4]) for k, v in best.items() if v[2] != "delete"}
+
+    opts = sync_options(str(tmp_path))
+    # arrival-ordered random batch boundaries
+    cuts = sorted(rng.sample(range(1, n), 4))
+    lo = 0
+    for i, hi in enumerate(cuts + [n]):
+        chunk = [e for e in events if lo <= e[0] < hi]
+        lo = hi
+        if not chunk:
+            continue
+        sync_batch(spark, build_envelopes(_mk_events(spark, chunk)), opts, batch_id=i)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    got = {
+        r["key_id"]: (r["col_a"], r["col_b"])
+        for r in lake.snapshot().collect()
+    }
+    assert got == expect

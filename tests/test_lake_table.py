@@ -1,0 +1,121 @@
+"""Unit tests: commit log + keyed lake table merge semantics (SURVEY M3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+
+def mkbatch(spark, rows):
+    """rows: (key, ts, op, val)"""
+    return spark.createDataFrame(
+        rows, "_key string, _ts long, _op string, val string"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable(spark, str(tmp_path / "t1"), buckets=4)
+
+
+def snap_dict(table):
+    return {
+        r["_key"]: (r["_ts"], r["val"]) for r in table.snapshot().collect()
+    }
+
+
+class TestCommitLog:
+    def test_versions_and_idempotence(self, tmp_path):
+        log = CommitLog(str(tmp_path / "t"))
+        assert log.versions() == []
+        log.commit("insert", [FileEntry("data/x/f1.parquet", 0, 10)], batch_id="b1")
+        log.commit("merge", [FileEntry("data/y/f2.parquet", 1, 5)], batch_id="b2")
+        assert log.versions() == [1, 2]
+        assert log.has_batch("b1") and log.has_batch("b2")
+        assert not log.has_batch("b3")
+        assert [f.path for f in log.live_files()] == ["data/y/f2.parquet"]
+
+    def test_changed_files_incremental(self, tmp_path):
+        log = CommitLog(str(tmp_path / "t"))
+        log.commit("insert", [FileEntry("a.parquet", 0, 1)])
+        log.commit("merge", [FileEntry("a.parquet", 0, 1), FileEntry("b.parquet", 1, 1)])
+        log.commit("merge", [FileEntry("c.parquet", 0, 1), FileEntry("b.parquet", 1, 1)])
+        added = {f.path for f in log.changed_files(1)}
+        assert added == {"b.parquet", "c.parquet"}
+
+
+class TestMerge:
+    def test_insert_then_update_lww(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "a"), ("k2", 10, "upsert", "b")]), "b0")
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "a2")]), "b1")
+        assert snap_dict(table) == {"k1": (20, "a2"), "k2": (10, "b")}
+
+    def test_late_event_does_not_overwrite(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "new")]), "b0")
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "stale")]), "b1")
+        assert snap_dict(table) == {"k1": (20, "new")}
+
+    def test_tie_goes_to_incoming_batch(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "first")]), "b0")
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "second")]), "b1")
+        assert snap_dict(table) == {"k1": (10, "second")}
+
+    def test_delete_and_tombstone_blocks_stale_upsert(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "x"), ("k2", 5, "upsert", "y")]), "b0")
+        table.merge(mkbatch(spark, [("k1", 30, "delete", None)]), "b1")
+        assert snap_dict(table) == {"k2": (5, "y")}
+        # stale upsert (ts 25 < tombstone ts 30) must NOT resurrect k1
+        table.merge(mkbatch(spark, [("k1", 25, "upsert", "zombie")]), "b2")
+        assert snap_dict(table) == {"k2": (5, "y")}
+        # but a genuinely newer upsert revives it
+        table.merge(mkbatch(spark, [("k1", 35, "upsert", "reborn")]), "b3")
+        assert snap_dict(table) == {"k2": (5, "y"), "k1": (35, "reborn")}
+
+    def test_batch_id_idempotent_rerun(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        v = table.log.latest().version
+        table.merge(mkbatch(spark, [("k1", 99, "upsert", "dup")]), "b0")  # replay
+        assert table.log.latest().version == v
+        assert snap_dict(table) == {"k1": (10, "a")}
+
+    def test_selective_bucket_rewrite(self, spark, table):
+        """COW only rewrites buckets containing batch keys — other
+        buckets' files carry over untouched (the 100 TB property)."""
+        keys = [(f"k{i}", 1, "upsert", f"v{i}") for i in range(40)]
+        table.merge(mkbatch(spark, keys), "b0")
+        files_v1 = {f.path for f in table.log.live_files()}
+        table.merge(mkbatch(spark, [("k1", 2, "upsert", "v1b")]), "b1")
+        files_v2 = {f.path for f in table.log.live_files()}
+        carried = files_v1 & files_v2
+        assert carried, "unaffected bucket files must carry over by reference"
+        assert len(snap_dict(table)) == 40
+
+    def test_schema_evolution_additive(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        widened = spark.createDataFrame(
+            [("k2", 11, "upsert", "b", 42)],
+            "_key string, _ts long, _op string, val string, extra int",
+        )
+        table.merge(widened, "b1")
+        rows = {r["_key"]: r for r in table.snapshot().collect()}
+        assert rows["k2"]["extra"] == 42
+        assert rows["k1"]["extra"] is None
+
+    def test_time_travel_snapshot(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0")
+        v1 = table.log.latest().version
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "v2")]), "b1")
+        old = {r["_key"]: r["val"] for r in table.snapshot(version=v1).collect()}
+        assert old == {"k1": "v1"}
+
+    def test_scan_for_keys_prunes_buckets(self, spark, table):
+        table.merge(
+            mkbatch(spark, [(f"k{i}", 1, "upsert", "v") for i in range(100)]), "b0"
+        )
+        probe = spark.createDataFrame([("k7",)], "_key string")
+        hit = table.scan_for_keys(probe)
+        all_files = len(table.log.live_files())
+        read_rows = hit.count()
+        assert read_rows < 100, "bucket pruning should skip most rows"
+        assert all_files > 1

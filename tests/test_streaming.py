@@ -1,0 +1,148 @@
+"""Streaming surface tests: foreachBatch sink, checkpoint replay
+idempotence, event-time windows (SURVEY §2.5, M4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.operators.cdc_queries import build_envelopes, sync_options
+from hudi_spark_plus_spark.operators.window_queries import (
+    WINDOW_ORACLES,
+    WINDOW_QUERIES,
+)
+from hudi_spark_plus_spark.streaming.sink import (
+    envelope_file_stream,
+    start_binlog_sync,
+)
+from hudi_spark_plus_spark.streaming.windows import session_agg, to_event_time
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+from tests.harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", [n for n in sorted(WINDOW_QUERIES) if n in WINDOW_ORACLES])
+def test_window_query_matches_oracle(name, spark, sf_dir, con):
+    compare(WINDOW_QUERIES[name](spark, sf_dir), con, WINDOW_ORACLES[name], name)
+
+
+def test_session_window_rows(spark, sf_dir):
+    """Session windows: no SQL oracle; assert structural invariants —
+    every user's sessions are disjoint and counts sum to user totals."""
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_agg(ev, "5 minutes")
+    per_user = sess.groupBy("user_id").agg(F.sum("cnt").alias("n"))
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert {
+        (r["user_id"], r["n"]) for r in per_user.collect()
+    } == {(r["user_id"], r["n"]) for r in totals.collect()}
+    # disjoint: no overlapping [start, end) per user
+    rows = sorted(
+        [(r["user_id"], r["ws"], r["we"]) for r in sess.collect()]
+    )
+    for (u1, s1, e1), (u2, s2, e2) in zip(rows, rows[1:]):
+        if u1 == u2:
+            assert s2 >= e1
+
+
+def _write_envelope_files(spark, tmp_path, chunks):
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            rows,
+            "seq long, db_name string, table_name string, op string,"
+            " ts long, key_id long, col_a string, col_b double",
+        )
+        vals = [r["value"] for r in build_envelopes(df).collect()]
+        with open(os.path.join(src, f"chunk{i}.jsonl"), "w") as fh:
+            fh.write("\n".join(vals) + "\n")
+    return src
+
+
+def test_stream_sync_end_to_end_with_restart(spark, tmp_path):
+    """File-source envelope stream -> foreachBatch sync -> lake tables;
+    a second start() on the same checkpoint must not duplicate effects
+    (exactly-once = checkpoint batch ids + commit-log idempotence, H5)."""
+    src = _write_envelope_files(
+        spark,
+        tmp_path,
+        [
+            [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+             (2, "db1", "t_customer", "update", 10, 2, "b", 2.0)],
+            [(3, "db1", "t_customer", "delete", 20, 1, None, None),
+             (4, "db1", "t_customer", "update", 20, 2, "b2", 2.5)],
+        ],
+    )
+    opts = sync_options(str(tmp_path / "tables"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_binlog_sync(
+        envelope_file_stream(spark, src, max_files_per_trigger=1),
+        opts,
+        checkpoint_location=ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    lake = LakeTable(
+        spark, str(tmp_path / "tables" / "db1" / "ods_db1_t_customer"), buckets=4
+    )
+    rows = {r["key_id"]: r["col_a"] for r in lake.snapshot().collect()}
+    assert rows == {2: "b2"}
+    v = lake.log.latest().version
+
+    # restart on same checkpoint: nothing new to process, no re-commits
+    q2 = start_binlog_sync(
+        envelope_file_stream(spark, src),
+        opts,
+        checkpoint_location=ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert lake.log.latest().version == v
+    assert {
+        r["key_id"]: r["col_a"] for r in lake.snapshot().collect()
+    } == {2: "b2"}
+
+
+def test_watermarked_stream_window(spark, tmp_path):
+    """Streaming window agg with watermark compiles and runs on a file
+    stream (engine extension; batch parity checked by the oracle tests)."""
+    import json
+
+    src = str(tmp_path / "ev_in")
+    os.makedirs(src, exist_ok=True)
+    base_ns = 1704067200 * 10**9
+    with open(os.path.join(src, "a.jsonl"), "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"ts": base_ns + i * 60 * 10**9, "event_type": "x", "value": 1.0}) + "\n")
+    stream = (
+        spark.readStream.schema("ts long, event_type string, value double")
+        .json(src)
+    )
+    agg = (
+        to_event_time(stream)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = str(tmp_path / "win_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_test")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; just assert the query ran
+    assert spark.table("win_test").columns == ["window", "event_type", "cnt"]
