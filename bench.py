@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark driver (BASELINE.md protocol).
+
+Runs every registered check query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:
+
+    {"metric": "total_query_wall_sec", "value": <sum sec>, "unit": "sec",
+     "queries": {"q01": sec, ...}, "sf": 0.1,
+     "cdc": {"rows_per_s": ..., "batch_p50_s": ..., "batch_p95_s": ...}}
+
+Query timing: full materialization via the noop sink (no collect cost).
+CDC ingest: the BASELINE protocol's envelope stream (fixture rows ->
+10k-row micro-batches -> lake tables), reported as end-to-end rows/s and
+per-batch p50/p95.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from hudi_spark_plus_spark.registry import all_queries
+
+    out: dict[str, float] = {}
+    qs = all_queries()
+    # warm-up: JVM/codegen/file-listing paths
+    qs["q01"](spark, sf_dir).count()
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        _materialize(df)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
+    """BASELINE CDC protocol: fixture envelope stream -> lake tables in
+    ``rows_per_batch``-row micro-batches; rows/s end-to-end + batch
+    latency percentiles."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.operators.cdc_queries import (
+        build_envelopes,
+        derive_cdc_events,
+        sync_options,
+    )
+    from hudi_spark_plus_spark.operators.sync import sync_batch
+
+    events = derive_cdc_events(spark, sf_dir).persist()
+    n = events.count()
+    max_seq = events.agg(F.max("seq")).first()[0]
+    n_batches = max(1, n // rows_per_batch)
+    step = max_seq // n_batches + 1
+    work = tempfile.mkdtemp(prefix="hsp_bench_cdc_")
+    opts = sync_options(work)
+    lat: list[float] = []
+    t0 = time.perf_counter()
+    try:
+        for b in range(n_batches):
+            env = build_envelopes(
+                events.where(
+                    (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
+                )
+            )
+            bt = time.perf_counter()
+            sync_batch(spark, env, opts, batch_id=b)
+            lat.append(time.perf_counter() - bt)
+        total = time.perf_counter() - t0
+    finally:
+        events.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    lat.sort()
+    return {
+        "rows": n,
+        "batches": n_batches,
+        "rows_per_s": round(n / total, 1),
+        "batch_p50_s": round(lat[len(lat) // 2], 3),
+        "batch_p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hudi_spark_plus_spark.session import get_spark
+
+    spark = get_spark("hsp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        queries = bench_queries(spark, sf_dir)
+        cdc = bench_cdc(spark, sf_dir)
+        sf_name = os.path.basename(sf_dir.rstrip("/"))
+        try:
+            sf = float(sf_name.replace("sf", ""))
+        except ValueError:
+            sf = sf_name
+        result = {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cdc": cdc,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

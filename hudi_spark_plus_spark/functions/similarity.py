@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (SURVEY M6).
+
+* ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot product as a JVM lambda fold
+  (``zip_with`` + ``aggregate`` in double), per-query top-k window.
+  The baseline and the verifier for the approximate path.
+* ``lsh_ann_topk``     — scale path: random-hyperplane sign-bit LSH.
+  Bit signatures are computed by one Arrow-vectorized pandas_udf with a
+  seeded hyperplane matrix (deterministic); candidates = same bucket
+  (multi-probe: exact bucket + single-bit flips), then exact re-rank of
+  candidates only. Recall is asserted against brute force in tests.
+
+Scale shape: brute force is O(|Q| x |C|) — fine for |Q| small since the
+corpus never shuffles (queries broadcast, dot computed map-side, then one
+top-k exchange). The LSH path replaces the full scan with bucket joins:
+one shuffle on bucket id, candidate lists ~ |C| / 2^bits.
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf resolves
+real type hints, and stringified ones break it.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+NORM_EXPR = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Output: q_id, n_id, sim, rank."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
+    nq = F.expr(NORM_EXPR.format(a="q_vec"))
+    nc = F.expr(NORM_EXPR.format(a="n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot / (nq * nc)).alias("sim_raw"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank"
+        )
+    )
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    bits: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 42,
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-bit LSH bucket ids for ``n_tables`` independent hash tables
+    (array<int>, one bucket per table) — deterministic across
+    runs/executors (seeded numpy hyperplanes, Arrow batches). Multiple
+    tables are the standard recall lever: a true neighbor only needs to
+    collide in ONE table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = np.random.RandomState(seed).randn(n_tables, bits, dim)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        weights = (1 << np.arange(bits)).astype(np.int32)
+        outs = []
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0  # (n, bits)
+            outs.append(signs.dot(weights).astype(np.int32))
+        stacked = np.stack(outs, axis=1)  # (n, n_tables)
+        return pd.Series(list(stacked))
+
+    return df.withColumn(out, buckets_of(vec_col))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = same bucket in ANY table (plus
+    1-bit-flip probes on the query side), exact cosine re-rank of
+    candidates only. Scale shape: one shuffle on (table, bucket); scan
+    fraction ~ n_tables * (1 + bits*multiprobe) / 2^bits of the corpus."""
+    c = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_vec", bits, dim, n_tables,
+    ).select(
+        "n_id", "n_vec", F.posexplode("bucket").alias("table", "bucket")
+    )
+    q = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", bits, dim, n_tables,
+    ).select(
+        "q_id", "q_vec", F.posexplode("bucket").alias("table", "bucket")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+        )
+        q = q.select(
+            "q_id", "q_vec", "table", F.explode(probes).alias("bucket")
+        )
+    cand = c.join(q, ["table", "bucket"]).where(F.col("q_id") != F.col("n_id"))
+    dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
+    nq = F.expr(NORM_EXPR.format(a="q_vec"))
+    nc = F.expr(NORM_EXPR.format(a="n_vec"))
+    scored = cand.select(
+        "q_id", "n_id", (dot / (nq * nc)).alias("sim_raw")
+    ).dropDuplicates(["q_id", "n_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )

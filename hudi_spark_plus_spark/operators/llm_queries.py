@@ -1,0 +1,254 @@
+"""LLM training-data operator check queries (SURVEY M6).
+
+Oracle-checked wherever the semantics are engine-neutral (exact dedup,
+token stats, quality score, language ID, fingerprints, exact n-gram
+Jaccard near-dup, brute-force cosine top-k). MinHash/SimHash/LSH use
+Spark's xxhash64 / seeded hyperplanes — engine-specific by construction —
+so they take the driver's rows-only check and are instead validated by
+recall tests against exact ground truth (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.functions.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from hudi_spark_plus_spark.functions.multimodal import (
+    decode_image_features,
+    synth_media_df,
+)
+from hudi_spark_plus_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from hudi_spark_plus_spark.functions.text import (
+    bpe_token_count,
+    char_count,
+    fingerprint,
+    lang_id_expr,
+    quality_score_expr,
+    token_count,
+)
+from hudi_spark_plus_spark.sources.loaders import load_table
+
+NEARDUP_SUBSET = 150  # doc_id bound for the exact all-pairs oracle query
+NEARDUP_THRESHOLD = 0.30
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").orderBy("text_hash")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        char_count(F.col("text")).alias("n_chars_m"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_tl", F.expr("split(trim(lower(text)), '\\\\s+')")
+    )
+    return d.select(
+        "doc_id", quality_score_expr("text", "_tl").alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_doc_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_tl", F.expr("split(trim(lower(text)), '\\\\s+')")
+    )
+    return d.select(
+        "doc_id", lang_id_expr("text", "_tl").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+def q_doc_neardup_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < NEARDUP_SUBSET
+    )
+    return exact_jaccard_pairs(
+        d, "doc_id", "text", NEARDUP_THRESHOLD, ngram=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """Rows-only: LSH candidates verified by exact Jaccard (recall vs the
+    exact variant asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < NEARDUP_SUBSET
+    )
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=64, bands=16, ngram=3,
+        verify_threshold=NEARDUP_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+def q_doc_simhash(spark, sf_dir):
+    """Rows-only: SimHash near-dup pairs by hamming distance."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < NEARDUP_SUBSET
+    )
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e, e.where(F.col("vec_id") < 10), k=5
+    ).orderBy("q_id", "rank")
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    """Rows-only: LSH-bucketed ANN (recall vs brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, bits=8, dim=64
+    ).orderBy("q_id", "rank")
+
+
+def q_media_features(spark, sf_dir):
+    """Rows-only: multimodal plumbing — binary media table through the
+    Arrow mapInPandas feature extractor (deterministic stub decode)."""
+    return decode_image_features(
+        synth_media_df(spark, 64), allow_fake=True
+    ).orderBy("media_id")
+
+
+LLM_QUERIES = {
+    "q-doc-dedup-exact": q_doc_dedup_exact,
+    "q-doc-token-stats": q_doc_token_stats,
+    "q-doc-quality": q_doc_quality,
+    "q-doc-langid": q_doc_langid,
+    "q-doc-fingerprint": q_doc_fingerprint,
+    "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
+    "q-doc-minhash-lsh": q_doc_minhash_lsh,
+    "q-doc-simhash": q_doc_simhash,
+    "q-emb-cosine-topk": q_emb_cosine_topk,
+    "q-emb-ann-lsh": q_emb_ann_lsh,
+    "q-media-features": q_media_features,
+}
+
+_BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+_EN = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+_DE = "'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu'"
+_ES = "'el', 'la', 'de', 'que', 'y', 'en', 'un', 'es'"
+_FR = "'le', 'la', 'et', 'les', 'des', 'est', 'un', 'une'"
+
+
+def _ratio(words: str) -> str:
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        rf" t -> t IN ({words})))"
+        rf" / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)"
+        rf" AS DOUBLE)"
+    )
+
+
+LLM_ORACLES = {
+    "q-doc-dedup-exact": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS dup_cnt
+        FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    "q-doc-token-stats": rf"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
+               length(text) AS n_chars_m
+        FROM documents ORDER BY doc_id
+    """,
+    "q-doc-quality": rf"""
+        SELECT doc_id,
+               ROUND(greatest(least(
+                   least(length(text) / 500.0, 1.0) * 0.5
+                 + least(({_ratio(_EN)}) * 4, 1.0) * 0.5
+                 - length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
+                   / greatest(length(text), 1),
+                 1.0), 0.0), 4) AS quality
+        FROM documents ORDER BY doc_id
+    """,
+    "q-doc-langid": rf"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_ratio(_EN)} AS s_en, {_ratio(_DE)} AS s_de,
+                 {_ratio(_ES)} AS s_es, {_ratio(_FR)} AS s_fr
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s ORDER BY doc_id
+    """,
+    "q-doc-fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "q-doc-neardup-jaccard": rf"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END) AS g
+          FROM documents WHERE doc_id < {NEARDUP_SUBSET}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.g, b.g))
+                     / CAST(len(list_distinct(list_concat(a.g, b.g)))
+                            AS DOUBLE), 4) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g))
+              / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+              >= {NEARDUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "q-emb-cosine-topk": """
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (SELECT * FROM c WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) AS sim_raw
+          FROM q, c WHERE c.vec_id <> q.vec_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim_raw DESC, n_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+}

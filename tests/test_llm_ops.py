@@ -1,0 +1,138 @@
+"""LLM-data operator tests: oracle parity + recall/quality assertions for
+the approximate (engine-specific) operators (SURVEY M6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.functions.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    with_simhash,
+)
+from hudi_spark_plus_spark.functions.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+    synth_media_df,
+)
+from hudi_spark_plus_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from hudi_spark_plus_spark.operators.llm_queries import LLM_ORACLES, LLM_QUERIES
+from hudi_spark_plus_spark.sources.loaders import load_table
+from tests.harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(LLM_QUERIES) if n in LLM_ORACLES]
+)
+def test_llm_query_matches_oracle(name, spark, sf_dir, con):
+    compare(LLM_QUERIES[name](spark, sf_dir), con, LLM_ORACLES[name], name)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(LLM_QUERIES) if n not in LLM_ORACLES]
+)
+def test_llm_rows_only_queries_run(name, spark, sf_dir):
+    assert LLM_QUERIES[name](spark, sf_dir).count() >= 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates (verified >= t) must recover >=90% of the exact
+    Jaccard pairs at the same threshold, with zero false positives
+    (verification makes precision exact)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    t = 0.30
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(d, "doc_id", "text", t).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", k=64, bands=16, verify_threshold=t
+        ).collect()
+    }
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact"
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_self_duplicate_detection(spark):
+    """Identical texts -> identical simhash; near-identical (one word
+    swapped) -> small hamming distance."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "the quick brown fox jumps over the lazy cat near the river"),
+        (4, "completely different text about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sig = {r["id"]: r["simhash"] for r in with_simhash(df, "text").collect()}
+    assert sig[1] == sig[2]
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    ham14 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham13 < ham14
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "id", "text", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_ann_recall_on_planted_neighbors(spark, sf_dir):
+    """LSH-ANN must recover planted near-duplicates (cosine ~0.995).
+    Uniformly random vectors are the adversarial case for LSH — the
+    recall contract is for genuinely similar data."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    base = e.collect()
+    rng = np.random.RandomState(7)
+    planted = []
+    for r in base[:20]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        nv = v + rng.randn(len(v)) * 0.02
+        nv = nv / np.linalg.norm(nv)
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in nv], 0))
+    aug = e.unionByName(
+        spark.createDataFrame(
+            planted, "vec_id long, embedding array<float>, label int"
+        )
+    )
+    queries = aug.where(F.col("vec_id") >= 100000)
+    exact1 = {
+        r["q_id"]: r["n_id"]
+        for r in cosine_topk(aug, queries, k=1).collect()
+    }
+    ann = lsh_ann_topk(aug, queries, k=1, bits=8, dim=64, n_tables=8)
+    got1 = {r["q_id"]: r["n_id"] for r in ann.collect()}
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    assert hits / len(exact1) >= 0.9, f"planted-neighbor recall {hits}/{len(exact1)}"
+
+
+def test_multimodal_stub_gates_and_plumbing(spark):
+    media = synth_media_df(spark, 32)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, allow_fake=False)
+    feats = decode_image_features(media, allow_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(r["n_bytes"] == 256 for r in rows)
+    # deterministic: same content digest on re-run
+    again = {r["media_id"]: r["content_digest"] for r in feats.collect()}
+    assert {r["media_id"]: r["content_digest"] for r in rows} == again
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", "video/mp4", bytearray(b"xx"), None, None, 3500)]
+    from hudi_spark_plus_spark.functions.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    samples = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["sample_ms"] for r in samples] == [0, 1000, 2000, 3000]

@@ -1,0 +1,85 @@
+"""Z-order clustering tests (SURVEY M5 / reference BitUtil K3)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+from hudi_spark_plus_spark.table.zorder import (
+    deinterleave_bits,
+    interleave_bits,
+    with_zvalue,
+    zorder_cluster_table,
+    zorder_write,
+)
+
+
+def test_interleave_roundtrip(spark):
+    """Morton interleave/deinterleave are exact inverses (K3 parity:
+    BitUtil.interleave/deinterleave)."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (5, 9), (12345, 67890), (2**20 - 1, 2**20 - 1)],
+        "x int, y int",
+    )
+    z = df.withColumn("z", interleave_bits("x", "y", bits=20))
+    e, o = deinterleave_bits("z", bits=20)
+    back = z.select("x", "y", e.alias("x2"), o.alias("y2")).collect()
+    for r in back:
+        assert (r["x"], r["y"]) == (r["x2"], r["y2"])
+    # known value: interleave(1, 0) = 1, interleave(0, 1) = 2
+    vals = {(r["x"], r["y"]): None for r in back}
+    known = {
+        (r["x"], r["y"]): r["z"]
+        for r in z.collect()
+    }
+    assert known[(1, 0)] == 1 and known[(0, 1)] == 2
+
+
+def test_zorder_write_tightens_file_stats(spark, sf_dir, tmp_path):
+    """After Z-order clustering on (l_partkey, l_suppkey), per-file
+    min/max ranges on BOTH columns shrink vs the unclustered layout —
+    the file-skipping property."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    li.repartition(8).write.parquet(plain)
+    zorder_write(li, zed, "l_partkey", "l_suppkey", n_files=8)
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(len(md.schema))}[col]
+            mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert avg_span(zed, col) < avg_span(plain, col) * 0.7, col
+
+
+def test_zorder_cluster_table_preserves_data(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    rows = [(f"k{i}", 1, "upsert", f"v{i}", i % 50, (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "_key string, _ts long, _op string, val string, a int, b int"
+    )
+    lake.merge(df, "b0")
+    before = {r["_key"]: (r["a"], r["b"]) for r in lake.snapshot().collect()}
+    zorder_cluster_table(lake, "a", "b")
+    after = {r["_key"]: (r["a"], r["b"]) for r in lake.snapshot().collect()}
+    assert before == after
+    assert lake.log.latest().operation == "cluster"
+    # merge still works post-clustering
+    lake.merge(
+        spark.createDataFrame(
+            [("k5", 2, "upsert", "v5x", 1, 1)],
+            "_key string, _ts long, _op string, val string, a int, b int",
+        ),
+        "b1",
+    )
+    assert {r["val"] for r in lake.snapshot().where(F.col("_key") == "k5").collect()} == {"v5x"}
