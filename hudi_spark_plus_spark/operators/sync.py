@@ -114,19 +114,52 @@ def sync_batch(
         survivors = cdc.lww_dedup(keyed, order_fields).persist()
 
         try:
+            # ONE job collects every table's affected merge buckets
+            # (instead of one distinct-collect per table inside merge)
+            bucket_case = None
             for (db, table), tc in configs.items():
+                cond = (F.col(cdc.DB_COL) == db) & (F.col(cdc.TABLE_COL) == table)
+                expr = F.pmod(F.xxhash64(F.col(KEY_COL)), F.lit(tc.buckets)).cast("int")
+                bucket_case = (
+                    F.when(cond, expr)
+                    if bucket_case is None
+                    else bucket_case.when(cond, expr)
+                )
+            bucket_rows = (
+                survivors.select(
+                    cdc.DB_COL, cdc.TABLE_COL, bucket_case.alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            buckets_by_table: dict[tuple[str, str], set[int]] = {}
+            for r in bucket_rows:
+                buckets_by_table.setdefault((r[0], r[1]), set()).add(r[2])
+
+            # per-table fan-out: independent Catalyst plans, submitted from
+            # driver threads so table jobs overlap (Spark schedules them
+            # concurrently); error isolation preserved per future (Q1 fix)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run_one(item):
+                (db, table), tc = item
                 name = f"{db}.{table}"
                 try:
                     schema_json = next(
                         s for (d, t, s) in tables if d == db and t == table
                     )
                     _sync_one_table(
-                        spark, survivors, tc, schema_json, batch_id
+                        spark, survivors, tc, schema_json, batch_id,
+                        buckets_by_table.get((db, table), set()),
                     )
-                    status[name] = "ok"
+                    return name, "ok"
                 except Exception as ex:  # Q1 fix: isolate per table
-                    status[name] = f"skipped: {ex}"
                     log.exception("table %s failed in batch %s", name, batch_id)
+                    return name, f"skipped: {ex}"
+
+            with ThreadPoolExecutor(max_workers=min(4, len(configs))) as ex:
+                for name, st in ex.map(run_one, configs.items()):
+                    status[name] = st
         finally:
             survivors.unpersist()
         return status
@@ -140,6 +173,7 @@ def _sync_one_table(
     tc: TableConfig,
     schema_json: str,
     batch_id: int | str,
+    affected_buckets: set[int] | None = None,
 ) -> None:
     """N16-N21 for one (db, table): route, decode, transform, merge."""
     part = survivors.where(
@@ -168,4 +202,9 @@ def _sync_one_table(
         *[c for c in decoded.columns if c not in (cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL, "_pos")]
     )
     lake = LakeTable(spark, tc.path, buckets=tc.buckets)
-    lake.merge(batch, batch_id=f"{batch_id}", parallelism=None)
+    lake.merge(
+        batch,
+        batch_id=f"{batch_id}",
+        parallelism=None,
+        affected_buckets=affected_buckets,
+    )

@@ -58,8 +58,15 @@ _REGISTRY = {
 def record_key_expr(
     db: str, table: str, key_fields: list[str], keygenerator: str = "composite"
 ) -> Column:
-    fn = _REGISTRY.get(keygenerator, composite_key)
-    return fn(db, table, key_fields)
+    """Resolve a keygen by registry name, Hudi class name, or a
+    ``"module:function"`` plugin spec (K9 — the reference loads keygens
+    reflectively by FQCN; our spec form is the importlib equivalent)."""
+    fn = _REGISTRY.get(keygenerator)
+    if fn is None and ":" in keygenerator:
+        from hudi_spark_plus_spark.plans.plugins import load_object
+
+        fn = load_object(keygenerator)
+    return (fn or composite_key)(db, table, key_fields)
 
 
 def bucket_expr(key: Column, buckets: int) -> Column:

@@ -50,6 +50,14 @@ from hudi_spark_plus_spark.table.keygen import (
 DELETE_OP = "delete"
 DELETED_COL = "_deleted"
 
+# Parquet-native bloom filter on the record key (the write-side half of
+# the reference's Bloom key index, BloomFilter.java:31-104/H8): readers
+# with key-equality predicates skip row groups server-side.
+_BLOOM_OPTS = {
+    f"parquet.bloom.filter.enabled#{KEY_COL}": "true",
+    f"parquet.bloom.filter.expected.ndv#{KEY_COL}": "100000",
+}
+
 
 def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
     """Scan a freshly-written ``_bucket=N`` tree; build manifest entries
@@ -170,6 +178,7 @@ class LakeTable:
         (
             out.repartition(parallelism, F.col(BUCKET_COL))
             .write.mode("append")
+            .options(**_BLOOM_OPTS)
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )
@@ -183,16 +192,27 @@ class LakeTable:
             schema_json=self._payload_schema_json(df),
         )
 
+    def bulk_insert(
+        self, df: DataFrame, batch_id: str | None = None, parallelism: int = 8
+    ) -> None:
+        """H3 bulk_insert: same append path at higher write parallelism
+        (the reference's separate bulkinsert parallelism knob, N15)."""
+        self.insert(df, batch_id, parallelism, operation="bulk_insert")
+
     def merge(
         self,
         batch: DataFrame,
         batch_id: str | None = None,
         parallelism: int | None = None,
+        affected_buckets: set[int] | None = None,
     ) -> None:
         """One-pass LWW upsert+delete merge (H1/H2/Q5).
 
         ``batch``: payload columns + ``_key`` + ``_ts`` + ``_op``; at most
         one row per key (run LWW dedup first, operators.cdc.lww_dedup).
+        ``affected_buckets``: precomputed bucket set (lets a multi-table
+        sync collect every table's buckets in ONE Spark job instead of
+        one job per table).
         """
         if batch_id is not None and self.log.has_batch(batch_id):
             return  # idempotent re-run (H5)
@@ -201,9 +221,11 @@ class LakeTable:
             BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
         )
         # Selective COW: only buckets containing batch keys are touched.
-        affected = {
-            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-        }
+        affected = (
+            affected_buckets
+            if affected_buckets is not None
+            else {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
+        )
         prev = self.log.latest()
         live = prev.files if prev else []
         carry = [f for f in live if f.bucket not in affected]
@@ -267,6 +289,7 @@ class LakeTable:
         (
             merged.repartition(n, F.col(BUCKET_COL))
             .write.mode("append")
+            .options(**_BLOOM_OPTS)
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )

@@ -119,3 +119,35 @@ class TestMerge:
         read_rows = hit.count()
         assert read_rows < 100, "bucket pruning should skip most rows"
         assert all_files > 1
+
+
+class TestInsertAndIncremental:
+    def test_insert_and_bulk_insert_append(self, spark, table):
+        df = mkbatch(spark, [("k1", 1, "upsert", "a")]).drop("_op")
+        table.insert(df, "b0")
+        table.bulk_insert(
+            mkbatch(spark, [("k2", 1, "upsert", "b")]).drop("_op"), "b1"
+        )
+        assert table.log.latest().operation == "bulk_insert"
+        assert {r["_key"] for r in table.snapshot().collect()} == {"k1", "k2"}
+
+    def test_incremental_read_returns_changed_rows(self, spark, table):
+        table.merge(mkbatch(spark, [("k1", 1, "upsert", "a"),
+                                    ("k2", 1, "upsert", "b")]), "b0")
+        v1 = table.log.latest().version
+        table.merge(mkbatch(spark, [("k2", 2, "upsert", "b2")]), "b1")
+        inc = table.incremental(v1)
+        keys = {r["_key"]: r["val"] for r in inc.collect()}
+        # only the rewritten bucket's rows appear, with the new value
+        assert keys["k2"] == "b2"
+        assert "k1" not in keys or keys["k1"] == "a"
+
+    def test_keygen_plugin_spec(self, spark):
+        from hudi_spark_plus_spark.table.keygen import record_key_expr
+
+        df = spark.createDataFrame([(5, "x")], "id long, v string")
+        col = record_key_expr(
+            "db", "t", ["id"],
+            "hudi_spark_plus_spark.table.keygen:simple_key",
+        )
+        assert df.select(col.alias("k")).first()["k"] == "5"
