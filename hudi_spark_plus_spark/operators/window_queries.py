@@ -1,8 +1,10 @@
 """Event-time window check queries (engine extensions, SURVEY §2.5).
 
 Tumbling and sliding windows have exact DuckDB oracles (``time_bucket``);
-session windows have no DuckDB equivalent and get the driver's rows-only
-check (asserted properly in tests/test_streaming.py instead).
+session windows are oracled with the classic gaps-and-islands rewrite
+(LAG + cumulative session counter) — a new session starts when the gap
+from the previous event exceeds the threshold, ``end = last + gap``,
+exactly Spark's ``session_window`` semantics.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ def q_win_session(spark, sf_dir):
 WINDOW_QUERIES = {
     "q-win-tumbling": q_win_tumbling,
     "q-win-sliding": q_win_sliding,
-    "q-win-session": q_win_session,  # rows-only (no ANSI-SQL session window)
+    "q-win-session": q_win_session,
 }
 
 WINDOW_ORACLES = {
@@ -42,6 +44,26 @@ WINDOW_ORACLES = {
                     AS VARCHAR) AS ws,
                event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sv
         FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+    """,
+    "q-win-session": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t FROM events
+        ), marked AS (
+          SELECT user_id, t,
+                 CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                           >= 300000000
+                      OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ), sess AS (
+          SELECT user_id, t,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT MIN(t) AS ws, MAX(t) + 300000000 AS we, user_id,
+               COUNT(*) AS cnt
+        FROM sess GROUP BY user_id, sid ORDER BY ws, user_id
     """,
     "q-win-sliding": """
         WITH buckets AS (

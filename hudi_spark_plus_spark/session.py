@@ -34,6 +34,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles for the host (Spark's 200 default means
+    # hundreds of near-empty tasks per stage on local test scales; on a
+    # real cluster deployments override via SPARK_GRAFT_CPUS / submit
+    # conf). Runtime-settable, semantics-free.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 

