@@ -18,4 +18,12 @@ __version__ = "0.1.0"
 
 from hudi_spark_plus_spark.session import configure_session, get_spark
 
-__all__ = ["configure_session", "get_spark", "__version__"]
+
+def Engine(spark):
+    """Lazy import of the user-facing facade (hudi_spark_plus_spark.engine)."""
+    from hudi_spark_plus_spark.engine import Engine as _Engine
+
+    return _Engine(spark)
+
+
+__all__ = ["configure_session", "get_spark", "Engine", "__version__"]

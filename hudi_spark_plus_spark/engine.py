@@ -1,0 +1,60 @@
+"""User-facing engine facade (SURVEY M2's thin ``engine.sql()`` entry).
+
+One object that wires the pieces together the way the reference's users
+consume them: relational SQL over registered tables (the transformer
+surface), lake tables as queryable relations (H6), and the CDC sync as a
+method. Everything underneath is the public DataFrame API.
+
+    eng = Engine(spark).register_testdata("/root/testdata/sf0.01")
+    eng.sql("SELECT l_returnflag, count(*) c FROM lineitem GROUP BY 1")
+    t = eng.lake_table("/lake/db1/orders")      # snapshot as temp view
+    eng.sync(envelope_df, options, batch_id=0)  # one CDC micro-batch
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_spark_plus_spark.operators.sync import sync_batch
+from hudi_spark_plus_spark.session import configure_session
+from hudi_spark_plus_spark.sources.loaders import TABLES, load_table
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = configure_session(spark)
+        self._lake_tables: dict[str, LakeTable] = {}
+
+    # -- relational surface -------------------------------------------------
+
+    def register_testdata(
+        self, sf_dir: str, names: tuple[str, ...] = TABLES
+    ) -> "Engine":
+        for n in names:
+            load_table(self.spark, sf_dir, n).createOrReplaceTempView(n)
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        """Arbitrary Spark SQL over everything registered (the
+        reference's transformer capability, N19/§2.4)."""
+        return self.spark.sql(query)
+
+    # -- lake tables --------------------------------------------------------
+
+    def lake_table(
+        self, path: str, buckets: int = 16, view: str | None = None
+    ) -> LakeTable:
+        t = self._lake_tables.get(path) or LakeTable(self.spark, path, buckets)
+        self._lake_tables[path] = t
+        if view:
+            t.snapshot().createOrReplaceTempView(view)
+        return t
+
+    # -- CDC ----------------------------------------------------------------
+
+    def sync(
+        self, envelope_df: DataFrame, options: dict[str, str], batch_id=0
+    ) -> dict[str, str]:
+        """Run one CDC micro-batch (envelope strings in ``value``)."""
+        return sync_batch(self.spark, envelope_df, options, batch_id)

@@ -109,8 +109,12 @@ class CommitLog:
         return self.read(vs[-1]) if vs else None
 
     def has_batch(self, batch_id: str) -> bool:
-        """Idempotence check (H5): was this micro-batch already committed?"""
-        return any(self.read(v).batch_id == batch_id for v in self.versions())
+        """Idempotence check (H5): was this micro-batch already committed?
+        Newest-first: a replayed batch is almost always recent, and vacuum
+        bounds the timeline length for the miss case."""
+        return any(
+            self.read(v).batch_id == batch_id for v in reversed(self.versions())
+        )
 
     def live_files(self, version: int | None = None) -> list[FileEntry]:
         c = self.read(version) if version is not None else self.latest()

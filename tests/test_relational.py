@@ -35,3 +35,30 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02)
     ).first()[0]
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_engine_facade(spark, sf_dir, tmp_path):
+    """Engine: SQL over registered views + lake table view + CDC sync."""
+    from hudi_spark_plus_spark.engine import Engine
+    from hudi_spark_plus_spark.operators.cdc_queries import (
+        build_envelopes,
+        sync_options,
+    )
+
+    eng = Engine(spark).register_testdata(sf_dir)
+    row = eng.sql(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE l_quantity > 45"
+    ).first()
+    assert row["c"] > 0
+
+    ev = spark.createDataFrame(
+        [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0)],
+        "seq long, db_name string, table_name string, op string, ts long,"
+        " key_id long, col_a string, col_b double",
+    )
+    status = eng.sync(build_envelopes(ev), sync_options(str(tmp_path)), 0)
+    assert status["db1.t_customer"] == "ok"
+    t = eng.lake_table(
+        f"{tmp_path}/db1/ods_db1_t_customer", buckets=4, view="cust_lake"
+    )
+    assert eng.sql("SELECT COUNT(*) c FROM cust_lake").first()["c"] == 1
