@@ -1,0 +1,111 @@
+"""Extended relational coverage beyond q01-q28 (SURVEY §2.4 families):
+pivot, exact percentiles, and the remaining set operations — each with an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.sources.loaders import load_table
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (columnar re-shape of a grouped aggregate). Fixed pivot
+    values keep the plan single-pass and the output schema static."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 4).alias("qty_f"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 4).alias("qty_o"),
+    ).orderBy("l_returnflag")
+
+
+def q_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (continuous quantile) per group.
+    The approx variant (approx_percentile/percentile_approx) is sketch-
+    based and engine-specific — asserted in-engine instead (tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_union(spark, sf_dir):
+    """UNION (distinct) + UNION ALL cardinality in one result."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("x")
+    )
+    dist = c.union(s).distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
+    alln = c.union(s).agg(F.count(F.lit(1)).alias("n_all"))
+    return dist.crossJoin(alln).orderBy("n_distinct")
+
+
+def q_except(spark, sf_dir):
+    """EXCEPT: nations having customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("x")
+    )
+    # subtract == EXCEPT (distinct) — matches the oracle's DISTINCT+EXCEPT
+    return c.subtract(s).orderBy("x")
+
+
+EXT_QUERIES = {
+    "q-pivot": q_pivot,
+    "q-percentile": q_percentile,
+    "q-union": q_union,
+    "q-except": q_except,
+}
+
+EXT_ORACLES = {
+    "q-pivot": """
+        SELECT l_returnflag,
+               ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                                       THEN l_quantity END), 0.0), 4)
+                   AS qty_f,
+               ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                                       THEN l_quantity END), 0.0), 4)
+                   AS qty_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q-percentile": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q-union": """
+        SELECT (SELECT COUNT(*) FROM (
+                   SELECT c_nationkey AS x FROM customer
+                   UNION
+                   SELECT s_nationkey AS x FROM supplier)) AS n_distinct,
+               (SELECT COUNT(*) FROM (
+                   SELECT c_nationkey AS x FROM customer
+                   UNION ALL
+                   SELECT s_nationkey AS x FROM supplier)) AS n_all
+        ORDER BY n_distinct
+    """,
+    "q-except": """
+        SELECT x FROM (
+          SELECT DISTINCT c_nationkey AS x FROM customer
+          EXCEPT
+          SELECT DISTINCT s_nationkey AS x FROM supplier) t
+        ORDER BY x
+    """,
+}

@@ -20,6 +20,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (module, queries-dict attr, oracles-dict attr)
 _SOURCES = [
     ("hudi_spark_plus_spark.operators.relational", "RELATIONAL_QUERIES", "RELATIONAL_ORACLES"),
+    ("hudi_spark_plus_spark.operators.relational_ext", "EXT_QUERIES", "EXT_ORACLES"),
     ("hudi_spark_plus_spark.operators.cdc_queries", "CDC_QUERIES", "CDC_ORACLES"),
     ("hudi_spark_plus_spark.operators.window_queries", "WINDOW_QUERIES", "WINDOW_ORACLES"),
     ("hudi_spark_plus_spark.operators.udf_queries", "UDF_QUERIES", "UDF_ORACLES"),

@@ -1,0 +1,59 @@
+"""Plan-quality guards: the physical plans the 100 TB posture depends on
+must not silently regress (SURVEY §4.3 / build-brief requirements)."""
+
+import re
+
+import pytest
+
+from hudi_spark_plus_spark.operators.relational import q01, q05, q10, q17
+
+
+def plan_of(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(q01(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_quantity" in scan and "45" in plan
+    # pruned read schema: none of the untouched columns are scanned
+    for col in ("l_partkey", "l_suppkey", "l_returnflag", "l_shipdate"):
+        assert col not in scan, f"unpruned column {col} in scan"
+
+
+def test_q05_dimensions_broadcast(spark, sf_dir):
+    plan = plan_of(q05(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_range_join_stays_hash(spark, sf_dir):
+    """The theta predicate must ride an equi hash join as a post-filter,
+    never a nested-loop/cartesian plan."""
+    plan = plan_of(q10(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_dedup_is_single_shuffle(spark, sf_dir):
+    """The LWW-dedup primitive: exactly one hash-partitioning exchange
+    (the window), plus the final presentation sort."""
+    plan = plan_of(q17(spark, sf_dir))
+    hashes = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hashes) == 1, plan
+
+
+def test_approx_percentile_in_engine_bound(spark, sf_dir):
+    """Approx percentile sketch: engine-only relative-error assertion
+    (cross-engine sketches differ by design, SURVEY §2.4 note)."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    exact, approx = o.select(
+        F.expr("percentile(o_totalprice, 0.5)"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.05

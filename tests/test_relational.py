@@ -62,3 +62,13 @@ def test_engine_facade(spark, sf_dir, tmp_path):
         f"{tmp_path}/db1/ods_db1_t_customer", buckets=4, view="cust_lake"
     )
     assert eng.sql("SELECT COUNT(*) c FROM cust_lake").first()["c"] == 1
+
+
+@pytest.mark.parametrize("name", ["q-pivot", "q-percentile", "q-union", "q-except"])
+def test_ext_query_matches_oracle(name, spark, sf_dir, con):
+    from hudi_spark_plus_spark.operators.relational_ext import (
+        EXT_ORACLES,
+        EXT_QUERIES,
+    )
+
+    compare(EXT_QUERIES[name](spark, sf_dir), con, EXT_ORACLES[name], name)
