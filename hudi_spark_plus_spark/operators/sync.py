@@ -73,6 +73,16 @@ def sync_batch(
     if df.rdd.getNumPartitions() != n_src:
         df = df.repartition(n_src)  # N4
 
+    # Candidate tables are enumerable from the option namespace BEFORE
+    # touching data, so keying/bucketing fold into the one metadata job.
+    candidates: dict[tuple[str, str], TableConfig] = {}
+    config_errors: dict[tuple[str, str], str] = {}
+    for db, table in _candidate_tables(options):
+        try:
+            candidates[(db, table)] = cfg.resolve_table_config(options, db, table)
+        except TableConfigError as ex:
+            config_errors[(db, table)] = str(ex)
+
     df = df.persist()  # N5: plan fans out into retention + N tables
     try:
         if cfg.keep_binlog(options):
@@ -81,61 +91,69 @@ def sync_batch(
                 write_retention(df, path, batch_id)
             else:
                 log.error("keepbinlog enabled but %s unset", cfg.BINLOG_PATH)
-        else:
-            df.count()  # materialize the cache before fan-out
+        # (no separate count(): the metadata collect below is the first
+        # consumer and fills the cache)
 
         records = cdc.parse_envelopes(df)
-        tables = cdc.distinct_tables(records)  # N10 (only driver collect)
-        if not tables:
+        if candidates:
+            keyed = cdc.with_record_key(
+                records,
+                {k: c.record_key_fields for k, c in candidates.items()},
+            )  # unconfigured tables -> null _key (when-chain falls through)
+        else:
+            keyed = records.withColumn(KEY_COL, F.lit(None).cast("string"))
+
+        # ONE driver collect (N10 + every table's affected merge buckets):
+        # distinct (db, table, schema, bucket) — bucket null for rows of
+        # unconfigured tables. Dedup never eliminates a key entirely, so
+        # pre-dedup bucket sets equal post-dedup ones.
+        bucket_case = F.lit(None).cast("int")
+        for (db, table), tc in candidates.items():
+            cond = (F.col(cdc.DB_COL) == db) & (F.col(cdc.TABLE_COL) == table)
+            bucket_case = F.when(
+                cond,
+                F.pmod(F.xxhash64(F.col(KEY_COL)), F.lit(tc.buckets)).cast("int"),
+            ).otherwise(bucket_case)
+        meta_rows = (
+            keyed.select(
+                cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL,
+                bucket_case.alias("b"),
+            )
+            .distinct()
+            .collect()
+        )
+        if not meta_rows:
             return {}
 
-        # resolve config for every table up front; per-table isolation
-        configs: dict[tuple[str, str], TableConfig] = {}
-        status: dict[str, str] = {}
-        for db, table, _schema in tables:
-            try:
-                configs[(db, table)] = cfg.resolve_table_config(options, db, table)
-            except TableConfigError as ex:
-                status[f"{db}.{table}"] = f"skipped: {ex}"
-                log.error("table %s.%s skipped: %s", db, table, ex)
+        schema_by_table: dict[tuple[str, str], str] = {}
+        buckets_by_table: dict[tuple[str, str], set[int]] = {}
+        for r in meta_rows:
+            key = (r[0], r[1])
+            schema_by_table.setdefault(key, r[2])
+            if r[3] is not None:
+                buckets_by_table.setdefault(key, set()).add(r[3])
 
-        if not configs:
+        status: dict[str, str] = {}
+        work: dict[tuple[str, str], TableConfig] = {}
+        for key in schema_by_table:
+            name = f"{key[0]}.{key[1]}"
+            if key in candidates:
+                work[key] = candidates[key]
+            elif key in config_errors:
+                status[name] = f"skipped: {config_errors[key]}"
+                log.error("table %s skipped: %s", name, config_errors[key])
+            else:
+                status[name] = "skipped: no options configured for table"
+                log.error("table %s skipped: unconfigured", name)
+        if not work:
             return status
 
-        keyed = cdc.with_record_key(
-            records.where(
-                F.concat_ws(".", F.col(cdc.DB_COL), F.col(cdc.TABLE_COL)).isin(
-                    [f"{db}.{t}" for (db, t) in configs]
-                )
-            ),
-            {k: c.record_key_fields for k, c in configs.items()},
-        )
-        order_fields = next(iter(configs.values())).dedup_order_fields
-        survivors = cdc.lww_dedup(keyed, order_fields).persist()
+        order_fields = next(iter(work.values())).dedup_order_fields
+        survivors = cdc.lww_dedup(
+            keyed.where(F.col(KEY_COL).isNotNull()), order_fields
+        ).persist()
 
         try:
-            # ONE job collects every table's affected merge buckets
-            # (instead of one distinct-collect per table inside merge)
-            bucket_case = None
-            for (db, table), tc in configs.items():
-                cond = (F.col(cdc.DB_COL) == db) & (F.col(cdc.TABLE_COL) == table)
-                expr = F.pmod(F.xxhash64(F.col(KEY_COL)), F.lit(tc.buckets)).cast("int")
-                bucket_case = (
-                    F.when(cond, expr)
-                    if bucket_case is None
-                    else bucket_case.when(cond, expr)
-                )
-            bucket_rows = (
-                survivors.select(
-                    cdc.DB_COL, cdc.TABLE_COL, bucket_case.alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            buckets_by_table: dict[tuple[str, str], set[int]] = {}
-            for r in bucket_rows:
-                buckets_by_table.setdefault((r[0], r[1]), set()).add(r[2])
-
             # per-table fan-out: independent Catalyst plans, submitted from
             # driver threads so table jobs overlap (Spark schedules them
             # concurrently); error isolation preserved per future (Q1 fix)
@@ -145,26 +163,35 @@ def sync_batch(
                 (db, table), tc = item
                 name = f"{db}.{table}"
                 try:
-                    schema_json = next(
-                        s for (d, t, s) in tables if d == db and t == table
-                    )
                     _sync_one_table(
-                        spark, survivors, tc, schema_json, batch_id,
-                        buckets_by_table.get((db, table), set()),
+                        spark, survivors, tc, schema_by_table[(db, table)],
+                        batch_id, buckets_by_table.get((db, table), set()),
                     )
                     return name, "ok"
                 except Exception as ex:  # Q1 fix: isolate per table
                     log.exception("table %s failed in batch %s", name, batch_id)
                     return name, f"skipped: {ex}"
 
-            with ThreadPoolExecutor(max_workers=min(4, len(configs))) as ex:
-                for name, st in ex.map(run_one, configs.items()):
+            with ThreadPoolExecutor(max_workers=min(4, len(work))) as ex:
+                for name, st in ex.map(run_one, work.items()):
                     status[name] = st
         finally:
             survivors.unpersist()
         return status
     finally:
         df.unpersist()
+
+
+def _candidate_tables(options: dict[str, str]) -> set[tuple[str, str]]:
+    """(db, table) pairs declared in the option namespace
+    ("{db}.{table}.hoodie..." keys, N12)."""
+    out = set()
+    for k in options:
+        parts = k.split(".hoodie.", 1)
+        if len(parts) == 2 and parts[0].count(".") == 1:
+            db, table = parts[0].split(".", 1)
+            out.add((db, table))
+    return out
 
 
 def _sync_one_table(
