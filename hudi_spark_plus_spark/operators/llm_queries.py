@@ -98,6 +98,15 @@ def q_doc_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_doc_minhash_full(spark, sf_dir):
+    """Rows-only: FULL-corpus near-dup dedup via MinHash+LSH (the scale
+    path — no subset bound; candidates verified at j >= 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=64, bands=16, ngram=3, verify_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def q_doc_simhash(spark, sf_dir):
     """Rows-only: SimHash near-dup pairs by hamming distance."""
     d = load_table(spark, sf_dir, "documents").where(
@@ -139,6 +148,7 @@ LLM_QUERIES = {
     "q-doc-fingerprint": q_doc_fingerprint,
     "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
     "q-doc-minhash-lsh": q_doc_minhash_lsh,
+    "q-doc-minhash-full": q_doc_minhash_full,
     "q-doc-simhash": q_doc_simhash,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-ann-lsh": q_emb_ann_lsh,

@@ -181,3 +181,20 @@ def test_cdc_replay_property(spark, tmp_path):
         for r in lake.snapshot().collect()
     }
     assert got == expect
+
+
+def test_malformed_envelope_lines_are_skipped(spark, tmp_path):
+    """Garbage lines in the stream must not break the batch: from_json
+    yields null envelopes, explode drops them, valid lines process."""
+    good = build_envelopes(
+        _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0)])
+    ).collect()[0]["value"]
+    lines = spark.createDataFrame(
+        [(good,), ("{not valid json",), ("",), ('{"databaseName":"db1"}',)],
+        "value string",
+    )
+    opts = sync_options(str(tmp_path))
+    status = sync_batch(spark, lines, opts, batch_id=0)
+    assert status["db1.t_customer"] == "ok"
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    assert lake.snapshot().count() == 1
