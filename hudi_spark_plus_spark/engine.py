@@ -24,7 +24,7 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = configure_session(spark)
-        self._lake_tables: dict[str, LakeTable] = {}
+        self._lake_tables: dict[tuple[str, int], LakeTable] = {}
 
     # -- relational surface -------------------------------------------------
 
@@ -45,8 +45,9 @@ class Engine:
     def lake_table(
         self, path: str, buckets: int = 16, view: str | None = None
     ) -> LakeTable:
-        t = self._lake_tables.get(path) or LakeTable(self.spark, path, buckets)
-        self._lake_tables[path] = t
+        key = (path, buckets)
+        t = self._lake_tables.get(key) or LakeTable(self.spark, path, buckets)
+        self._lake_tables[key] = t
         if view:
             t.snapshot().createOrReplaceTempView(view)
         return t

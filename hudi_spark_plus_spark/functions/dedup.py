@@ -147,6 +147,7 @@ def with_minhash(
                 )
             ),
         )
+        .where(F.col("_sh") != "")  # empty/whitespace-only text -> no shingles
         .select(*other, F.xxhash64("_sh").alias("_h"))
     )
     agg = exploded.groupBy(*other).agg(

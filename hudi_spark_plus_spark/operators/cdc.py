@@ -81,11 +81,18 @@ def with_record_key(
     df: DataFrame, key_fields_by_table: dict[tuple[str, str], list[str]],
     keygen_by_table: dict[tuple[str, str], str] | None = None,
 ) -> DataFrame:
-    """N8: md5 record key from configured per-table key columns.
+    """N8: record key from configured per-table key columns.
 
     Key column values are extracted from the still-encoded row JSON with
     ``get_json_object`` — cheap, avoids decoding full payloads before
     dedup (the reference also keys on the raw JSON record, scala:251-259).
+
+    Keygen: "composite" (default — the reference's md5 recipe, applied
+    regardless of keygen class in the reference itself) or "simple" (raw
+    single key column as string). Other/unknown generators fall back to
+    composite on this pre-decode path — arbitrary plugin keygens need
+    decoded columns and apply on the LakeTable-direct path
+    (table/keygen.py:record_key_expr).
     """
     keygen_by_table = keygen_by_table or {}
     key_col: Column | None = None
@@ -96,9 +103,13 @@ def with_record_key(
             )
             for f in fields
         ]
-        this_key = F.md5(
-            F.concat_ws("_", F.lit(db), F.lit(table), *vals)
-        )
+        keygen = keygen_by_table.get((db, table), "composite")
+        if keygen == "simple" and len(vals) == 1:
+            this_key = vals[0]
+        else:
+            this_key = F.md5(
+                F.concat_ws("_", F.lit(db), F.lit(table), *vals)
+            )
         cond = (F.col(DB_COL) == db) & (F.col(TABLE_COL) == table)
         key_col = (
             F.when(cond, this_key)
@@ -110,25 +121,43 @@ def with_record_key(
     return df.withColumn(KEY_COL, key_col)
 
 
-def lww_dedup(df: DataFrame, order_fields: list[str] | None = None) -> DataFrame:
+def lww_dedup(
+    df: DataFrame,
+    order_fields: list[str] | None = None,
+    order_exprs: list[Column] | None = None,
+) -> DataFrame:
     """N9: last-write-wins dedup — keep the latest operation per key.
 
     Single window shuffle (vs the reference's groupBy + per-key list sort,
     scala:260-266). Order: envelope timestamp desc, then configured
-    payload tie-break fields (extracted from row JSON) desc, then
-    within-envelope position desc.
+    payload tie-break fields (extracted from row JSON; ``decimal(38,9)``
+    preserves full int64 precision — a double cast would collide values
+    above 2^53) desc, then within-envelope position desc.
+
+    ``order_exprs``: prebuilt tie-break Columns (e.g. per-table CASE
+    expressions when one batch carries tables with different tie-break
+    fields) — takes precedence over ``order_fields``.
     """
     order = [F.col(TS_COL).desc()]
-    for f in order_fields or []:
-        order.append(
-            F.get_json_object(F.col(VALUE_COL), f"$.{f}").cast("double").desc()
-        )
+    if order_exprs:
+        order.extend(c.desc() for c in order_exprs)
+    else:
+        for f in order_fields or []:
+            order.append(tie_break_expr(f).desc())
     order.append(F.col(POS_COL).desc())
     w = Window.partitionBy(KEY_COL).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def tie_break_expr(field: str) -> Column:
+    """Numeric tie-break value from the encoded row JSON (null for
+    non-numeric — falls through to the position tie-break)."""
+    return F.get_json_object(F.col(VALUE_COL), f"$.{field}").cast(
+        "decimal(38,9)"
     )
 
 

@@ -99,14 +99,16 @@ def sync_batch(
             keyed = cdc.with_record_key(
                 records,
                 {k: c.record_key_fields for k, c in candidates.items()},
+                {k: c.keygenerator for k, c in candidates.items()},
             )  # unconfigured tables -> null _key (when-chain falls through)
         else:
             keyed = records.withColumn(KEY_COL, F.lit(None).cast("string"))
 
-        # ONE driver collect (N10 + every table's affected merge buckets):
-        # distinct (db, table, schema, bucket) — bucket null for rows of
-        # unconfigured tables. Dedup never eliminates a key entirely, so
-        # pre-dedup bucket sets equal post-dedup ones.
+        # ONE driver collect (N10 + every table's affected merge buckets +
+        # latest schema per table): grouped (db, table, schema, bucket)
+        # with max event ts — bucket null for rows of unconfigured tables.
+        # Dedup never eliminates a key entirely, so pre-dedup bucket sets
+        # equal post-dedup ones.
         bucket_case = F.lit(None).cast("int")
         for (db, table), tc in candidates.items():
             cond = (F.col(cdc.DB_COL) == db) & (F.col(cdc.TABLE_COL) == table)
@@ -115,23 +117,28 @@ def sync_batch(
                 F.pmod(F.xxhash64(F.col(KEY_COL)), F.lit(tc.buckets)).cast("int"),
             ).otherwise(bucket_case)
         meta_rows = (
-            keyed.select(
-                cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL,
+            keyed.groupBy(
+                F.col(cdc.DB_COL), F.col(cdc.TABLE_COL), F.col(cdc.SCHEMA_COL),
                 bucket_case.alias("b"),
             )
-            .distinct()
+            .agg(F.max(TS_COL).alias("mx"))
             .collect()
         )
         if not meta_rows:
             return {}
 
-        schema_by_table: dict[tuple[str, str], str] = {}
+        # latest declared in-band schema wins per table (mid-batch schema
+        # change); deterministic tie-break on the schema string
+        best_schema: dict[tuple[str, str], tuple] = {}
         buckets_by_table: dict[tuple[str, str], set[int]] = {}
         for r in meta_rows:
             key = (r[0], r[1])
-            schema_by_table.setdefault(key, r[2])
+            rank = (r[4] if r[4] is not None else -1, r[2] or "")
+            if key not in best_schema or rank > best_schema[key]:
+                best_schema[key] = rank
             if r[3] is not None:
                 buckets_by_table.setdefault(key, set()).add(r[3])
+        schema_by_table = {k: v[1] for k, v in best_schema.items()}
 
         status: dict[str, str] = {}
         work: dict[tuple[str, str], TableConfig] = {}
@@ -148,9 +155,24 @@ def sync_batch(
         if not work:
             return status
 
-        order_fields = next(iter(work.values())).dedup_order_fields
+        # per-table tie-break fields: one CASE expression per tie-break
+        # position so each table's configured fields apply to its own
+        # rows within the single dedup pass
+        max_order = max((len(tc.dedup_order_fields) for tc in work.values()), default=0)
+        order_exprs = []
+        for i in range(max_order):
+            e = F.lit(None).cast("decimal(38,9)")
+            for (db, table), tc in work.items():
+                if i < len(tc.dedup_order_fields):
+                    cond = (F.col(cdc.DB_COL) == db) & (
+                        F.col(cdc.TABLE_COL) == table
+                    )
+                    e = F.when(
+                        cond, cdc.tie_break_expr(tc.dedup_order_fields[i])
+                    ).otherwise(e)
+            order_exprs.append(e)
         survivors = cdc.lww_dedup(
-            keyed.where(F.col(KEY_COL).isNotNull()), order_fields
+            keyed.where(F.col(KEY_COL).isNotNull()), order_exprs=order_exprs
         ).persist()
 
         try:
@@ -210,20 +232,15 @@ def _sync_one_table(
     decoded = cdc.decode_rows(part, schema, tc.json_options)  # N18
 
     if tc.transformer_sql:  # N19 — meta cols hidden from user SQL
-        meta = decoded.select(KEY_COL, TS_COL, OP_COL, "_pos", cdc.DB_COL, cdc.TABLE_COL)
         user_cols = [c for c in decoded.columns if not c.startswith("_")]
         transformed = apply_transformer(
             spark, decoded.select(*user_cols), tc.transformer_sql
         )
-        # re-attach meta by recomputing the key join — transformer must
-        # preserve the record-key columns (documented requirement)
-        decoded = transformed.join(
-            meta.join(
-                decoded.select(KEY_COL, *user_cols), KEY_COL
-            ).select(KEY_COL, TS_COL, OP_COL, *tc.record_key_fields),
-            on=tc.record_key_fields,
-            how="inner",
-        )
+        # re-attach meta on the record-key columns — the transformer must
+        # preserve them (documented requirement); meta sits beside them in
+        # `decoded` already, no intermediate self-join needed
+        meta = decoded.select(KEY_COL, TS_COL, OP_COL, *tc.record_key_fields)
+        decoded = transformed.join(meta, on=tc.record_key_fields, how="inner")
 
     batch = decoded.select(
         *[c for c in decoded.columns if c not in (cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL, "_pos")]

@@ -43,10 +43,17 @@ _RUNTIME_CONFS = {
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    """Apply the engine's runtime confs to an existing session (idempotent).
+
+    ``spark.sql.shuffle.partitions`` is only adjusted when still at
+    Spark's 200 default — an explicit caller/cluster setting wins."""
     for k, v in _RUNTIME_CONFS.items():
         try:
-            spark.conf.set(k, v)
+            if k == "spark.sql.shuffle.partitions":
+                if spark.conf.get(k, "200") == "200":
+                    spark.conf.set(k, v)
+            else:
+                spark.conf.set(k, v)
         except Exception:  # conf removed/renamed on some Spark builds
             pass
     return spark
@@ -72,7 +79,10 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     import tempfile
 
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     builder = (
+        # after _RUNTIME_CONFS so an explicit argument wins
         builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -82,6 +92,13 @@ def get_spark(
             os.path.join(tempfile.gettempdir(), "hsp_warehouse"),
         )
     )
-    for k, v in _RUNTIME_CONFS.items():
-        builder = builder.config(k, v)
-    return configure_session(builder.getOrCreate())
+    spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session whose conf the
+    # builder couldn't touch; normalize runtime confs, then re-assert the
+    # explicit shuffle_partitions argument (it wins over the env default).
+    configure_session(spark)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:
+        pass
+    return spark

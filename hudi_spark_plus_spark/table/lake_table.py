@@ -143,8 +143,8 @@ class LakeTable:
             f
             for f in self.log.live_files()
             if f.bucket in buckets
-            and (f.max_key is None or hi is None or f.min_key <= hi)
-            and (f.min_key is None or lo is None or f.max_key >= lo)
+            and (f.min_key is None or hi is None or f.min_key <= hi)
+            and (f.max_key is None or lo is None or f.max_key >= lo)
         ]
         return self._read_files(files)
 

@@ -20,7 +20,11 @@ import os
 from pyspark.sql import functions as F
 
 from hudi_spark_plus_spark.table.keygen import BUCKET_COL, KEY_COL, bucket_expr
-from hudi_spark_plus_spark.table.lake_table import LakeTable, _collect_file_entries
+from hudi_spark_plus_spark.table.lake_table import (
+    _BLOOM_OPTS,
+    LakeTable,
+    _collect_file_entries,
+)
 
 
 def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
@@ -36,6 +40,7 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
             max(1, lake.buckets * target_files_per_bucket), F.col(BUCKET_COL)
         )
         .write.mode("append")
+        .options(**_BLOOM_OPTS)  # keep the key bloom filter through rewrites
         .partitionBy(BUCKET_COL)
         .parquet(absd)
     )

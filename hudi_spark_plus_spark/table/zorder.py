@@ -98,7 +98,10 @@ def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
     file tightens parquet row-group min/max on both cluster columns, so
     predicate pushdown skips row groups server-side."""
     from hudi_spark_plus_spark.table.keygen import BUCKET_COL, KEY_COL, bucket_expr
-    from hudi_spark_plus_spark.table.lake_table import _collect_file_entries
+    from hudi_spark_plus_spark.table.lake_table import (
+        _BLOOM_OPTS,
+        _collect_file_entries,
+    )
 
     snap = lake.snapshot(include_deleted=True)
     z = with_zvalue(snap, col_a, col_b)
@@ -109,6 +112,7 @@ def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
         .sortWithinPartitions(BUCKET_COL, "_z")
         .drop("_z")
         .write.mode("append")
+        .options(**_BLOOM_OPTS)  # keep the key bloom filter through rewrites
         .partitionBy(BUCKET_COL)
         .parquet(absd)
     )

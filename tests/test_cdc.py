@@ -198,3 +198,42 @@ def test_malformed_envelope_lines_are_skipped(spark, tmp_path):
     assert status["db1.t_customer"] == "ok"
     lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
     assert lake.snapshot().count() == 1
+
+
+def test_per_table_dedup_order_fields(spark, tmp_path):
+    """Each table's configured tie-break field applies to its own rows —
+    a batch mixing tables with different tie-break columns must not
+    cross-apply one table's field to the other (review finding)."""
+    opts = sync_options(str(tmp_path))
+    # t_customer ties break on seq (default fixture config); t_order on
+    # col_b via per-table override
+    opts["db1.t_order." + cfg.DEDUP_ORDER_FIELDS] = "col_b"
+    ev = _mk_events(
+        spark,
+        [
+            # same key, same ts: t_customer winner = larger seq ("late")
+            (10, "db1", "t_customer", "update", 5, 1, "early", 1.0),
+            (20, "db1", "t_customer", "update", 5, 1, "late", 2.0),
+            # same key, same ts: t_order winner = larger col_b ("big"),
+            # even though its seq is SMALLER
+            (30, "db1", "t_order", "update", 5, 9, "big", 99.0),
+            (40, "db1", "t_order", "update", 5, 9, "small", 1.0),
+        ],
+    )
+    sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    cust = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    assert {r["col_a"] for r in cust.snapshot().collect()} == {"late"}
+    orde = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_order", buckets=4)
+    assert {r["col_a"] for r in orde.snapshot().collect()} == {"big"}
+
+
+def test_simple_keygen_in_cdc_path(spark, tmp_path):
+    """keygenerator.class=simple: the record key is the raw key column
+    (review finding: config was previously ignored on the CDC path)."""
+    opts = sync_options(str(tmp_path))
+    opts["db1.t_customer." + cfg.KEYGENERATOR_CLASS] = "simple"
+    ev = _mk_events(spark, [(1, "db1", "t_customer", "update", 10, 42, "a", 1.0)])
+    sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    rows = lake.snapshot().collect()
+    assert rows[0]["_key"] == "42"  # raw key, not an md5 digest

@@ -136,3 +136,17 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     samples = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["sample_ms"] for r in samples] == [0, 1000, 2000, 3000]
+
+
+def test_minhash_ignores_empty_documents(spark):
+    """Empty/whitespace docs must not pair with each other (they have no
+    shingles), and id-only grouping keeps text out of the shuffle key."""
+    rows = [(1, ""), (2, "   "), (3, "real text with actual words here"),
+            (4, "real text with actual words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", k=16, bands=4).collect()
+    }
+    assert (1, 2) not in pairs
+    assert (3, 4) in pairs
