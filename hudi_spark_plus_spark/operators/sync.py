@@ -155,22 +155,27 @@ def sync_batch(
         if not work:
             return status
 
-        # per-table tie-break fields: one CASE expression per tie-break
-        # position so each table's configured fields apply to its own
-        # rows within the single dedup pass
-        max_order = max((len(tc.dedup_order_fields) for tc in work.values()), default=0)
+        # per-table tie-break fields: when every table agrees (the common
+        # case) one plain expression per position suffices; otherwise a
+        # CASE over (db, table) applies each table's own fields within
+        # the single dedup pass
+        field_lists = [tuple(tc.dedup_order_fields) for tc in work.values()]
         order_exprs = []
-        for i in range(max_order):
-            e = F.lit(None).cast("decimal(38,9)")
-            for (db, table), tc in work.items():
-                if i < len(tc.dedup_order_fields):
-                    cond = (F.col(cdc.DB_COL) == db) & (
-                        F.col(cdc.TABLE_COL) == table
-                    )
-                    e = F.when(
-                        cond, cdc.tie_break_expr(tc.dedup_order_fields[i])
-                    ).otherwise(e)
-            order_exprs.append(e)
+        if len(set(field_lists)) == 1:
+            order_exprs = [cdc.tie_break_expr(f) for f in field_lists[0]]
+        else:
+            max_order = max(len(fl) for fl in field_lists)
+            for i in range(max_order):
+                e = F.lit(None).cast("decimal(38,9)")
+                for (db, table), tc in work.items():
+                    if i < len(tc.dedup_order_fields):
+                        cond = (F.col(cdc.DB_COL) == db) & (
+                            F.col(cdc.TABLE_COL) == table
+                        )
+                        e = F.when(
+                            cond, cdc.tie_break_expr(tc.dedup_order_fields[i])
+                        ).otherwise(e)
+                order_exprs.append(e)
         survivors = cdc.lww_dedup(
             keyed.where(F.col(KEY_COL).isNotNull()), order_exprs=order_exprs
         ).persist()
