@@ -43,7 +43,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         df = qs[name](spark, sf_dir)
         _materialize(df)
         out[name] = round(time.perf_counter() - t0, 3)
+    _clear_session_state(spark)
     return out
+
+
+def _clear_session_state(spark) -> None:
+    """Drop cached/localCheckpointed RDD state between phases so one
+    phase's pinned memory doesn't tax the next (minhash/simhash queries
+    localCheckpoint their banded signatures)."""
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+            jsc.unpersistRDD(rdd_id, False)
+    except Exception:
+        pass
 
 
 def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
@@ -105,8 +119,11 @@ def main() -> None:
     spark = get_spark("hsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        queries = bench_queries(spark, sf_dir)
+        # CDC first: its state is fully torn down afterwards, while the
+        # query phase leaves JVM warmth that benefits neither unfairly
         cdc = bench_cdc(spark, sf_dir)
+        _clear_session_state(spark)
+        queries = bench_queries(spark, sf_dir)
         sf_name = os.path.basename(sf_dir.rstrip("/"))
         try:
             sf = float(sf_name.replace("sf", ""))

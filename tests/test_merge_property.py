@@ -1,0 +1,78 @@
+"""Hypothesis property test: LakeTable merge == dict replay under
+arbitrary generated upsert/delete schedules (SURVEY §5.2.3, deepening the
+seeded replay test with shrinkable generated cases).
+
+Spark jobs per example are expensive, so examples are few and small —
+hypothesis still explores tie-heavy and delete-heavy corners and shrinks
+failures to minimal schedules.
+"""
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+pytestmark = pytest.mark.skipif(
+    not HAS_HYPOTHESIS, reason="hypothesis not installed"
+)
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=5),   # key
+    st.integers(min_value=0, max_value=3),   # ts (coarse -> many ties)
+    st.booleans(),                           # is_delete
+)
+schedule = st.lists(event, min_size=1, max_size=12)
+boundaries = st.lists(st.booleans(), min_size=12, max_size=12)
+
+
+@given(events=schedule, cut=boundaries)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_matches_dict_replay(spark, tmp_path_factory, events, cut):
+    # oracle: winner per key = max (ts, seq); deleted keys absent
+    best = {}
+    for seq, (k, ts, is_del) in enumerate(events):
+        if k not in best or (ts, seq) >= best[k][:2]:
+            best[k] = (ts, seq, is_del)
+    expect = {k for k, v in best.items() if not v[2]}
+
+    # split into arrival-ordered batches at generated boundaries
+    batches, cur = [], []
+    for seq, e in enumerate(events):
+        cur.append((seq, e))
+        if cut[seq % len(cut)]:
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+
+    work = tmp_path_factory.mktemp("prop")
+    lake = LakeTable(spark, str(work / "t"), buckets=2)
+    for i, batch in enumerate(batches):
+        # within-batch LWW dedup by (ts, seq) — one survivor per key
+        surv = {}
+        for seq, (k, ts, is_del) in batch:
+            if k not in surv or (ts, seq) >= surv[k][:2]:
+                surv[k] = (ts, seq, is_del)
+        rows = [
+            (str(k), ts, "delete" if is_del else "upsert", f"v{seq}")
+            for k, (ts, seq, is_del) in surv.items()
+        ]
+        lake.merge(
+            spark.createDataFrame(
+                rows, "_key string, _ts long, _op string, val string"
+            ),
+            batch_id=f"b{i}",
+        )
+    got = {int(r["_key"]) for r in lake.snapshot().collect()}
+    assert got == expect
