@@ -27,9 +27,6 @@ real type hints, and stringified ones break it.
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hudi_spark_plus_spark.functions.text import tokens
-
-
 # -- exact ------------------------------------------------------------------
 
 

@@ -436,8 +436,6 @@ def q28(spark, sf_dir):
     sanctioned slow path; row-at-a-time Python UDFs are banned in hot
     paths.
     """
-    import pandas as pd  # noqa: F401
-
     @F.pandas_udf(DoubleType())
     def py_udf(x):
         return x * 2 + 1

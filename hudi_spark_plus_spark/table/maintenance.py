@@ -54,7 +54,15 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
 def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
     """Drop timeline versions beyond the newest ``keep_last`` and delete
     data files referenced by no retained commit. Time travel to dropped
-    versions becomes unavailable (that is the point). Returns counts."""
+    versions becomes unavailable (that is the point). Returns counts.
+
+    CAUTION (exactly-once interplay): batch-id idempotence (H5) only
+    remembers the retained versions — keep ``keep_last`` at least as
+    deep as the streaming checkpoint's possible replay horizon, or a
+    replayed old batch would re-apply. With Spark checkpoints the replay
+    horizon is the last unfinished batch, so any ``keep_last >= 1``
+    taken while the stream is STOPPED is safe; vacuuming mid-stream
+    should keep a few versions of slack."""
     versions = lake.log.versions()
     retained = versions[-keep_last:]
     dropped = [v for v in versions if v not in retained]
