@@ -4,6 +4,10 @@
   query set against the corpus, dot product as a JVM lambda fold
   (``zip_with`` + ``aggregate`` in double), per-query top-k window.
   The baseline and the verifier for the approximate path.
+* ``ivf_topk``         — IVF (inverted-file) ANN: KMeans coarse
+  centroids partition the corpus; a query probes its ``nprobe`` nearest
+  cells and exact-re-ranks only those candidates. Scan fraction ~
+  nprobe / n_centroids. Centroid fit is a one-off (seeded, Spark ML).
 * ``lsh_ann_topk``     — scale path: random-hyperplane sign-bit LSH.
   Bit signatures are computed by one Arrow-vectorized pandas_udf with a
   seeded hyperplane matrix (deterministic); candidates = same bucket
@@ -70,6 +74,73 @@ def cosine_topk(
         .select(
             "q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank"
         )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans cells + multi-cell probe + exact
+    cosine re-rank of the probed cells only.
+
+    One KMeans fit over the corpus (seeded — deterministic), one shuffle
+    on the cell id for the candidate join. At 100 TB the fit runs on a
+    sample and cell assignment is a narrow map; the probe join replaces
+    the full scan with ~nprobe/n_centroids of the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("features", array_to_vector("n_vec"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "n_id", "n_vec", F.col("prediction").alias("cell")
+    )
+    centers = np.stack(model.clusterCenters())  # (n_centroids, dim)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("cell", F.explode(probe_cells("q_vec")))
+    )
+    cand = assigned.join(q, "cell").where(F.col("q_id") != F.col("n_id"))
+    dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
+    nq = F.expr(NORM_EXPR.format(a="q_vec"))
+    nc = F.expr(NORM_EXPR.format(a="n_vec"))
+    scored = cand.select(
+        "q_id", "n_id", (dot / (nq * nc)).alias("sim_raw")
+    ).dropDuplicates(["q_id", "n_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank")
     )
 
 

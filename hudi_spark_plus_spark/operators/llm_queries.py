@@ -22,7 +22,11 @@ from hudi_spark_plus_spark.functions.multimodal import (
     decode_image_features,
     synth_media_df,
 )
-from hudi_spark_plus_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from hudi_spark_plus_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)
 from hudi_spark_plus_spark.functions.text import (
     bpe_token_count,
     char_count,
@@ -132,6 +136,15 @@ def q_emb_ann_lsh(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    """Rows-only: IVF ANN — KMeans cells, nprobe probing, exact re-rank
+    (recall vs brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    ).orderBy("q_id", "rank")
+
+
 def q_media_features(spark, sf_dir):
     """Rows-only: multimodal plumbing — binary media table through the
     Arrow mapInPandas feature extractor (deterministic stub decode)."""
@@ -152,6 +165,7 @@ LLM_QUERIES = {
     "q-doc-simhash": q_doc_simhash,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-ann-lsh": q_emb_ann_lsh,
+    "q-emb-ann-ivf": q_emb_ann_ivf,
     "q-media-features": q_media_features,
 }
 

@@ -49,6 +49,7 @@ from hudi_spark_plus_spark.table.keygen import (
 
 DELETE_OP = "delete"
 DELETED_COL = "_deleted"
+COMMIT_VER_COL = "_commit_ver"
 
 # Parquet-native bloom filter on the record key (the write-side half of
 # the reference's Bloom key index, BloomFilter.java:31-104/H8): readers
@@ -122,8 +123,19 @@ class LakeTable:
         return df
 
     def incremental(self, begin: int, end: int | None = None) -> DataFrame:
-        """Rows of files added in versions (begin, end] (H7)."""
-        return self._read_files(self.log.changed_files(begin, end))
+        """Records CHANGED in versions (begin, end] (H7) — record-level,
+        like Hudi's commit-time incremental query: bucket rewrites carry
+        untouched rows with their original ``_commit_ver``, so filtering
+        the changed files on the version range yields exactly the
+        upserted rows plus tombstones (deletes surface with
+        ``_deleted = true`` for downstream CDC)."""
+        df = self._read_files(self.log.changed_files(begin, end))
+        if COMMIT_VER_COL in df.columns:
+            cond = F.col(COMMIT_VER_COL) > begin
+            if end is not None:
+                cond = cond & (F.col(COMMIT_VER_COL) <= end)
+            df = df.where(cond)
+        return df
 
     def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:
         """Bucket- and stats-pruned snapshot slice for a set of record keys
@@ -171,8 +183,12 @@ class LakeTable:
         carry _key and _ts columns (use prepare helpers in operators.cdc)."""
         if batch_id is not None and self.log.has_batch(batch_id):
             return
+        prev = self.log.latest()
+        next_ver = (prev.version + 1) if prev else 1
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
+        if COMMIT_VER_COL not in df.columns:
+            df = df.withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
         out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets))
         absd, rel = self.log.new_data_subdir()
         (
@@ -183,7 +199,6 @@ class LakeTable:
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel)
-        prev = self.log.latest()
         carry = prev.files if prev else []
         self.log.commit(
             operation,
@@ -241,13 +256,18 @@ class LakeTable:
         else:
             snap = None
 
+        next_ver = (prev.version + 1) if prev else 1
         payload_cols = [
-            c for c in batch.columns if c not in (OP_COL, BUCKET_COL, DELETED_COL)
+            c
+            for c in batch.columns
+            if c not in (OP_COL, BUCKET_COL, DELETED_COL, COMMIT_VER_COL)
         ]
         if snap is not None:
             # additive schema evolution: union of payload columns
             for c in snap.columns:
-                if c not in payload_cols and c not in (BUCKET_COL, DELETED_COL):
+                if c not in payload_cols and c not in (
+                    BUCKET_COL, DELETED_COL, COMMIT_VER_COL,
+                ):
                     payload_cols.append(c)
             b = batch
             s = snap
@@ -256,6 +276,8 @@ class LakeTable:
                     b = b.withColumn(c, F.lit(None).cast(dict(s.dtypes)[c]))
                 if c not in s.columns:
                     s = s.withColumn(c, F.lit(None).cast(dict(batch.dtypes)[c]))
+            if COMMIT_VER_COL not in s.columns:  # pre-versioning files
+                s = s.withColumn(COMMIT_VER_COL, F.lit(0).cast("long"))
             b = b.alias("b")
             s = s.alias("s")
             j = s.join(b, F.col(f"s.{KEY_COL}") == F.col(f"b.{KEY_COL}"), "full_outer")
@@ -274,11 +296,19 @@ class LakeTable:
                 F.when(batch_wins, F.col(f"b.{OP_COL}") == DELETE_OP)
                 .otherwise(F.coalesce(F.col(f"s.{DELETED_COL}"), F.lit(False)))
                 .alias(DELETED_COL),
+                # record-level commit version (the _hoodie_commit_time
+                # analogue): batch winners stamp the new version; rows
+                # merely carried through a bucket rewrite KEEP theirs, so
+                # incremental() can return exactly the changed records
+                F.when(batch_wins, F.lit(next_ver).cast("long"))
+                .otherwise(F.col(f"s.{COMMIT_VER_COL}"))
+                .alias(COMMIT_VER_COL),
             )
         else:
             merged = batch.select(
                 *payload_cols,
                 (F.col(OP_COL) == DELETE_OP).alias(DELETED_COL),
+                F.lit(next_ver).cast("long").alias(COMMIT_VER_COL),
             )
 
         merged = merged.withColumn(
@@ -295,9 +325,14 @@ class LakeTable:
         )
         new_files = _collect_file_entries(self.path, rel)
         schema_json = self._payload_schema_json(merged)
-        self.log.commit(
+        committed = self.log.commit(
             "merge", carry + new_files, batch_id=batch_id, schema_json=schema_json
         )
+        if committed.version != next_ver:  # single-writer violated
+            raise RuntimeError(
+                f"commit version raced: stamped {next_ver}, "
+                f"committed {committed.version}"
+            )
 
     @staticmethod
     def _payload_schema_json(df: DataFrame) -> str:

@@ -132,15 +132,21 @@ class TestInsertAndIncremental:
         assert {r["_key"] for r in table.snapshot().collect()} == {"k1", "k2"}
 
     def test_incremental_read_returns_changed_rows(self, spark, table):
+        """Record-level incremental: carried rows in rewritten buckets
+        keep their _commit_ver, so only truly-changed records return."""
         table.merge(mkbatch(spark, [("k1", 1, "upsert", "a"),
                                     ("k2", 1, "upsert", "b")]), "b0")
         v1 = table.log.latest().version
         table.merge(mkbatch(spark, [("k2", 2, "upsert", "b2")]), "b1")
         inc = table.incremental(v1)
         keys = {r["_key"]: r["val"] for r in inc.collect()}
-        # only the rewritten bucket's rows appear, with the new value
-        assert keys["k2"] == "b2"
-        assert "k1" not in keys or keys["k1"] == "a"
+        assert keys == {"k2": "b2"}
+        # deletes surface as tombstone records for downstream CDC
+        v2 = table.log.latest().version
+        table.merge(mkbatch(spark, [("k1", 3, "delete", None)]), "b2")
+        inc2 = table.incremental(v2)
+        rows = {r["_key"]: r["_deleted"] for r in inc2.collect()}
+        assert rows == {"k1": True}
 
     def test_keygen_plugin_spec(self, spark):
         from hudi_spark_plus_spark.table.keygen import record_key_expr

@@ -150,3 +150,36 @@ def test_minhash_ignores_empty_documents(spark):
     }
     assert (1, 2) not in pairs
     assert (3, 4) in pairs
+
+
+def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
+    """IVF ANN must recover planted near-duplicates — a near-identical
+    vector lands in the same (or a probed) KMeans cell."""
+    import numpy as np
+
+    from hudi_spark_plus_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = e.collect()
+    rng = np.random.RandomState(11)
+    planted = []
+    for r in base[:20]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        nv = v + rng.randn(len(v)) * 0.02
+        nv = nv / np.linalg.norm(nv)
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in nv], 0))
+    aug = e.unionByName(
+        spark.createDataFrame(
+            planted, "vec_id long, embedding array<float>, label int"
+        )
+    )
+    queries = aug.where(F.col("vec_id") >= 100000)
+    exact1 = {
+        r["q_id"]: r["n_id"] for r in cosine_topk(aug, queries, k=1).collect()
+    }
+    got1 = {
+        r["q_id"]: r["n_id"]
+        for r in ivf_topk(aug, queries, k=1, n_centroids=8, nprobe=3).collect()
+    }
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    assert hits / len(exact1) >= 0.9, f"IVF recall {hits}/{len(exact1)}"
