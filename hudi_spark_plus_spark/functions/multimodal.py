@@ -64,7 +64,10 @@ except ImportError:
 
 
 def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (test fixture: fake bytes)."""
+    """Deterministic synthetic media table (test fixture: fake bytes).
+    Coalesced to a few partitions — a tiny fixture otherwise fans out one
+    Python worker per core for mapInPandas, paying ~seconds of pure
+    startup (real media tables size partitions by bytes instead)."""
     rows = []
     for i in range(n):
         content = hashlib.sha256(f"media-{i}".encode()).digest() * 8
@@ -72,7 +75,7 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
             (i, "image", "image/png", bytearray(content), 64 + i % 32,
              48 + i % 16, None)
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
 def decode_image_features(
