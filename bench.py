@@ -52,12 +52,11 @@ def _clear_session_state(spark) -> None:
     phase's pinned memory doesn't tax the next (minhash/simhash queries
     localCheckpoint their banded signatures)."""
     spark.catalog.clearCache()
-    try:
-        jsc = spark.sparkContext._jsc.sc()
-        for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
-            jsc.unpersistRDD(rdd_id, False)
-    except Exception:
-        pass
+    # JavaSparkContext's map is a java.util.Map (the Scala one's keySet
+    # can't cross py4j — toArray needs an implicit ClassTag)
+    jsc = spark.sparkContext._jsc
+    for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+        jsc.sc().unpersistRDD(rdd_id, False)
 
 
 def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:

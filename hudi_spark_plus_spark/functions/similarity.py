@@ -129,9 +129,11 @@ def ivf_topk(
     dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
     nq = F.expr(NORM_EXPR.format(a="q_vec"))
     nc = F.expr(NORM_EXPR.format(a="n_vec"))
+    # no dedup needed: each corpus vector lives in exactly one cell and
+    # probe cells per query are distinct, so (q, n) joins at most once
     scored = cand.select(
         "q_id", "n_id", (dot / (nq * nc)).alias("sim_raw")
-    ).dropDuplicates(["q_id", "n_id"])
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("q_id").orderBy(

@@ -124,16 +124,27 @@ class LakeTable:
 
     def incremental(self, begin: int, end: int | None = None) -> DataFrame:
         """Records CHANGED in versions (begin, end] (H7) — record-level,
-        like Hudi's commit-time incremental query: bucket rewrites carry
-        untouched rows with their original ``_commit_ver``, so filtering
-        the changed files on the version range yields exactly the
-        upserted rows plus tombstones (deletes surface with
-        ``_deleted = true`` for downstream CDC)."""
-        df = self._read_files(self.log.changed_files(begin, end))
+        like Hudi's commit-time incremental query. Deletes surface as
+        tombstone records (``_deleted = true``) for downstream CDC.
+
+        Each in-range record is returned exactly once, at its FINAL state
+        within the range: only changed files still live at ``end`` are
+        read (a record's latest copy is carried forward through every
+        bucket rewrite, so it appears in exactly one live file), then
+        rows are filtered to ``_commit_ver`` in range. Null
+        ``_commit_ver`` (files written before record versioning) counts
+        as version 0."""
+        live_at_end = {f.path for f in self.log.live_files(end)}
+        files = [
+            f for f in self.log.changed_files(begin, end)
+            if f.path in live_at_end
+        ]
+        df = self._read_files(files)
         if COMMIT_VER_COL in df.columns:
-            cond = F.col(COMMIT_VER_COL) > begin
+            ver = F.coalesce(F.col(COMMIT_VER_COL), F.lit(0))
+            cond = ver > begin
             if end is not None:
-                cond = cond & (F.col(COMMIT_VER_COL) <= end)
+                cond = cond & (ver <= end)
             df = df.where(cond)
         return df
 
@@ -200,12 +211,17 @@ class LakeTable:
         )
         new_files = _collect_file_entries(self.path, rel)
         carry = prev.files if prev else []
-        self.log.commit(
+        committed = self.log.commit(
             operation,
             carry + new_files,
             batch_id=batch_id,
             schema_json=self._payload_schema_json(df),
         )
+        if committed.version != next_ver:  # single-writer violated
+            raise RuntimeError(
+                f"commit version raced: stamped {next_ver}, "
+                f"committed {committed.version}"
+            )
 
     def bulk_insert(
         self, df: DataFrame, batch_id: str | None = None, parallelism: int = 8

@@ -237,3 +237,55 @@ def test_simple_keygen_in_cdc_path(spark, tmp_path):
     lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
     rows = lake.snapshot().collect()
     assert rows[0]["_key"] == "42"  # raw key, not an md5 digest
+
+
+def test_inband_schema_evolution_across_batches(spark, tmp_path):
+    """Mid-stream ALTER TABLE: a later envelope declares an extra column.
+    Within one batch the LATEST-ts schema decodes all rows (older rows
+    null-fill); the merge widens the stored table additively."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    old_schema = StructType([
+        StructField("seq", LongType()), StructField("key_id", LongType()),
+        StructField("col_a", StringType()), StructField("col_b", DoubleType()),
+    ])
+    new_schema = StructType(list(old_schema.fields) + [
+        StructField("col_c", StringType()),
+    ])
+
+    def envelope(schema, ts, rows):
+        return _json.dumps({
+            "databaseName": "db1", "tableName": "t_customer",
+            "schema": _json.dumps(_json.loads(schema.json())),
+            "type": "update", "timestamp": ts, "rows": rows,
+        })
+
+    opts = sync_options(str(tmp_path))
+    # batch 0: one old-schema envelope and one new-schema envelope with a
+    # LARGER ts -> the new schema must win the in-batch pick
+    b0 = spark.createDataFrame(
+        [
+            (envelope(old_schema, 10, [{"seq": 1, "key_id": 1, "col_a": "a", "col_b": 1.0}]),),
+            (envelope(new_schema, 20, [{"seq": 2, "key_id": 2, "col_a": "b", "col_b": 2.0, "col_c": "NEW"}]),),
+        ],
+        "value string",
+    )
+    sync_batch(spark, b0, opts, batch_id=0)
+    lake = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    rows = {r["key_id"]: r for r in lake.snapshot().collect()}
+    assert rows[2]["col_c"] == "NEW"
+    assert rows[1]["col_c"] is None  # old-schema row null-filled
+
+    # batch 1: old-schema-only envelopes still merge into the widened table
+    b1 = spark.createDataFrame(
+        [(envelope(old_schema, 30, [{"seq": 3, "key_id": 1, "col_a": "a2", "col_b": 1.5}]),)],
+        "value string",
+    )
+    sync_batch(spark, b1, opts, batch_id=1)
+    rows = {r["key_id"]: r for r in lake.snapshot().collect()}
+    assert rows[1]["col_a"] == "a2" and rows[1]["col_c"] is None
+    assert rows[2]["col_c"] == "NEW"

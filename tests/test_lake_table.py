@@ -185,3 +185,20 @@ class TestMaintenance:
         assert snap_dict(table) == {k: v for k, v in before.items() if k != "k0"} or True
         # snapshot still reads fine post-vacuum
         assert snap_dict(table) == snap_dict(table)
+
+    def test_incremental_no_duplicates_across_multi_commit_range(self, spark, tmp_path):
+        """Range spanning several commits rewriting the same bucket must
+        return each changed record ONCE, at its final in-range state
+        (review finding: carried copies in every rewrite used to emit
+        duplicates and stale intermediates)."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)  # force overlap
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a"), ("k2", 1, "upsert", "b")]), "b0")
+        v1 = t.log.latest().version
+        t.merge(mkbatch(spark, [("k2", 2, "upsert", "b2")]), "b1")
+        t.merge(mkbatch(spark, [("k3", 3, "upsert", "c")]), "b2")
+        t.merge(mkbatch(spark, [("k2", 4, "upsert", "b4")]), "b3")
+        rows = [(r["_key"], r["val"]) for r in t.incremental(v1).collect()]
+        assert sorted(rows) == [("k2", "b4"), ("k3", "c")]
+        # bounded range: only versions (v1, v1+2] -> k2 at its v2 state + k3
+        rows2 = [(r["_key"], r["val"]) for r in t.incremental(v1, v1 + 2).collect()]
+        assert sorted(rows2) == [("k2", "b2"), ("k3", "c")]
