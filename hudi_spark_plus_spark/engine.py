@@ -52,6 +52,28 @@ class Engine:
             t.snapshot().createOrReplaceTempView(view)
         return t
 
+    # -- table maintenance ---------------------------------------------------
+
+    def compact(self, path: str, buckets: int = 16) -> dict:
+        """Small-file compaction (~one file per bucket)."""
+        from hudi_spark_plus_spark.table.maintenance import compact
+
+        return compact(self.lake_table(path, buckets))
+
+    def vacuum(self, path: str, keep_last: int = 1, buckets: int = 16) -> dict:
+        """Drop old timeline versions + delete unreferenced data files."""
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        return vacuum(self.lake_table(path, buckets), keep_last)
+
+    def optimize_zorder(
+        self, path: str, col_a: str, col_b: str, buckets: int = 16
+    ) -> None:
+        """OPTIMIZE ZORDER BY-equivalent: rewrite Z-clustered on two cols."""
+        from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+        zorder_cluster_table(self.lake_table(path, buckets), col_a, col_b)
+
     # -- CDC ----------------------------------------------------------------
 
     def sync(

@@ -72,3 +72,23 @@ def test_ext_query_matches_oracle(name, spark, sf_dir, con):
     )
 
     compare(EXT_QUERIES[name](spark, sf_dir), con, EXT_ORACLES[name], name)
+
+
+def test_engine_maintenance_methods(spark, tmp_path):
+    """Engine facade: compact / vacuum / zorder drive the maintenance
+    commands end-to-end on a real table."""
+    from hudi_spark_plus_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.lake_table(str(tmp_path / "t"), buckets=4)
+    df = spark.createDataFrame(
+        [(f"k{i}", 1, "upsert", f"v{i}", i % 10, (i * 3) % 10) for i in range(50)],
+        "_key string, _ts long, _op string, val string, a int, b int",
+    )
+    t.merge(df, "b0")
+    eng.optimize_zorder(str(tmp_path / "t"), "a", "b", buckets=4)
+    stats = eng.compact(str(tmp_path / "t"), buckets=4)
+    assert stats["files_after"] <= 4
+    v = eng.vacuum(str(tmp_path / "t"), keep_last=1, buckets=4)
+    assert v["versions_dropped"] >= 2
+    assert t.snapshot().count() == 50
