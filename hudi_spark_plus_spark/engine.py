@@ -24,7 +24,7 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = configure_session(spark)
-        self._lake_tables: dict[tuple[str, int], LakeTable] = {}
+        self._lake_tables: dict[str, LakeTable] = {}
 
     # -- relational surface -------------------------------------------------
 
@@ -43,31 +43,35 @@ class Engine:
     # -- lake tables --------------------------------------------------------
 
     def lake_table(
-        self, path: str, buckets: int = 16, view: str | None = None
+        self, path: str, buckets: int | None = None, view: str | None = None
     ) -> LakeTable:
-        key = (path, buckets)
-        t = self._lake_tables.get(key) or LakeTable(self.spark, path, buckets)
-        self._lake_tables[key] = t
+        """``buckets=None`` (the default) uses the table's persisted bucket
+        count; an explicit value is only needed (and only legal) when it
+        matches, or when creating a brand-new table."""
+        t = self._lake_tables.get(path) or LakeTable(self.spark, path, buckets)
+        self._lake_tables[path] = t
         if view:
             t.snapshot().createOrReplaceTempView(view)
         return t
 
     # -- table maintenance ---------------------------------------------------
 
-    def compact(self, path: str, buckets: int = 16) -> dict:
+    def compact(self, path: str, buckets: int | None = None) -> dict:
         """Small-file compaction (~one file per bucket)."""
         from hudi_spark_plus_spark.table.maintenance import compact
 
         return compact(self.lake_table(path, buckets))
 
-    def vacuum(self, path: str, keep_last: int = 1, buckets: int = 16) -> dict:
+    def vacuum(
+        self, path: str, keep_last: int = 1, buckets: int | None = None
+    ) -> dict:
         """Drop old timeline versions + delete unreferenced data files."""
         from hudi_spark_plus_spark.table.maintenance import vacuum
 
         return vacuum(self.lake_table(path, buckets), keep_last)
 
     def optimize_zorder(
-        self, path: str, col_a: str, col_b: str, buckets: int = 16
+        self, path: str, col_a: str, col_b: str, buckets: int | None = None
     ) -> None:
         """OPTIMIZE ZORDER BY-equivalent: rewrite Z-clustered on two cols."""
         from hudi_spark_plus_spark.table.zorder import zorder_cluster_table

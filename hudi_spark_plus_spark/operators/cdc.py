@@ -137,6 +137,12 @@ def lww_dedup(
     ``order_exprs``: prebuilt tie-break Columns (e.g. per-table CASE
     expressions when one batch carries tables with different tie-break
     fields) — takes precedence over ``order_fields``.
+
+    The window partitions by (_db, _table, _key) when the routing columns
+    are present: composite keys already embed db/table in the md5, but
+    the "simple" keygen emits the raw column value, so two tables with
+    overlapping simple-key values must not collide in one global window
+    (one table's row would silently be dropped from the batch).
     """
     order = [F.col(TS_COL).desc()]
     if order_exprs:
@@ -145,7 +151,8 @@ def lww_dedup(
         for f in order_fields or []:
             order.append(tie_break_expr(f).desc())
     order.append(F.col(POS_COL).desc())
-    w = Window.partitionBy(KEY_COL).orderBy(*order)
+    parts = [c for c in (DB_COL, TABLE_COL) if c in df.columns] + [KEY_COL]
+    w = Window.partitionBy(*parts).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,29 @@ log = logging.getLogger(__name__)
 
 TRANSFORMER_SRC_PATTERN = "<SRC>"
 TRANSFORMER_TMP_TABLE = "HOODIE_SRC_TMP_TABLE_"
+
+# Per-process LakeTable cache: a streaming sync constructs the same table
+# every micro-batch; reusing the instance keeps the commit-log timeline
+# cache warm (otherwise each batch re-lists the timeline and re-reads
+# every manifest for the has_batch idempotence check). Single-writer per
+# table is the documented commit-log assumption, so the cache cannot go
+# stale from another writer; a deleted/recreated table dir is detected by
+# re-checking the cached latest manifest file.
+_LAKE_CACHE: dict[tuple[int, str], LakeTable] = {}
+_LAKE_LOCK = threading.Lock()
+
+
+def _cached_lake(spark: SparkSession, path: str, buckets: int | None) -> LakeTable:
+    key = (id(spark), path)
+    with _LAKE_LOCK:
+        t = _LAKE_CACHE.get(key)
+        if t is not None and (buckets is None or t.buckets == buckets):
+            vs = t.log._versions
+            if not vs or os.path.exists(t.log._commit_file(vs[-1])):
+                return t
+        t = LakeTable(spark, path, buckets=buckets)
+        _LAKE_CACHE[key] = t
+        return t
 
 
 def apply_transformer(
@@ -69,9 +93,11 @@ def sync_batch(
     per table (Q1/Q2 fix). Idempotent per (table, batch_id) via the
     commit log (H5).
     """
+    # N4: unconditional round-robin repartition — probing the current
+    # partition count via df.rdd would force an RDD conversion of the
+    # batch plan on every micro-batch just to sometimes skip one shuffle
     n_src = cfg.source_parallelism(options)
-    if df.rdd.getNumPartitions() != n_src:
-        df = df.repartition(n_src)  # N4
+    df = df.repartition(n_src)
 
     # Candidate tables are enumerable from the option namespace BEFORE
     # touching data, so keying/bucketing fold into the one metadata job.
@@ -250,7 +276,7 @@ def _sync_one_table(
     batch = decoded.select(
         *[c for c in decoded.columns if c not in (cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL, "_pos")]
     )
-    lake = LakeTable(spark, tc.path, buckets=tc.buckets)
+    lake = _cached_lake(spark, tc.path, tc.buckets)
     lake.merge(
         batch,
         batch_id=f"{batch_id}",

@@ -51,6 +51,11 @@ class Commit:
     files: list[FileEntry] = field(default_factory=list)
     schema_json: str | None = None
     ts_millis: int = 0
+    # Table-level bucket count. Persisted so every entry point (merge,
+    # compact, vacuum, zorder) agrees on the hash modulus — a mismatched
+    # caller-supplied count would rewrite files under new bucket ids and
+    # break affected-bucket pruning for later merges.
+    buckets: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -61,6 +66,7 @@ class Commit:
                 "files": [asdict(f) for f in self.files],
                 "schema_json": self.schema_json,
                 "ts_millis": self.ts_millis,
+                "buckets": self.buckets,
             },
             indent=1,
         )
@@ -75,6 +81,7 @@ class Commit:
             files=[FileEntry(**f) for f in d.get("files", [])],
             schema_json=d.get("schema_json"),
             ts_millis=d.get("ts_millis", 0),
+            buckets=d.get("buckets"),
         )
 
 
@@ -85,24 +92,57 @@ class CommitLog:
     def __init__(self, table_path: str):
         self.table_path = table_path
         self.commits_path = os.path.join(table_path, self.COMMITS_DIR)
+        # Timeline cache (single-writer assumption, documented above):
+        # manifests are immutable once renamed into place, so an instance
+        # can cache versions/commits/batch-ids and update them on its own
+        # commit() instead of re-listing the directory and re-reading
+        # every manifest per call (at one commit per 10s per table the
+        # uncached has_batch alone is thousands of small reads/day).
+        self._versions: list[int] | None = None
+        self._commits: dict[int, Commit] = {}
+        self._batch_ids: set[str] | None = None
+
+    def invalidate(self) -> None:
+        """Drop caches after out-of-band timeline edits (vacuum)."""
+        self._versions = None
+        self._commits = {}
+        self._batch_ids = None
 
     # -- timeline reads ----------------------------------------------------
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.commits_path):
-            return []
-        out = []
-        for f in os.listdir(self.commits_path):
-            if f.endswith(".json"):
-                try:
-                    out.append(int(f[: -len(".json")]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        if self._versions is None:
+            out = []
+            if os.path.isdir(self.commits_path):
+                for f in os.listdir(self.commits_path):
+                    if f.endswith(".json"):
+                        try:
+                            out.append(int(f[: -len(".json")]))
+                        except ValueError:
+                            continue
+            self._versions = sorted(out)
+        else:
+            # Freshness probe: versions are DENSE (commit() always writes
+            # latest+1), so one stat per missing successor detects commits
+            # made through another CommitLog instance of the same writer
+            # process — O(1) in steady state vs re-listing + re-reading.
+            nxt = (self._versions[-1] + 1) if self._versions else 1
+            while os.path.exists(self._commit_file(nxt)):
+                self._versions.append(nxt)
+                if self._batch_ids is not None:
+                    b = self.read(nxt).batch_id
+                    if b is not None:
+                        self._batch_ids.add(b)
+                nxt += 1
+        return list(self._versions)
 
     def read(self, version: int) -> Commit:
-        with open(self._commit_file(version)) as fh:
-            return Commit.from_json(fh.read())
+        c = self._commits.get(version)
+        if c is None:
+            with open(self._commit_file(version)) as fh:
+                c = Commit.from_json(fh.read())
+            self._commits[version] = c
+        return c
 
     def latest(self) -> Commit | None:
         vs = self.versions()
@@ -110,11 +150,15 @@ class CommitLog:
 
     def has_batch(self, batch_id: str) -> bool:
         """Idempotence check (H5): was this micro-batch already committed?
-        Newest-first: a replayed batch is almost always recent, and vacuum
-        bounds the timeline length for the miss case."""
-        return any(
-            self.read(v).batch_id == batch_id for v in reversed(self.versions())
-        )
+        The batch-id set is built once per instance and maintained by
+        commit(); vacuum bounds how far back it remembers."""
+        if self._batch_ids is None:
+            self._batch_ids = {
+                b
+                for v in self.versions()
+                if (b := self.read(v).batch_id) is not None
+            }
+        return batch_id in self._batch_ids
 
     def live_files(self, version: int | None = None) -> list[FileEntry]:
         c = self.read(version) if version is not None else self.latest()
@@ -141,6 +185,7 @@ class CommitLog:
         files: list[FileEntry],
         batch_id: str | None = None,
         schema_json: str | None = None,
+        buckets: int | None = None,
     ) -> Commit:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
@@ -152,6 +197,9 @@ class CommitLog:
             files=files,
             schema_json=schema_json or (latest.schema_json if latest else None),
             ts_millis=int(time.time() * 1000),
+            buckets=buckets
+            if buckets is not None
+            else (latest.buckets if latest else None),
         )
         # atomic publish: temp file + rename (same filesystem)
         fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
@@ -162,6 +210,11 @@ class CommitLog:
             os.unlink(tmp)
             raise RuntimeError(f"commit conflict at version {version}")
         os.rename(tmp, target)
+        if self._versions is not None:
+            self._versions.append(version)
+        self._commits[version] = c
+        if self._batch_ids is not None and batch_id is not None:
+            self._batch_ids.add(batch_id)
         return c
 
     # -- paths -------------------------------------------------------------

@@ -89,14 +89,33 @@ def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
     return entries
 
 
+DEFAULT_BUCKETS = 16
+
+
 class LakeTable:
     """One keyed lake table (TableMetaInfo equivalent, SURVEY §1.1.3)."""
 
-    def __init__(self, spark: SparkSession, path: str, buckets: int = 16):
+    def __init__(
+        self, spark: SparkSession, path: str, buckets: int | None = None
+    ):
         self.spark = spark
         self.path = path
-        self.buckets = buckets
         self.log = CommitLog(path)
+        # The bucket count is TABLE state, not caller state: a mismatched
+        # modulus would assign new bucket ids on rewrite and break
+        # affected-bucket pruning (stale duplicates would survive merges).
+        # Persisted value wins; an explicitly conflicting caller errors.
+        latest = self.log.latest()
+        persisted = latest.buckets if latest else None
+        if persisted is not None:
+            if buckets is not None and buckets != persisted:
+                raise ValueError(
+                    f"table at {path} was created with buckets={persisted}; "
+                    f"caller requested buckets={buckets}"
+                )
+            self.buckets = persisted
+        else:
+            self.buckets = buckets if buckets is not None else DEFAULT_BUCKETS
 
     # -- reads -------------------------------------------------------------
 
@@ -215,7 +234,8 @@ class LakeTable:
             operation,
             carry + new_files,
             batch_id=batch_id,
-            schema_json=self._payload_schema_json(df),
+            schema_json=self._union_schema_json(df, prev),
+            buckets=self.buckets,
         )
         if committed.version != next_ver:  # single-writer violated
             raise RuntimeError(
@@ -342,7 +362,11 @@ class LakeTable:
         new_files = _collect_file_entries(self.path, rel)
         schema_json = self._payload_schema_json(merged)
         committed = self.log.commit(
-            "merge", carry + new_files, batch_id=batch_id, schema_json=schema_json
+            "merge",
+            carry + new_files,
+            batch_id=batch_id,
+            schema_json=schema_json,
+            buckets=self.buckets,
         )
         if committed.version != next_ver:  # single-writer violated
             raise RuntimeError(
@@ -357,3 +381,26 @@ class LakeTable:
         drop = {OP_COL, BUCKET_COL}
         kept = StructType([f for f in df.schema.fields if f.name not in drop])
         return kept.json()
+
+    def _union_schema_json(self, df: DataFrame, prev) -> str:
+        """insert() schema: UNION of the stored schema and the new batch's
+        (merge() already unions column sets). Replacing the stored schema
+        with the batch's alone would narrow the read schema and silently
+        drop columns of older files from every snapshot."""
+        import json as _json
+
+        new = StructType(
+            [
+                f
+                for f in df.schema.fields
+                if f.name not in (OP_COL, BUCKET_COL)
+            ]
+        )
+        if prev is None or not prev.schema_json:
+            return new.json()
+        stored = StructType.fromJson(_json.loads(prev.schema_json))
+        have = {f.name for f in stored.fields}
+        merged = list(stored.fields) + [
+            f for f in new.fields if f.name not in have
+        ]
+        return StructType(merged).json()

@@ -82,10 +82,28 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                 if rel not in keep_paths:
                     os.unlink(absf)
                     removed += 1
+                    # Hadoop local-FS checksum sidecar of the deleted file
+                    crc = os.path.join(dirpath, f".{fn}.crc")
+                    if os.path.exists(crc):
+                        os.unlink(crc)
     for v in dropped:
         os.unlink(lake.log._commit_file(v))
-    # prune now-empty dirs
-    for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-        if not dirnames and not filenames and dirpath != data_root:
-            os.rmdir(dirpath)
+    lake.log.invalidate()  # out-of-band timeline edit
+    # prune dirs that no longer hold any data file: drop leftover markers
+    # (_SUCCESS + .crc sidecars) first, then the dir itself
+    if os.path.isdir(data_root):
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if dirpath == data_root:
+                continue
+            remaining = os.listdir(dirpath)
+            if any(fn.endswith(".parquet") for fn in remaining):
+                continue
+            markers = [
+                fn for fn in remaining
+                if fn == "_SUCCESS" or fn.endswith(".crc")
+            ]
+            if len(markers) == len(remaining):
+                for fn in markers:
+                    os.unlink(os.path.join(dirpath, fn))
+                os.rmdir(dirpath)
     return {"versions_dropped": len(dropped), "files_removed": removed}

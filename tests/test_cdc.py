@@ -289,3 +289,27 @@ def test_inband_schema_evolution_across_batches(spark, tmp_path):
     rows = {r["key_id"]: r for r in lake.snapshot().collect()}
     assert rows[1]["col_a"] == "a2" and rows[1]["col_c"] is None
     assert rows[2]["col_c"] == "NEW"
+
+
+def test_simple_keygen_two_tables_no_cross_table_collision(spark, tmp_path):
+    """Two tables both on simple keygen with OVERLAPPING raw key values in
+    one batch: the dedup window must scope per (db, table) — a global
+    window keyed only on _key would silently drop one table's row
+    (ADVICE round-1 finding)."""
+    opts = sync_options(str(tmp_path))
+    opts["db1.t_customer." + cfg.KEYGENERATOR_CLASS] = "simple"
+    opts["db1.t_order." + cfg.KEYGENERATOR_CLASS] = "simple"
+    ev = _mk_events(
+        spark,
+        [
+            # same raw key value 7, same ts, different tables
+            (1, "db1", "t_customer", "update", 10, 7, "cust", 1.0),
+            (2, "db1", "t_order", "update", 10, 7, "ord", 2.0),
+        ],
+    )
+    status = sync_batch(spark, build_envelopes(ev), opts, batch_id=0)
+    assert status == {"db1.t_customer": "ok", "db1.t_order": "ok"}
+    cust = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer", buckets=4)
+    orde = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_order", buckets=4)
+    assert [r["col_a"] for r in cust.snapshot().collect()] == ["cust"]
+    assert [r["col_a"] for r in orde.snapshot().collect()] == ["ord"]

@@ -202,3 +202,80 @@ class TestMaintenance:
         # bounded range: only versions (v1, v1+2] -> k2 at its v2 state + k3
         rows2 = [(r["_key"], r["val"]) for r in t.incremental(v1, v1 + 2).collect()]
         assert sorted(rows2) == [("k2", "b2"), ("k3", "c")]
+
+
+class TestAdvisorFindings:
+    """Round-2 regressions for ADVICE.md findings."""
+
+    def test_timeline_cache_stays_consistent(self, tmp_path):
+        p = str(tmp_path / "t")
+        log = CommitLog(p)
+        log.commit("insert", [FileEntry("a.parquet", 0, 1)], batch_id="b1")
+        assert log.has_batch("b1")  # builds the cached batch-id set
+        log.commit("merge", [FileEntry("b.parquet", 0, 1)], batch_id="b2")
+        assert log.has_batch("b2") and log.versions() == [1, 2]
+        fresh = CommitLog(p)  # uncached instance reads the same state
+        assert fresh.has_batch("b1") and fresh.has_batch("b2")
+        assert fresh.latest().version == 2
+
+    def test_reopen_uses_persisted_bucket_count(self, spark, tmp_path):
+        p = str(tmp_path / "tb")
+        t = LakeTable(spark, p, buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        assert LakeTable(spark, p).buckets == 4  # no caller value needed
+        assert LakeTable(spark, p, buckets=4).buckets == 4  # matching ok
+
+    def test_bucket_count_mismatch_raises(self, spark, tmp_path):
+        p = str(tmp_path / "tb2")
+        LakeTable(spark, p, buckets=4).merge(
+            mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0"
+        )
+        with pytest.raises(ValueError, match="buckets"):
+            LakeTable(spark, p, buckets=16)
+
+    def test_insert_unions_schema_instead_of_narrowing(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "tu"), buckets=2)
+        t.insert(
+            spark.createDataFrame(
+                [("k1", 1, "a", 5)],
+                "_key string, _ts long, val string, extra int",
+            ),
+            "b0",
+        )
+        # second insert LACKS `extra`: stored schema must keep it
+        t.insert(
+            spark.createDataFrame(
+                [("k2", 2, "b")], "_key string, _ts long, val string"
+            ),
+            "b1",
+        )
+        got = {
+            r["_key"]: (r["val"], r["extra"]) for r in t.snapshot().collect()
+        }
+        assert got == {"k1": ("a", 5), "k2": ("b", None)}
+
+    def test_vacuum_removes_sidecars_and_empty_dirs(self, spark, tmp_path):
+        import os
+
+        from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
+        t = LakeTable(spark, str(tmp_path / "tv"), buckets=2)
+        for b in range(3):
+            t.merge(
+                mkbatch(spark, [(f"k{b}", b + 1, "upsert", "v")]), f"b{b}"
+            )
+        compact(t)
+        vacuum(t, keep_last=1)
+        data_root = t.log.data_dir()
+        orphans, empty_dirs = [], []
+        for dirpath, dirnames, filenames in os.walk(data_root):
+            if dirpath != data_root and not dirnames and not filenames:
+                empty_dirs.append(dirpath)
+            for fn in filenames:
+                if fn.endswith(".crc"):
+                    mate = fn[1:-4] if fn.startswith(".") else fn[:-4]
+                    if mate not in filenames:
+                        orphans.append(os.path.join(dirpath, fn))
+        assert orphans == [] and empty_dirs == []
+        # table still reads after vacuum
+        assert len(t.snapshot().collect()) == 3
