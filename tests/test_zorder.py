@@ -83,3 +83,38 @@ def test_zorder_cluster_table_preserves_data(spark, tmp_path):
         "b1",
     )
     assert {r["val"] for r in lake.snapshot().where(F.col("_key") == "k5").collect()} == {"v5x"}
+
+
+def test_zvalue_plan_has_no_global_window(spark, sf_dir):
+    """The r1 implementation rank-normalized through a no-partition
+    percent_rank window — a single-task global sort of the whole table.
+    The quantile-bin rewrite must plan as map-side expressions only: no
+    Window operator, no SinglePartition exchange anywhere."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    plan = (
+        with_zvalue(li, "l_partkey", "l_suppkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_zvalue_string_column_surrogate(spark):
+    """String cluster columns bin through an order-preserving 6-byte
+    prefix surrogate; Z-values group equal/nearby strings together."""
+    rows = [(f"key_{chr(97 + i % 5)}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "s string, n int")
+    z = with_zvalue(df, "s", "n")
+    got = z.select("s", "_z").collect()
+    assert len(got) == 100  # no rows lost, no error on string dtype
+    # equal strings must land in the same string-dimension bin: deinterleave
+    # the even bits back out and check per-string uniqueness
+    e, _o = deinterleave_bits("_z", bits=10)
+    per_s = (
+        z.select("s", e.alias("sbin")).distinct().groupBy("s").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_s)
