@@ -86,14 +86,18 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    fit_sample_max: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: KMeans cells + multi-cell probe + exact
     cosine re-rank of the probed cells only.
 
-    One KMeans fit over the corpus (seeded — deterministic), one shuffle
-    on the cell id for the candidate join. At 100 TB the fit runs on a
-    sample and cell assignment is a narrow map; the probe join replaces
-    the full scan with ~nprobe/n_centroids of the corpus.
+    One KMeans fit (seeded — deterministic), one shuffle on the cell id
+    for the candidate join. Above ``fit_sample_max`` corpus rows the fit
+    runs on a uniform SAMPLE of about that many vectors — centroid
+    quality saturates long before that, and fitting the full corpus
+    would make the one-off model build the dominant job at 100x scale.
+    Cell assignment still covers the full corpus (a narrow map); the
+    probe join replaces the full scan with ~nprobe/n_centroids of it.
     """
     import numpy as np
     import pandas as pd
@@ -104,7 +108,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     ).withColumn("features", array_to_vector("n_vec"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c)
+    fit_df = c
+    n_corpus = c.count()
+    if n_corpus > fit_sample_max:
+        fit_df = c.sample(
+            fraction=min(1.0, fit_sample_max / n_corpus), seed=seed
+        )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fit_df)
     assigned = model.transform(c).select(
         "n_id", "n_vec", F.col("prediction").alias("cell")
     )

@@ -20,7 +20,7 @@ from hudi_spark_plus_spark.functions.dedup import (
 )
 from hudi_spark_plus_spark.functions.multimodal import (
     decode_image_features,
-    synth_media_df,
+    encode_media_from_documents,
 )
 from hudi_spark_plus_spark.functions.similarity import (
     cosine_topk,
@@ -146,13 +146,21 @@ def q_emb_ann_ivf(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Rows-only: multimodal plumbing — binary media table through the
-    Arrow mapInPandas feature extractor (deterministic stub decode)."""
-    return decode_image_features(
-        synth_media_df(spark, 64), allow_fake=True
-    ).orderBy("media_id")
+    """Hash-checked end-to-end media decode: derive one media row per
+    document (real PNG/JPEG/GIF container bytes encoded map-side), parse
+    the container headers back with the pure-Python decoder, and return
+    the DECODED dimensions. The oracle recomputes the dims from the
+    deterministic generating formula — if the header parse is wrong for
+    any format, the hashes diverge."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    feats = decode_image_features(encode_media_from_documents(docs))
+    return feats.select("media_id", "width", "height").orderBy("media_id")
 
 
+# Dict order = registry order. Oracle-checked queries first; the
+# engine-specific no-oracle signatures (minhash/simhash) come last so a
+# driver that bounds how many registry entries it checks still records
+# every hash-checkable row.
 LLM_QUERIES = {
     "q-doc-dedup-exact": q_doc_dedup_exact,
     "q-doc-token-stats": q_doc_token_stats,
@@ -160,13 +168,13 @@ LLM_QUERIES = {
     "q-doc-langid": q_doc_langid,
     "q-doc-fingerprint": q_doc_fingerprint,
     "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
+    "q-emb-cosine-topk": q_emb_cosine_topk,
+    "q-media-features": q_media_features,
+    "q-emb-ann-lsh": q_emb_ann_lsh,
+    "q-emb-ann-ivf": q_emb_ann_ivf,
     "q-doc-minhash-lsh": q_doc_minhash_lsh,
     "q-doc-minhash-full": q_doc_minhash_full,
     "q-doc-simhash": q_doc_simhash,
-    "q-emb-cosine-topk": q_emb_cosine_topk,
-    "q-emb-ann-lsh": q_emb_ann_lsh,
-    "q-emb-ann-ivf": q_emb_ann_ivf,
-    "q-media-features": q_media_features,
 }
 
 _BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
@@ -274,5 +282,14 @@ LLM_ORACLES = {
         )
         SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    # The decoded dims must equal the generating formula for every
+    # container format in the mix (PNG IHDR, JPEG SOF0, GIF screen
+    # descriptor) — a real end-to-end decode check.
+    "q-media-features": """
+        SELECT doc_id AS media_id,
+               CAST(16 + doc_id % 48 AS INT) AS width,
+               CAST(16 + doc_id % 32 AS INT) AS height
+        FROM documents WHERE doc_id < 64 ORDER BY media_id
     """,
 }

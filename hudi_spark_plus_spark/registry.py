@@ -28,6 +28,18 @@ _SOURCES = [
     ("hudi_spark_plus_spark.operators.lake_queries", "LAKE_QUERIES", "LAKE_ORACLES"),
 ]
 
+# Registry (= dict insertion) order is the order a bounded driver pass
+# visits queries. Round 1's CORRECTNESS file lacked rows for exactly the
+# 4 most-recently-registered queries, so the ones that went unchecked are
+# pinned to the FRONT this round; the engine-specific no-oracle
+# signature queries sit at the back (llm_queries dict order).
+_PRIORITY_FIRST = [
+    "q-lake-roundtrip",
+    "q-media-features",
+    "q-emb-ann-lsh",
+    "q-emb-ann-ivf",
+]
+
 
 def _gather(attr_idx: int) -> dict:
     out: dict = {}
@@ -38,7 +50,9 @@ def _gather(attr_idx: int) -> dict:
             continue
         attr = (qattr, oattr)[attr_idx]
         out.update(getattr(mod, attr, {}))
-    return out
+    head = {k: out[k] for k in _PRIORITY_FIRST if k in out}
+    head.update((k, v) for k, v in out.items() if k not in head)
+    return head
 
 
 def all_queries() -> dict[str, QueryFn]:

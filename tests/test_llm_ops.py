@@ -116,17 +116,63 @@ def test_ann_recall_on_planted_neighbors(spark, sf_dir):
     assert hits / len(exact1) >= 0.9, f"planted-neighbor recall {hits}/{len(exact1)}"
 
 
-def test_multimodal_stub_gates_and_plumbing(spark):
+def test_multimodal_real_decode_and_stub_gate(spark):
+    """Round 2: width/height come from a REAL header parse of the
+    container bytes (PNG IHDR / JPEG SOF0 / GIF descriptor); only
+    unrecognized bytes fall back to metadata (allow_fake) or error."""
+    from hudi_spark_plus_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        media_height,
+        media_width,
+    )
+
     media = synth_media_df(spark, 32)
-    with pytest.raises(NotImplementedError):
-        decode_image_features(media, allow_fake=False)
-    feats = decode_image_features(media, allow_fake=True)
+    feats = decode_image_features(media)  # no allow_fake needed now
     rows = feats.collect()
     assert len(rows) == 32
-    assert all(r["n_bytes"] == 256 for r in rows)
+    for r in rows:
+        i = r["media_id"]
+        assert (r["width"], r["height"]) == (media_width(i), media_height(i))
     # deterministic: same content digest on re-run
     again = {r["media_id"]: r["content_digest"] for r in feats.collect()}
     assert {r["media_id"]: r["content_digest"] for r in rows} == again
+
+    garbage = spark.createDataFrame(
+        [(0, "image", "application/octet-stream", bytearray(b"\x00" * 64),
+          11, 7, None)],
+        MEDIA_SCHEMA,
+    )
+    # unrecognized container: errors without allow_fake ...
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        decode_image_features(garbage).collect()
+    # ... and passes declared metadata through with it
+    g = decode_image_features(garbage, allow_fake=True).collect()[0]
+    assert (g["width"], g["height"]) == (11, 7)
+
+
+def test_container_codecs_roundtrip():
+    """Pure-Python encoders/parsers agree for every format + WAV."""
+    from hudi_spark_plus_spark.functions.multimodal import (
+        encode_gif_shell,
+        encode_jpeg_shell,
+        encode_png,
+        parse_image_dims,
+        parse_wav_meta,
+    )
+    import struct
+
+    for w, h in [(1, 1), (16, 48), (640, 480), (63, 31)]:
+        assert parse_image_dims(encode_png(w, h, seed=3)) == (w, h)
+        assert parse_image_dims(encode_jpeg_shell(w, h)) == (w, h)
+        assert parse_image_dims(encode_gif_shell(w, h)) == (w, h)
+    assert parse_image_dims(b"not an image at all") is None
+    assert parse_image_dims(b"") is None
+    # minimal WAV: 8000 Hz mono 8-bit, 4000 frames -> 500 ms
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    data = b"data" + struct.pack("<I", 4000) + b"\x80" * 4000
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    assert parse_wav_meta(wav) == (8000, 500)
+    assert parse_wav_meta(b"RIFFxxxx") is None
 
 
 def test_frame_sample_plan(spark):
