@@ -41,6 +41,10 @@ class FileEntry:
     rows: int
     min_key: str | None = None
     max_key: str | None = None
+    # Serialized per-file record-key Bloom filter (table/bloom.py —
+    # BloomFilter.java:92-103 serde shape). min/max cannot prune
+    # uniformly-distributed md5 keys; the bloom can.
+    bloom: str | None = None
 
 
 @dataclass

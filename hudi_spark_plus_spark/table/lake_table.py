@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
 from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
 from hudi_spark_plus_spark.table.keygen import (
     BUCKET_COL,
@@ -62,15 +63,20 @@ _BLOOM_OPTS = {
 
 def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
     """Scan a freshly-written ``_bucket=N`` tree; build manifest entries
-    with per-file row counts and min/max record key from parquet footers
-    (driver-side, one footer read per new file)."""
+    with per-file row counts, min/max record key, and a per-file key
+    Bloom filter (the reference's key-index primitive,
+    BloomFilter.java:31-104). One footer read plus one key-column read
+    per NEW file, driver-side — bounded by the commit's own write size;
+    a multi-writer v2 would fold this into the write job."""
     entries: list[FileEntry] = []
     base = os.path.join(table_path, subdir_rel)
     for f in sorted(glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))):
         rel = os.path.relpath(f, table_path)
         bucket = int(f.split("_bucket=")[1].split(os.sep)[0])
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
         min_key = max_key = None
+        bloom_b64 = None
         names = {md.schema.column(i).name: i for i in range(len(md.schema))}
         ki = names.get(KEY_COL)
         if ki is not None:
@@ -82,9 +88,13 @@ def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
                     maxs.append(st.max)
             if mins:
                 min_key, max_key = min(mins), max(maxs)
+            keys = pf.read(columns=[KEY_COL]).column(0).to_pylist()
+            bloom_b64 = KeyBloom.from_keys(
+                (k for k in keys if k is not None)
+            ).to_b64()
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
-                      min_key=min_key, max_key=max_key)
+                      min_key=min_key, max_key=max_key, bloom=bloom_b64)
         )
     return entries
 
@@ -168,25 +178,37 @@ class LakeTable:
         return df
 
     def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:
-        """Bucket- and stats-pruned snapshot slice for a set of record keys
-        (the query-side of the Bloom-index capability, K1/H8)."""
-        buckets = {
-            r[0]
-            for r in keys_df.select(
-                bucket_expr(F.col(KEY_COL), self.buckets)
-            ).distinct().collect()
-        }
-        lo_hi = [
-            (r[0], r[1])
-            for r in keys_df.agg(F.min(KEY_COL), F.max(KEY_COL)).collect()
-        ]
-        lo, hi = lo_hi[0]
+        """Bucket-, stats-, and Bloom-pruned snapshot slice for a set of
+        record keys (the query-side of the Bloom-index capability, K1/H8:
+        the reference skips files where ``!mightContain(key)``,
+        BloomFilter.java:82-87). One bounded collect — this is a
+        point-lookup API, key count << table size by construction."""
+        rows = (
+            keys_df.select(
+                F.col(KEY_COL),
+                bucket_expr(F.col(KEY_COL), self.buckets).alias("_b"),
+            )
+            .where(F.col(KEY_COL).isNotNull())
+            .distinct()
+            .collect()
+        )
+        keys = [r[0] for r in rows]
+        lo, hi = (min(keys), max(keys)) if keys else (None, None)
+        hashes_by_bucket: dict[int, list] = {}
+        for k, b in rows:
+            hashes_by_bucket.setdefault(b, []).append(hash_key(k))
         files = [
             f
             for f in self.log.live_files()
-            if f.bucket in buckets
+            if f.bucket in hashes_by_bucket
             and (f.min_key is None or hi is None or f.min_key <= hi)
             and (f.max_key is None or lo is None or f.max_key >= lo)
+            and (
+                f.bloom is None
+                or KeyBloom.from_b64(f.bloom).might_contain_any(
+                    hashes_by_bucket[f.bucket]
+                )
+            )
         ]
         return self._read_files(files)
 
@@ -281,6 +303,13 @@ class LakeTable:
         live = prev.files if prev else []
         carry = [f for f in live if f.bucket not in affected]
         hit = [f for f in live if f.bucket in affected]
+        # Bloom probe (K1/H8 read-amplification fix): within an affected
+        # bucket, a file whose key bloom matches NO batch key cannot hold
+        # a row this merge changes — carry it live untouched instead of
+        # reading + rewriting it. Key sets across a bucket's live files
+        # stay disjoint (batch keys land in the new file only).
+        hit, skipped = self._bloom_prune_hit_files(batch, hit)
+        carry += skipped
 
         snap_schema = self.schema()
         if snap_schema is not None and hit:
@@ -373,6 +402,44 @@ class LakeTable:
                 f"commit version raced: stamped {next_ver}, "
                 f"committed {committed.version}"
             )
+
+    # Above this many distinct batch keys the per-merge bloom probe is
+    # skipped: collecting the key hashes driver-side stops being cheap,
+    # and a batch that large touches most files of its buckets anyway.
+    MERGE_PROBE_MAX_KEYS = 200_000
+
+    def _bloom_prune_hit_files(
+        self, batch: DataFrame, hit: list[FileEntry]
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """(files to merge-read, files to carry untouched). The probe
+        collects the batch's distinct (key, bucket) pairs — bounded by
+        micro-batch size, NOT table size — hashes them once, and tests
+        each affected file's manifest bloom. False positives only cost
+        an extra file read; false negatives cannot occur."""
+        if not any(f.bloom for f in hit):
+            return hit, []
+        rows = (
+            batch.select(KEY_COL, BUCKET_COL)
+            .distinct()
+            .limit(self.MERGE_PROBE_MAX_KEYS + 1)
+            .collect()
+        )
+        if len(rows) > self.MERGE_PROBE_MAX_KEYS:
+            return hit, []
+        hashes_by_bucket: dict[int, list] = {}
+        for k, b in rows:
+            hashes_by_bucket.setdefault(b, []).append(hash_key(k))
+        keep: list[FileEntry] = []
+        skipped: list[FileEntry] = []
+        for f in hit:
+            pairs = hashes_by_bucket.get(f.bucket, [])
+            if f.bloom is None:
+                keep.append(f)
+            elif pairs and KeyBloom.from_b64(f.bloom).might_contain_any(pairs):
+                keep.append(f)
+            else:
+                skipped.append(f)
+        return keep, skipped
 
     @staticmethod
     def _payload_schema_json(df: DataFrame) -> str:
