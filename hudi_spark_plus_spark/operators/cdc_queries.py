@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -206,10 +207,110 @@ def q_cdc_3(spark, sf_dir):
     return run_cdc_pipeline(spark, sf_dir)
 
 
+# -- q-cdc-4: in-band schema WIDENING mid-stream ----------------------------
+
+_WIDE_INT_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("key_id", LongType()),
+        StructField("col_w", IntegerType()),
+    ]
+)
+_WIDE_LONG_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("key_id", LongType()),
+        StructField("col_w", LongType()),
+    ]
+)
+
+
+def derive_wide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table widening fixture: deterministic subset of orders."""
+    return load_table(spark, sf_dir, "orders").where("o_orderkey % 11 = 0").selectExpr(
+        "o_orderkey AS seq",
+        "o_custkey % 50 AS key_id",
+        "CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'update' END AS op",
+        "CAST(1723500000 + (o_orderkey % 40) AS BIGINT) AS ts",
+    )
+
+
+def build_wide_envelopes(events: DataFrame, row_schema: StructType) -> DataFrame:
+    """Envelope builder with a CALLER-declared in-band schema — the
+    widening scenario is precisely 'a later envelope declares a wider
+    type for an existing column'."""
+    schema_json = json.dumps(json.loads(row_schema.json()))
+    rows = events.groupBy("ts", "op").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seq", "key_id", "col_w"))
+        ).alias("rows")
+    )
+    return rows.select(
+        F.to_json(
+            F.struct(
+                F.lit("db1").alias("databaseName"),
+                F.lit("t_wide").alias("tableName"),
+                F.lit(schema_json).alias("schema"),
+                F.col("op").alias("type"),
+                F.col("ts").alias("timestamp"),
+                F.col("rows").alias("rows"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+
+
+def q_cdc_4(spark, sf_dir):
+    """Mid-stream type widening end-to-end: batch 0 declares ``col_w``
+    as INT (values fit int32), batch 1 re-declares it BIGINT with values
+    beyond int32. The merge must widen the stored schema (int->bigint),
+    keep batch-0 rows readable from their untouched int32 files, and the
+    final snapshot must equal the oracle's all-bigint SQL replay."""
+    ev = derive_wide_events(spark, sf_dir)
+    max_seq = ev.agg(F.max("seq")).first()[0] or 0
+    mid = max_seq // 2
+    work = tempfile.mkdtemp(prefix="hsp_cdcw_")
+    opts = {
+        cfg.HOODIE_PATH: work + "/{db}/ods_{db}_{table}",
+        cfg.SOURCE_SHUFFLE_PARALLELISM: "8",
+        cfg.SINK_SHUFFLE_PARALLELISM: "4",
+        cfg.DEDUP_ORDER_FIELDS: "seq",
+        cfg.BUCKETS: "4",
+        "db1.t_wide." + cfg.RECORDKEY_FIELD: "key_id",
+        "db1.t_wide." + cfg.PRECOMBINE_FIELD: "seq",
+        "db1.t_wide." + cfg.TABLE_NAME: "ods_db1_t_wide",
+    }
+    try:
+        b0 = ev.where(F.col("seq") < mid).withColumn(
+            "col_w", F.expr("CAST(key_id * 3 + seq % 7 AS INT)")
+        )
+        b1 = ev.where(F.col("seq") >= mid).withColumn(
+            "col_w", F.expr("CAST(5000000000 + key_id AS BIGINT)")
+        )
+        s0 = sync_batch(
+            spark, build_wide_envelopes(b0, _WIDE_INT_SCHEMA), opts, batch_id=0
+        )
+        s1 = sync_batch(
+            spark, build_wide_envelopes(b1, _WIDE_LONG_SCHEMA), opts, batch_id=1
+        )
+        assert s0.get("db1.t_wide") == "ok" and s1.get("db1.t_wide") == "ok", (
+            s0, s1,
+        )
+        lake = LakeTable(spark, f"{work}/db1/ods_db1_t_wide")
+        result = (
+            lake.snapshot().select("key_id", "col_w").orderBy("key_id")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CDC_QUERIES = {
     "q-cdc-1": q_cdc_1,
     "q-cdc-2": q_cdc_2,
     "q-cdc-3": q_cdc_3,
+    "q-cdc-4": q_cdc_4,
 }
 
 CDC_ORACLES = {
@@ -243,5 +344,29 @@ CDC_ORACLES = {
           FROM cdc_events) t
         WHERE rn = 1 AND op <> 'delete'
         ORDER BY db_name, table_name, key_id
+    """,
+    # All-bigint replay of the widening pipeline: the engine's int batch
+    # + bigint batch must converge to the same final values
+    "q-cdc-4": """
+        WITH we AS (
+          SELECT o_orderkey AS seq,
+                 o_custkey % 50 AS key_id,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                      ELSE 'update' END AS op,
+                 CAST(1723500000 + (o_orderkey % 40) AS BIGINT) AS ts,
+                 CASE WHEN o_orderkey <
+                        (SELECT MAX(o_orderkey) // 2 FROM orders
+                         WHERE o_orderkey % 11 = 0)
+                      THEN CAST(o_custkey % 50 AS BIGINT) * 3
+                           + o_orderkey % 7
+                      ELSE 5000000000 + o_custkey % 50 END AS col_w
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT key_id, col_w FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+          FROM we) t
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY key_id
     """,
 }

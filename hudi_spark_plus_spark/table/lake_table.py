@@ -52,6 +52,32 @@ DELETE_OP = "delete"
 DELETED_COL = "_deleted"
 COMMIT_VER_COL = "_commit_ver"
 
+# Widening lattices for in-band schema evolution (beyond-additive). Only
+# widenings Spark's vectorized parquet reader can apply at READ time are
+# allowed, because carried files of untouched buckets keep their old
+# physical type: the int chain (INT32/INT64 physical) and float->double.
+# int->double, date->timestamp, renames etc. would poison carried files
+# and are rejected per table.
+_INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+_FLOAT_CHAIN = ["float", "double"]
+
+
+def _widened_type(a: str, b: str) -> str | None:
+    """Common read-compatible supertype of two Spark dtype strings, or
+    None when the change is incompatible."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return _INT_CHAIN[max(_INT_CHAIN.index(a), _INT_CHAIN.index(b))]
+    if a in _FLOAT_CHAIN and b in _FLOAT_CHAIN:
+        return "double"
+    return None
+
+
+class IncompatibleSchemaChange(ValueError):
+    """Raised (and caught per-table by the CDC sync, Q1 isolation) when
+    an in-band schema declares a non-widening type change."""
+
 # Parquet-native bloom filter on the record key (the write-side half of
 # the reference's Bloom key index, BloomFilter.java:31-104/H8): readers
 # with key-equality predicates skip row groups server-side.
@@ -336,11 +362,27 @@ class LakeTable:
                     payload_cols.append(c)
             b = batch
             s = snap
+            b_types, s_types = dict(batch.dtypes), dict(snap.dtypes)
             for c in payload_cols:
                 if c not in b.columns:
-                    b = b.withColumn(c, F.lit(None).cast(dict(s.dtypes)[c]))
-                if c not in s.columns:
-                    s = s.withColumn(c, F.lit(None).cast(dict(batch.dtypes)[c]))
+                    b = b.withColumn(c, F.lit(None).cast(s_types[c]))
+                elif c not in s.columns:
+                    s = s.withColumn(c, F.lit(None).cast(b_types[c]))
+                elif b_types[c] != s_types[c]:
+                    # type widening (in-band schema evolution): cast both
+                    # sides to the read-compatible supertype, or reject
+                    target = _widened_type(b_types[c], s_types[c])
+                    if target is None:
+                        raise IncompatibleSchemaChange(
+                            f"column {c!r} of table at {self.path}: "
+                            f"stored type {s_types[c]} and incoming type "
+                            f"{b_types[c]} have no widening; rewrite the "
+                            "table to change types incompatibly"
+                        )
+                    if b_types[c] != target:
+                        b = b.withColumn(c, F.col(c).cast(target))
+                    if s_types[c] != target:
+                        s = s.withColumn(c, F.col(c).cast(target))
             if COMMIT_VER_COL not in s.columns:  # pre-versioning files
                 s = s.withColumn(COMMIT_VER_COL, F.lit(0).cast("long"))
             b = b.alias("b")

@@ -10,6 +10,7 @@ from hudi_spark_plus_spark.operators import cdc
 from hudi_spark_plus_spark.operators.cdc_queries import (
     CDC_ORACLES,
     CDC_QUERIES,
+    ROW_SCHEMA,
     build_envelopes,
     sync_options,
 )
@@ -313,3 +314,62 @@ def test_simple_keygen_two_tables_no_cross_table_collision(spark, tmp_path):
     orde = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_order", buckets=4)
     assert [r["col_a"] for r in cust.snapshot().collect()] == ["cust"]
     assert [r["col_a"] for r in orde.snapshot().collect()] == ["ord"]
+
+
+def test_incompatible_schema_change_isolated_per_table(spark, tmp_path):
+    """A table whose in-band schema declares a non-widening type change
+    is skipped with an error; OTHER tables in the same batch commit
+    normally (Q1 isolation extended to schema errors)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    opts = sync_options(str(tmp_path))
+    ev = _mk_events(
+        spark,
+        [
+            (1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+            (2, "db1", "t_order", "update", 10, 2, "b", 2.0),
+        ],
+    )
+    assert sync_batch(spark, build_envelopes(ev), opts, batch_id=0) == {
+        "db1.t_customer": "ok",
+        "db1.t_order": "ok",
+    }
+    # batch 1: t_customer re-declares col_b (double) as STRING -> skipped;
+    # t_order unaffected
+    bad_schema = StructType([
+        StructField("seq", LongType()), StructField("key_id", LongType()),
+        StructField("col_a", StringType()), StructField("col_b", StringType()),
+    ])
+    bad = spark.createDataFrame(
+        [(
+            _json.dumps({
+                "databaseName": "db1", "tableName": "t_customer",
+                "schema": bad_schema.json(), "type": "upsert",
+                "timestamp": 20,
+                "rows": [_json.dumps(
+                    {"seq": 3, "key_id": 1, "col_a": "x", "col_b": "oops"}
+                )],
+            }),
+        ), (
+            _json.dumps({
+                "databaseName": "db1", "tableName": "t_order",
+                "schema": ROW_SCHEMA.json(), "type": "upsert",
+                "timestamp": 20,
+                "rows": [_json.dumps(
+                    {"seq": 4, "key_id": 2, "col_a": "b2", "col_b": 2.5}
+                )],
+            }),
+        )],
+        "value string",
+    )
+    status = sync_batch(spark, bad, opts, batch_id=1)
+    assert status["db1.t_order"] == "ok"
+    assert status["db1.t_customer"].startswith("skipped:")
+    orde = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_order")
+    assert {r["col_a"] for r in orde.snapshot().collect()} == {"b2"}
+    cust = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer")
+    assert {r["col_a"] for r in cust.snapshot().collect()} == {"a"}

@@ -346,3 +346,72 @@ class TestBloomIndex:
         rows = got.collect()
         assert "a1" in {r["_key"] for r in rows}
         assert len(rows) <= 4
+
+
+class TestSchemaWidening:
+    """Round-2: in-band type evolution beyond additive columns."""
+
+    def test_merge_widens_int_to_bigint(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "tw"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 7), ("k2", 1, "upsert", 9)],
+                "_key string, _ts long, _op string, n int",
+            ),
+            "b0",
+        )
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 2, "upsert", 5_000_000_000)],
+                "_key string, _ts long, _op string, n long",
+            ),
+            "b1",
+        )
+        got = {r["_key"]: r["n"] for r in t.snapshot().collect()}
+        # k1 may live in an untouched int32 file read under bigint schema
+        assert got == {"k1": 7, "k2": 5_000_000_000}
+        assert dict(t.snapshot().dtypes)["n"] == "bigint"
+
+    def test_merge_widens_float_to_double(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "tf"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 1.5)],
+                "_key string, _ts long, _op string, x float",
+            ),
+            "b0",
+        )
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 2, "upsert", 2.25)],
+                "_key string, _ts long, _op string, x double",
+            ),
+            "b1",
+        )
+        got = {r["_key"]: r["x"] for r in t.snapshot().collect()}
+        assert got == {"k1": 1.5, "k2": 2.25}
+        assert dict(t.snapshot().dtypes)["x"] == "double"
+
+    def test_incompatible_change_raises(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.lake_table import (
+            IncompatibleSchemaChange,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "ti"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 7)],
+                "_key string, _ts long, _op string, n int",
+            ),
+            "b0",
+        )
+        with pytest.raises(IncompatibleSchemaChange, match="'n'"):
+            t.merge(
+                spark.createDataFrame(
+                    [("k2", 2, "upsert", "oops")],
+                    "_key string, _ts long, _op string, n string",
+                ),
+                "b1",
+            )
+        # table unchanged by the failed merge
+        assert {r["_key"] for r in t.snapshot().collect()} == {"k1"}
