@@ -99,6 +99,41 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
             sync_batch(spark, env, opts, batch_id=b)
             lat.append(time.perf_counter() - bt)
         total = time.perf_counter() - t0
+
+        # Table-services honesty: after sustained micro-batch ingest,
+        # run compaction + vacuum and report what a READER pays before
+        # vs after — the number a long-running deployment actually cares
+        # about (small files accumulate one rewrite per touched bucket
+        # per batch).
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+        from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
+        tables = [
+            f"{work}/tables/{db}/ods_{db}_{t}"
+            for db in ("db1", "db2")
+            for t in ("t_customer", "t_order")
+        ]
+
+        def read_all_tables() -> float:
+            rt = time.perf_counter()
+            for p in tables:
+                _materialize(LakeTable(spark, p).snapshot())
+            return time.perf_counter() - rt
+
+        snap_pre = read_all_tables()
+        ct = time.perf_counter()
+        cstats = [compact(LakeTable(spark, p)) for p in tables]
+        for p in tables:
+            vacuum(LakeTable(spark, p), keep_last=1)
+        compact_s = time.perf_counter() - ct
+        snap_post = read_all_tables()
+        maintenance = {
+            "files_before_compact": sum(s["files_before"] for s in cstats),
+            "files_after_compact": sum(s["files_after"] for s in cstats),
+            "compact_vacuum_s": round(compact_s, 3),
+            "snap_read_pre_compact_s": round(snap_pre, 3),
+            "snap_read_post_compact_s": round(snap_post, 3),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     lat.sort()
@@ -108,6 +143,7 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
         "rows_per_s": round(n / total, 1),
         "batch_p50_s": round(lat[len(lat) // 2], 3),
         "batch_p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3),
+        **maintenance,
     }
 
 

@@ -457,8 +457,21 @@ class LakeTable:
         collects the batch's distinct (key, bucket) pairs — bounded by
         micro-batch size, NOT table size — hashes them once, and tests
         each affected file's manifest bloom. False positives only cost
-        an extra file read; false negatives cannot occur."""
+        an extra file read; false negatives cannot occur.
+
+        Gate: only probe when some affected bucket holds MORE than one
+        live file. In the steady one-file-per-bucket COW state the merge
+        must rewrite that file regardless (update-heavy batches almost
+        always hit it), so the probe's extra Spark job would be pure
+        per-batch overhead; with multiple files per bucket (insert
+        accumulation, bloom-carried files) it is the read-amplification
+        fix."""
         if not any(f.bloom for f in hit):
+            return hit, []
+        per_bucket: dict[int, int] = {}
+        for f in hit:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        if all(n <= 1 for n in per_bucket.values()):
             return hit, []
         rows = (
             batch.select(KEY_COL, BUCKET_COL)
