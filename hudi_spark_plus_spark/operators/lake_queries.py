@@ -20,7 +20,7 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 SUBSET = 100  # c_custkey bound — keys in the lake table
 
 
-def q_lake_roundtrip(spark, sf_dir):
+def _roundtrip(spark, sf_dir, mode: str):
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") < SUBSET
     )
@@ -45,23 +45,55 @@ def q_lake_roundtrip(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")
     try:
         lake = LakeTable(spark, work, buckets=4)
-        lake.merge(batch1, "b1")
-        lake.merge(batch2, "b2")
+        lake.merge(batch1, "b1", mode=mode)
+        lake.merge(batch2, "b2", mode=mode)
         snap = (
             lake.snapshot()
             .select("c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal"))
             .orderBy("c_custkey")
         )
         rows = snap.collect()
+        if mode == "mor":
+            # also check the folded state: compaction must not change
+            # the logical table
+            from hudi_spark_plus_spark.table.maintenance import compact
+
+            compact(lake)
+            folded = (
+                lake.snapshot()
+                .select(
+                    "c_custkey", "c_name",
+                    F.round("acctbal", 4).alias("acctbal"),
+                )
+                .orderBy("c_custkey")
+            )
+            assert [tuple(r) for r in folded.collect()] == [
+                tuple(r) for r in rows
+            ], "MOR compaction changed the logical table"
         return spark.createDataFrame(rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-LAKE_QUERIES = {"q-lake-roundtrip": q_lake_roundtrip}
+def q_lake_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "cow")
 
-LAKE_ORACLES = {
-    "q-lake-roundtrip": f"""
+
+def q_lake_mor(spark, sf_dir):
+    """Same deterministic roundtrip through the MERGE-ON-READ path:
+    batch 2 lands as delta files, the snapshot resolves latest-per-key at
+    read time, and a compaction is asserted in-engine to preserve the
+    logical table. The DuckDB oracle is identical to the COW variant —
+    both modes must converge to the same answer."""
+    return _roundtrip(spark, sf_dir, "mor")
+
+
+LAKE_QUERIES = {
+    "q-lake-roundtrip": q_lake_roundtrip,
+    "q-lake-mor": q_lake_mor,
+}
+
+_ROUNDTRIP_ORACLE = f"""
         SELECT c_custkey, c_name,
                CASE WHEN c_custkey % 3 = 0
                     THEN ROUND(c_acctbal + 1000.0, 4)
@@ -69,5 +101,9 @@ LAKE_ORACLES = {
         FROM customer
         WHERE c_custkey < {SUBSET} AND c_custkey % 7 <> 0
         ORDER BY c_custkey
-    """,
+    """
+
+LAKE_ORACLES = {
+    "q-lake-roundtrip": _ROUNDTRIP_ORACLE,
+    "q-lake-mor": _ROUNDTRIP_ORACLE,
 }

@@ -282,4 +282,5 @@ def _sync_one_table(
         batch_id=f"{batch_id}",
         parallelism=None,
         affected_buckets=affected_buckets,
+        mode=tc.write_mode,
     )

@@ -46,6 +46,10 @@ TRANSFORMER_SQL = "hoodie.transformer.sql"
 BUCKETS = "engine.table.buckets"
 BUCKETS_DEFAULT = 16
 DEDUP_ORDER_FIELDS = "engine.dedup.order.fields"  # payload tie-break cols
+# "cow" (rewrite affected buckets; merge-free reads) or "mor" (append
+# delta files; latest-per-key resolved at read time, compact() folds)
+WRITE_MODE = "engine.table.write.mode"
+WRITE_MODE_DEFAULT = "cow"
 
 # Reference's default JSON decode timestampFormat — reproduced verbatim
 # (BinlogSyncHoodieCommand.scala:60); the per-table config map doubles as
@@ -76,6 +80,7 @@ class TableConfig:
     dedup_order_fields: list[str] = field(default_factory=list)
     json_options: dict[str, str] = field(default_factory=dict)
     buckets: int = BUCKETS_DEFAULT
+    write_mode: str = WRITE_MODE_DEFAULT
 
 
 def table_options(options: dict[str, str], db: str, table: str) -> dict[str, str]:
@@ -134,7 +139,19 @@ def resolve_table_config(
         ],
         json_options=json_opts,
         buckets=int(t.get(BUCKETS, options.get(BUCKETS, BUCKETS_DEFAULT))),
+        write_mode=_validated_write_mode(t, options, db, table),
     )
+
+
+def _validated_write_mode(
+    t: dict[str, str], options: dict[str, str], db: str, table: str
+) -> str:
+    mode = t.get(WRITE_MODE, options.get(WRITE_MODE, WRITE_MODE_DEFAULT))
+    if mode not in ("cow", "mor"):
+        raise TableConfigError(
+            f"{db}.{table}: {WRITE_MODE} must be cow|mor, got {mode!r}"
+        )
+    return mode
 
 
 def source_parallelism(options: dict[str, str]) -> int:

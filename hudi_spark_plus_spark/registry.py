@@ -35,6 +35,7 @@ _SOURCES = [
 # signature queries sit at the back (llm_queries dict order).
 _PRIORITY_FIRST = [
     "q-lake-roundtrip",
+    "q-lake-mor",
     "q-media-features",
     "q-emb-ann-lsh",
     "q-emb-ann-ivf",

@@ -45,6 +45,10 @@ class FileEntry:
     # BloomFilter.java:92-103 serde shape). min/max cannot prune
     # uniformly-distributed md5 keys; the bloom can.
     bloom: str | None = None
+    # "base" (fully merged COW file) or "delta" (merge-on-read append:
+    # only that commit's rows; readers resolve latest-per-key). Old
+    # manifests predate the field and default to base.
+    kind: str = "base"
 
 
 @dataclass

@@ -36,7 +36,16 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ByteType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
 from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
@@ -60,6 +69,15 @@ COMMIT_VER_COL = "_commit_ver"
 # and are rejected per table.
 _INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
 _FLOAT_CHAIN = ["float", "double"]
+
+_SPARK_TYPE_BY_NAME = {
+    "tinyint": ByteType(),
+    "smallint": ShortType(),
+    "int": IntegerType(),
+    "bigint": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+}
 
 
 def _widened_type(a: str, b: str) -> str | None:
@@ -87,7 +105,9 @@ _BLOOM_OPTS = {
 }
 
 
-def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
+def _collect_file_entries(
+    table_path: str, subdir_rel: str, kind: str = "base"
+) -> list[FileEntry]:
     """Scan a freshly-written ``_bucket=N`` tree; build manifest entries
     with per-file row counts, min/max record key, and a per-file key
     Bloom filter (the reference's key-index primitive,
@@ -120,7 +140,8 @@ def _collect_file_entries(table_path: str, subdir_rel: str) -> list[FileEntry]:
             ).to_b64()
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
-                      min_key=min_key, max_key=max_key, bloom=bloom_b64)
+                      min_key=min_key, max_key=max_key, bloom=bloom_b64,
+                      kind=kind)
         )
     return entries
 
@@ -166,13 +187,36 @@ class LakeTable:
 
         return StructType.fromJson(json.loads(c.schema_json))
 
+    @staticmethod
+    def _resolve_latest(df: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: latest row per key by (_ts, commit
+        version) — identical to the COW merge's precombine rule (batch
+        wins iff ``_ts >=`` stored; equal ``_ts`` goes to the later
+        commit). One window shuffle: the read-time cost MOR trades for
+        its O(batch) writes."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(KEY_COL).orderBy(
+            F.col(TS_COL).desc(),
+            F.coalesce(F.col(COMMIT_VER_COL), F.lit(0)).desc(),
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def snapshot(
         self, version: int | None = None, include_deleted: bool = False
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame (H6).
-        Tombstone rows are hidden unless ``include_deleted``."""
+        Tombstone rows are hidden unless ``include_deleted``. When the
+        live set contains merge-on-read delta files, the latest row per
+        key is resolved at read time."""
         files = self.log.live_files(version)
         df = self._read_files(files)
+        if any(f.kind == "delta" for f in files):
+            df = self._resolve_latest(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.where(~F.col(DELETED_COL))
         return df
@@ -201,6 +245,11 @@ class LakeTable:
             if end is not None:
                 cond = cond & (ver <= end)
             df = df.where(cond)
+        # MOR: several in-range delta files may carry the same key; emit
+        # only its FINAL in-range state (COW guarantees one live copy per
+        # key, so resolution is skipped there)
+        if any(f.kind == "delta" for f in files):
+            df = self._resolve_latest(df)
         return df
 
     def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:
@@ -236,7 +285,10 @@ class LakeTable:
                 )
             )
         ]
-        return self._read_files(files)
+        df = self._read_files(files)
+        if any(f.kind == "delta" for f in files):
+            df = self._resolve_latest(df)
+        return df
 
     def _read_files(self, files: list[FileEntry]) -> DataFrame:
         if not files:
@@ -304,6 +356,7 @@ class LakeTable:
         batch_id: str | None = None,
         parallelism: int | None = None,
         affected_buckets: set[int] | None = None,
+        mode: str = "cow",
     ) -> None:
         """One-pass LWW upsert+delete merge (H1/H2/Q5).
 
@@ -312,7 +365,18 @@ class LakeTable:
         ``affected_buckets``: precomputed bucket set (lets a multi-table
         sync collect every table's buckets in ONE Spark job instead of
         one job per table).
+
+        ``mode``: ``"cow"`` (copy-on-write — rewrite affected buckets,
+        snapshot reads stay merge-free) or ``"mor"`` (merge-on-read —
+        append ONLY the batch rows as a delta file per affected bucket;
+        snapshot/incremental/scan resolve latest-per-key at read time,
+        and ``compact()`` folds deltas back into base files). MOR writes
+        are O(batch) instead of O(affected-bucket data): the right trade
+        for high-churn CDC where ingest dominates reads. Both modes obey
+        the same LWW rule, so they can be mixed on one table.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be cow|mor, got {mode!r}")
         if batch_id is not None and self.log.has_batch(batch_id):
             return  # idempotent re-run (H5)
 
@@ -326,6 +390,9 @@ class LakeTable:
             else {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
         )
         prev = self.log.latest()
+        if mode == "mor" and prev is not None:
+            self._merge_mor(batch, batch_id, parallelism, affected, prev)
+            return
         live = prev.files if prev else []
         carry = [f for f in live if f.bucket not in affected]
         hit = [f for f in live if f.bucket in affected]
@@ -342,6 +409,10 @@ class LakeTable:
             snap = self.spark.read.schema(snap_schema).parquet(
                 *[self.log.abs_path(f.path) for f in hit]
             )
+            if any(f.kind == "delta" for f in hit):
+                # COW over MOR deltas: collapse to latest-per-key before
+                # the merge join (deltas hold several versions per key)
+                snap = self._resolve_latest(snap)
         elif snap_schema is not None:
             snap = self.spark.createDataFrame([], snap_schema)
         else:
@@ -437,6 +508,91 @@ class LakeTable:
             carry + new_files,
             batch_id=batch_id,
             schema_json=schema_json,
+            buckets=self.buckets,
+        )
+        if committed.version != next_ver:  # single-writer violated
+            raise RuntimeError(
+                f"commit version raced: stamped {next_ver}, "
+                f"committed {committed.version}"
+            )
+
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        batch_id: str | None,
+        parallelism: int | None,
+        affected: set[int],
+        prev,
+    ) -> None:
+        """Merge-on-read write path: append the (pre-deduped) batch as
+        delta files, touch NO existing data. Schema evolution follows the
+        same rules as COW (additive union + read-compatible widening)."""
+        import json as _json
+
+        next_ver = prev.version + 1
+        stored = self.schema()
+        s_types = dict(
+            (f.name, f.dataType.simpleString()) for f in stored.fields
+        )
+        b = batch
+        for c in (DELETED_COL, COMMIT_VER_COL):
+            if c in b.columns:
+                b = b.drop(c)
+        b_types = dict(b.dtypes)
+        widened: dict[str, str] = {}
+        for c, t in b_types.items():
+            if c in (OP_COL, BUCKET_COL):
+                continue
+            st = s_types.get(c)
+            if st is not None and st != t:
+                target = _widened_type(t, st)
+                if target is None:
+                    raise IncompatibleSchemaChange(
+                        f"column {c!r} of table at {self.path}: stored "
+                        f"type {st} and incoming type {t} have no "
+                        "widening; rewrite the table to change types "
+                        "incompatibly"
+                    )
+                widened[c] = target
+                if t != target:
+                    b = b.withColumn(c, F.col(c).cast(target))
+        delta = (
+            b.withColumn(DELETED_COL, F.col(OP_COL) == DELETE_OP)
+            .withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
+            .drop(OP_COL)
+        )
+        absd, rel = self.log.new_data_subdir()
+        n = parallelism or max(1, len(affected))
+        (
+            delta.repartition(n, F.col(BUCKET_COL))
+            .write.mode("append")
+            .options(**_BLOOM_OPTS)
+            .partitionBy(BUCKET_COL)
+            .parquet(absd)
+        )
+        new_files = _collect_file_entries(self.path, rel, kind="delta")
+
+        # stored schema: widen changed fields in place, append new ones
+        fields = [
+            StructField(
+                f.name,
+                _SPARK_TYPE_BY_NAME[widened[f.name]],
+                True,
+            )
+            if f.name in widened and widened[f.name] != s_types[f.name]
+            else f
+            for f in stored.fields
+        ]
+        have = {f.name for f in fields}
+        delta_schema = StructType.fromJson(
+            _json.loads(self._payload_schema_json(delta))
+        )
+        fields += [f for f in delta_schema.fields if f.name not in have]
+        committed = self.log.commit(
+            "merge",
+            prev.files + new_files,
+            batch_id=batch_id,
+            schema_json=StructType(fields).json(),
             buckets=self.buckets,
         )
         if committed.version != next_ver:  # single-writer violated

@@ -373,3 +373,37 @@ def test_incompatible_schema_change_isolated_per_table(spark, tmp_path):
     assert {r["col_a"] for r in orde.snapshot().collect()} == {"b2"}
     cust = LakeTable(spark, f"{tmp_path}/db1/ods_db1_t_customer")
     assert {r["col_a"] for r in cust.snapshot().collect()} == {"a"}
+
+
+def test_sync_mor_mode_matches_cow(spark, tmp_path):
+    """engine.table.write.mode=mor through the FULL envelope pipeline:
+    final snapshots must equal the COW run on the same stream."""
+    ev = _mk_events(
+        spark,
+        [
+            (1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+            (2, "db1", "t_customer", "update", 20, 1, "a2", 1.5),
+            (3, "db1", "t_customer", "update", 10, 2, "b", 2.0),
+            (4, "db1", "t_customer", "delete", 30, 2, None, None),
+            (5, "db1", "t_order", "update", 10, 3, "c", 3.0),
+        ],
+    )
+    results = {}
+    for mode, sub in (("cow", "c"), ("mor", "m")):
+        opts = sync_options(f"{tmp_path}/{sub}")
+        opts[cfg.WRITE_MODE] = mode
+        # two batches so MOR actually appends deltas on batch 2
+        sync_batch(spark, build_envelopes(ev.where(F.col("seq") <= 3)), opts, 0)
+        sync_batch(spark, build_envelopes(ev.where(F.col("seq") > 3)), opts, 1)
+        snap = {}
+        for t in ("t_customer", "t_order"):
+            lake = LakeTable(spark, f"{tmp_path}/{sub}/db1/ods_db1_{t}")
+            snap[t] = {
+                r["key_id"]: r["col_a"] for r in lake.snapshot().collect()
+            }
+        results[mode] = snap
+    assert results["cow"] == results["mor"]
+    assert results["mor"]["t_customer"] == {1: "a2"}
+    # MOR table really has delta files
+    lake = LakeTable(spark, f"{tmp_path}/m/db1/ods_db1_t_customer")
+    assert "delta" in {f.kind for f in lake.log.live_files()}

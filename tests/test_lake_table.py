@@ -415,3 +415,92 @@ class TestSchemaWidening:
             )
         # table unchanged by the failed merge
         assert {r["_key"] for r in t.snapshot().collect()} == {"k1"}
+
+
+class TestMergeOnRead:
+    """MOR path: delta appends + read-time resolution must match COW
+    semantics exactly; compact() folds deltas back to base files."""
+
+    def _drive(self, spark, table, mode):
+        table.merge(mkbatch(spark, [("k1", 10, "upsert", "a"), ("k2", 10, "upsert", "b")]), "b0", mode=mode)
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "a2"), ("k3", 5, "upsert", "c")]), "b1", mode=mode)
+        table.merge(mkbatch(spark, [("k2", 30, "delete", None)]), "b2", mode=mode)
+        table.merge(mkbatch(spark, [("k2", 25, "upsert", "zombie")]), "b3", mode=mode)  # stale: blocked
+        table.merge(mkbatch(spark, [("k1", 20, "upsert", "a3")]), "b4", mode=mode)  # tie: later wins
+
+    EXPECT = {"k1": (20, "a3"), "k3": (5, "c")}
+
+    def test_mor_matches_cow_semantics(self, spark, tmp_path):
+        cow = LakeTable(spark, str(tmp_path / "cow"), buckets=2)
+        mor = LakeTable(spark, str(tmp_path / "mor"), buckets=2)
+        self._drive(spark, cow, "cow")
+        self._drive(spark, mor, "mor")
+        assert snap_dict(cow) == self.EXPECT
+        assert snap_dict(mor) == self.EXPECT
+        # MOR wrote deltas (first commit is base), COW none
+        kinds = {f.kind for f in mor.log.live_files()}
+        assert "delta" in kinds
+        assert {f.kind for f in cow.log.live_files()} == {"base"}
+
+    def test_mor_idempotent_replay(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0", mode="mor")
+        v = t.log.latest().version
+        t.merge(mkbatch(spark, [("k1", 99, "upsert", "dup")]), "b0", mode="mor")
+        assert t.log.latest().version == v and snap_dict(t) == {"k1": (10, "a")}
+
+    def test_mor_compact_folds_deltas(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        self._drive(spark, t, "mor")
+        from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
+        before = snap_dict(t)
+        stats = compact(t)
+        assert stats["files_after"] <= 2  # ~one base file per bucket
+        assert {f.kind for f in t.log.live_files()} == {"base"}
+        assert snap_dict(t) == before
+        # tombstone survives compaction: stale k2 upsert still blocked
+        t.merge(mkbatch(spark, [("k2", 28, "upsert", "zombie2")]), "b5", mode="mor")
+        assert "k2" not in snap_dict(t)
+        vacuum(t, keep_last=1)
+        assert snap_dict(t) == before
+
+    def test_mor_incremental_final_state_only(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a"), ("k2", 1, "upsert", "b")]), "b0", mode="mor")
+        v1 = t.log.latest().version
+        t.merge(mkbatch(spark, [("k2", 2, "upsert", "b2")]), "b1", mode="mor")
+        t.merge(mkbatch(spark, [("k2", 3, "upsert", "b3"), ("k3", 3, "upsert", "c")]), "b2", mode="mor")
+        rows = {(r["_key"], r["val"]) for r in t.incremental(v1).collect()}
+        assert rows == {("k2", "b3"), ("k3", "c")}  # k2 once, final state
+
+    def test_mor_schema_evolution(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 7)],
+                "_key string, _ts long, _op string, n int",
+            ),
+            "b0", mode="mor",
+        )
+        t.merge(  # widen + add a column, delta-only write
+            spark.createDataFrame(
+                [("k2", 2, "upsert", 6_000_000_000, "x")],
+                "_key string, _ts long, _op string, n long, extra string",
+            ),
+            "b1", mode="mor",
+        )
+        got = {r["_key"]: (r["n"], r["extra"]) for r in t.snapshot().collect()}
+        assert got == {"k1": (7, None), "k2": (6_000_000_000, "x")}
+        assert dict(t.snapshot().dtypes)["n"] == "bigint"
+        from hudi_spark_plus_spark.table.lake_table import (
+            IncompatibleSchemaChange,
+        )
+        with pytest.raises(IncompatibleSchemaChange):
+            t.merge(
+                spark.createDataFrame(
+                    [("k3", 3, "upsert", "bad", "y")],
+                    "_key string, _ts long, _op string, n string, extra string",
+                ),
+                "b2", mode="mor",
+            )
