@@ -156,6 +156,96 @@ def ivf_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    top_n: int | None = None,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine similarity (id_a < id_b): the embedding
+    analogue of ``exact_jaccard_pairs`` — the VERIFIER for the bucketed
+    LSH pair path, O(n^2) by design, meant for bounded subsets. The
+    smaller side broadcasts, the dot product is a JVM lambda fold, and
+    ``top_n`` uses orderBy+limit (TakeOrderedAndProject — no global
+    single-partition window)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    dot = F.expr(DOT_EXPR.format(a="vec_a", b="vec_b"))
+    na = F.expr(NORM_EXPR.format(a="vec_a"))
+    nb = F.expr(NORM_EXPR.format(a="vec_b"))
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("sim_raw"))
+    )
+    if threshold is not None:
+        scored = scored.where(F.col("sim_raw") >= threshold)
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.col("sim_raw").desc(), "id_a", "id_b"
+        ).limit(top_n)
+    return scored.select(
+        "id_a", "id_b", F.round("sim_raw", 4).alias("sim")
+    )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    dim: int = 64,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: candidates =
+    same sign-bit LSH bucket in ANY table, then exact cosine verify of
+    candidates only (every emitted pair is exactly ``>= threshold``;
+    only recall is approximate — asserted vs ``cosine_pairs`` in tests).
+
+    Scale shape: never all-pairs. One signature pass (Arrow pandas_udf,
+    localCheckpointed so the self-join does not recompute it), one
+    shuffle on (table, bucket), within-bucket self-join with id_a <
+    id_b, pair dedup across tables. Scan fraction per table ~ 1/2^bits
+    of the corpus squared only WITHIN buckets; near-identical vectors
+    collide with prob ~ (1 - theta/pi)^bits per table, so high
+    thresholds (the near-dup regime) get recall from ``n_tables``
+    independent chances."""
+    sig = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec", bits, dim, n_tables, seed,
+    ).localCheckpoint()
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.posexplode("bucket").alias("table", "bucket"),
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.posexplode("bucket").alias("table", "bucket"),
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.expr(DOT_EXPR.format(a="vec_a", b="vec_b"))
+    na = F.expr(NORM_EXPR.format(a="vec_a"))
+    nb = F.expr(NORM_EXPR.format(a="vec_b"))
+    return (
+        cand.select("id_a", "id_b", (dot / (na * nb)).alias("sim_raw"))
+        .where(F.col("sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
 def with_lsh_buckets(
     df: DataFrame,
     vec_col: str,

@@ -23,9 +23,11 @@ from hudi_spark_plus_spark.functions.multimodal import (
     encode_media_from_documents,
 )
 from hudi_spark_plus_spark.functions.similarity import (
+    cosine_pairs,
     cosine_topk,
     ivf_topk,
     lsh_ann_topk,
+    lsh_neardup_pairs,
 )
 from hudi_spark_plus_spark.functions.text import (
     bpe_token_count,
@@ -145,6 +147,31 @@ def q_emb_ann_ivf(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_emb_neardup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup, exact verifier path: the 20
+    most-similar embedding pairs over a bounded subset (all-pairs is
+    O(n^2) by design here; the production path is q-emb-neardup-lsh)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return cosine_pairs(e, top_n=20).orderBy(
+        F.col("sim").desc(), "id_a", "id_b"
+    )
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup, bucketed LSH scale path, made
+    hash-checkable: plant one exact duplicate per vec_id % 10 == 0
+    (id + 100000), then every pair the pipeline emits at threshold 0.9
+    must be exactly the planted (id, id+100000) set at sim 1.0 — the
+    corpus's max NATURAL pairwise cosine is ~0.6, so recall below 1.0
+    or any false positive diverges the hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.where((F.col("vec_id") % 10) == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = e.unionByName(planted)
+    return lsh_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
+
+
 def q_media_features(spark, sf_dir):
     """Hash-checked end-to-end media decode: derive one media row per
     document (real PNG/JPEG/GIF container bytes encoded map-side), parse
@@ -169,6 +196,8 @@ LLM_QUERIES = {
     "q-doc-fingerprint": q_doc_fingerprint,
     "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
     "q-emb-cosine-topk": q_emb_cosine_topk,
+    "q-emb-neardup-exact": q_emb_neardup_exact,
+    "q-emb-neardup-lsh": q_emb_neardup_lsh,
     "q-media-features": q_media_features,
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
@@ -282,6 +311,30 @@ LLM_ORACLES = {
         )
         SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    "q-emb-neardup-exact": """
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200
+        ), scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS sim_raw
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim
+        FROM scored ORDER BY sim_raw DESC, id_a, id_b LIMIT 20
+    """,
+    # Recall AND precision of the LSH pair path in one hash: planted
+    # exact duplicates are the only pairs >= 0.9, and identical vectors
+    # always share every LSH signature, so the output is exactly this
+    # set (sim = 1.0) or the hash diverges.
+    "q-emb-neardup-lsh": """
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+               CAST(1.0 AS DOUBLE) AS sim
+        FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a
     """,
     # The decoded dims must equal the generating formula for every
     # container format in the mix (PNG IHDR, JPEG SOF0, GIF screen

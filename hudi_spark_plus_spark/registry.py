@@ -36,6 +36,8 @@ _SOURCES = [
 _PRIORITY_FIRST = [
     "q-lake-roundtrip",
     "q-lake-mor",
+    "q-emb-neardup-exact",
+    "q-emb-neardup-lsh",
     "q-media-features",
     "q-emb-ann-lsh",
     "q-emb-ann-ivf",

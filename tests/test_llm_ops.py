@@ -15,7 +15,12 @@ from hudi_spark_plus_spark.functions.multimodal import (
     frame_sample_plan,
     synth_media_df,
 )
-from hudi_spark_plus_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from hudi_spark_plus_spark.functions.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_ann_topk,
+    lsh_neardup_pairs,
+)
 from hudi_spark_plus_spark.operators.llm_queries import LLM_ORACLES, LLM_QUERIES
 from hudi_spark_plus_spark.sources.loaders import load_table
 from tests.harness import compare, duck_connection
@@ -114,6 +119,40 @@ def test_ann_recall_on_planted_neighbors(spark, sf_dir):
     got1 = {r["q_id"]: r["n_id"] for r in ann.collect()}
     hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
     assert hits / len(exact1) >= 0.9, f"planted-neighbor recall {hits}/{len(exact1)}"
+
+
+def test_lsh_neardup_pairs_recall_vs_exact(spark, sf_dir):
+    """Embedding near-dup pairs: the LSH-bucketed path must recover
+    >=90% of the exact cosine pairs at the same threshold on planted
+    NOISY near-duplicates (cosine ~0.995 — the regime the operator is
+    for), and exact verification makes every emitted pair a true one."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    base = e.collect()
+    rng = np.random.RandomState(11)
+    planted = []
+    for r in base[:25]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        nv = v + rng.randn(len(v)) * 0.02
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in nv], 0))
+    aug = e.unionByName(
+        spark.createDataFrame(
+            planted, "vec_id long, embedding array<float>, label int"
+        )
+    )
+    t = 0.95
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(aug, threshold=t).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(aug, threshold=t).collect()
+    }
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact"
+    assert exact, "fixture must actually contain near-dup pairs"
+    assert len(lsh & exact) / len(exact) >= 0.9
 
 
 def test_multimodal_real_decode_and_stub_gate(spark):
