@@ -72,18 +72,22 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     )
     from hudi_spark_plus_spark.operators.sync import sync_batch
 
+    from hudi_spark_plus_spark.plans import config as cfg
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
     events = derive_cdc_events(spark, sf_dir).persist()
     n = events.count()
     max_seq = events.agg(F.max("seq")).first()[0]
     n_batches = max(1, n // rows_per_batch)
     step = max_seq // n_batches + 1
     work = tempfile.mkdtemp(prefix="hsp_bench_cdc_")
-    opts = sync_options(work + "/tables")
-    lat: list[float] = []
+    out: dict = {}
     try:
         # Producer side (NOT timed): materialize each micro-batch's
         # envelope stream to disk first — the engine ingests envelope
-        # text, it doesn't pay for synthesizing it.
+        # text, it doesn't pay for synthesizing it. Shared by both
+        # write-mode passes.
         for b in range(n_batches):
             build_envelopes(
                 events.where(
@@ -92,59 +96,65 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
             ).coalesce(4).write.mode("overwrite").text(f"{work}/in/b{b}")
         events.unpersist()
 
-        t0 = time.perf_counter()
-        for b in range(n_batches):
-            env = spark.read.text(f"{work}/in/b{b}")
-            bt = time.perf_counter()
-            sync_batch(spark, env, opts, batch_id=b)
-            lat.append(time.perf_counter() - bt)
-        total = time.perf_counter() - t0
+        # Same stream through both write modes: COW (rewrite affected
+        # buckets; merge-free reads) is the headline "cdc" record for
+        # baseline continuity, MOR (delta appends; read-time resolution)
+        # is reported alongside — ingest speed vs reader latency is
+        # exactly the trade the two modes make.
+        for mode in ("cow", "mor"):
+            opts = sync_options(f"{work}/tables-{mode}")
+            opts[cfg.WRITE_MODE] = mode
+            lat: list[float] = []
+            t0 = time.perf_counter()
+            for b in range(n_batches):
+                env = spark.read.text(f"{work}/in/b{b}")
+                bt = time.perf_counter()
+                sync_batch(spark, env, opts, batch_id=b)
+                lat.append(time.perf_counter() - bt)
+            total = time.perf_counter() - t0
 
-        # Table-services honesty: after sustained micro-batch ingest,
-        # run compaction + vacuum and report what a READER pays before
-        # vs after — the number a long-running deployment actually cares
-        # about (small files accumulate one rewrite per touched bucket
-        # per batch).
-        from hudi_spark_plus_spark.table.lake_table import LakeTable
-        from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+            # Table-services honesty: after sustained micro-batch
+            # ingest, run compaction + vacuum and report what a READER
+            # pays before vs after — the number a long-running
+            # deployment actually cares about (COW accumulates small
+            # files, MOR accumulates deltas the reader must resolve).
+            tables = [
+                f"{work}/tables-{mode}/{db}/ods_{db}_{t}"
+                for db in ("db1", "db2")
+                for t in ("t_customer", "t_order")
+            ]
 
-        tables = [
-            f"{work}/tables/{db}/ods_{db}_{t}"
-            for db in ("db1", "db2")
-            for t in ("t_customer", "t_order")
-        ]
+            def read_all_tables() -> float:
+                rt = time.perf_counter()
+                for p in tables:
+                    _materialize(LakeTable(spark, p).snapshot())
+                return time.perf_counter() - rt
 
-        def read_all_tables() -> float:
-            rt = time.perf_counter()
+            snap_pre = read_all_tables()
+            ct = time.perf_counter()
+            cstats = [compact(LakeTable(spark, p)) for p in tables]
             for p in tables:
-                _materialize(LakeTable(spark, p).snapshot())
-            return time.perf_counter() - rt
-
-        snap_pre = read_all_tables()
-        ct = time.perf_counter()
-        cstats = [compact(LakeTable(spark, p)) for p in tables]
-        for p in tables:
-            vacuum(LakeTable(spark, p), keep_last=1)
-        compact_s = time.perf_counter() - ct
-        snap_post = read_all_tables()
-        maintenance = {
-            "files_before_compact": sum(s["files_before"] for s in cstats),
-            "files_after_compact": sum(s["files_after"] for s in cstats),
-            "compact_vacuum_s": round(compact_s, 3),
-            "snap_read_pre_compact_s": round(snap_pre, 3),
-            "snap_read_post_compact_s": round(snap_post, 3),
-        }
+                vacuum(LakeTable(spark, p), keep_last=1)
+            compact_s = time.perf_counter() - ct
+            snap_post = read_all_tables()
+            lat.sort()
+            out["cdc" if mode == "cow" else "cdc_mor"] = {
+                "rows": n,
+                "batches": n_batches,
+                "rows_per_s": round(n / total, 1),
+                "batch_p50_s": round(lat[len(lat) // 2], 3),
+                "batch_p95_s": round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3
+                ),
+                "files_before_compact": sum(s["files_before"] for s in cstats),
+                "files_after_compact": sum(s["files_after"] for s in cstats),
+                "compact_vacuum_s": round(compact_s, 3),
+                "snap_read_pre_compact_s": round(snap_pre, 3),
+                "snap_read_post_compact_s": round(snap_post, 3),
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    lat.sort()
-    return {
-        "rows": n,
-        "batches": n_batches,
-        "rows_per_s": round(n / total, 1),
-        "batch_p50_s": round(lat[len(lat) // 2], 3),
-        "batch_p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3),
-        **maintenance,
-    }
+    return out
 
 
 def main() -> None:
@@ -170,7 +180,7 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": sf,
-            "cdc": cdc,
+            **cdc,
         }
         print(json.dumps(result))
     finally:

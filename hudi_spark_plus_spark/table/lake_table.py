@@ -233,23 +233,31 @@ class LakeTable:
         rows are filtered to ``_commit_ver`` in range. Null
         ``_commit_ver`` (files written before record versioning) counts
         as version 0."""
-        live_at_end = {f.path for f in self.log.live_files(end)}
-        files = [
-            f for f in self.log.changed_files(begin, end)
-            if f.path in live_at_end
-        ]
-        df = self._read_files(files)
+        live = self.log.live_files(end)
+        changed = {f.path for f in self.log.changed_files(begin, end)}
+        files = [f for f in live if f.path in changed]
+        if any(f.kind == "delta" for f in live):
+            # MOR: a stale in-range delta row may have LOST
+            # last-write-wins to a row OUTSIDE the range (COW settles
+            # this at write time; MOR must settle it here). Winners are
+            # decided by resolving over every live row of the affected
+            # buckets first; only then are winners filtered to the
+            # range. Buckets without an in-range file can't contribute
+            # a winner in range, so they are pruned from the read.
+            buckets = {f.bucket for f in files}
+            df = self._resolve_latest(
+                self._read_files([f for f in live if f.bucket in buckets])
+            )
+        else:
+            # COW: one live copy per key, already LWW-settled at write;
+            # reading only the changed-and-still-live files suffices
+            df = self._read_files(files)
         if COMMIT_VER_COL in df.columns:
             ver = F.coalesce(F.col(COMMIT_VER_COL), F.lit(0))
             cond = ver > begin
             if end is not None:
                 cond = cond & (ver <= end)
             df = df.where(cond)
-        # MOR: several in-range delta files may carry the same key; emit
-        # only its FINAL in-range state (COW guarantees one live copy per
-        # key, so resolution is skipped there)
-        if any(f.kind == "delta" for f in files):
-            df = self._resolve_latest(df)
         return df
 
     def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:

@@ -474,6 +474,18 @@ class TestMergeOnRead:
         rows = {(r["_key"], r["val"]) for r in t.incremental(v1).collect()}
         assert rows == {("k2", "b3"), ("k3", "c")}  # k2 once, final state
 
+    def test_mor_incremental_ignores_losing_stale_row(self, spark, tmp_path):
+        """A stale in-range delta row that LOST last-write-wins to a row
+        before the range is not a change: the snapshot never moved, so
+        incremental must report nothing (COW settles this at write time,
+        MOR at read time)."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(mkbatch(spark, [("k1", 100, "upsert", "good")]), "b0", mode="mor")
+        v1 = t.log.latest().version
+        t.merge(mkbatch(spark, [("k1", 50, "upsert", "stale")]), "b1", mode="mor")
+        assert snap_dict(t) == {"k1": (100, "good")}
+        assert t.incremental(v1).count() == 0
+
     def test_mor_schema_evolution(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
         t.merge(
