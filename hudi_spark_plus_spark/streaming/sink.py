@@ -16,6 +16,11 @@ API mirrors the documented reference call shape (README.md:47-67):
         checkpoint_location="/tmp/ckpt",
         trigger={"processingTime": "10 seconds"},   # reference default
     )
+
+For 1:1 parity with the reference's ``format("binlog-hudi")`` string,
+``streaming/datasource.py`` registers the short name as a Python
+DataSource spool sink (decoupled stage + drain); this foreachBatch
+helper remains the preferred zero-copy path.
 """
 
 from __future__ import annotations

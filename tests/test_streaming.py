@@ -113,6 +113,56 @@ def test_stream_sync_end_to_end_with_restart(spark, tmp_path):
     } == {2: "b2"}
 
 
+def test_binlog_hudi_format_registration(spark, tmp_path):
+    """writeStream.format('binlog-hudi') parity (the reference's
+    DataSource short-name registration): executors spool the envelope
+    partitions, commit publishes a batch manifest, and the driver-side
+    drain runs the same sync as foreachBatch — ending in identical lake
+    state, idempotent on re-drain."""
+    from hudi_spark_plus_spark.streaming.datasource import (
+        SPOOL_DIR_OPT,
+        drain_binlog_spool,
+        register,
+    )
+
+    src = _write_envelope_files(
+        spark,
+        tmp_path,
+        [
+            [(1, "db1", "t_customer", "update", 10, 1, "a", 1.0),
+             (2, "db1", "t_customer", "update", 10, 2, "b", 2.0)],
+            [(3, "db1", "t_customer", "delete", 20, 1, None, None),
+             (4, "db1", "t_customer", "update", 20, 2, "b2", 2.5)],
+        ],
+    )
+    register(spark)
+    spool = str(tmp_path / "spool")
+    opts = sync_options(str(tmp_path / "tables"))
+    q = (
+        envelope_file_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.format("binlog-hudi")
+        .option(SPOOL_DIR_OPT, spool)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert drain_binlog_spool(spark, opts, spool) == 2
+
+    lake = LakeTable(
+        spark, str(tmp_path / "tables" / "db1" / "ods_db1_t_customer"), buckets=4
+    )
+    assert {
+        r["key_id"]: r["col_a"] for r in lake.snapshot().collect()
+    } == {2: "b2"}
+    v = lake.log.latest().version
+
+    # re-drain: ready markers consumed, commit-log idempotence holds
+    assert drain_binlog_spool(spark, opts, spool) == 0
+    assert lake.log.latest().version == v
+
+
 def test_watermarked_stream_window(spark, tmp_path):
     """Streaming window agg with watermark compiles and runs on a file
     stream (engine extension; batch parity checked by the oracle tests)."""
