@@ -48,7 +48,16 @@ class Engine:
         """``buckets=None`` (the default) uses the table's persisted bucket
         count; an explicit value is only needed (and only legal) when it
         matches, or when creating a brand-new table."""
-        t = self._lake_tables.get(path) or LakeTable(self.spark, path, buckets)
+        t = self._lake_tables.get(path)
+        if t is None:
+            t = LakeTable(self.spark, path, buckets)
+        elif buckets is not None and buckets != t.buckets:
+            # same validation a fresh LakeTable would apply — the cache
+            # must not silently swallow a conflicting explicit request
+            raise ValueError(
+                f"table at {path} is open with buckets={t.buckets}; "
+                f"caller requested buckets={buckets}"
+            )
         self._lake_tables[path] = t
         if view:
             t.snapshot().createOrReplaceTempView(view)

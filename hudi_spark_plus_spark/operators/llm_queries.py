@@ -323,9 +323,14 @@ LLM_ORACLES = {
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))) AS sim_raw
           FROM c a JOIN c b ON a.vec_id < b.vec_id
+        ), top AS (
+          SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim
+          FROM scored ORDER BY sim_raw DESC, id_a, id_b LIMIT 20
         )
-        SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim
-        FROM scored ORDER BY sim_raw DESC, id_a, id_b LIMIT 20
+        -- final ordering on the ROUNDED sim (matching the engine's
+        -- output ordering) so round-collisions inside the top 20 cannot
+        -- reorder rows between the two sides
+        SELECT id_a, id_b, sim FROM top ORDER BY sim DESC, id_a, id_b
     """,
     # Recall AND precision of the LSH pair path in one hash: planted
     # exact duplicates are the only pairs >= 0.9, and identical vectors

@@ -134,9 +134,12 @@ def drain_binlog_spool(spark, options: dict[str, str], spool: str) -> int:
     ready = os.path.join(spool, "ready")
     if not os.path.isdir(ready):
         return 0
+    # numeric batch order, NOT lexicographic ('batch-10' < 'batch-2'
+    # lexicographically): replay order decides last-write-wins ties
     markers = sorted(
-        f for f in os.listdir(ready)
-        if f.startswith("batch-") and f.endswith(".json")
+        (f for f in os.listdir(ready)
+         if f.startswith("batch-") and f.endswith(".json")),
+        key=lambda m: int(m[len("batch-"):-len(".json")]),
     )
     done = os.path.join(spool, "done")
     os.makedirs(done, exist_ok=True)

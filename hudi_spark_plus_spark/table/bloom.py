@@ -53,20 +53,30 @@ class KeyBloom:
     # -- build -------------------------------------------------------------
 
     @classmethod
+    def sized(cls, n: int, eps: float = DEFAULT_FPP) -> "KeyBloom":
+        """Empty filter sized for ~``n`` keys (BloomFilter.java:53-57);
+        lets a builder that knows the count up front (parquet footer
+        ``num_rows``) add keys incrementally without materializing them."""
+        n = max(1, n)
+        bit_size = max(8, math.ceil(n * -math.log(eps) / (_LN2 * _LN2)))
+        num_hashes = max(1, math.ceil(_LN2 * bit_size / n))
+        return cls(bytearray((bit_size + 7) // 8), bit_size, num_hashes)
+
+    def add(self, key: str) -> None:
+        h1, h2 = _hash_pair(key)
+        for i in range(self.num_hashes):
+            b = (h1 + i * h2) % self.bit_size
+            self.bits[b >> 3] |= 1 << (b & 7)
+
+    @classmethod
     def from_keys(
         cls, keys: Iterable[str], eps: float = DEFAULT_FPP
     ) -> "KeyBloom":
         keys = list(keys)
-        n = max(1, len(keys))
-        bit_size = max(8, math.ceil(n * -math.log(eps) / (_LN2 * _LN2)))
-        num_hashes = max(1, math.ceil(_LN2 * bit_size / n))
-        bits = bytearray((bit_size + 7) // 8)
+        bf = cls.sized(len(keys), eps)
         for k in keys:
-            h1, h2 = _hash_pair(k)
-            for i in range(num_hashes):
-                b = (h1 + i * h2) % bit_size
-                bits[b >> 3] |= 1 << (b & 7)
-        return cls(bits, bit_size, num_hashes)
+            bf.add(k)
+        return bf
 
     # -- probe -------------------------------------------------------------
 

@@ -105,24 +105,33 @@ _BLOOM_OPTS = {
 }
 
 
+# Commits writing more rows than this build their per-file blooms in a
+# distributed Spark job instead of the driver loop: above it the key
+# read stops being "bounded by a micro-batch" (compact()/zorder rewrite
+# the WHOLE table) and a driver-serial scan would bottleneck the commit.
+BLOOM_DISTRIBUTED_MIN_ROWS = 2_000_000
+
+
 def _collect_file_entries(
-    table_path: str, subdir_rel: str, kind: str = "base"
+    table_path: str, subdir_rel: str, kind: str = "base", spark=None
 ) -> list[FileEntry]:
     """Scan a freshly-written ``_bucket=N`` tree; build manifest entries
     with per-file row counts, min/max record key, and a per-file key
     Bloom filter (the reference's key-index primitive,
-    BloomFilter.java:31-104). One footer read plus one key-column read
-    per NEW file, driver-side — bounded by the commit's own write size;
-    a multi-writer v2 would fold this into the write job."""
+    BloomFilter.java:31-104). Row counts and min/max come from footer
+    metadata only. The bloom needs the key column's DATA: small commits
+    (micro-batches) stream it row-batch-wise on the driver — bounded
+    memory, I/O proportional to the commit's own write; large commits
+    (compaction, clustering — whole-table rewrites) build the blooms in
+    one distributed job grouped by file when a session is provided."""
     entries: list[FileEntry] = []
+    key_files: list[str] = []  # abs paths needing a bloom
     base = os.path.join(table_path, subdir_rel)
     for f in sorted(glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))):
         rel = os.path.relpath(f, table_path)
         bucket = int(f.split("_bucket=")[1].split(os.sep)[0])
-        pf = pq.ParquetFile(f)
-        md = pf.metadata
+        md = pq.ParquetFile(f).metadata
         min_key = max_key = None
-        bloom_b64 = None
         names = {md.schema.column(i).name: i for i in range(len(md.schema))}
         ki = names.get(KEY_COL)
         if ki is not None:
@@ -134,16 +143,61 @@ def _collect_file_entries(
                     maxs.append(st.max)
             if mins:
                 min_key, max_key = min(mins), max(maxs)
-            keys = pf.read(columns=[KEY_COL]).column(0).to_pylist()
-            bloom_b64 = KeyBloom.from_keys(
-                (k for k in keys if k is not None)
-            ).to_b64()
+            key_files.append(f)
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
-                      min_key=min_key, max_key=max_key, bloom=bloom_b64,
+                      min_key=min_key, max_key=max_key, bloom=None,
                       kind=kind)
         )
+    total_rows = sum(e.rows for e in entries)
+    if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
+        blooms = _distributed_blooms(spark, base)
+    else:
+        blooms = {}
+        for f in key_files:
+            pf = pq.ParquetFile(f)
+            bf = KeyBloom.sized(pf.metadata.num_rows)
+            for rb in pf.iter_batches(columns=[KEY_COL]):
+                for k in rb.column(0).to_pylist():
+                    if k is not None:
+                        bf.add(k)
+            blooms[f] = bf.to_b64()
+    by_rel = {os.path.relpath(f, table_path): b for f, b in blooms.items()}
+    for e in entries:
+        e.bloom = by_rel.get(e.path)
     return entries
+
+
+def _distributed_blooms(spark, base: str) -> dict[str, str]:
+    """One Spark job: shuffle only the key column grouped by source file,
+    build each file's bloom executor-side (memory bounded by one file's
+    keys — the same bound the write job already had)."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+    from urllib.parse import unquote, urlparse
+
+    def build(pdf):
+        import pandas as _pd
+
+        ks = [k for k in pdf[KEY_COL] if k is not None]
+        return _pd.DataFrame(
+            {"_f": [pdf["_f"].iloc[0]],
+             "bloom": [KeyBloom.from_keys(ks).to_b64()]}
+        )
+
+    rows = (
+        spark.read.parquet(base)
+        .select(F.input_file_name().alias("_f"), F.col(KEY_COL))
+        .groupBy("_f")
+        .applyInPandas(build, "_f string, bloom string")
+        .collect()
+    )
+    out: dict[str, str] = {}
+    for r in rows:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        out[p] = r["bloom"]
+    return out
 
 
 DEFAULT_BUCKETS = 16
@@ -171,6 +225,16 @@ class LakeTable:
                     f"caller requested buckets={buckets}"
                 )
             self.buckets = persisted
+        elif latest is not None and buckets is None:
+            # A table with commits but no persisted count predates the
+            # bucket-metadata field; silently assuming DEFAULT_BUCKETS
+            # would re-introduce the modulus-mismatch duplication the
+            # persistence exists to prevent. The caller must say what the
+            # table was created with (persisted on the next commit).
+            raise ValueError(
+                f"table at {path} has no persisted bucket count (created "
+                "before bucket metadata); pass buckets= explicitly"
+            )
         else:
             self.buckets = buckets if buckets is not None else DEFAULT_BUCKETS
 
@@ -318,11 +382,19 @@ class LakeTable:
         operation: str = "insert",
     ) -> None:
         """Plain partitioned append, no merge (H3). ``df`` must already
-        carry _key and _ts columns (use prepare helpers in operators.cdc)."""
+        carry _key and _ts columns (use prepare helpers in operators.cdc).
+        Type changes follow the same widening rules as merge — without
+        the check, a batch declaring a different physical type would be
+        written as-is while the committed read schema kept the stored
+        type, breaking every subsequent read of the new file."""
         if batch_id is not None and self.log.has_batch(batch_id):
             return
         prev = self.log.latest()
         next_ver = (prev.version + 1) if prev else 1
+        stored = self.schema()
+        widened: dict[str, str] = {}
+        if stored is not None:
+            df, widened = self._reconcile_batch_types(df, stored)
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
         if COMMIT_VER_COL not in df.columns:
@@ -336,13 +408,17 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )
-        new_files = _collect_file_entries(self.path, rel)
+        new_files = _collect_file_entries(self.path, rel, spark=self.spark)
         carry = prev.files if prev else []
         committed = self.log.commit(
             operation,
             carry + new_files,
             batch_id=batch_id,
-            schema_json=self._union_schema_json(df, prev),
+            schema_json=(
+                self._evolved_schema_json(stored, widened, out)
+                if stored is not None
+                else self._payload_schema_json(out)
+            ),
             buckets=self.buckets,
         )
         if committed.version != next_ver:  # single-writer violated
@@ -408,8 +484,17 @@ class LakeTable:
         # bucket, a file whose key bloom matches NO batch key cannot hold
         # a row this merge changes — carry it live untouched instead of
         # reading + rewriting it. Key sets across a bucket's live files
-        # stay disjoint (batch keys land in the new file only).
-        hit, skipped = self._bloom_prune_hit_files(batch, hit)
+        # stay disjoint (batch keys land in the new file only) — but ONLY
+        # in pure-COW buckets: a delta file supersedes rows of its
+        # bucket's base files, so consuming the delta while bloom-carrying
+        # the base would leave a stale duplicate with no read-time
+        # resolution left. Buckets holding any delta are consumed whole.
+        delta_buckets = {f.bucket for f in hit if f.kind == "delta"}
+        forced = [f for f in hit if f.bucket in delta_buckets]
+        kept, skipped = self._bloom_prune_hit_files(
+            batch, [f for f in hit if f.bucket not in delta_buckets]
+        )
+        hit = forced + kept
         carry += skipped
 
         snap_schema = self.schema()
@@ -509,7 +594,7 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )
-        new_files = _collect_file_entries(self.path, rel)
+        new_files = _collect_file_entries(self.path, rel, spark=self.spark)
         schema_json = self._payload_schema_json(merged)
         committed = self.log.commit(
             "merge",
@@ -524,31 +609,17 @@ class LakeTable:
                 f"committed {committed.version}"
             )
 
-    def _merge_mor(
-        self,
-        batch: DataFrame,
-        batch_id: str | None,
-        parallelism: int | None,
-        affected: set[int],
-        prev,
-    ) -> None:
-        """Merge-on-read write path: append the (pre-deduped) batch as
-        delta files, touch NO existing data. Schema evolution follows the
-        same rules as COW (additive union + read-compatible widening)."""
-        import json as _json
-
-        next_ver = prev.version + 1
-        stored = self.schema()
-        s_types = dict(
-            (f.name, f.dataType.simpleString()) for f in stored.fields
-        )
-        b = batch
-        for c in (DELETED_COL, COMMIT_VER_COL):
-            if c in b.columns:
-                b = b.drop(c)
-        b_types = dict(b.dtypes)
+    def _reconcile_batch_types(
+        self, b: DataFrame, stored: StructType
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """In-band type evolution shared by every write path: cast batch
+        columns to the read-compatible supertype of (incoming, stored),
+        raise on changes with no widening. Returns the cast batch and a
+        {column: widened dtype} map for columns whose STORED type must
+        widen in the committed schema."""
+        s_types = {f.name: f.dataType.simpleString() for f in stored.fields}
         widened: dict[str, str] = {}
-        for c, t in b_types.items():
+        for c, t in dict(b.dtypes).items():
             if c in (OP_COL, BUCKET_COL):
                 continue
             st = s_types.get(c)
@@ -561,9 +632,48 @@ class LakeTable:
                         "widening; rewrite the table to change types "
                         "incompatibly"
                     )
-                widened[c] = target
                 if t != target:
                     b = b.withColumn(c, F.col(c).cast(target))
+                if st != target:
+                    widened[c] = target
+        return b, widened
+
+    def _evolved_schema_json(
+        self, stored: StructType, widened: dict[str, str], df: DataFrame
+    ) -> str:
+        """Committed schema after a write: stored fields with widened
+        types replaced in place, new payload fields appended."""
+        import json as _json
+
+        fields = [
+            StructField(f.name, _SPARK_TYPE_BY_NAME[widened[f.name]], True)
+            if f.name in widened
+            else f
+            for f in stored.fields
+        ]
+        have = {f.name for f in fields}
+        new = StructType.fromJson(_json.loads(self._payload_schema_json(df)))
+        fields += [f for f in new.fields if f.name not in have]
+        return StructType(fields).json()
+
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        batch_id: str | None,
+        parallelism: int | None,
+        affected: set[int],
+        prev,
+    ) -> None:
+        """Merge-on-read write path: append the (pre-deduped) batch as
+        delta files, touch NO existing data. Schema evolution follows the
+        same rules as COW (additive union + read-compatible widening)."""
+        next_ver = prev.version + 1
+        stored = self.schema()
+        b = batch
+        for c in (DELETED_COL, COMMIT_VER_COL):
+            if c in b.columns:
+                b = b.drop(c)
+        b, widened = self._reconcile_batch_types(b, stored)
         delta = (
             b.withColumn(DELETED_COL, F.col(OP_COL) == DELETE_OP)
             .withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
@@ -578,29 +688,12 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )
-        new_files = _collect_file_entries(self.path, rel, kind="delta")
-
-        # stored schema: widen changed fields in place, append new ones
-        fields = [
-            StructField(
-                f.name,
-                _SPARK_TYPE_BY_NAME[widened[f.name]],
-                True,
-            )
-            if f.name in widened and widened[f.name] != s_types[f.name]
-            else f
-            for f in stored.fields
-        ]
-        have = {f.name for f in fields}
-        delta_schema = StructType.fromJson(
-            _json.loads(self._payload_schema_json(delta))
-        )
-        fields += [f for f in delta_schema.fields if f.name not in have]
+        new_files = _collect_file_entries(self.path, rel, kind="delta", spark=self.spark)
         committed = self.log.commit(
             "merge",
             prev.files + new_files,
             batch_id=batch_id,
-            schema_json=StructType(fields).json(),
+            schema_json=self._evolved_schema_json(stored, widened, delta),
             buckets=self.buckets,
         )
         if committed.version != next_ver:  # single-writer violated
@@ -668,25 +761,3 @@ class LakeTable:
         kept = StructType([f for f in df.schema.fields if f.name not in drop])
         return kept.json()
 
-    def _union_schema_json(self, df: DataFrame, prev) -> str:
-        """insert() schema: UNION of the stored schema and the new batch's
-        (merge() already unions column sets). Replacing the stored schema
-        with the batch's alone would narrow the read schema and silently
-        drop columns of older files from every snapshot."""
-        import json as _json
-
-        new = StructType(
-            [
-                f
-                for f in df.schema.fields
-                if f.name not in (OP_COL, BUCKET_COL)
-            ]
-        )
-        if prev is None or not prev.schema_json:
-            return new.json()
-        stored = StructType.fromJson(_json.loads(prev.schema_json))
-        have = {f.name for f in stored.fields}
-        merged = list(stored.fields) + [
-            f for f in new.fields if f.name not in have
-        ]
-        return StructType(merged).json()

@@ -44,7 +44,7 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
         .partitionBy(BUCKET_COL)
         .parquet(absd)
     )
-    files = _collect_file_entries(lake.path, rel)
+    files = _collect_file_entries(lake.path, rel, spark=lake.spark)
     lake.log.commit(
         "compact", files, schema_json=lake.log.latest().schema_json
     )

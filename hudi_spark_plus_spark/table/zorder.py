@@ -71,8 +71,14 @@ def _surrogate_expr(dtype: str, col: str) -> Column:
     if dtype.startswith("timestamp"):
         return c.cast("double")
     if dtype in ("string", "binary"):
-        b = c if dtype == "binary" else F.encode(c, "UTF-8")
-        return F.conv(F.hex(F.substring(b, 1, 6)), 16, 10).cast("double")
+        # zero-PAD the 6-byte prefix before hex: without it a short
+        # value's smaller hex magnitude breaks order ('b' = 0x62 would
+        # sort below 'aa' = 0x6161); big-endian zero-padded bytes keep
+        # lexicographic order exactly
+        b_sql = f"encode(`{col}`, 'UTF-8')" if dtype == "string" else f"`{col}`"
+        return F.expr(
+            f"conv(hex(rpad(substring({b_sql}, 1, 6), 6, x'00')), 16, 10)"
+        ).cast("double")
     raise ValueError(f"zorder: unsupported cluster column type {dtype}")
 
 
@@ -167,5 +173,5 @@ def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
         .partitionBy(BUCKET_COL)
         .parquet(absd)
     )
-    files = _collect_file_entries(lake.path, rel)
+    files = _collect_file_entries(lake.path, rel, spark=lake.spark)
     lake.log.commit("cluster", files, schema_json=lake.log.latest().schema_json)

@@ -417,6 +417,99 @@ class TestSchemaWidening:
         assert {r["_key"] for r in t.snapshot().collect()} == {"k1"}
 
 
+class TestInsertSchemaSafety:
+    def test_insert_widens_types_like_merge(self, spark, tmp_path):
+        """insert() must apply the same widening rules as merge: without
+        the check a batch declaring a wider physical type poisons every
+        subsequent read (file INT64 vs committed IntegerType)."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.insert(
+            spark.createDataFrame(
+                [("k1", 1, 7)], "_key string, _ts long, n int"
+            )
+        )
+        t.insert(
+            spark.createDataFrame(
+                [("k2", 2, 6_000_000_000)], "_key string, _ts long, n long"
+            )
+        )
+        got = {r["_key"]: r["n"] for r in t.snapshot().collect()}
+        assert got == {"k1": 7, "k2": 6_000_000_000}
+        assert dict(t.snapshot().dtypes)["n"] == "bigint"
+
+    def test_insert_rejects_incompatible_type_change(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.lake_table import (
+            IncompatibleSchemaChange,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.insert(
+            spark.createDataFrame([("k1", 1, 7)], "_key string, _ts long, n int")
+        )
+        with pytest.raises(IncompatibleSchemaChange):
+            t.insert(
+                spark.createDataFrame(
+                    [("k2", 2, "oops")], "_key string, _ts long, n string"
+                )
+            )
+
+
+def test_pre_metadata_table_requires_explicit_buckets(spark, tmp_path):
+    """A table whose commits predate the persisted bucket count must not
+    silently open with the default modulus (mismatch = stale duplicate
+    rows after the next merge); the caller has to state it."""
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+    # simulate a pre-upgrade manifest: strip the persisted field
+    import json as _json
+
+    cf = t.log._commit_file(t.log.latest().version)
+    d = _json.loads(open(cf).read())
+    d["buckets"] = None
+    open(cf, "w").write(_json.dumps(d))
+    with pytest.raises(ValueError, match="no persisted bucket count"):
+        LakeTable(spark, str(tmp_path / "t"))
+    reopened = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    assert reopened.buckets == 4
+
+
+def test_engine_cache_validates_conflicting_buckets(spark, tmp_path):
+    from hudi_spark_plus_spark.engine import Engine
+
+    eng = Engine(spark)
+    p = str(tmp_path / "t")
+    t = eng.lake_table(p, buckets=4)
+    t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+    assert eng.lake_table(p).buckets == 4  # None = use open instance
+    with pytest.raises(ValueError, match="buckets=4"):
+        eng.lake_table(p, buckets=8)
+
+
+def test_distributed_bloom_build_matches_driver_path(spark, tmp_path, monkeypatch):
+    """Above the row threshold the per-file blooms come from a Spark job
+    instead of the driver loop; every written key must still probe
+    positive in its file's bloom."""
+    import hudi_spark_plus_spark.table.lake_table as lt
+
+    monkeypatch.setattr(lt, "BLOOM_DISTRIBUTED_MIN_ROWS", 0)
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+    keys = [(f"k{i}", 1, "upsert", "v") for i in range(50)]
+    t.merge(mkbatch(spark, keys), "b0")
+    from hudi_spark_plus_spark.table.bloom import KeyBloom
+
+    files = t.log.live_files()
+    assert all(f.bloom for f in files)
+    blooms = {f.bucket: KeyBloom.from_b64(f.bloom) for f in files}
+    rows = t.snapshot().select("_key").collect()
+    assert len(rows) == 50
+    from hudi_spark_plus_spark.table.keygen import bucket_expr
+
+    bucketed = t.snapshot().select(
+        "_key", bucket_expr(F.col("_key"), 2).alias("b")
+    ).collect()
+    assert all(blooms[r["b"]].might_contain(r["_key"]) for r in bucketed)
+
+
 class TestMergeOnRead:
     """MOR path: delta appends + read-time resolution must match COW
     semantics exactly; compact() folds deltas back to base files."""
@@ -485,6 +578,25 @@ class TestMergeOnRead:
         t.merge(mkbatch(spark, [("k1", 50, "upsert", "stale")]), "b1", mode="mor")
         assert snap_dict(t) == {"k1": (100, "good")}
         assert t.incremental(v1).count() == 0
+
+    def test_cow_merge_over_delta_consumes_bucket_whole(self, spark, tmp_path):
+        """Mixed-mode regression: when a bucket holds a delta file, a COW
+        merge must consume ALL of that bucket's files. Bloom-carrying a
+        base file while the delta that supersedes its rows is consumed
+        and folded into a new base would leave a stale duplicate with no
+        read-time resolution left (no delta remains live)."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0", mode="cow")
+        t.merge(
+            mkbatch(spark, [("k1", 20, "upsert", "v2"), ("k2", 20, "upsert", "x")]),
+            "b1", mode="mor",
+        )
+        # bucket 0 now holds base(k1@v1) + delta(k1@v2, k2); this COW
+        # merge's batch key set misses the base file's bloom
+        t.merge(mkbatch(spark, [("k2", 30, "upsert", "x2")]), "b2", mode="cow")
+        rows = t.snapshot().collect()
+        assert len(rows) == 2  # exactly one live copy per key
+        assert snap_dict(t) == {"k1": (20, "v2"), "k2": (30, "x2")}
 
     def test_mor_schema_evolution(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "t"), buckets=2)

@@ -163,6 +163,42 @@ def test_binlog_hudi_format_registration(spark, tmp_path):
     assert lake.log.latest().version == v
 
 
+def test_drain_spool_numeric_batch_order(spark, tmp_path):
+    """Markers must drain in NUMERIC batch order: lexicographic order
+    puts batch-10 before batch-2, and replay order decides equal-_ts
+    last-write-wins ties."""
+    import json
+
+    from hudi_spark_plus_spark.streaming.datasource import drain_binlog_spool
+
+    spool = str(tmp_path / "spool")
+    for bid, val in ((2, "early"), (10, "late")):
+        df = spark.createDataFrame(
+            [(1, "db1", "t_customer", "update", 10, 1, val, 1.0)],
+            "seq long, db_name string, table_name string, op string,"
+            " ts long, key_id long, col_a string, col_b double",
+        )
+        vals = [r["value"] for r in build_envelopes(df).collect()]
+        pending = os.path.join(spool, "pending")
+        os.makedirs(pending, exist_ok=True)
+        staged = os.path.join(pending, f"b{bid}.txt")
+        with open(staged, "w") as fh:
+            fh.write("\n".join(vals) + "\n")
+        ready = os.path.join(spool, "ready")
+        os.makedirs(ready, exist_ok=True)
+        with open(os.path.join(ready, f"batch-{bid}.json"), "w") as fh:
+            json.dump({"batch_id": bid, "files": [staged]}, fh)
+
+    opts = sync_options(str(tmp_path / "tables"))
+    assert drain_binlog_spool(spark, opts, spool) == 2
+    lake = LakeTable(
+        spark, str(tmp_path / "tables" / "db1" / "ods_db1_t_customer"), buckets=4
+    )
+    assert {
+        r["key_id"]: r["col_a"] for r in lake.snapshot().collect()
+    } == {1: "late"}
+
+
 def test_watermarked_stream_window(spark, tmp_path):
     """Streaming window agg with watermark compiles and runs on a file
     stream (engine extension; batch parity checked by the oracle tests)."""

@@ -103,6 +103,20 @@ def test_zvalue_plan_has_no_global_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_string_surrogate_preserves_order_across_lengths(spark):
+    """The 6-byte prefix surrogate must be order-preserving for
+    VARIABLE-length strings: without zero-padding, 'b' (one byte, 0x62)
+    would sort below 'aa' (two bytes, 0x6161) numerically while sorting
+    above it lexicographically."""
+    from hudi_spark_plus_spark.table.zorder import _surrogate_expr
+
+    vals = ["", "a", "aa", "ab", "b", "ba", "zz", "zzz", "zzzzzzz"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", _surrogate_expr("string", "s").alias("g")).collect()
+    by_surrogate = [r["s"] for r in sorted(rows, key=lambda r: r["g"])]
+    assert by_surrogate == sorted(vals)
+
+
 def test_zvalue_string_column_surrogate(spark):
     """String cluster columns bin through an order-preserving 6-byte
     prefix surrogate; Z-values group equal/nearby strings together."""
