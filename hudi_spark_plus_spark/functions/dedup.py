@@ -231,20 +231,33 @@ def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def simhash_fold(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            arr = np.asarray(hs, dtype=np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
+        # one vectorized pass over the WHOLE Arrow batch: flatten every
+        # doc's token hashes, expand bits once, and segment-sum per doc
+        # with add.reduceat — no per-document Python loop
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hashes),
+            dtype=np.int64,
+            count=len(hashes),
+        )
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.uint64) for i in nz]
             )
-            votes = bits.sum(axis=0) * 2 - len(arr)
-            sig = np.uint64(0)
-            for j in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+            bits = (
+                (flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            ).astype(np.int64)  # (total_tokens, 64)
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            sums = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+            votes = sums * 2 - lens[nz][:, None]
+            weights = np.left_shift(
+                np.uint64(1), np.arange(64, dtype=np.uint64)
+            )
+            out[nz] = ((votes > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
 
     toks = df.withColumn(
         "_tok_hashes",

@@ -114,7 +114,12 @@ def ivf_topk(
         fit_df = c.sample(
             fraction=min(1.0, fit_sample_max / n_corpus), seed=seed
         )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fit_df)
+    # a coarse quantizer only needs rough cells — centroid quality for
+    # nprobe-probing saturates in a few Lloyd iterations, and the fit is
+    # otherwise the dominant job of the whole query
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(fit_df)
     assigned = model.transform(c).select(
         "n_id", "n_vec", F.col("prediction").alias("cell")
     )
