@@ -20,7 +20,10 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 SUBSET = 100  # c_custkey bound — keys in the lake table
 
 
-def _roundtrip(spark, sf_dir, mode: str):
+def _build_lake(spark, sf_dir, work: str, mode: str) -> LakeTable:
+    """The shared deterministic two-batch fixture: batch 1 inserts every
+    customer < SUBSET at _ts=1; batch 2 (at _ts=2) updates multiples of
+    3 (+1000 acctbal) and deletes multiples of 7."""
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") < SUBSET
     )
@@ -42,11 +45,16 @@ def _roundtrip(spark, sf_dir, mode: str):
         "c_name",
         F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
     )
+    lake = LakeTable(spark, work, buckets=4)
+    lake.merge(batch1, "b1", mode=mode)
+    lake.merge(batch2, "b2", mode=mode)
+    return lake
+
+
+def _roundtrip(spark, sf_dir, mode: str):
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")
     try:
-        lake = LakeTable(spark, work, buckets=4)
-        lake.merge(batch1, "b1", mode=mode)
-        lake.merge(batch2, "b2", mode=mode)
+        lake = _build_lake(spark, sf_dir, work, mode)
         snap = (
             lake.snapshot()
             .select("c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal"))
@@ -79,6 +87,65 @@ def q_lake_roundtrip(spark, sf_dir):
     return _roundtrip(spark, sf_dir, "cow")
 
 
+def q_lake_point_lookup(spark, sf_dir):
+    """Bloom-probed point lookup (K1/H8 read path) under oracle control:
+    ``scan_for_keys`` prunes files by bucket + min/max + manifest bloom,
+    then the requested keys are filtered from the surviving slice. Keys
+    = custkeys divisible by 11; deleted keys (multiples of 7) must NOT
+    surface."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "cow")
+        keys = spark.createDataFrame(
+            [(str(k),) for k in range(0, SUBSET, 11)], "_key string"
+        )
+        out = (
+            lake.scan_for_keys(keys)
+            .join(F.broadcast(keys), "_key", "semi")
+            .where(~F.col("_deleted"))
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _incremental(spark, sf_dir, mode: str):
+    """Record-level incremental read (H7) under oracle control: rows
+    changed after version 1 = exactly batch 2's winners, deletes
+    surfacing as tombstones with the batch's payload."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, mode)
+        out = (
+            lake.incremental(1)
+            .select(
+                "c_custkey",
+                F.col("_deleted").cast("int").alias("deleted"),
+                F.round("acctbal", 4).alias("acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_incremental(spark, sf_dir):
+    return _incremental(spark, sf_dir, "cow")
+
+
+def q_lake_incremental_mor(spark, sf_dir):
+    """Same incremental contract through MERGE-ON-READ deltas: the
+    read-time LWW resolution must yield the identical change set."""
+    return _incremental(spark, sf_dir, "mor")
+
+
 def q_lake_mor(spark, sf_dir):
     """Same deterministic roundtrip through the MERGE-ON-READ path:
     batch 2 lands as delta files, the snapshot resolves latest-per-key at
@@ -91,6 +158,9 @@ def q_lake_mor(spark, sf_dir):
 LAKE_QUERIES = {
     "q-lake-roundtrip": q_lake_roundtrip,
     "q-lake-mor": q_lake_mor,
+    "q-lake-point-lookup": q_lake_point_lookup,
+    "q-lake-incremental": q_lake_incremental,
+    "q-lake-incremental-mor": q_lake_incremental_mor,
 }
 
 _ROUNDTRIP_ORACLE = f"""
@@ -103,7 +173,31 @@ _ROUNDTRIP_ORACLE = f"""
         ORDER BY c_custkey
     """
 
+# batch 2's winners: updates carry +1000 acctbal, deletes are tombstones
+# whose payload is the deleting batch's row (also +1000 by construction)
+_INCREMENTAL_ORACLE = f"""
+        SELECT c_custkey,
+               CAST(c_custkey % 7 = 0 AS INT) AS deleted,
+               ROUND(c_acctbal + 1000.0, 4) AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+          AND (c_custkey % 3 = 0 OR c_custkey % 7 = 0)
+        ORDER BY c_custkey
+    """
+
 LAKE_ORACLES = {
     "q-lake-roundtrip": _ROUNDTRIP_ORACLE,
     "q-lake-mor": _ROUNDTRIP_ORACLE,
+    "q-lake-point-lookup": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 11 = 0
+          AND c_custkey % 7 <> 0
+        ORDER BY c_custkey
+    """,
+    "q-lake-incremental": _INCREMENTAL_ORACLE,
+    "q-lake-incremental-mor": _INCREMENTAL_ORACLE,
 }

@@ -66,11 +66,36 @@ def q_except(spark, sf_dir):
     return c.subtract(s).orderBy("x")
 
 
+def q_join_salted(spark, sf_dir):
+    """Skew-spread (salted) equi-join under oracle control: the salt
+    must be semantically invisible — the aggregate over the salted join
+    hash-matches the oracle's plain join. This is the skew pattern AQE
+    can't fix (dimension too big to broadcast, hot fact keys)."""
+    from hudi_spark_plus_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, su, "suppkey")
+        .groupBy("suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .orderBy("suppkey")
+    )
+
+
 EXT_QUERIES = {
     "q-pivot": q_pivot,
     "q-percentile": q_percentile,
     "q-union": q_union,
     "q-except": q_except,
+    "q-join-salted": q_join_salted,
 }
 
 EXT_ORACLES = {
@@ -107,5 +132,12 @@ EXT_ORACLES = {
           EXCEPT
           SELECT DISTINCT s_nationkey AS x FROM supplier) t
         ORDER BY x
+    """,
+    # the plain join the salted variant must be indistinguishable from
+    "q-join-salted": """
+        SELECT l_suppkey AS suppkey, s_name,
+               COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2 ORDER BY suppkey
     """,
 }

@@ -36,6 +36,10 @@ _SOURCES = [
 _PRIORITY_FIRST = [
     "q-lake-roundtrip",
     "q-lake-mor",
+    "q-lake-point-lookup",
+    "q-lake-incremental",
+    "q-lake-incremental-mor",
+    "q-join-salted",
     "q-emb-neardup-exact",
     "q-emb-neardup-lsh",
     "q-media-features",
