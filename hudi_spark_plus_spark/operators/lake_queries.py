@@ -136,6 +136,26 @@ def _incremental(spark, sf_dir, mode: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_time_travel(spark, sf_dir):
+    """Time travel (H6) under oracle control: ``snapshot(version=1)``
+    after batch 2 has committed must reproduce batch 1's full state —
+    updates not applied, deleted keys still present."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "cow")
+        out = (
+            lake.snapshot(version=1)
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_incremental(spark, sf_dir):
     return _incremental(spark, sf_dir, "cow")
 
@@ -159,6 +179,7 @@ LAKE_QUERIES = {
     "q-lake-roundtrip": q_lake_roundtrip,
     "q-lake-mor": q_lake_mor,
     "q-lake-point-lookup": q_lake_point_lookup,
+    "q-lake-time-travel": q_lake_time_travel,
     "q-lake-incremental": q_lake_incremental,
     "q-lake-incremental-mor": q_lake_incremental_mor,
 }
@@ -200,4 +221,10 @@ LAKE_ORACLES = {
     """,
     "q-lake-incremental": _INCREMENTAL_ORACLE,
     "q-lake-incremental-mor": _INCREMENTAL_ORACLE,
+    # batch 1's state: every key < SUBSET at its original acctbal
+    "q-lake-time-travel": f"""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+        FROM customer WHERE c_custkey < {SUBSET}
+        ORDER BY c_custkey
+    """,
 }

@@ -37,6 +37,7 @@ _PRIORITY_FIRST = [
     "q-lake-roundtrip",
     "q-lake-mor",
     "q-lake-point-lookup",
+    "q-lake-time-travel",
     "q-lake-incremental",
     "q-lake-incremental-mor",
     "q-join-salted",
