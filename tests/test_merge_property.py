@@ -32,14 +32,16 @@ schedule = st.lists(event, min_size=1, max_size=12)
 boundaries = st.lists(st.booleans(), min_size=12, max_size=12)
 
 
-@given(events=schedule, cut=boundaries)
-@settings(
-    max_examples=12,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+# per-batch write mode: drawn per example so schedules mix COW and MOR
+# merges on ONE table (the modes share the LWW contract by design)
+modes = st.lists(
+    st.sampled_from(["cow", "mor"]), min_size=12, max_size=12
 )
-def test_merge_matches_dict_replay(spark, tmp_path_factory, events, cut):
-    # oracle: winner per key = max (ts, seq); deleted keys absent
+
+
+def _replay(spark, work, events, cut, batch_modes):
+    """Drive a LakeTable through the generated schedule; return the set
+    of live keys and the dict-model expectation."""
     best = {}
     for seq, (k, ts, is_del) in enumerate(events):
         if k not in best or (ts, seq) >= best[k][:2]:
@@ -56,7 +58,6 @@ def test_merge_matches_dict_replay(spark, tmp_path_factory, events, cut):
     if cur:
         batches.append(cur)
 
-    work = tmp_path_factory.mktemp("prop")
     lake = LakeTable(spark, str(work / "t"), buckets=2)
     for i, batch in enumerate(batches):
         # within-batch LWW dedup by (ts, seq) — one survivor per key
@@ -73,6 +74,38 @@ def test_merge_matches_dict_replay(spark, tmp_path_factory, events, cut):
                 rows, "_key string, _ts long, _op string, val string"
             ),
             batch_id=f"b{i}",
+            mode=batch_modes[i % len(batch_modes)],
         )
     got = {int(r["_key"]) for r in lake.snapshot().collect()}
+    return got, expect
+
+
+@given(events=schedule, cut=boundaries)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_matches_dict_replay(spark, tmp_path_factory, events, cut):
+    # oracle: winner per key = max (ts, seq); deleted keys absent
+    work = tmp_path_factory.mktemp("prop")
+    got, expect = _replay(spark, work, events, cut, ["cow"] * 12)
+    assert got == expect
+
+
+@given(events=schedule, cut=boundaries, batch_modes=modes)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixed_mode_merge_matches_dict_replay(
+    spark, tmp_path_factory, events, cut, batch_modes
+):
+    """The SAME schedule through a generated interleaving of COW and MOR
+    batches must land on the dict-model state: delta resolution, mixed
+    buckets, and whole-bucket consumption all under generated ties and
+    delete storms."""
+    work = tmp_path_factory.mktemp("prop_mixed")
+    got, expect = _replay(spark, work, events, cut, batch_modes)
     assert got == expect

@@ -44,6 +44,34 @@ def test_q17_dedup_is_single_shuffle(spark, sf_dir):
     assert len(hashes) == 1, plan
 
 
+def test_mor_resolution_window_is_key_partitioned(spark, tmp_path):
+    """The merge-on-read read-time resolution must be a hash-partitioned
+    window on the record key — never a single-partition global window
+    (the zorder round-1 mistake must not reappear here)."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "_key string, _ts long, _op string, val string"
+    )
+    t.merge(mk([("k1", 1, "upsert", "a")]), "b0", mode="mor")
+    t.merge(mk([("k1", 2, "upsert", "b")]), "b1", mode="mor")
+    plan = plan_of(t.snapshot())
+    assert "Window" in plan
+    assert "hashpartitioning(_key" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_salted_join_spreads_without_extra_shuffles(spark, sf_dir):
+    """q-join-salted: the salted fact side must NOT gain exchanges beyond
+    the join + aggregate the plain query needs, and no cartesian shapes."""
+    from hudi_spark_plus_spark.operators.relational_ext import q_join_salted
+
+    plan = plan_of(q_join_salted(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_approx_percentile_in_engine_bound(spark, sf_dir):
     """Approx percentile sketch: engine-only relative-error assertion
     (cross-engine sketches differ by design, SURVEY §2.4 note)."""
