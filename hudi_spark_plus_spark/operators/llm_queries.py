@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.functions.chunking import chunk_documents
 from hudi_spark_plus_spark.functions.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -123,6 +124,19 @@ def q_doc_simhash(spark, sf_dir):
     )
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 200, 40  # step = 160
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunks — the pre-embedding /
+    packing step. Zero-shuffle map-side explode; oracled against
+    DuckDB's generate_series formulation."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, "text", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(
@@ -195,6 +209,7 @@ LLM_QUERIES = {
     "q-doc-langid": q_doc_langid,
     "q-doc-fingerprint": q_doc_fingerprint,
     "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
+    "q-doc-chunks": q_doc_chunks,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-neardup-exact": q_emb_neardup_exact,
     "q-emb-neardup-lsh": q_emb_neardup_lsh,
@@ -291,6 +306,20 @@ LLM_ORACLES = {
               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
               >= {NEARDUP_THRESHOLD}
         ORDER BY id_a, id_b
+    """,
+    # step = CHUNK_SIZE - CHUNK_OVERLAP = 160; chunk_id from the start
+    # offset via integer division (DuckDB `//` == Spark `DIV` — both
+    # truncate; a double CAST would round in DuckDB and truncate in
+    # Spark, diverging the hash)
+    "q-doc-chunks": """
+        SELECT doc_id,
+               CAST((s - 1) // 160 AS INT) AS chunk_id,
+               substr(text, CAST(s AS INT), 200) AS chunk,
+               length(substr(text, CAST(s AS INT), 200)) AS chunk_len
+        FROM documents,
+             UNNEST(generate_series(1, greatest(length(text), 1), 160))
+             AS t(s)
+        ORDER BY doc_id, chunk_id
     """,
     "q-emb-cosine-topk": """
         WITH c AS (

@@ -268,3 +268,32 @@ def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
     }
     hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
     assert hits / len(exact1) >= 0.9, f"IVF recall {hits}/{len(exact1)}"
+
+
+def test_chunking_invariants(spark):
+    """Reassembling chunks with the overlap dropped must reproduce the
+    document exactly; consecutive chunks share exactly `overlap` chars;
+    empty docs yield one empty chunk."""
+    from hudi_spark_plus_spark.functions.chunking import chunk_documents
+
+    rows = [
+        (1, "a" * 48),               # shorter than one chunk
+        (2, "abcdefghij" * 30),      # several chunks, partial tail
+        (3, ""),                     # empty
+        (4, "x" * 160),              # length == exactly one step
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    size, overlap, step = 100, 20, 80
+    out = chunk_documents(df, "text", size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    for doc_id, text in rows:
+        chunks = by_doc[doc_id]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text, f"doc {doc_id} reassembly mismatch"
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[step:] == b[: len(a) - step], f"doc {doc_id} overlap"
+    assert by_doc[3] == [""]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", size=10, overlap=10)
