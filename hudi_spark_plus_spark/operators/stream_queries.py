@@ -1,0 +1,191 @@
+"""Oracle-checked stateful-streaming queries (engine extension, §2.5).
+
+Genuinely-streaming checks that are still DuckDB-expressible: the stream
+is two deterministic micro-batches spooled from the `events` table
+(batch = ``event_id % 2``, file modification times force batch order),
+so cross-batch stateful semantics — first-seen dedup, running per-key
+totals — have an exact SQL formulation over the same parquet. This
+upgrades the stateful operators from "rows-only" to full hash-checked
+rows in CORRECTNESS_r{N}.json.
+
+Fixture prep collects the bounded 2k-row event slice driver-side to
+write the two spool files (fixture I/O, not a query plan — same pattern
+as cdc_queries' envelope spooling); the streamed pipeline itself is all
+executor-side.
+"""
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.sources.loaders import load_table
+from hudi_spark_plus_spark.streaming.stateful import (
+    stateful_dedup_stream,
+    stateful_running_agg_stream,
+)
+
+EVENT_BOUND = 2000
+_SRC_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts long, value double"
+)
+
+
+def _spool_two_batches(spark, sf_dir: str, work: str) -> str:
+    """Write the event slice as two JSON spool files (batch = id % 2);
+    modification times make the file source read batch 0 first."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < EVENT_BOUND)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect()
+    )
+    src_dir = os.path.join(work, "stream_src")
+    os.makedirs(src_dir)
+    now = time.time()
+    for batch in (0, 1):
+        path = os.path.join(src_dir, f"batch{batch}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                if r["event_id"] % 2 == batch:
+                    d = r.asDict()
+                    # parquet holds TIMESTAMP(NANOS); DuckDB reads it at
+                    # micro precision, so spool epoch-us (truncating DIV
+                    # matches epoch_us) — the stream then orders and
+                    # emits the exact values the oracle sees
+                    d["ts"] = d["ts"] // 1000
+                    f.write(json.dumps(d) + "\n")
+        os.utime(path, (now - 120 + batch * 60, now - 120 + batch * 60))
+    return src_dir
+
+
+def _run_stream(spark, out_df_fn, src_dir: str, work: str, mode: str):
+    """Start the availableNow stream on the spool dir, run to completion,
+    return the materialized memory-sink rows (collected before the
+    caller removes the work dir)."""
+    src = (
+        spark.readStream.schema(_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    name = "hsp_stream_" + uuid.uuid4().hex[:8]
+    query = (
+        out_df_fn(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    result = spark.table(name)
+    rows = result.collect()
+    schema = result.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+def q_stream_stateful_dedup(spark, sf_dir):
+    """Cross-batch first-seen dedup (applyInPandasWithState): one row per
+    user — their earliest (ts, event_id) row from the FIRST micro-batch
+    that contains the user. Users whose every event has an odd event_id
+    surface from batch 1; everyone else from batch 0 — state suppresses
+    their batch-1 rows."""
+    work = tempfile.mkdtemp(prefix="hsp_ssd_")
+    try:
+        src_dir = _spool_two_batches(spark, sf_dir, work)
+        out = _run_stream(
+            spark,
+            lambda s: stateful_dedup_stream(
+                s, "user_id", ("ts", "event_id")
+            ),
+            src_dir,
+            work,
+            "append",
+        )
+        return out.select(
+            "user_id", "event_id", "event_type", "ts"
+        ).orderBy("user_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_stateful_agg(spark, sf_dir):
+    """Cross-batch running per-user totals (update mode): one row per
+    (user, batch-with-rows) carrying lifetime-running count and sum as
+    of that batch."""
+    work = tempfile.mkdtemp(prefix="hsp_ssa_")
+    try:
+        src_dir = _spool_two_batches(spark, sf_dir, work)
+        out = _run_stream(
+            spark,
+            lambda s: stateful_running_agg_stream(s, "user_id", "value"),
+            src_dir,
+            work,
+            "update",
+        )
+        return out.select(
+            "user_id",
+            "batch_rows",
+            "total_rows",
+            F.round("total_sum", 4).alias("total_sum"),
+        ).orderBy("user_id", "total_rows")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_QUERIES = {
+    "q-stream-stateful-dedup": q_stream_stateful_dedup,
+    "q-stream-stateful-agg": q_stream_stateful_agg,
+}
+
+STREAM_ORACLES = {
+    # first batch (event_id parity) containing the user, then that
+    # batch's earliest row by (ts, event_id)
+    "q-stream-stateful-dedup": f"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts,
+                 event_id % 2 AS batch
+          FROM events WHERE event_id < {EVENT_BOUND}
+        ), fb AS (
+          SELECT user_id, MIN(batch) AS first_batch FROM e GROUP BY user_id
+        ), ranked AS (
+          SELECT e.*, ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ) AS rn
+          FROM e JOIN fb
+            ON e.user_id = fb.user_id AND e.batch = fb.first_batch
+        )
+        SELECT user_id, event_id, event_type, ts
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    # per (user, batch) row with cumulative totals in batch order;
+    # total_rows is strictly increasing per user so it doubles as the
+    # deterministic secondary sort key
+    "q-stream-stateful-agg": f"""
+        WITH e AS (
+          SELECT user_id, event_id % 2 AS batch, value
+          FROM events WHERE event_id < {EVENT_BOUND}
+        ), g AS (
+          SELECT user_id, batch, COUNT(*) AS batch_rows,
+                 SUM(value) AS batch_sum
+          FROM e GROUP BY user_id, batch
+        )
+        SELECT user_id, batch_rows,
+               SUM(batch_rows) OVER (
+                 PARTITION BY user_id ORDER BY batch
+               ) AS total_rows,
+               ROUND(SUM(batch_sum) OVER (
+                 PARTITION BY user_id ORDER BY batch
+               ), 4) AS total_sum
+        FROM g ORDER BY user_id, total_rows
+    """,
+}

@@ -232,3 +232,62 @@ def test_watermarked_stream_window(spark, tmp_path):
     q.awaitTermination(120)
     # append mode only emits closed windows; just assert the query ran
     assert spark.table("win_test").columns == ["window", "event_type", "cnt"]
+
+
+@pytest.mark.parametrize(
+    "name", ["q-stream-stateful-dedup", "q-stream-stateful-agg"]
+)
+def test_stateful_query_matches_oracle(name, spark, sf_dir, con):
+    from hudi_spark_plus_spark.operators.stream_queries import (
+        STREAM_ORACLES,
+        STREAM_QUERIES,
+    )
+
+    compare(STREAM_QUERIES[name](spark, sf_dir), con, STREAM_ORACLES[name], name)
+
+
+def test_stateful_dedup_suppresses_across_batches(spark, tmp_path):
+    """A key seen in batch 0 must NOT re-emit in batch 1; a key first
+    seen in batch 1 emits there; per-batch earliest (ts, id) row wins."""
+    import json as _json
+    import time as _time
+
+    from hudi_spark_plus_spark.streaming.stateful import stateful_dedup_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [  # batch 0: key A twice (ts 5 then 3 -> id 2 wins), key B once
+            {"id": 1, "k": "A", "ts": 5},
+            {"id": 2, "k": "A", "ts": 3},
+            {"id": 3, "k": "B", "ts": 9},
+        ],
+        [  # batch 1: A again (suppressed), new key C
+            {"id": 4, "k": "A", "ts": 1},
+            {"id": 5, "k": "C", "ts": 7},
+        ],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (now - 60 + i * 30, now - 60 + i * 30))
+    stream = (
+        spark.readStream.schema("id long, k string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stateful_dedup_stream(stream, "k", ("ts", "id"))
+        .writeStream.format("memory")
+        .queryName("ssd_unit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["id"] for r in spark.table("ssd_unit").collect()}
+    spark.catalog.dropTempView("ssd_unit")
+    assert got == {"A": 2, "B": 3, "C": 5}
