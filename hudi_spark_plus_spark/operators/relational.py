@@ -13,8 +13,8 @@ driver hash-compares the two at sf0.01.
 
 Determinism conventions (SURVEY.md §2): total ORDER BY, ROUND(x, 4) on
 floating-point outputs, timestamps surfaced as epoch-microsecond BIGINTs or
-ISO strings (testdata is TIMESTAMP_NTZ + a nanosecond events.ts read as
-epoch-nanos BIGINT; see session.py).
+ISO strings (events.ts layout varies by testdata generation — epoch-nanos
+BIGINT or TIMESTAMP_NTZ; loaders.epoch_us normalizes).
 """
 
 from __future__ import annotations
@@ -176,14 +176,15 @@ def q10(spark, sf_dir):
 def q11(spark, sf_dir):
     """As-of style join: latest event at-or-before each order date (q11).
 
-    events.ts is epoch-nanos BIGINT; compare in microseconds against the
-    NTZ order date (UTC session => tz-free epoch).
+    events.ts arrives as epoch-nanos BIGINT or TIMESTAMP_NTZ depending on
+    the testdata layout; compare in microseconds against the NTZ order
+    date (UTC session => tz-free epoch).
     """
+    from hudi_spark_plus_spark.sources.loaders import epoch_us
+
     o = _t(spark, sf_dir, "orders")
-    # integer `div`, not `/`: float division of epoch-nanos loses precision
-    e = _t(spark, sf_dir, "events").selectExpr(
-        "user_id", "ts div 1000 as ts_us"
-    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_us(ev, "ts").alias("ts_us"))
     od = o.select(
         "o_orderkey",
         "o_custkey",
@@ -298,7 +299,10 @@ def q19(spark, sf_dir):
     (l_orderkey, l_linenumber) is not unique in the testdata, so the
     window order includes l_extendedprice — ties then only occur between
     rows with equal addends, keeping the running-sum multiset
-    deterministic across engines.
+    deterministic across engines. The OUTPUT order must also include rs:
+    rows sharing (l_orderkey, l_linenumber) carry distinct running sums,
+    and without rs in the sort the two engines may interleave them
+    differently.
     """
     li = _t(spark, sf_dir, "lineitem")
     w = (
@@ -312,7 +316,7 @@ def q19(spark, sf_dir):
             "l_linenumber",
             F.round(F.sum("l_extendedprice").over(w), 4).alias("rs"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "rs")
     )
 
 
@@ -570,7 +574,7 @@ RELATIONAL_ORACLES = {
                      ORDER BY l_linenumber, l_extendedprice
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      4) AS rs
-        FROM lineitem ORDER BY l_orderkey, l_linenumber
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, rs
     """,
     "q20": """
         SELECT o_orderkey, ROUND(o_totalprice, 4) AS tp FROM orders

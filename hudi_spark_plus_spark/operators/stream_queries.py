@@ -23,7 +23,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from hudi_spark_plus_spark.sources.loaders import load_table
+from hudi_spark_plus_spark.sources.loaders import epoch_us, load_table
 from hudi_spark_plus_spark.streaming.stateful import (
     stateful_dedup_stream,
     stateful_running_agg_stream,
@@ -38,10 +38,18 @@ _SRC_SCHEMA = (
 def _spool_two_batches(spark, sf_dir: str, work: str) -> str:
     """Write the event slice as two JSON spool files (batch = id % 2);
     modification times make the file source read batch 0 first."""
+    ev = load_table(spark, sf_dir, "events")
     rows = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") < EVENT_BOUND)
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        # spool epoch-us longs so the JSON round-trip is exact and
+        # matches the oracle's epoch_us(ts), whatever the source layout
+        ev.where(F.col("event_id") < EVENT_BOUND)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(ev, "ts").alias("ts"),
+            "value",
+        )
         .collect()
     )
     src_dir = os.path.join(work, "stream_src")
@@ -52,13 +60,7 @@ def _spool_two_batches(spark, sf_dir: str, work: str) -> str:
         with open(path, "w") as f:
             for r in rows:
                 if r["event_id"] % 2 == batch:
-                    d = r.asDict()
-                    # parquet holds TIMESTAMP(NANOS); DuckDB reads it at
-                    # micro precision, so spool epoch-us (truncating DIV
-                    # matches epoch_us) — the stream then orders and
-                    # emits the exact values the oracle sees
-                    d["ts"] = d["ts"] // 1000
-                    f.write(json.dumps(d) + "\n")
+                    f.write(json.dumps(r.asDict()) + "\n")
         os.utime(path, (now - 120 + batch * 60, now - 120 + batch * 60))
     return src_dir
 

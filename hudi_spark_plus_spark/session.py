@@ -24,8 +24,10 @@ _RUNTIME_CONFS = {
     # with a UTC session, NTZ -> TIMESTAMP casts are timezone-free, so
     # epoch arithmetic matches any ANSI engine (DuckDB oracle).
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    # reader rejects; read as epoch-nanos BIGINT instead (exact).
+    # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+    # which Spark's vectorized reader rejects; read those as epoch-nanos
+    # BIGINT (exact). Micros-precision generations are unaffected and
+    # arrive as TIMESTAMP_NTZ — loaders.epoch_us handles both layouts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime shuffle-partition coalescing and skew
     # join splitting — essential at 100 TB, harmless locally.

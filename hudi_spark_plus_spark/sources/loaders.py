@@ -32,10 +32,42 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. ``events.ts`` arrives as epoch-nanos BIGINT
-    (see session.py nanosAsLong note)."""
+    """Load one testdata table. ``events.ts`` arrives either as epoch-nanos
+    BIGINT (TIMESTAMP(NANOS) parquet + session.py nanosAsLong) or as
+    TIMESTAMP_NTZ (TIMESTAMP(MICROS) parquet) depending on how the driver
+    generated the data — use :func:`epoch_us` / :func:`event_time` instead
+    of assuming one layout."""
     configure_session(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def epoch_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds BIGINT column for a timestamp-ish source column,
+    robust to the three layouts testdata has shipped with: epoch-nanos
+    BIGINT, TIMESTAMP_NTZ (micros), or plain TIMESTAMP. The session runs
+    UTC (session.py) so the NTZ->TIMESTAMP cast is timezone-free and the
+    result matches DuckDB's ``epoch_us`` exactly."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":  # epoch-nanos; integer div keeps it exact
+        return F.expr(f"{col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.unix_micros(F.col(col))
+
+
+def event_time(df: DataFrame, col: str = "ts"):
+    """TIMESTAMP column (for windowing) from any of the source layouts
+    handled by :func:`epoch_us`."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if dtype == "timestamp_ntz":
+        return F.col(col).cast("timestamp")
+    return F.col(col)
 
 
 def load_tables(

@@ -6,8 +6,9 @@ same window transforms work on a batch DataFrame and on a streaming one
 (with ``with_watermark``), which is how Structured Streaming is meant to
 be used.
 
-``events.ts`` arrives as epoch-nanos BIGINT (see session.py); helpers
-convert to TIMESTAMP before windowing.
+``events.ts`` arrives as epoch-nanos BIGINT or TIMESTAMP_NTZ depending on
+the testdata generation (see loaders.event_time); helpers normalize to
+TIMESTAMP before windowing.
 """
 
 from __future__ import annotations
@@ -15,12 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.sources.loaders import event_time
+
 TS_NS = "ts"
 
 
 def to_event_time(df: DataFrame, ns_col: str = TS_NS, out: str = "event_time") -> DataFrame:
-    """epoch-nanos BIGINT -> TIMESTAMP (microsecond truncation, UTC)."""
-    return df.withColumn(out, F.timestamp_micros(F.expr(f"{ns_col} div 1000")))
+    """Source ts column (any supported layout) -> TIMESTAMP (UTC)."""
+    return df.withColumn(out, event_time(df, ns_col))
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
