@@ -1,0 +1,104 @@
+"""Duplicate-cluster construction: connected components over a near-dup
+pair set (SURVEY M6 — the step after pair mining in a dedup pipeline).
+
+Pair miners (``exact_jaccard_pairs``, ``minhash_lsh_pairs``,
+``lsh_neardup_pairs``, ``cosine_pairs``) emit edges; training-data dedup
+needs the transitive closure — one CLUSTER per group of mutually-similar
+documents, one canonical keeper per cluster. This is distributed
+connected components via min-label propagation:
+
+    label(n) <- min(label(n), min over neighbors label(nbr))
+
+iterated to fixpoint. Each round is one hash join (edges x labels) plus
+one min-aggregate — two shuffles on node id, no driver-side row data;
+the convergence check is a scalar count. Rounds needed = graph diameter,
+which for near-dup clusters is small (dup groups are dense); ``max_iter``
+bounds pathological chains. ``localCheckpoint`` truncates lineage each
+round so the plan does not grow with iterations (the classic iterative-
+algorithm trap on Spark).
+
+100 TB shape: label state is one row per distinct node in the pair set —
+orders of magnitude smaller than the corpus (only docs with at least one
+near-dup edge appear). Each round shuffles edges once on ``u``; edges are
+re-used unchanged, so persisting them avoids re-mining. No collect() of
+row data anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected pair set into components.
+
+    Returns one row per distinct node: ``(node, cluster_id)`` where
+    ``cluster_id`` is the MINIMUM node id reachable from ``node`` —
+    deterministic and engine-neutral (a DuckDB recursive CTE computes
+    the identical labeling, which is how the check query is oracled).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not converge —
+    callers see a loud failure instead of a silently-partial clustering.
+    """
+    # symmetrize once; persist because every round re-joins the edge set
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("cluster_id", F.col("u"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # min neighbor label per node, folded with the node's own label
+        msgs = edges.join(labels, "u").select(
+            F.col("v").alias("u"), "cluster_id"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "u")
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("u").alias("node"), "cluster_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer chain than expected — raise max_iter"
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup clusters with keeper marking: ``(node, cluster_id,
+    cluster_size, is_keeper)``. The keeper is the minimum doc id of the
+    cluster (== cluster_id), the standard deterministic canonicalization;
+    a dedup pipeline anti-joins ``is_keeper = false`` nodes out of the
+    corpus."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "node",
+        "cluster_id",
+        "cluster_size",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hudi_spark_plus_spark.functions.chunking import chunk_documents
+from hudi_spark_plus_spark.functions.clustering import dup_clusters
 from hudi_spark_plus_spark.functions.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -186,6 +187,79 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return lsh_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
 
 
+CLUSTER_SIM_THRESHOLD = 0.3  # data margin to boundary ~2e-4: exact-safe
+
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: transitive closure of the cosine pair graph
+    via distributed min-label propagation, with canonical keeper per
+    cluster. Oracled against a DuckDB recursive CTE computing the same
+    min-reachable-id labeling — engine-neutral by construction."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = cosine_pairs(e, threshold=CLUSTER_SIM_THRESHOLD)
+    return (
+        dup_clusters(pairs)
+        .select(
+            F.col("node").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: lexicographic compare of
+    the first md5 byte of a salted doc key — stable across engines,
+    runs, and partitionings (the property a 100 TB split needs: adding
+    machines or re-running never moves a document between splits).
+    ~79.7% / ~10.2% / ~10.2% by hex-prefix cutoffs 'cc' and 'e6'."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < "cc", "train")
+        .when(h < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def q_doc_gopher(spark, sf_dir):
+    """Gopher-style quality gates (rule-based document filtering): word
+    -count bounds, mean-word-length bounds, symbol ratio, stopword
+    presence — each surfaced as its own boolean so downstream can weigh
+    them, plus the conjunction. Pure Column exprs, zero shuffles."""
+    from hudi_spark_plus_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", F.expr("split(trim(text), '\\\\s+')")
+    )
+    n_words = F.size("_toks")
+    mwl = F.expr(
+        "aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)"
+    ) / F.greatest(n_words, F.lit(1))
+    g_words = (n_words >= 50) & (n_words <= 100000)
+    g_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    g_sym = punct_ratio(F.col("text")) < 0.1
+    g_stop = stopword_ratio_expr("text") >= 0.02
+    return d.select(
+        "doc_id",
+        g_words.alias("gate_words"),
+        g_mwl.alias("gate_mwl"),
+        g_sym.alias("gate_symbols"),
+        g_stop.alias("gate_stopwords"),
+        (g_words & g_mwl & g_sym & g_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_media_features(spark, sf_dir):
     """Hash-checked end-to-end media decode: derive one media row per
     document (real PNG/JPEG/GIF container bytes encoded map-side), parse
@@ -209,6 +283,9 @@ LLM_QUERIES = {
     "q-doc-langid": q_doc_langid,
     "q-doc-fingerprint": q_doc_fingerprint,
     "q-doc-neardup-jaccard": q_doc_neardup_jaccard,
+    "q-doc-dup-clusters": q_doc_dup_clusters,
+    "q-doc-split": q_doc_split,
+    "q-doc-gopher": q_doc_gopher,
     "q-doc-chunks": q_doc_chunks,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-neardup-exact": q_emb_neardup_exact,
@@ -306,6 +383,72 @@ LLM_ORACLES = {
               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
               >= {NEARDUP_THRESHOLD}
         ORDER BY id_a, id_b
+    """,
+    # same min-reachable-id labeling the Spark label propagation
+    # converges to, via transitive closure in a recursive CTE
+    "q-doc-dup-clusters": f"""
+        WITH RECURSIVE c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)))
+                >= {CLUSTER_SIM_THRESHOLD}
+        ), edges AS (
+          SELECT id_a AS u, id_b AS w FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(n, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT reach.n, e.w FROM reach JOIN edges e ON reach.r = e.u
+        ), lab AS (
+          SELECT n AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+        )
+        SELECT vec_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               vec_id = cluster_id AS is_keeper
+        FROM lab ORDER BY vec_id
+    """,
+    "q-doc-split": """
+        WITH h AS (
+          SELECT doc_id,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 'cc' THEN 'train'
+                    WHEN bucket < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
+    """,
+    "q-doc-gopher": rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text, len(toks) AS n_words,
+                 CAST(list_sum(list_transform(toks, t -> length(t)))
+                      AS DOUBLE) / greatest(len(toks), 1) AS mwl,
+                 length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS sym,
+                 {_ratio(_EN)} AS stop_r
+          FROM t
+        )
+        SELECT doc_id,
+               n_words >= 50 AND n_words <= 100000 AS gate_words,
+               mwl >= 3.0 AND mwl <= 10.0 AS gate_mwl,
+               sym < 0.1 AS gate_symbols,
+               stop_r >= 0.02 AS gate_stopwords,
+               (n_words >= 50 AND n_words <= 100000)
+               AND (mwl >= 3.0 AND mwl <= 10.0)
+               AND sym < 0.1 AND stop_r >= 0.02 AS keep
+        FROM m ORDER BY doc_id
     """,
     # step = CHUNK_SIZE - CHUNK_OVERLAP = 160; chunk_id from the start
     # offset via integer division (DuckDB `//` == Spark `DIV` — both

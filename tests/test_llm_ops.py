@@ -297,3 +297,50 @@ def test_chunking_invariants(spark):
     assert by_doc[3] == [""]
     with pytest.raises(ValueError):
         chunk_documents(df, "text", size=10, overlap=10)
+
+
+def test_connected_components_chain_and_keepers(spark):
+    """A 6-node chain plus a triangle and an isolated pair: labels must
+    be the min reachable id (multi-hop propagation), keepers exactly the
+    cluster minima, and sizes correct."""
+    import pytest as _pytest
+
+    from hudi_spark_plus_spark.functions.clustering import (
+        connected_components,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15 (diameter 5), triangle 20-21-22,
+        # pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    out = dup_clusters(pairs).collect()
+    keepers = {r["node"] for r in out if r["is_keeper"]}
+    assert keepers == {10, 20, 30}
+    sizes = {r["node"]: r["cluster_size"] for r in out}
+    assert sizes[15] == 6 and sizes[22] == 3 and sizes[31] == 2
+    # non-convergence must be loud, not silently partial
+    with _pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=2)
+
+
+def test_deterministic_split_is_stable_and_partition_free(spark):
+    """The md5 split assignment must not depend on partitioning and must
+    produce roughly the 80/10/10 design ratios."""
+    from hudi_spark_plus_spark.operators.llm_queries import q_doc_split
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["doc_id"]: r["split"]
+         for r in q_doc_split(spark, sf).repartition(17).collect()}
+    b = {r["doc_id"]: r["split"] for r in q_doc_split(spark, sf).collect()}
+    assert a == b
+    n = len(b)
+    frac_train = sum(1 for s in b.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
