@@ -209,15 +209,26 @@ class CommitLog:
             if buckets is not None
             else (latest.buckets if latest else None),
         )
-        # atomic publish: temp file + rename (same filesystem)
+        # Atomic publish: temp file + hard link. link() fails with EEXIST
+        # when the target version already exists, which makes the publish
+        # itself the optimistic-concurrency check — unlike rename(),
+        # which silently REPLACES an existing target, so a lost
+        # single-writer race would overwrite the winner's manifest
+        # (dropping its files from the table state) instead of failing.
         fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             fh.write(c.to_json())
         target = self._commit_file(version)
-        if os.path.exists(target):  # lost a single-writer race
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise RuntimeError(
+                f"commit conflict at version {version}: another writer "
+                "published this version first; re-read the timeline and "
+                "retry the operation"
+            )
+        finally:
             os.unlink(tmp)
-            raise RuntimeError(f"commit conflict at version {version}")
-        os.rename(tmp, target)
         if self._versions is not None:
             self._versions.append(version)
         self._commits[version] = c

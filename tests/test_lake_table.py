@@ -628,3 +628,80 @@ class TestMergeOnRead:
                 ),
                 "b2", mode="mor",
             )
+
+
+class TestCommitConcurrency:
+    def test_losing_writer_fails_loudly_and_never_clobbers(self, tmp_path):
+        """A writer that loses the publish race must raise, and the
+        winner's manifest must survive byte-for-byte (rename() would
+        silently replace it — the link()-based publish may not)."""
+        from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
+
+        a = CommitLog(str(tmp_path))
+        b = CommitLog(str(tmp_path))
+        a.commit("insert", [FileEntry("data/x/f1.parquet", 0, 10)])
+        # both instances now believe latest == 1; b publishes 2 first
+        b.versions()
+        b.commit("insert", [FileEntry("data/x/f2.parquet", 0, 20)])
+        # a's cached view is stale but the freshness probe sees version 2,
+        # so its commit lands at 3, not in conflict
+        a.commit("insert", [FileEntry("data/x/f3.parquet", 0, 30)])
+        assert [c.files[0].path for c in map(a.read, a.versions())] == [
+            "data/x/f1.parquet", "data/x/f2.parquet", "data/x/f3.parquet"
+        ]
+        # force a true same-version race: stale instance with probing
+        # disabled must fail loudly and leave the winner intact
+        import os
+
+        stale = CommitLog(str(tmp_path))
+        # pin the timeline view so the freshness probe cannot rescue it:
+        # the instance believes latest == 1 and targets version 2
+        stale.versions = lambda: [1]
+        winner_path = os.path.join(stale.commits_path, f"{2:020d}.json")
+        before = open(winner_path).read()
+        with pytest.raises(RuntimeError, match="commit conflict"):
+            stale.commit("insert", [FileEntry("data/x/evil.parquet", 0, 1)])
+        assert open(winner_path).read() == before
+        assert not [
+            f for f in os.listdir(stale.commits_path) if f.endswith(".tmp")
+        ]
+
+    def test_concurrent_writers_with_retry_lose_nothing(self, tmp_path):
+        """N threads x M commits through independent CommitLog instances,
+        retrying on conflict: the final timeline must be dense and hold
+        every payload exactly once (no silently-overwritten manifest)."""
+        import threading
+
+        from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
+
+        n_threads, n_commits = 4, 5
+        errs = []
+
+        def writer(tid):
+            log = CommitLog(str(tmp_path))
+            for i in range(n_commits):
+                for _ in range(200):  # retry budget
+                    try:
+                        log.commit(
+                            "insert",
+                            [FileEntry(f"data/t{tid}/c{i}.parquet", 0, 1)],
+                        )
+                        break
+                    except RuntimeError:
+                        continue
+                else:
+                    errs.append((tid, i))
+
+        threads = [
+            threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        log = CommitLog(str(tmp_path))
+        vs = log.versions()
+        assert vs == list(range(1, n_threads * n_commits + 1))
+        payloads = [log.read(v).files[0].path for v in vs]
+        assert len(set(payloads)) == n_threads * n_commits
