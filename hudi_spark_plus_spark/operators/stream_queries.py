@@ -68,31 +68,43 @@ def _spool_two_batches(spark, sf_dir: str, work: str) -> str:
 def _run_stream(spark, out_df_fn, src_dir: str, work: str, mode: str):
     """Start the availableNow stream on the spool dir, run to completion,
     return the materialized memory-sink rows (collected before the
-    caller removes the work dir)."""
-    src = (
-        spark.readStream.schema(_SRC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(src_dir)
-    )
-    name = "hsp_stream_" + uuid.uuid4().hex[:8]
-    query = (
-        out_df_fn(src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    caller removes the work dir).
+
+    The state store spawns one task (and one Python worker round) per
+    shuffle partition PER MICRO-BATCH; at the fixture's bounded 2k rows
+    that fixed overhead dominates, so the stream runs on 8 partitions.
+    Safe to scope here: the result is fully collected before the conf is
+    restored, and each run starts a fresh checkpoint (the partition
+    count a state store pins at first start)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        query.awaitTermination(300)
+        src = (
+            spark.readStream.schema(_SRC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        name = "hsp_stream_" + uuid.uuid4().hex[:8]
+        query = (
+            out_df_fn(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+        result = spark.table(name)
+        rows = result.collect()
+        schema = result.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
-        query.stop()
-    result = spark.table(name)
-    rows = result.collect()
-    schema = result.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def q_stream_stateful_dedup(spark, sf_dir):
