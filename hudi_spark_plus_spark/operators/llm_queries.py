@@ -187,6 +187,30 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return lsh_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
 
 
+PACK_CAPACITY, PACK_SHARDS = 512, 8
+
+
+def q_doc_pack(spark, sf_dir):
+    """Sequence packing: concat-then-slice assignment of documents to
+    fixed-capacity token sequences, sharded so no global window exists
+    (8 shards here; thousands at scale). Pure integer window arithmetic
+    — exact oracle."""
+    from hudi_spark_plus_spark.functions.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        d,
+        "n_tokens",
+        PACK_CAPACITY,
+        F.col("doc_id") % PACK_SHARDS,
+        order_cols=("doc_id",),
+    ).select("doc_id", "shard", "n_tokens", "seq_id", "seq_off").orderBy(
+        "doc_id"
+    )
+
+
 CLUSTER_SIM_THRESHOLD = 0.3  # data margin to boundary ~2e-4: exact-safe
 
 
@@ -286,6 +310,7 @@ LLM_QUERIES = {
     "q-doc-dup-clusters": q_doc_dup_clusters,
     "q-doc-split": q_doc_split,
     "q-doc-gopher": q_doc_gopher,
+    "q-doc-pack": q_doc_pack,
     "q-doc-chunks": q_doc_chunks,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-neardup-exact": q_emb_neardup_exact,
@@ -449,6 +474,24 @@ LLM_ORACLES = {
                AND (mwl >= 3.0 AND mwl <= 10.0)
                AND sym < 0.1 AND stop_r >= 0.02 AS keep
         FROM m ORDER BY doc_id
+    """,
+    "q-doc-pack": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 doc_id % {PACK_SHARDS} AS shard
+          FROM documents
+        ), s AS (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS start
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               start // {PACK_CAPACITY} AS seq_id,
+               start % {PACK_CAPACITY} AS seq_off
+        FROM s ORDER BY doc_id
     """,
     # step = CHUNK_SIZE - CHUNK_OVERLAP = 160; chunk_id from the start
     # offset via integer division (DuckDB `//` == Spark `DIV` — both

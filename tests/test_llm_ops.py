@@ -344,3 +344,30 @@ def test_deterministic_split_is_stable_and_partition_free(spark):
     n = len(b)
     frac_train = sum(1 for s in b.values() if s == "train") / n
     assert 0.7 < frac_train < 0.9
+
+
+def test_pack_sequences_invariants(spark):
+    """Within a shard, each item starts exactly where the previous one
+    ended (concat semantics); seq_id/seq_off agree with the running
+    offset; capacity must be positive."""
+    import pytest as _pytest
+
+    from hudi_spark_plus_spark.functions.packing import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 300) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, "n_tokens", 512, F.col("doc_id") % 4
+    ).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for items in by_shard.values():
+        offset = 0
+        for r in items:
+            assert r["seq_id"] == offset // 512
+            assert r["seq_off"] == offset % 512
+            offset += r["n_tokens"]
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", 0, F.col("doc_id") % 4)
