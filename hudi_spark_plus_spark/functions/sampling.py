@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data curation (SURVEY M6).
+
+Both operators decide membership from the md5 of a salted record key —
+never from ``rand()`` or partition order — so the selection is stable
+across runs, engines, partitionings, and cluster sizes: re-running a
+100 TB curation job selects byte-identically the same documents, and a
+DuckDB oracle can recompute the exact same choice.
+
+* ``stratified_sample`` — per-stratum keep rates (the corpus-rebalancing
+  step: e.g. downsample the dominant language while keeping the tail).
+  Thresholds are precomputed hex-prefix cutoffs, so the filter is one
+  whole-stage-codegen'd CASE over the scan — zero shuffles, fully
+  pushdown-friendly.
+* ``hash_fraction_keep`` — the underlying primitive: keep a record iff
+  the first 4 hex chars of ``md5(salt:key)`` fall below the rate's
+  cutoff (16-bit resolution, ±1/65536 of exactness per stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash4(key: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 4
+    )
+
+
+def _cutoff(rate: float) -> str:
+    """Lowercase hex cutoff such that P(hash4 < cutoff) ~= rate."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(rate * 65536), "04x")
+
+
+def hash_fraction_keep(key: Column, rate: float, salt: str = "sample") -> Column:
+    """Boolean keep-column selecting ~``rate`` of records, deterministic
+    in the key (16-bit hash resolution)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    return _hash4(key, salt) < _cutoff(rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    salt: str = "sample",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Filter to a deterministic per-stratum sample.
+
+    ``rates`` maps stratum value -> keep rate; unlisted strata use
+    ``default_rate``. Selection is per record key, so adding or removing
+    OTHER records never changes a record's fate (stable under
+    incremental corpus growth)."""
+    h = _hash4(F.col(key_col), salt)
+
+    def keep_for(rate: float) -> Column:
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return h < _cutoff(rate)
+
+    keep = keep_for(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        keep = F.when(F.col(strata_col) == stratum, keep_for(rate)).otherwise(
+            keep
+        )
+    return df.where(keep)

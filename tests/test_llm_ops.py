@@ -371,3 +371,34 @@ def test_pack_sequences_invariants(spark):
             offset += r["n_tokens"]
     with _pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", 0, F.col("doc_id") % 4)
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    """Selection must be per-key stable (shrinking the corpus never
+    changes a survivor's fate), hit the requested rates within hash
+    tolerance, and keep unlisted strata whole."""
+    from hudi_spark_plus_spark.functions.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "lang", {"a": 0.5, "b": 0.1}, key_col="doc_id"
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["c"] == 1000
+    assert abs(by_lang["a"] - 500) < 80
+    assert abs(by_lang["b"] - 100) < 50
+    kept_full = {r["doc_id"] for r in out.collect()}
+    half = stratified_sample(
+        df.where(F.col("doc_id") < 1500), "lang", {"a": 0.5, "b": 0.1},
+        key_col="doc_id",
+    )
+    assert {r["doc_id"] for r in half.collect()} == {
+        i for i in kept_full if i < 1500
+    }
+    with pytest.raises(ValueError):
+        from hudi_spark_plus_spark.functions.sampling import hash_fraction_keep
+        df.where(hash_fraction_keep(F.col("doc_id"), 1.5)).collect()
