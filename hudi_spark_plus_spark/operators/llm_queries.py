@@ -211,6 +211,21 @@ def q_doc_pack(spark, sf_dir):
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "zh": 0.75}  # downsample the head languages
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic stratified sampling: rebalance the corpus by
+    downsampling head languages with md5-prefix cutoffs — stable across
+    runs/partitionings and exactly reproducible by the SQL oracle."""
+    from hudi_spark_plus_spark.functions.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", SAMPLE_RATES, key_col="doc_id", salt="rebalance"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
 CLUSTER_SIM_THRESHOLD = 0.3  # data margin to boundary ~2e-4: exact-safe
 
 
@@ -284,6 +299,34 @@ def q_doc_gopher(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_emb_dedup_e2e(spark, sf_dir):
+    """END-TO-END near-dup dedup pipeline, the full production shape in
+    one query: plant one exact duplicate per vec_id % 10 == 0, mine
+    candidate pairs with bucketed LSH (never all-pairs), resolve
+    transitive clusters with distributed connected components, keep each
+    cluster's canonical minimum, anti-join the losers out. Identical
+    vectors always share every LSH signature and the corpus's max
+    natural pairwise cosine is ~0.6, so the surviving set must be
+    EXACTLY the original corpus — any lost original or surviving
+    planted copy diverges the hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.where((F.col("vec_id") % 10) == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = e.unionByName(planted)
+    pairs = lsh_neardup_pairs(corpus, threshold=0.9)
+    losers = (
+        dup_clusters(pairs)
+        .where(~F.col("is_keeper"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    return (
+        corpus.join(losers, "vec_id", "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Hash-checked end-to-end media decode: derive one media row per
     document (real PNG/JPEG/GIF container bytes encoded map-side), parse
@@ -311,10 +354,12 @@ LLM_QUERIES = {
     "q-doc-split": q_doc_split,
     "q-doc-gopher": q_doc_gopher,
     "q-doc-pack": q_doc_pack,
+    "q-doc-sample": q_doc_sample,
     "q-doc-chunks": q_doc_chunks,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-neardup-exact": q_emb_neardup_exact,
     "q-emb-neardup-lsh": q_emb_neardup_lsh,
+    "q-emb-dedup-e2e": q_emb_dedup_e2e,
     "q-media-features": q_media_features,
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
@@ -475,6 +520,20 @@ LLM_ORACLES = {
                AND sym < 0.1 AND stop_r >= 0.02 AS keep
         FROM m ORDER BY doc_id
     """,
+    # cutoffs = format(int(rate * 65536), '04x'): en 0.5 -> '8000',
+    # zh 0.75 -> 'c000'
+    "q-doc-sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CASE
+          WHEN lang = 'en' THEN
+            substr(md5('rebalance:' || CAST(doc_id AS VARCHAR)), 1, 4)
+            < '8000'
+          WHEN lang = 'zh' THEN
+            substr(md5('rebalance:' || CAST(doc_id AS VARCHAR)), 1, 4)
+            < 'c000'
+          ELSE TRUE END
+        ORDER BY doc_id
+    """,
     "q-doc-pack": f"""
         WITH t AS (
           SELECT doc_id,
@@ -555,6 +614,12 @@ LLM_ORACLES = {
         SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
                CAST(1.0 AS DOUBLE) AS sim
         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a
+    """,
+    # the pipeline must remove exactly the planted copies: survivors ==
+    # the original corpus, or the hash diverges (recall AND precision of
+    # LSH + clustering + keeper selection in one check)
+    "q-emb-dedup-e2e": """
+        SELECT vec_id FROM embeddings ORDER BY vec_id
     """,
     # The decoded dims must equal the generating formula for every
     # container format in the mix (PNG IHDR, JPEG SOF0, GIF screen
