@@ -85,3 +85,31 @@ def test_approx_percentile_in_engine_bound(spark, sf_dir):
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)"),
     ).first()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """Sequence packing must never plan a single-partition global window
+    — the running-offset window hash-partitions on the shard key."""
+    from hudi_spark_plus_spark.operators.llm_queries import q_doc_pack
+
+    plan = plan_of(q_doc_pack(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "Exchange SinglePartition" not in plan.split("Sort")[0], plan
+
+
+def test_dup_cluster_rounds_have_no_cartesian_shapes(spark):
+    """One label-propagation round must stay hash joins end-to-end."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.clustering import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    df = connected_components(pairs)
+    plan = plan_of(df.groupBy("cluster_id").agg(F.count("*").alias("n")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
