@@ -45,6 +45,18 @@ _PRIORITY_FIRST = [
     "q-emb-neardup-exact",
     "q-emb-neardup-lsh",
     "q-media-features",
+    # round-2 session additions: newest registrations are the ones a
+    # bounded pass historically dropped, so pin them near the front too
+    "q-stream-stateful-dedup",
+    "q-stream-stateful-agg",
+    "q-doc-dup-clusters",
+    "q-doc-split",
+    "q-doc-gopher",
+    "q-doc-pack",
+    "q-doc-sample",
+    "q-emb-dedup-e2e",
+    "q-doc-chunks",
+    "q-cdc-4",
     "q-emb-ann-lsh",
     "q-emb-ann-ivf",
 ]

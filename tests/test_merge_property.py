@@ -109,3 +109,57 @@ def test_mixed_mode_merge_matches_dict_replay(
     work = tmp_path_factory.mktemp("prop_mixed")
     got, expect = _replay(spark, work, events, cut, batch_modes)
     assert got == expect
+
+
+if HAS_HYPOTHESIS:
+    edge_lists = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+
+
+@pytest.mark.skipif(not HAS_HYPOTHESIS, reason="hypothesis not installed")
+@given(edges=edge_lists)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed label propagation must agree with a driver-side
+    union-find on generated graphs (self-loops, duplicate and reversed
+    edges, disconnected singletons all fair game)."""
+    from hudi_spark_plus_spark.functions.clustering import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {n: find(n) for n in nodes}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long"), max_iter=40
+        ).collect()
+    }
+    assert got == expect
