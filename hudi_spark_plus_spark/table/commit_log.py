@@ -4,11 +4,21 @@ The reference delegates this to Hudi's commit timeline (pom.xml dep); our
 format is a minimal JSON-manifest log:
 
     <table>/_commits/00000000000000000001.json
-    <table>/data/b=<bucket>/<uuid>.parquet
+    <table>/_commits/segments/<uuid>.json     (per-bucket file lists)
+    <table>/data/<uuid>/_bucket=<n>/<uuid>.parquet
 
-Each manifest is the COMPLETE table state at that version (list of live
-files + per-file stats), written to a temp name and atomically renamed —
-single-writer, crash-safe (a half-written temp file is invisible).
+Each commit still describes the COMPLETE table state at that version,
+but the file lists live in immutable per-bucket SEGMENT manifests
+(Iceberg-manifest-list style): the commit JSON maps bucket -> segment
+path, and a commit only WRITES segments for buckets it touched —
+untouched buckets reuse the previous commit's segment by reference.
+This removes the v1 scale limit where every commit rewrote the full
+file list (~20 MB per commit at 100k files); a micro-batch commit now
+writes O(touched buckets), not O(table). Publication stays one atomic
+link of the commit JSON — segments are written first and are invisible
+until the commit that references them publishes. Old inline-``files``
+manifests still read (v1 compat).
+
 Idempotence (H5): each commit records its ``batch_id``; re-running a
 micro-batch after failure/restart is a no-op if the id is already present
 in the timeline.
@@ -64,20 +74,25 @@ class Commit:
     # caller-supplied count would rewrite files under new bucket ids and
     # break affected-bucket pruning for later merges.
     buckets: int | None = None
+    # v2: bucket -> table-relative segment-manifest path. When set, the
+    # serialized commit stores only this map; ``files`` is the resolved
+    # view (populated by CommitLog.read / commit).
+    segments: dict[str, str] | None = None
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "batch_id": self.batch_id,
-                "operation": self.operation,
-                "files": [asdict(f) for f in self.files],
-                "schema_json": self.schema_json,
-                "ts_millis": self.ts_millis,
-                "buckets": self.buckets,
-            },
-            indent=1,
-        )
+        d = {
+            "version": self.version,
+            "batch_id": self.batch_id,
+            "operation": self.operation,
+            "schema_json": self.schema_json,
+            "ts_millis": self.ts_millis,
+            "buckets": self.buckets,
+        }
+        if self.segments is not None:
+            d["segments"] = self.segments
+        else:  # v1 inline form
+            d["files"] = [asdict(f) for f in self.files]
+        return json.dumps(d, indent=1)
 
     @staticmethod
     def from_json(s: str) -> "Commit":
@@ -86,20 +101,23 @@ class Commit:
             version=d["version"],
             batch_id=d.get("batch_id"),
             operation=d["operation"],
-            files=[FileEntry(**f) for f in d.get("files", [])],
+            files=[FileEntry(**f) for f in d.get("files") or []],
             schema_json=d.get("schema_json"),
             ts_millis=d.get("ts_millis", 0),
             buckets=d.get("buckets"),
+            segments=d.get("segments"),
         )
 
 
 class CommitLog:
     COMMITS_DIR = "_commits"
+    SEGMENTS_DIR = os.path.join("_commits", "segments")
     DATA_DIR = "data"
 
     def __init__(self, table_path: str):
         self.table_path = table_path
         self.commits_path = os.path.join(table_path, self.COMMITS_DIR)
+        self.segments_path = os.path.join(table_path, self.SEGMENTS_DIR)
         # Timeline cache (single-writer assumption, documented above):
         # manifests are immutable once renamed into place, so an instance
         # can cache versions/commits/batch-ids and update them on its own
@@ -109,12 +127,17 @@ class CommitLog:
         self._versions: list[int] | None = None
         self._commits: dict[int, Commit] = {}
         self._batch_ids: set[str] | None = None
+        # Segment manifests are immutable: cache by path. Holds the
+        # PARSED entry list; a commit reading N-1 segments for reuse
+        # comparison hits this cache, not the filesystem.
+        self._segments: dict[str, list[FileEntry]] = {}
 
     def invalidate(self) -> None:
         """Drop caches after out-of-band timeline edits (vacuum)."""
         self._versions = None
         self._commits = {}
         self._batch_ids = None
+        self._segments = {}
 
     # -- timeline reads ----------------------------------------------------
 
@@ -149,8 +172,22 @@ class CommitLog:
         if c is None:
             with open(self._commit_file(version)) as fh:
                 c = Commit.from_json(fh.read())
+            if c.segments is not None:  # v2: resolve bucket segments
+                c.files = [
+                    f
+                    for b in sorted(c.segments, key=int)
+                    for f in self._read_segment(c.segments[b])
+                ]
             self._commits[version] = c
         return c
+
+    def _read_segment(self, rel: str) -> list[FileEntry]:
+        entries = self._segments.get(rel)
+        if entries is None:
+            with open(os.path.join(self.table_path, rel)) as fh:
+                entries = [FileEntry(**d) for d in json.load(fh)]
+            self._segments[rel] = entries
+        return entries
 
     def latest(self) -> Commit | None:
         vs = self.versions()
@@ -187,6 +224,35 @@ class CommitLog:
 
     # -- commit write ------------------------------------------------------
 
+    def _write_segments(
+        self, files: list[FileEntry], prev: Commit | None
+    ) -> dict[str, str]:
+        """Group ``files`` by bucket into immutable segment manifests,
+        REUSING the previous commit's segment for every bucket whose
+        file list is unchanged — the common case: a micro-batch merge
+        touches a few buckets, so only those write new segments."""
+        by_bucket: dict[str, list[FileEntry]] = {}
+        for f in files:
+            by_bucket.setdefault(str(f.bucket), []).append(f)
+        prev_segments = (prev.segments or {}) if prev else {}
+        os.makedirs(self.segments_path, exist_ok=True)
+        out: dict[str, str] = {}
+        for b, entries in by_bucket.items():
+            prev_rel = prev_segments.get(b)
+            if prev_rel is not None:
+                prev_entries = self._read_segment(prev_rel)
+                if [asdict(e) for e in prev_entries] == [
+                    asdict(e) for e in entries
+                ]:
+                    out[b] = prev_rel
+                    continue
+            rel = os.path.join(self.SEGMENTS_DIR, f"{uuid.uuid4().hex}.json")
+            with open(os.path.join(self.table_path, rel), "w") as fh:
+                json.dump([asdict(e) for e in entries], fh, indent=1)
+            self._segments[rel] = list(entries)
+            out[b] = rel
+        return out
+
     def commit(
         self,
         operation: str,
@@ -208,6 +274,7 @@ class CommitLog:
             buckets=buckets
             if buckets is not None
             else (latest.buckets if latest else None),
+            segments=self._write_segments(files, latest),
         )
         # Atomic publish: temp file + hard link. link() fails with EEXIST
         # when the target version already exists, which makes the publish

@@ -86,6 +86,18 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                     crc = os.path.join(dirpath, f".{fn}.crc")
                     if os.path.exists(crc):
                         os.unlink(crc)
+    # segment manifests referenced by any retained commit survive;
+    # everything else in the segments dir belonged to dropped versions
+    keep_segments = set()
+    for v in retained:
+        keep_segments.update((lake.log.read(v).segments or {}).values())
+    segments_removed = 0
+    if os.path.isdir(lake.log.segments_path):
+        for fn in os.listdir(lake.log.segments_path):
+            rel = os.path.join(lake.log.SEGMENTS_DIR, fn)
+            if rel not in keep_segments:
+                os.unlink(os.path.join(lake.log.segments_path, fn))
+                segments_removed += 1
     for v in dropped:
         os.unlink(lake.log._commit_file(v))
     lake.log.invalidate()  # out-of-band timeline edit
@@ -106,4 +118,8 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                 for fn in markers:
                     os.unlink(os.path.join(dirpath, fn))
                 os.rmdir(dirpath)
-    return {"versions_dropped": len(dropped), "files_removed": removed}
+    return {
+        "versions_dropped": len(dropped),
+        "files_removed": removed,
+        "segments_removed": segments_removed,
+    }

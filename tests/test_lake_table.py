@@ -705,3 +705,96 @@ class TestCommitConcurrency:
         assert vs == list(range(1, n_threads * n_commits + 1))
         payloads = [log.read(v).files[0].path for v in vs]
         assert len(set(payloads)) == n_threads * n_commits
+
+
+class TestSegmentManifests:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "_key string, _ts long, _op string, val string"
+        )
+
+    def test_untouched_buckets_reuse_segments(self, spark, tmp_path):
+        """A merge touching one bucket must write new segment manifests
+        only for that bucket — every other bucket's segment path is
+        carried by reference from the previous commit."""
+        import json as _json
+
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        # spread keys across buckets
+        t.merge(
+            self._mk(spark, [(f"k{i}", 1, "upsert", "a") for i in range(40)]),
+            "b0",
+        )
+        c1 = t.log.latest()
+        assert c1.segments and len(c1.segments) == 4
+        # single-key batch -> exactly one affected bucket
+        t.merge(self._mk(spark, [("k0", 2, "upsert", "b")]), "b1")
+        c2 = t.log.latest()
+        changed = [
+            b for b in c2.segments if c2.segments[b] != c1.segments.get(b)
+        ]
+        assert len(changed) == 1, (c1.segments, c2.segments)
+        # on-disk commit JSON stores the segment map, not inline files
+        raw = _json.loads(open(t.log._commit_file(c2.version)).read())
+        assert "segments" in raw and "files" not in raw
+        # resolved state still correct
+        got = {r["_key"]: r["val"] for r in t.snapshot().collect()}
+        assert got["k0"] == "b" and len(got) == 40
+
+    def test_v1_inline_manifest_still_reads(self, spark, tmp_path):
+        """A timeline whose first commit predates segments (inline
+        files) must read, and the next commit upgrades to segments."""
+        import json as _json
+        import os as _os
+
+        from hudi_spark_plus_spark.table.commit_log import CommitLog
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(self._mk(spark, [("k1", 1, "upsert", "a")]), "b0")
+        # rewrite commit 1 in the v1 inline form
+        log = t.log
+        c = log.read(1)
+        d = _json.loads(open(log._commit_file(1)).read())
+        d.pop("segments", None)
+        d["files"] = [
+            {"path": f.path, "bucket": f.bucket, "rows": f.rows,
+             "min_key": f.min_key, "max_key": f.max_key,
+             "bloom": f.bloom, "kind": f.kind}
+            for f in c.files
+        ]
+        _os.unlink(log._commit_file(1))
+        with open(log._commit_file(1), "w") as fh:
+            _json.dump(d, fh)
+        t2 = LakeTable(spark, str(tmp_path / "t"))
+        assert {r["_key"] for r in t2.snapshot().collect()} == {"k1"}
+        t2.merge(self._mk(spark, [("k2", 2, "upsert", "b")]), "b1")
+        assert t2.log.latest().segments is not None
+        assert {r["_key"] for r in t2.snapshot().collect()} == {"k1", "k2"}
+
+    def test_vacuum_prunes_unreferenced_segments(self, spark, tmp_path):
+        import os as _os
+
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for i in range(4):
+            t.merge(self._mk(spark, [(f"k{i}", i, "upsert", "x")]), f"b{i}")
+        seg_dir = t.log.segments_path
+        before = set(_os.listdir(seg_dir))
+        stats = vacuum(t, keep_last=1)
+        after = set(_os.listdir(seg_dir))
+        assert stats["segments_removed"] > 0
+        assert after < before
+        # every surviving segment is referenced by the retained commit
+        kept = {
+            _os.path.basename(p)
+            for p in t.log.latest().segments.values()
+        }
+        assert after == kept
+        assert {r["_key"] for r in t.snapshot().collect()} == {
+            "k0", "k1", "k2", "k3"
+        }
