@@ -798,3 +798,43 @@ class TestSegmentManifests:
         assert {r["_key"] for r in t.snapshot().collect()} == {
             "k0", "k1", "k2", "k3"
         }
+
+    def test_commit_write_cost_is_o_touched_buckets(self, tmp_path):
+        """The scale property itself: with many buckets of bloom-bearing
+        files, a commit touching ONE bucket must write a small commit
+        JSON plus one new segment — far less than the full state."""
+        import os as _os
+
+        from hudi_spark_plus_spark.table.commit_log import (
+            CommitLog,
+            FileEntry,
+        )
+
+        log = CommitLog(str(tmp_path / "t"))
+        bloom = "A" * 4096  # realistic serialized bloom payload
+        state = [
+            FileEntry(f"data/d0/_bucket={b}/f{i}.parquet", b, 1000,
+                      min_key="0" * 32, max_key="f" * 32, bloom=bloom)
+            for b in range(64)
+            for i in range(4)
+        ]
+        log.commit("insert", state, buckets=64)
+        full_bytes = sum(
+            _os.path.getsize(_os.path.join(log.segments_path, f))
+            for f in _os.listdir(log.segments_path)
+        )
+        prev_segments = set(log.latest().segments.values())
+        # merge touching bucket 0 only: replace its files
+        new_state = [f for f in state if f.bucket != 0] + [
+            FileEntry("data/d1/_bucket=0/g.parquet", 0, 1000,
+                      min_key="0" * 32, max_key="f" * 32, bloom=bloom)
+        ]
+        c = log.commit("merge", new_state, buckets=64)
+        new_segments = set(c.segments.values()) - prev_segments
+        assert len(new_segments) == 1
+        written = _os.path.getsize(log._commit_file(c.version)) + sum(
+            _os.path.getsize(_os.path.join(str(tmp_path / "t"), rel))
+            for rel in new_segments
+        )
+        # one bucket's worth of state, not 64: comfortably under 5%
+        assert written < full_bytes * 0.05, (written, full_bytes)
