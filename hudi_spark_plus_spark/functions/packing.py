@@ -37,9 +37,19 @@ def pack_sequences(
     ``seq_id`` is the (shard-local) index of the fixed-``capacity``
     token sequence in which this item STARTS; ``seq_off`` its token
     offset within that sequence. ``order_cols`` must be a deterministic
-    total order within a shard (e.g. the doc id)."""
+    total order within a shard (e.g. the doc id).
+
+    ``shard``, ``seq_id`` and ``seq_off`` are RESERVED output names:
+    an input already carrying one would be silently replaced by
+    ``withColumn``, so collisions raise instead."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    reserved = {"shard", "seq_id", "seq_off"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved pack_sequences column(s) "
+            f"{sorted(reserved)}; rename them before packing"
+        )
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
     out = df.withColumn("shard", shard)
@@ -48,10 +58,11 @@ def pack_sequences(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    start_col = "_pack_start_7c1e"  # private temp, collision-proof
     start = (F.sum(tok).over(w) - tok).cast("long")
     return (
-        out.withColumn("_start", start)
-        .withColumn("seq_id", F.expr(f"_start div {capacity}"))
-        .withColumn("seq_off", F.col("_start") % capacity)
-        .drop("_start")
+        out.withColumn(start_col, start)
+        .withColumn("seq_id", F.expr(f"{start_col} div {capacity}"))
+        .withColumn("seq_off", F.col(start_col) % capacity)
+        .drop(start_col)
     )

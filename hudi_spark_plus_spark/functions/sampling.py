@@ -22,10 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash4(key: Column, salt: str) -> Column:
+def salted_hash_prefix(key: Column, salt: str, nchars: int = 4) -> Column:
+    """First ``nchars`` hex chars of ``md5(salt:key)`` — THE deterministic
+    selection primitive shared by sampling and the train/val/test split
+    (one definition, so the key-encoding convention cannot drift)."""
     return F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 4
+        F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, nchars
     )
+
+
+def _hash4(key: Column, salt: str) -> Column:
+    return salted_hash_prefix(key, salt, 4)
 
 
 def _cutoff(rate: float) -> str:

@@ -254,10 +254,10 @@ def q_doc_split(spark, sf_dir):
     runs, and partitionings (the property a 100 TB split needs: adding
     machines or re-running never moves a document between splits).
     ~79.7% / ~10.2% / ~10.2% by hex-prefix cutoffs 'cc' and 'e6'."""
+    from hudi_spark_plus_spark.functions.sampling import salted_hash_prefix
+
     d = load_table(spark, sf_dir, "documents")
-    h = F.substring(
-        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
-    )
+    h = salted_hash_prefix(F.col("doc_id"), "split", nchars=2)
     return d.select(
         "doc_id",
         h.alias("bucket"),
@@ -278,8 +278,10 @@ def q_doc_gopher(spark, sf_dir):
         stopword_ratio_expr,
     )
 
+    from hudi_spark_plus_spark.functions.text import tokens
+
     d = load_table(spark, sf_dir, "documents").withColumn(
-        "_toks", F.expr("split(trim(text), '\\\\s+')")
+        "_toks", tokens(F.col("text"))
     )
     n_words = F.size("_toks")
     mwl = F.expr(

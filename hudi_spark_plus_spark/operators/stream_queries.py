@@ -95,7 +95,13 @@ def _run_stream(spark, out_df_fn, src_dir: str, work: str, mode: str):
             .start()
         )
         try:
-            query.awaitTermination(300)
+            # awaitTermination returns False on timeout WITHOUT raising;
+            # a stopped mid-flight stream would hand back a silently
+            # partial memory sink — fail loudly instead
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "availableNow stream did not finish within 300s"
+                )
         finally:
             query.stop()
         result = spark.table(name)

@@ -46,7 +46,14 @@ def epoch_us(df: DataFrame, col: str = "ts"):
     robust to the three layouts testdata has shipped with: epoch-nanos
     BIGINT, TIMESTAMP_NTZ (micros), or plain TIMESTAMP. The session runs
     UTC (session.py) so the NTZ->TIMESTAMP cast is timezone-free and the
-    result matches DuckDB's ``epoch_us`` exactly."""
+    result matches DuckDB's ``epoch_us`` exactly.
+
+    CONTRACT: a BIGINT column is assumed to hold epoch-NANOS (the only
+    integer layout the testdata generator has ever produced — it comes
+    from ``nanosAsLong`` reads). Dtype alone cannot distinguish nanos
+    from micros, so never call this on a column that already holds
+    epoch-micros longs (e.g. a prior ``epoch_us`` output): it would be
+    divided by 1000 again, silently shifting everything to ~1970."""
     from pyspark.sql import functions as F
 
     dtype = dict(df.dtypes)[col]

@@ -226,32 +226,33 @@ class CommitLog:
 
     def _write_segments(
         self, files: list[FileEntry], prev: Commit | None
-    ) -> dict[str, str]:
+    ) -> tuple[dict[str, str], list[str]]:
         """Group ``files`` by bucket into immutable segment manifests,
         REUSING the previous commit's segment for every bucket whose
         file list is unchanged — the common case: a micro-batch merge
-        touches a few buckets, so only those write new segments."""
+        touches a few buckets, so only those write new segments.
+        Returns (bucket -> path map, list of NEWLY written paths) so a
+        failed publish can reclaim what it wrote."""
         by_bucket: dict[str, list[FileEntry]] = {}
         for f in files:
             by_bucket.setdefault(str(f.bucket), []).append(f)
         prev_segments = (prev.segments or {}) if prev else {}
         os.makedirs(self.segments_path, exist_ok=True)
         out: dict[str, str] = {}
+        new_paths: list[str] = []
         for b, entries in by_bucket.items():
             prev_rel = prev_segments.get(b)
-            if prev_rel is not None:
-                prev_entries = self._read_segment(prev_rel)
-                if [asdict(e) for e in prev_entries] == [
-                    asdict(e) for e in entries
-                ]:
-                    out[b] = prev_rel
-                    continue
+            # dataclass __eq__: field-wise compare, no dict materialization
+            if prev_rel is not None and self._read_segment(prev_rel) == entries:
+                out[b] = prev_rel
+                continue
             rel = os.path.join(self.SEGMENTS_DIR, f"{uuid.uuid4().hex}.json")
             with open(os.path.join(self.table_path, rel), "w") as fh:
                 json.dump([asdict(e) for e in entries], fh, indent=1)
             self._segments[rel] = list(entries)
             out[b] = rel
-        return out
+            new_paths.append(rel)
+        return out, new_paths
 
     def commit(
         self,
@@ -264,6 +265,7 @@ class CommitLog:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
         version = (latest.version + 1) if latest else 1
+        segments, new_segments = self._write_segments(files, latest)
         c = Commit(
             version=version,
             batch_id=batch_id,
@@ -274,7 +276,7 @@ class CommitLog:
             buckets=buckets
             if buckets is not None
             else (latest.buckets if latest else None),
-            segments=self._write_segments(files, latest),
+            segments=segments,
         )
         # Atomic publish: temp file + hard link. link() fails with EEXIST
         # when the target version already exists, which makes the publish
@@ -289,6 +291,14 @@ class CommitLog:
         try:
             os.link(tmp, target)
         except FileExistsError:
+            # reclaim the segments this attempt wrote (never the reused
+            # ones) — a retry loop must not strand orphans until vacuum
+            for rel in new_segments:
+                self._segments.pop(rel, None)
+                try:
+                    os.unlink(os.path.join(self.table_path, rel))
+                except FileNotFoundError:
+                    pass
             raise RuntimeError(
                 f"commit conflict at version {version}: another writer "
                 "published this version first; re-read the timeline and "

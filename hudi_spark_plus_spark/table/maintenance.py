@@ -87,10 +87,17 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                     if os.path.exists(crc):
                         os.unlink(crc)
     # segment manifests referenced by any retained commit survive;
-    # everything else in the segments dir belonged to dropped versions
+    # everything else in the segments dir belonged to dropped versions.
+    # ORDER MATTERS: dropped commit JSONs must go FIRST — a crash after
+    # deleting a segment but before its referencing commit would leave a
+    # commit that every timeline read (has_batch included) fails to
+    # resolve, bricking writes; a crash after dropping commits merely
+    # leaves orphan segments for the next vacuum to reclaim.
     keep_segments = set()
     for v in retained:
         keep_segments.update((lake.log.read(v).segments or {}).values())
+    for v in dropped:
+        os.unlink(lake.log._commit_file(v))
     segments_removed = 0
     if os.path.isdir(lake.log.segments_path):
         for fn in os.listdir(lake.log.segments_path):
@@ -98,8 +105,6 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
             if rel not in keep_segments:
                 os.unlink(os.path.join(lake.log.segments_path, fn))
                 segments_removed += 1
-    for v in dropped:
-        os.unlink(lake.log._commit_file(v))
     lake.log.invalidate()  # out-of-band timeline edit
     # prune dirs that no longer hold any data file: drop leftover markers
     # (_SUCCESS + .crc sidecars) first, then the dir itself

@@ -705,6 +705,18 @@ class TestCommitConcurrency:
         assert vs == list(range(1, n_threads * n_commits + 1))
         payloads = [log.read(v).files[0].path for v in vs]
         assert len(set(payloads)) == n_threads * n_commits
+        # losing attempts must have reclaimed their segment manifests:
+        # everything on disk is referenced by some committed version
+        import os
+
+        referenced = set()
+        for v in vs:
+            referenced.update(
+                os.path.basename(p)
+                for p in (log.read(v).segments or {}).values()
+            )
+        on_disk = set(os.listdir(log.segments_path))
+        assert on_disk == referenced, on_disk - referenced
 
 
 class TestSegmentManifests:
