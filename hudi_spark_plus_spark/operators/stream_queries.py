@@ -162,9 +162,86 @@ def q_stream_stateful_agg(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+JOIN_WINDOW_US = 86_400_000_000  # 1 day
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-stream event-time inner join (§2.5): the even-id event
+    stream joined to the odd-id stream per user within a 1-day
+    event-time window, watermarked on both sides. The watermark delay
+    (30 days) exceeds the fixture's time span, so no row is ever late
+    and the inner-join result is deterministic — the API shape is the
+    real production one (two watermarked streams + a time-range join
+    condition for state cleanup), only the delay is fixture-sized."""
+    work = tempfile.mkdtemp(prefix="hsp_ssj_")
+    try:
+        src_dir = _spool_two_batches(spark, sf_dir, work)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            def side(parity, tag):
+                return (
+                    spark.readStream.schema(_SRC_SCHEMA)
+                    .json(src_dir)
+                    .where(F.col("event_id") % 2 == parity)
+                    .select(
+                        F.col("user_id").alias(f"{tag}_user"),
+                        F.col("event_id").alias(f"{tag}_id"),
+                        F.col("ts").alias(f"{tag}_us"),
+                        F.timestamp_micros(F.col("ts")).alias(f"{tag}_t"),
+                    )
+                    .withWatermark(f"{tag}_t", "30 days")
+                )
+
+            a, b = side(0, "a"), side(1, "b")
+            joined = a.join(
+                b,
+                (F.col("a_user") == F.col("b_user"))
+                & (F.col("b_t") >= F.col("a_t"))
+                & (
+                    F.col("b_t")
+                    <= F.col("a_t") + F.expr("interval 1 day")
+                ),
+                "inner",
+            ).select(
+                F.col("a_user").alias("user_id"),
+                F.col("a_id"),
+                F.col("b_id"),
+                (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+            )
+            name = "hsp_sj_" + uuid.uuid4().hex[:8]
+            query = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not query.awaitTermination(300):
+                    raise TimeoutError(
+                        "availableNow stream did not finish within 300s"
+                    )
+            finally:
+                query.stop()
+            result = spark.table(name)
+            rows = result.collect()
+            schema = result.schema
+            spark.catalog.dropTempView(name)
+            return spark.createDataFrame(rows, schema).orderBy(
+                "a_id", "b_id"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_QUERIES = {
     "q-stream-stateful-dedup": q_stream_stateful_dedup,
     "q-stream-stateful-agg": q_stream_stateful_agg,
+    "q-stream-join": q_stream_join,
 }
 
 STREAM_ORACLES = {
@@ -186,6 +263,20 @@ STREAM_ORACLES = {
         )
         SELECT user_id, event_id, event_type, ts
         FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    # event-time-bounded self-join over the same bounded slice, split by
+    # event-id parity exactly as the two spooled streams are
+    "q-stream-join": f"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_id < {EVENT_BOUND}
+        ), a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+           b AS (SELECT * FROM e WHERE event_id % 2 = 1)
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               b.t - a.t AS gap_us
+        FROM a JOIN b ON a.user_id = b.user_id
+         AND b.t >= a.t AND b.t <= a.t + CAST({JOIN_WINDOW_US} AS BIGINT)
+        ORDER BY a_id, b_id
     """,
     # per (user, batch) row with cumulative totals in batch order;
     # total_rows is strictly increasing per user so it doubles as the

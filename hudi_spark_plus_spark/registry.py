@@ -49,6 +49,7 @@ _PRIORITY_FIRST = [
     # bounded pass historically dropped, so pin them near the front too
     "q-stream-stateful-dedup",
     "q-stream-stateful-agg",
+    "q-stream-join",
     "q-doc-dup-clusters",
     "q-doc-split",
     "q-doc-gopher",
