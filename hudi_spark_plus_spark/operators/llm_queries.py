@@ -301,6 +301,42 @@ def q_doc_gopher(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+DOC_DEDUP_THRESHOLD = 0.9
+
+
+def q_doc_dedup_e2e(spark, sf_dir):
+    """END-TO-END TEXT near-dup dedup: plant one exact duplicate per
+    doc_id % 10 == 0, mine candidates with MinHash+LSH banding (never
+    all-pairs; candidates verified by exact Jaccard >= 0.9), resolve
+    transitive clusters, anti-join the non-keepers out. The oracle
+    recomputes the same pipeline declaratively (exact all-pairs Jaccard
+    + recursive-CTE closure over the same planted corpus) — natural
+    >= 0.9 pairs in the corpus participate identically on both sides,
+    so this hash-checks LSH recall, the exact-verify step, cluster
+    closure, and keeper selection together. Jaccard values are exact
+    rationals (integer shingle counts), so the threshold compare cannot
+    diverge between engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = d.unionByName(planted)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", k=64, bands=16, ngram=3,
+        verify_threshold=DOC_DEDUP_THRESHOLD,
+    )
+    losers = (
+        dup_clusters(pairs)
+        .where(~F.col("is_keeper"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        corpus.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_emb_dedup_e2e(spark, sf_dir):
     """END-TO-END near-dup dedup pipeline, the full production shape in
     one query: plant one exact duplicate per vec_id % 10 == 0, mine
@@ -362,6 +398,7 @@ LLM_QUERIES = {
     "q-emb-neardup-exact": q_emb_neardup_exact,
     "q-emb-neardup-lsh": q_emb_neardup_lsh,
     "q-emb-dedup-e2e": q_emb_dedup_e2e,
+    "q-doc-dedup-e2e": q_doc_dedup_e2e,
     "q-media-features": q_media_features,
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
@@ -622,6 +659,49 @@ LLM_ORACLES = {
     # LSH + clustering + keeper selection in one check)
     "q-emb-dedup-e2e": """
         SELECT vec_id FROM embeddings ORDER BY vec_id
+    """,
+    # the declarative twin of the engine's LSH pipeline: exact all-pairs
+    # Jaccard (>= 0.9) over the SAME planted corpus, transitive closure
+    # by recursive CTE, min-id keeper per cluster — natural >= 0.9 pairs
+    # participate identically on both sides
+    "q-doc-dedup-e2e": f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\\s+'))
+                                - 1)]
+                   END) AS g
+          FROM corpus
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.g, b.g))
+                / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+                >= {DOC_DEDUP_THRESHOLD}
+        ), edges AS (
+          SELECT id_a AS u, id_b AS w FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(n, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT reach.n, e.w FROM reach JOIN edges e ON reach.r = e.u
+        ), lab AS (
+          SELECT n, MIN(r) AS cluster_id FROM reach GROUP BY n
+        )
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT n FROM lab WHERE n <> cluster_id)
+        ORDER BY doc_id
     """,
     # The decoded dims must equal the generating formula for every
     # container format in the mix (PNG IHDR, JPEG SOF0, GIF screen

@@ -56,6 +56,7 @@ _PRIORITY_FIRST = [
     "q-doc-pack",
     "q-doc-sample",
     "q-emb-dedup-e2e",
+    "q-doc-dedup-e2e",
     "q-doc-chunks",
     "q-cdc-4",
     "q-emb-ann-lsh",
