@@ -291,3 +291,26 @@ def test_stateful_dedup_suppresses_across_batches(spark, tmp_path):
     got = {r["k"]: r["id"] for r in spark.table("ssd_unit").collect()}
     spark.catalog.dropTempView("ssd_unit")
     assert got == {"A": 2, "B": 3, "C": 5}
+
+
+def test_epoch_us_handles_all_three_ts_layouts(spark):
+    """loaders.epoch_us / event_time must agree across the layouts the
+    testdata generator has shipped: epoch-nanos BIGINT, TIMESTAMP_NTZ,
+    and plain TIMESTAMP — all mapping to the same epoch micros."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.sources.loaders import epoch_us, event_time
+
+    us = 1_723_500_000_123_456  # arbitrary instant, microsecond precision
+    naive = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    nanos = spark.createDataFrame([(us * 1000,)], "ts long")
+    ntz = spark.createDataFrame([(naive,)], "ts timestamp_ntz")
+    tz = spark.range(1).select(F.timestamp_micros(F.lit(us)).alias("ts"))
+    for df in (nanos, ntz, tz):
+        assert df.select(epoch_us(df, "ts").alias("u")).first()["u"] == us
+        got = df.select(
+            F.unix_micros(event_time(df, "ts")).alias("u")
+        ).first()["u"]
+        assert got == us, dict(df.dtypes)
