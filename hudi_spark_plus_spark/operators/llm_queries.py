@@ -587,8 +587,8 @@ LLM_ORACLES = {
           FROM t
         )
         SELECT doc_id, shard, n_tokens,
-               start // {PACK_CAPACITY} AS seq_id,
-               start % {PACK_CAPACITY} AS seq_off
+               CAST(start // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+               CAST(start % {PACK_CAPACITY} AS BIGINT) AS seq_off
         FROM s ORDER BY doc_id
     """,
     # step = CHUNK_SIZE - CHUNK_OVERLAP = 160; chunk_id from the start
@@ -686,9 +686,9 @@ LLM_ORACLES = {
         ), pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.g, b.g))
-                / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
-                >= {DOC_DEDUP_THRESHOLD}
+          WHERE ROUND(len(list_intersect(a.g, b.g))
+                / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE),
+                4) >= {DOC_DEDUP_THRESHOLD}
         ), edges AS (
           SELECT id_a AS u, id_b AS w FROM pairs
           UNION SELECT id_b, id_a FROM pairs

@@ -291,9 +291,9 @@ STREAM_ORACLES = {
           FROM e GROUP BY user_id, batch
         )
         SELECT user_id, batch_rows,
-               SUM(batch_rows) OVER (
+               CAST(SUM(batch_rows) OVER (
                  PARTITION BY user_id ORDER BY batch
-               ) AS total_rows,
+               ) AS BIGINT) AS total_rows,
                ROUND(SUM(batch_sum) OVER (
                  PARTITION BY user_id ORDER BY batch
                ), 4) AS total_sum
