@@ -11,7 +11,10 @@ Modules without an oracle entry get the driver's weaker rows-only check
 from __future__ import annotations
 
 import importlib
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,38 +33,37 @@ _SOURCES = [
 ]
 
 # Registry (= dict insertion) order is the order a bounded driver pass
-# visits queries. Round 1's CORRECTNESS file lacked rows for exactly the
-# 4 most-recently-registered queries, so the ones that went unchecked are
-# pinned to the FRONT this round; the engine-specific no-oracle
-# signature queries sit at the back (llm_queries dict order).
-_PRIORITY_FIRST = [
-    "q-lake-roundtrip",
-    "q-lake-mor",
-    "q-lake-point-lookup",
-    "q-lake-time-travel",
-    "q-lake-incremental",
-    "q-lake-incremental-mor",
-    "q-join-salted",
-    "q-emb-neardup-exact",
-    "q-emb-neardup-lsh",
-    "q-media-features",
-    # round-2 session additions: newest registrations are the ones a
-    # bounded pass historically dropped, so pin them near the front too
-    "q-stream-stateful-dedup",
-    "q-stream-stateful-agg",
-    "q-stream-join",
-    "q-doc-dup-clusters",
-    "q-doc-split",
-    "q-doc-gopher",
-    "q-doc-pack",
-    "q-doc-sample",
-    "q-emb-dedup-e2e",
-    "q-doc-dedup-e2e",
-    "q-doc-chunks",
-    "q-cdc-4",
-    "q-emb-ann-lsh",
-    "q-emb-ann-ivf",
-]
+# visits queries; the registry is larger than the driver's 50-row cap, so
+# the order decides which queries get re-verified on each round's freshly
+# generated testdata. The rotation is SELF-MAINTAINING: it reads the
+# CORRECTNESS_r*.json files the driver leaves in the repo root and sorts
+# by the most recent round each query was verified green (hash-green, or
+# a rows-only pass for declared no-oracle queries). Never-verified and
+# red-row queries sort first; the most-recently-green sort last. Over
+# successive rounds this round-robins the full surface through the
+# bounded pass with no manual pinning.
+
+
+def _last_green_round() -> dict[str, int]:
+    root = Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _gather(attr_idx: int) -> dict:
@@ -73,9 +75,11 @@ def _gather(attr_idx: int) -> dict:
             continue
         attr = (qattr, oattr)[attr_idx]
         out.update(getattr(mod, attr, {}))
-    head = {k: out[k] for k in _PRIORITY_FIRST if k in out}
-    head.update((k, v) for k, v in out.items() if k not in head)
-    return head
+    last = _last_green_round()
+    # stable sort: unverified/red (rank -1) first, then oldest green
+    # round first; registration order breaks ties deterministically
+    ordered = sorted(out, key=lambda k: last.get(k, -1))
+    return {k: out[k] for k in ordered}
 
 
 def all_queries() -> dict[str, QueryFn]:
