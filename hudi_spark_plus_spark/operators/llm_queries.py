@@ -146,11 +146,28 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_ann_lsh(spark, sf_dir):
-    """Rows-only: LSH-bucketed ANN (recall vs brute force in tests)."""
+    """LSH-bucketed ANN, made hash-checkable by planted neighbors: the
+    corpus gains 5 exact copies of every query vector (ids q + j*100000,
+    j in 1..5). Identical vectors share every sign-bit signature, so the
+    bucket join always surfaces them, and sim ~1.0 beats every natural
+    pair (max natural cosine ~0.6) — top-5 per query is exactly the
+    planted set ranked by n_id, or the hash diverges. The pipeline under
+    test is the real one (signatures, multiprobe bucket join, exact
+    re-rank); recall on natural corpora is asserted vs brute force in
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(
-        e, e.where(F.col("vec_id") < 10), k=5, bits=8, dim=64
-    ).orderBy("q_id", "rank")
+    queries = e.where(F.col("vec_id") < 10)
+    copies = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .drop("j")
+    )
+    corpus = e.unionByName(copies)
+    return lsh_ann_topk(corpus, queries, k=5, bits=8, dim=64).orderBy(
+        "q_id", "rank"
+    )
 
 
 def q_emb_ann_ivf(spark, sf_dir):
@@ -653,6 +670,19 @@ LLM_ORACLES = {
         SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
                CAST(1.0 AS DOUBLE) AS sim
         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a
+    """,
+    # planted-neighbor ANN: 5 exact copies per query vector dominate the
+    # top-5 (natural cosine tops out ~0.6), identical vectors always
+    # collide in every LSH table, and the rank tie-break is n_id — so
+    # the approximate path has one exact answer
+    "q-emb-ann-lsh": """
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
     """,
     # the pipeline must remove exactly the planted copies: survivors ==
     # the original corpus, or the hash diverges (recall AND precision of

@@ -22,7 +22,6 @@ def test_every_oracle_has_a_query():
         "q-doc-minhash-lsh",
         "q-doc-simhash",
         "q-emb-ann-ivf",
-        "q-emb-ann-lsh",
     }
 
 
