@@ -131,6 +131,17 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
                 return time.perf_counter() - rt
 
             snap_pre = read_all_tables()
+            # inline-compaction evidence: after sustained MOR ingest the
+            # per-bucket delta count must be bounded by the trigger
+            # threshold (snapshot reads resolve at most that many deltas
+            # per bucket — no unbounded read amplification)
+            max_deltas = 0
+            for p in tables:
+                per_bucket: dict[int, int] = {}
+                for f in LakeTable(spark, p).log.live_files():
+                    if f.kind == "delta":
+                        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+                max_deltas = max(max_deltas, max(per_bucket.values(), default=0))
             ct = time.perf_counter()
             cstats = [compact(LakeTable(spark, p)) for p in tables]
             for p in tables:
@@ -151,6 +162,7 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
                 "compact_vacuum_s": round(compact_s, 3),
                 "snap_read_pre_compact_s": round(snap_pre, 3),
                 "snap_read_post_compact_s": round(snap_post, 3),
+                "max_deltas_per_bucket": max_deltas,
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)

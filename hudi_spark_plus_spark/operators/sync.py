@@ -284,3 +284,10 @@ def _sync_one_table(
         affected_buckets=affected_buckets,
         mode=tc.write_mode,
     )
+    if tc.write_mode == "mor" and tc.compact_max_deltas > 0:
+        # inline compaction: bounds read amplification to at most
+        # compact_max_deltas delta files per bucket, cost scoped to the
+        # buckets actually due (no-op on most batches)
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        maybe_compact(lake, max_deltas_per_bucket=tc.compact_max_deltas)

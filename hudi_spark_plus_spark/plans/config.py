@@ -50,6 +50,10 @@ DEDUP_ORDER_FIELDS = "engine.dedup.order.fields"  # payload tie-break cols
 # delta files; latest-per-key resolved at read time, compact() folds)
 WRITE_MODE = "engine.table.write.mode"
 WRITE_MODE_DEFAULT = "cow"
+# MOR inline-compaction trigger: compact a bucket once it accumulates
+# this many delta files (bounds snapshot-read amplification); 0 disables
+COMPACT_MAX_DELTAS = "engine.table.compact.max-deltas-per-bucket"
+COMPACT_MAX_DELTAS_DEFAULT = 10
 
 # Reference's default JSON decode timestampFormat — reproduced verbatim
 # (BinlogSyncHoodieCommand.scala:60); the per-table config map doubles as
@@ -81,6 +85,7 @@ class TableConfig:
     json_options: dict[str, str] = field(default_factory=dict)
     buckets: int = BUCKETS_DEFAULT
     write_mode: str = WRITE_MODE_DEFAULT
+    compact_max_deltas: int = COMPACT_MAX_DELTAS_DEFAULT
 
 
 def table_options(options: dict[str, str], db: str, table: str) -> dict[str, str]:
@@ -140,6 +145,12 @@ def resolve_table_config(
         json_options=json_opts,
         buckets=int(t.get(BUCKETS, options.get(BUCKETS, BUCKETS_DEFAULT))),
         write_mode=_validated_write_mode(t, options, db, table),
+        compact_max_deltas=int(
+            t.get(
+                COMPACT_MAX_DELTAS,
+                options.get(COMPACT_MAX_DELTAS, COMPACT_MAX_DELTAS_DEFAULT),
+            )
+        ),
     )
 
 

@@ -51,6 +51,71 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
     return {"files_before": len(before), "files_after": len(files)}
 
 
+def compact_buckets(
+    lake: LakeTable,
+    buckets: set[int],
+    target_files_per_bucket: int = 1,
+) -> dict:
+    """Bucket-scoped compaction: rewrite ONLY the given buckets' live
+    rows (tombstones included) into right-sized base files and carry the
+    rest of the table untouched through the new commit. This is the
+    inline-compaction unit of work — cost proportional to the compacted
+    buckets, not the table (the Hudi file-group analogue of the
+    reference's inline compaction service, pom.xml:43-58)."""
+    prev = lake.log.latest()
+    if prev is None or not buckets:
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    hit = [f for f in prev.files if f.bucket in buckets]
+    carry = [f for f in prev.files if f.bucket not in buckets]
+    df = lake._read_files(hit)
+    if any(f.kind == "delta" for f in hit):
+        df = lake._resolve_latest(df)
+    out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets))
+    absd, rel = lake.log.new_data_subdir()
+    (
+        out.repartition(
+            max(1, len(buckets) * target_files_per_bucket), F.col(BUCKET_COL)
+        )
+        .write.mode("append")
+        .options(**_BLOOM_OPTS)
+        .partitionBy(BUCKET_COL)
+        .parquet(absd)
+    )
+    files = _collect_file_entries(lake.path, rel, spark=lake.spark)
+    lake.log.commit(
+        "compact", carry + files, schema_json=prev.schema_json
+    )
+    return {
+        "buckets_compacted": len(buckets),
+        "files_before": len(hit),
+        "files_after": len(files),
+    }
+
+
+def maybe_compact(
+    lake: LakeTable,
+    max_deltas_per_bucket: int = 10,
+    target_files_per_bucket: int = 1,
+) -> dict:
+    """Automatic merge-on-read compaction trigger: compact exactly the
+    buckets whose accumulated delta-file count reached the threshold.
+    Called by the sync loop after each MOR merge, it bounds snapshot-read
+    amplification (the latest-per-key window reads at most
+    ``max_deltas_per_bucket`` deltas per bucket) without ever paying a
+    full-table rewrite. No-op when nothing is due."""
+    prev = lake.log.latest()
+    if prev is None:
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    per_bucket: dict[int, int] = {}
+    for f in prev.files:
+        if f.kind == "delta":
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    due = {
+        b for b, n in per_bucket.items() if n >= max_deltas_per_bucket
+    }
+    return compact_buckets(lake, due, target_files_per_bucket)
+
+
 def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
     """Drop timeline versions beyond the newest ``keep_last`` and delete
     data files referenced by no retained commit. Time travel to dropped

@@ -630,6 +630,85 @@ class TestMergeOnRead:
             )
 
 
+class TestInlineCompaction:
+    def test_maybe_compact_bounds_delta_count(self, spark, tmp_path):
+        """A long MOR ingest with the trigger applied after every merge
+        must keep per-bucket delta counts bounded by the threshold — the
+        read-amplification guarantee — while preserving exact LWW state."""
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        expect = {}
+        for i in range(12):
+            k = f"k{i % 5}"
+            expect[k] = (i, f"v{i}")
+            t.merge(
+                mkbatch(spark, [(k, i, "upsert", f"v{i}")]), f"b{i}",
+                mode="mor",
+            )
+            maybe_compact(t, max_deltas_per_bucket=3)
+            per_bucket = {}
+            for f in t.log.live_files():
+                if f.kind == "delta":
+                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            assert all(n < 3 for n in per_bucket.values()), per_bucket
+        assert snap_dict(t) == expect
+
+    def test_compact_buckets_carries_others_untouched(self, spark, tmp_path):
+        """Bucket-scoped compaction rewrites only the due buckets: every
+        other bucket's files survive path-identical (cost proportional to
+        the compacted buckets, not the table)."""
+        from hudi_spark_plus_spark.table.maintenance import compact_buckets
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        for i in range(4):
+            t.merge(
+                mkbatch(
+                    spark,
+                    [(f"k{j}", i, "upsert", f"v{i}") for j in range(8)],
+                ),
+                f"b{i}", mode="mor",
+            )
+        before = snap_dict(t)
+        deltas = [f for f in t.log.live_files() if f.kind == "delta"]
+        due = {deltas[0].bucket}
+        others_before = {
+            f.path for f in t.log.live_files() if f.bucket not in due
+        }
+        compact_buckets(t, due)
+        after_files = t.log.live_files()
+        others_after = {
+            f.path for f in after_files if f.bucket not in due
+        }
+        assert others_before == others_after
+        assert not any(
+            f.kind == "delta" for f in after_files if f.bucket in due
+        )
+        assert snap_dict(t) == before
+
+    def test_maybe_compact_preserves_tombstones_and_incremental(
+        self, spark, tmp_path
+    ):
+        """Compaction must not lose tombstone semantics or record-level
+        commit versions (incremental reads keep working across it)."""
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0", mode="mor")
+        v1 = t.log.latest().version
+        t.merge(mkbatch(spark, [("k2", 2, "upsert", "b")]), "b1", mode="mor")
+        t.merge(mkbatch(spark, [("k1", 3, "delete", None)]), "b2", mode="mor")
+        maybe_compact(t, max_deltas_per_bucket=2)
+        assert {f.kind for f in t.log.live_files()} == {"base"}
+        # stale zombie still blocked by the compacted tombstone
+        t.merge(mkbatch(spark, [("k1", 2, "upsert", "zombie")]), "b3", mode="mor")
+        assert snap_dict(t) == {"k2": (2, "b")}
+        inc = {
+            (r["_key"], r["_deleted"]) for r in t.incremental(v1).collect()
+        }
+        assert inc == {("k2", False), ("k1", True)}
+
+
 class TestCommitConcurrency:
     def test_losing_writer_fails_loudly_and_never_clobbers(self, tmp_path):
         """A writer that loses the publish race must raise, and the
