@@ -44,6 +44,13 @@ import uuid
 from dataclasses import asdict, dataclass, field
 
 
+class CommitConflict(RuntimeError):
+    """Another writer published the contested timeline version first.
+    The operation that computed this commit is stale: re-read the
+    timeline and recompute (LakeTable write paths do this automatically
+    with a bounded retry)."""
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -261,10 +268,20 @@ class CommitLog:
         batch_id: str | None = None,
         schema_json: str | None = None,
         buckets: int | None = None,
+        expected_version: int | None = None,
     ) -> Commit:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
         version = (latest.version + 1) if latest else 1
+        if expected_version is not None and version != expected_version:
+            # the caller computed its output (and any record-level
+            # version stamps) against a timeline that has since moved —
+            # fail BEFORE publishing anything
+            raise CommitConflict(
+                f"commit conflict: computed against version "
+                f"{expected_version - 1} but timeline is at {version - 1}; "
+                "re-read the timeline and retry the operation"
+            )
         segments, new_segments = self._write_segments(files, latest)
         c = Commit(
             version=version,
@@ -299,7 +316,7 @@ class CommitLog:
                     os.unlink(os.path.join(self.table_path, rel))
                 except FileNotFoundError:
                     pass
-            raise RuntimeError(
+            raise CommitConflict(
                 f"commit conflict at version {version}: another writer "
                 "published this version first; re-read the timeline and "
                 "retry the operation"

@@ -48,7 +48,11 @@ from pyspark.sql.types import (
 )
 
 from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
-from hudi_spark_plus_spark.table.commit_log import CommitLog, FileEntry
+from hudi_spark_plus_spark.table.commit_log import (
+    CommitConflict,
+    CommitLog,
+    FileEntry,
+)
 from hudi_spark_plus_spark.table.keygen import (
     BUCKET_COL,
     KEY_COL,
@@ -374,6 +378,21 @@ class LakeTable:
 
     # -- writes ------------------------------------------------------------
 
+    # Bounded optimistic-concurrency retries: a write path that loses the
+    # commit publish race re-reads the timeline and RECOMPUTES its output
+    # against the winner's state (the stale attempt's data files become
+    # unreferenced orphans; vacuum's grace window reclaims them).
+    COMMIT_RETRIES = 3
+
+    def _with_commit_retries(self, attempt):
+        for n in range(self.COMMIT_RETRIES + 1):
+            try:
+                return attempt()
+            except CommitConflict:
+                if n == self.COMMIT_RETRIES:
+                    raise
+                self.log.invalidate()
+
     def insert(
         self,
         df: DataFrame,
@@ -387,6 +406,17 @@ class LakeTable:
         the check, a batch declaring a different physical type would be
         written as-is while the committed read schema kept the stored
         type, breaking every subsequent read of the new file."""
+        self._with_commit_retries(
+            lambda: self._insert_once(df, batch_id, parallelism, operation)
+        )
+
+    def _insert_once(
+        self,
+        df: DataFrame,
+        batch_id: str | None,
+        parallelism: int,
+        operation: str,
+    ) -> None:
         if batch_id is not None and self.log.has_batch(batch_id):
             return
         prev = self.log.latest()
@@ -410,7 +440,7 @@ class LakeTable:
         )
         new_files = _collect_file_entries(self.path, rel, spark=self.spark)
         carry = prev.files if prev else []
-        committed = self.log.commit(
+        self.log.commit(
             operation,
             carry + new_files,
             batch_id=batch_id,
@@ -420,12 +450,8 @@ class LakeTable:
                 else self._payload_schema_json(out)
             ),
             buckets=self.buckets,
+            expected_version=next_ver,
         )
-        if committed.version != next_ver:  # single-writer violated
-            raise RuntimeError(
-                f"commit version raced: stamped {next_ver}, "
-                f"committed {committed.version}"
-            )
 
     def bulk_insert(
         self, df: DataFrame, batch_id: str | None = None, parallelism: int = 8
@@ -458,9 +484,28 @@ class LakeTable:
         are O(batch) instead of O(affected-bucket data): the right trade
         for high-churn CDC where ingest dominates reads. Both modes obey
         the same LWW rule, so they can be mixed on one table.
+
+        Losing the commit publish race recomputes the merge against the
+        winner's timeline (bounded retry) — both writers' batches land
+        regardless of order, same final state as any serial order that
+        respects LWW.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge mode must be cow|mor, got {mode!r}")
+        self._with_commit_retries(
+            lambda: self._merge_once(
+                batch, batch_id, parallelism, affected_buckets, mode
+            )
+        )
+
+    def _merge_once(
+        self,
+        batch: DataFrame,
+        batch_id: str | None,
+        parallelism: int | None,
+        affected_buckets: set[int] | None,
+        mode: str,
+    ) -> None:
         if batch_id is not None and self.log.has_batch(batch_id):
             return  # idempotent re-run (H5)
 
@@ -596,18 +641,14 @@ class LakeTable:
         )
         new_files = _collect_file_entries(self.path, rel, spark=self.spark)
         schema_json = self._payload_schema_json(merged)
-        committed = self.log.commit(
+        self.log.commit(
             "merge",
             carry + new_files,
             batch_id=batch_id,
             schema_json=schema_json,
             buckets=self.buckets,
+            expected_version=next_ver,
         )
-        if committed.version != next_ver:  # single-writer violated
-            raise RuntimeError(
-                f"commit version raced: stamped {next_ver}, "
-                f"committed {committed.version}"
-            )
 
     def _reconcile_batch_types(
         self, b: DataFrame, stored: StructType
@@ -689,18 +730,14 @@ class LakeTable:
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel, kind="delta", spark=self.spark)
-        committed = self.log.commit(
+        self.log.commit(
             "merge",
             prev.files + new_files,
             batch_id=batch_id,
             schema_json=self._evolved_schema_json(stored, widened, delta),
             buckets=self.buckets,
+            expected_version=next_ver,
         )
-        if committed.version != next_ver:  # single-writer violated
-            raise RuntimeError(
-                f"commit version raced: stamped {next_ver}, "
-                f"committed {committed.version}"
-            )
 
     # Above this many distinct batch keys the per-merge bloom probe is
     # skipped: collecting the key hashes driver-side stops being cheap,

@@ -30,25 +30,38 @@ from hudi_spark_plus_spark.table.lake_table import (
 def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
     """Rewrite all live data (tombstones included — they must survive
     until vacuumed with their semantics intact) into ~one file per
-    bucket. Returns {files_before, files_after}."""
-    before = lake.log.live_files()
-    snap = lake.snapshot(include_deleted=True)
-    out = snap.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets))
-    absd, rel = lake.log.new_data_subdir()
-    (
-        out.repartition(
-            max(1, lake.buckets * target_files_per_bucket), F.col(BUCKET_COL)
+    bucket. Returns {files_before, files_after}. Retries against a fresh
+    timeline if a concurrent writer wins the commit race."""
+
+    def attempt() -> dict:
+        prev = lake.log.latest()
+        if prev is None:
+            return {"files_before": 0, "files_after": 0}
+        snap = lake.snapshot(include_deleted=True)
+        out = snap.withColumn(
+            BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
         )
-        .write.mode("append")
-        .options(**_BLOOM_OPTS)  # keep the key bloom filter through rewrites
-        .partitionBy(BUCKET_COL)
-        .parquet(absd)
-    )
-    files = _collect_file_entries(lake.path, rel, spark=lake.spark)
-    lake.log.commit(
-        "compact", files, schema_json=lake.log.latest().schema_json
-    )
-    return {"files_before": len(before), "files_after": len(files)}
+        absd, rel = lake.log.new_data_subdir()
+        (
+            out.repartition(
+                max(1, lake.buckets * target_files_per_bucket),
+                F.col(BUCKET_COL),
+            )
+            .write.mode("append")
+            .options(**_BLOOM_OPTS)  # keep the key bloom through rewrites
+            .partitionBy(BUCKET_COL)
+            .parquet(absd)
+        )
+        files = _collect_file_entries(lake.path, rel, spark=lake.spark)
+        lake.log.commit(
+            "compact",
+            files,
+            schema_json=prev.schema_json,
+            expected_version=prev.version + 1,
+        )
+        return {"files_before": len(prev.files), "files_after": len(files)}
+
+    return lake._with_commit_retries(attempt)
 
 
 def compact_buckets(
@@ -61,35 +74,48 @@ def compact_buckets(
     rest of the table untouched through the new commit. This is the
     inline-compaction unit of work — cost proportional to the compacted
     buckets, not the table (the Hudi file-group analogue of the
-    reference's inline compaction service, pom.xml:43-58)."""
-    prev = lake.log.latest()
-    if prev is None or not buckets:
-        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-    hit = [f for f in prev.files if f.bucket in buckets]
-    carry = [f for f in prev.files if f.bucket not in buckets]
-    df = lake._read_files(hit)
-    if any(f.kind == "delta" for f in hit):
-        df = lake._resolve_latest(df)
-    out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets))
-    absd, rel = lake.log.new_data_subdir()
-    (
-        out.repartition(
-            max(1, len(buckets) * target_files_per_bucket), F.col(BUCKET_COL)
+    reference's inline compaction service, pom.xml:43-58). Commit-race
+    safe: a lost publish retries against the fresh timeline."""
+
+    def attempt() -> dict:
+        prev = lake.log.latest()
+        if prev is None or not buckets:
+            return {
+                "buckets_compacted": 0, "files_before": 0, "files_after": 0,
+            }
+        hit = [f for f in prev.files if f.bucket in buckets]
+        carry = [f for f in prev.files if f.bucket not in buckets]
+        df = lake._read_files(hit)
+        if any(f.kind == "delta" for f in hit):
+            df = lake._resolve_latest(df)
+        out = df.withColumn(
+            BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
         )
-        .write.mode("append")
-        .options(**_BLOOM_OPTS)
-        .partitionBy(BUCKET_COL)
-        .parquet(absd)
-    )
-    files = _collect_file_entries(lake.path, rel, spark=lake.spark)
-    lake.log.commit(
-        "compact", carry + files, schema_json=prev.schema_json
-    )
-    return {
-        "buckets_compacted": len(buckets),
-        "files_before": len(hit),
-        "files_after": len(files),
-    }
+        absd, rel = lake.log.new_data_subdir()
+        (
+            out.repartition(
+                max(1, len(buckets) * target_files_per_bucket),
+                F.col(BUCKET_COL),
+            )
+            .write.mode("append")
+            .options(**_BLOOM_OPTS)
+            .partitionBy(BUCKET_COL)
+            .parquet(absd)
+        )
+        files = _collect_file_entries(lake.path, rel, spark=lake.spark)
+        lake.log.commit(
+            "compact",
+            carry + files,
+            schema_json=prev.schema_json,
+            expected_version=prev.version + 1,
+        )
+        return {
+            "buckets_compacted": len(buckets),
+            "files_before": len(hit),
+            "files_after": len(files),
+        }
+
+    return lake._with_commit_retries(attempt)
 
 
 def maybe_compact(
@@ -116,7 +142,9 @@ def maybe_compact(
     return compact_buckets(lake, due, target_files_per_bucket)
 
 
-def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
+def vacuum(
+    lake: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
+) -> dict:
     """Drop timeline versions beyond the newest ``keep_last`` and delete
     data files referenced by no retained commit. Time travel to dropped
     versions becomes unavailable (that is the point). Returns counts.
@@ -127,13 +155,40 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
     replayed old batch would re-apply. With Spark checkpoints the replay
     horizon is the last unfinished batch, so any ``keep_last >= 1``
     taken while the stream is STOPPED is safe; vacuuming mid-stream
-    should keep a few versions of slack."""
+    should keep a few versions of slack.
+
+    Concurrent-writer safety: files referenced by some commit (retained
+    or dropped) have a known fate, but a file referenced by NO commit is
+    ambiguous — it is either garbage from a lost commit attempt or the
+    in-flight output of a writer that has not published yet. Deleting
+    the latter would publish a manifest with dangling references. Such
+    never-referenced files (data and segment manifests alike) are only
+    reclaimed once older than ``grace_seconds`` (default 10 min — far
+    beyond any write-then-publish gap); pass 0 only when no writer can
+    be in flight."""
+    import time as _time
+
     versions = lake.log.versions()
     retained = versions[-keep_last:]
     dropped = [v for v in versions if v not in retained]
     keep_paths = set()
     for v in retained:
         keep_paths.update(f.path for f in lake.log.read(v).files)
+    dropped_paths = set()
+    for v in dropped:
+        dropped_paths.update(f.path for f in lake.log.read(v).files)
+    dropped_paths -= keep_paths
+    cutoff = _time.time() - grace_seconds
+
+    def reclaimable(rel: str, absf: str) -> bool:
+        if rel in keep_paths:
+            return False
+        if rel in dropped_paths:
+            return True  # committed history being vacuumed
+        try:  # never referenced: lost attempt OR in-flight — need grace
+            return os.path.getmtime(absf) < cutoff
+        except OSError:
+            return False
 
     removed = 0
     data_root = lake.log.data_dir()
@@ -144,7 +199,7 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                     continue
                 absf = os.path.join(dirpath, fn)
                 rel = os.path.relpath(absf, lake.path)
-                if rel not in keep_paths:
+                if reclaimable(rel, absf):
                     os.unlink(absf)
                     removed += 1
                     # Hadoop local-FS checksum sidecar of the deleted file
@@ -152,7 +207,8 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
                     if os.path.exists(crc):
                         os.unlink(crc)
     # segment manifests referenced by any retained commit survive;
-    # everything else in the segments dir belonged to dropped versions.
+    # referenced-by-dropped-only go now; never-referenced wait out the
+    # grace window (same in-flight ambiguity as data files).
     # ORDER MATTERS: dropped commit JSONs must go FIRST — a crash after
     # deleting a segment but before its referencing commit would leave a
     # commit that every timeline read (has_batch included) fails to
@@ -161,15 +217,23 @@ def vacuum(lake: LakeTable, keep_last: int = 1) -> dict:
     keep_segments = set()
     for v in retained:
         keep_segments.update((lake.log.read(v).segments or {}).values())
+    dropped_segments = set()
+    for v in dropped:
+        dropped_segments.update((lake.log.read(v).segments or {}).values())
+    dropped_segments -= keep_segments
     for v in dropped:
         os.unlink(lake.log._commit_file(v))
     segments_removed = 0
     if os.path.isdir(lake.log.segments_path):
         for fn in os.listdir(lake.log.segments_path):
             rel = os.path.join(lake.log.SEGMENTS_DIR, fn)
-            if rel not in keep_segments:
-                os.unlink(os.path.join(lake.log.segments_path, fn))
-                segments_removed += 1
+            absf = os.path.join(lake.log.segments_path, fn)
+            if rel in keep_segments:
+                continue
+            if rel not in dropped_segments and os.path.getmtime(absf) >= cutoff:
+                continue
+            os.unlink(absf)
+            segments_removed += 1
     lake.log.invalidate()  # out-of-band timeline edit
     # prune dirs that no longer hold any data file: drop leftover markers
     # (_SUCCESS + .crc sidecars) first, then the dir itself

@@ -745,6 +745,103 @@ class TestCommitConcurrency:
             f for f in os.listdir(stale.commits_path) if f.endswith(".tmp")
         ]
 
+    def test_merge_conflict_retry_recomputes_against_winner(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Deterministic two-writer race: B publishes its merge in the
+        instant between A computing its commit and A publishing it. A
+        must lose the version, re-read the timeline, RECOMPUTE against
+        B's state, and land — both batches in the final snapshot."""
+        import os as _os
+
+        path = str(tmp_path / "t")
+        a = LakeTable(spark, path, buckets=2)
+        a.merge(mkbatch(spark, [("k0", 1, "upsert", "base")]), "b0")
+        b = LakeTable(spark, path, buckets=2)
+        real_link = _os.link
+        fired = {"done": False}
+
+        def racing_link(src, dst):
+            if not fired["done"]:
+                fired["done"] = True
+                b.merge(mkbatch(spark, [("kb", 5, "upsert", "vb")]), "bB")
+            return real_link(src, dst)
+
+        monkeypatch.setattr("os.link", racing_link)
+        a.merge(mkbatch(spark, [("ka", 5, "upsert", "va")]), "bA")
+        assert snap_dict(a) == {
+            "k0": (1, "base"), "kb": (5, "vb"), "ka": (5, "va"),
+        }
+        assert a.log.latest().version == 3
+
+    def test_concurrent_lake_merges_both_land(self, spark, tmp_path):
+        """Two writer threads, disjoint keys, interleaved merges: with
+        the bounded conflict retry every batch lands and the final state
+        is the same as any serial order."""
+        import threading
+
+        path = str(tmp_path / "t")
+        LakeTable(spark, path, buckets=2).merge(
+            mkbatch(spark, [("seed", 0, "upsert", "s")]), "seed"
+        )
+        errs = []
+        barrier = threading.Barrier(2)
+
+        def writer(tag):
+            try:
+                t = LakeTable(spark, path, buckets=2)
+                barrier.wait()
+                for i in range(3):
+                    t.merge(
+                        mkbatch(
+                            spark, [(f"{tag}{i}", i + 1, "upsert", tag)]
+                        ),
+                        f"{tag}-{i}",
+                    )
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(x,)) for x in ("a", "b")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        expect = {"seed": (0, "s")}
+        for tag in ("a", "b"):
+            for i in range(3):
+                expect[f"{tag}{i}"] = (i + 1, tag)
+        assert snap_dict(LakeTable(spark, path, buckets=2)) == expect
+
+    def test_vacuum_grace_spares_possible_inflight_files(
+        self, spark, tmp_path
+    ):
+        """A file referenced by NO commit may be a not-yet-published
+        writer's output: default vacuum must leave it until the grace
+        window passes, while still reclaiming dropped-commit history
+        immediately."""
+        import os as _os
+
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        old_files = {f.path for f in t.log.live_files()}
+        t.merge(mkbatch(spark, [("k1", 2, "upsert", "b")]), "b1")
+        absd, _rel = t.log.new_data_subdir()
+        inflight = _os.path.join(absd, "part-inflight.parquet")
+        with open(inflight, "wb") as fh:
+            fh.write(b"x")
+        stats = vacuum(t, keep_last=1)  # default grace
+        assert _os.path.exists(inflight)
+        # v1's superseded file was committed history: reclaimed now
+        assert stats["files_removed"] >= len(old_files)
+        vacuum(t, keep_last=1, grace_seconds=0.0)
+        assert not _os.path.exists(inflight)
+        assert snap_dict(t) == {"k1": (2, "b")}
+
     def test_concurrent_writers_with_retry_lose_nothing(self, tmp_path):
         """N threads x M commits through independent CommitLog instances,
         retrying on conflict: the final timeline must be dense and hold
