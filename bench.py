@@ -169,6 +169,110 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     return out
 
 
+# The most expensive registry queries (BENCH_r02 top-5 among data-scaled
+# candidates; streaming queries are fixture-bounded by design and excluded)
+SPOT10X_QUERIES = [
+    "q-doc-dedup-e2e",
+    "q-doc-dup-clusters",
+    "q-doc-minhash-full",
+    "q-emb-ann-ivf",
+    "q-emb-dedup-e2e",
+]
+
+
+def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """``factor``× the documents/embeddings fixtures, preserving WORKLOAD
+    SHAPE: each replica is transformed uniformly (alphabet rotation for
+    text, dimension rotation for vectors) so near-dup/cluster structure
+    is preserved WITHIN a replica but replicas don't near-dup each other
+    — dup pairs scale ~linearly with rows instead of quadratically.
+    Other tables are symlinked as-is."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = []
+    for i in range(factor):
+        rot = alpha[i:] + alpha[:i]
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                (F.translate("text", alpha, rot) if i else F.col("text")).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = []
+    for i in range(factor):
+        # cyclic dimension shift: within-replica cosine structure is
+        # exactly preserved; cross-replica pairs decorrelate
+        vec = (
+            F.concat(
+                F.slice("embedding", i + 1, 1 << 20), F.slice("embedding", 1, i)
+            )
+            if i
+            else F.col("embedding")
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + i * 100_000_000).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f not in (
+            "documents.parquet",
+            "embeddings.parquet",
+        ):
+            os.symlink(os.path.join(sf_dir, f), os.path.join(out_dir, f))
+
+
+def bench_spot10x(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Scaling probe: time the most expensive registry queries at 1× and
+    ``factor``× fixture rows and report the wall-clock ratio — separates
+    fixture-bounded costs (ratio ≈ 1: state-store machinery, iteration
+    rounds, fit overhead) from data-scaled ones (ratio → factor for
+    linear plans; anything superlinear is a scale red flag)."""
+    from hudi_spark_plus_spark.registry import all_queries
+
+    qs = all_queries()
+    scaled = tempfile.mkdtemp(prefix="hsp_spot10x_")
+    out: dict = {}
+    try:
+        _replicate_fixtures(spark, sf_dir, scaled, factor)
+        for name in SPOT10X_QUERIES:
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, sf_dir))
+            t1 = time.perf_counter() - t0
+            _clear_session_state(spark)
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, scaled))
+            tn = time.perf_counter() - t0
+            _clear_session_state(spark)
+            out[name] = {
+                "t1_s": round(t1, 3),
+                "tNx_s": round(tn, 3),
+                "ratio": round(tn / max(t1, 1e-9), 2),
+            }
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hudi_spark_plus_spark.session import get_spark
@@ -181,6 +285,11 @@ def main() -> None:
         cdc = bench_cdc(spark, sf_dir)
         _clear_session_state(spark)
         queries = bench_queries(spark, sf_dir)
+        spot = (
+            bench_spot10x(spark, sf_dir)
+            if os.environ.get("SPARK_GRAFT_SPOT10X", "1") != "0"
+            else {}
+        )
         sf_name = os.path.basename(sf_dir.rstrip("/"))
         try:
             sf = float(sf_name.replace("sf", ""))
@@ -192,6 +301,7 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": sf,
+            **({"spot10x": spot} if spot else {}),
             **cdc,
         }
         print(json.dumps(result))

@@ -141,7 +141,9 @@ def q_stream_stateful_dedup(spark, sf_dir):
 def q_stream_stateful_agg(spark, sf_dir):
     """Cross-batch running per-user totals (update mode): one row per
     (user, batch-with-rows) carrying lifetime-running count and sum as
-    of that batch."""
+    of that batch. The sum is the operator's fixed-point accumulator
+    (micros, exact BIGINT) — integers end-to-end, so the oracle compare
+    has no float rounding-mode surface at all."""
     work = tempfile.mkdtemp(prefix="hsp_ssa_")
     try:
         src_dir = _spool_two_batches(spark, sf_dir, work)
@@ -156,7 +158,7 @@ def q_stream_stateful_agg(spark, sf_dir):
             "user_id",
             "batch_rows",
             "total_rows",
-            F.round("total_sum", 4).alias("total_sum"),
+            F.col("total_sum_scaled").alias("total_sum_micros"),
         ).orderBy("user_id", "total_rows")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -280,23 +282,27 @@ STREAM_ORACLES = {
     """,
     # per (user, batch) row with cumulative totals in batch order;
     # total_rows is strictly increasing per user so it doubles as the
-    # deterministic secondary sort key
+    # deterministic secondary sort key. The sum mirrors the engine's
+    # fixed-point accumulator exactly: round_even (banker's, = numpy
+    # .round on the same IEEE double product) to micros per row, then
+    # exact integer summation — no HUGEINT/double leak possible.
     "q-stream-stateful-agg": f"""
         WITH e AS (
-          SELECT user_id, event_id % 2 AS batch, value
+          SELECT user_id, event_id % 2 AS batch,
+                 CAST(round_even(value * 1000000, 0) AS BIGINT) AS micros
           FROM events WHERE event_id < {EVENT_BOUND}
         ), g AS (
           SELECT user_id, batch, COUNT(*) AS batch_rows,
-                 SUM(value) AS batch_sum
+                 SUM(micros) AS batch_sum
           FROM e GROUP BY user_id, batch
         )
         SELECT user_id, batch_rows,
                CAST(SUM(batch_rows) OVER (
                  PARTITION BY user_id ORDER BY batch
                ) AS BIGINT) AS total_rows,
-               ROUND(SUM(batch_sum) OVER (
+               CAST(SUM(batch_sum) OVER (
                  PARTITION BY user_id ORDER BY batch
-               ), 4) AS total_sum
+               ) AS BIGINT) AS total_sum_micros
         FROM g ORDER BY user_id, total_rows
     """,
 }

@@ -83,23 +83,39 @@ def stateful_dedup_stream(
 
 
 def stateful_running_agg_stream(
-    df: DataFrame, key_col: str, val_col: str
+    df: DataFrame, key_col: str, val_col: str, scale: int = 6
 ) -> DataFrame:
     """Per-key running aggregate: each batch where a key has rows emits
-    one update row ``(key, batch_rows, total_rows, total_sum)`` with the
-    lifetime-running totals. State is two scalars per key."""
+    one update row ``(key, batch_rows, total_rows, total_sum,
+    total_sum_scaled)`` with the lifetime-running totals. State is two
+    scalars per key.
+
+    The sum is accumulated in FIXED POINT: each value is rounded
+    (half-to-even, matching IEEE/numpy) to ``scale`` decimals and summed
+    as a 64-bit integer (``total_sum_scaled = sum * 10**scale``);
+    ``total_sum`` is the derived double. A floating accumulator's result
+    depends on summation order — across micro-batch boundaries, state
+    restarts, and shuffle nondeterminism that drifts by ULPs and makes
+    running totals irreproducible. Integer accumulation is associative
+    and exact (headroom: ~9.2e18 / 10^6 ≈ 9.2e12 in value units at the
+    default scale), so a restarted or re-sharded stream reproduces
+    byte-identical totals. Cost: values are quantized to ``scale``
+    decimals at ingest — raise ``scale`` if the domain needs more.
+    """
+    factor = 10**scale
     out_schema = StructType(
         [
             df.schema[key_col],
             StructField("batch_rows", LongType()),
             StructField("total_rows", LongType()),
             StructField("total_sum", DoubleType()),
+            StructField("total_sum_scaled", LongType()),
         ]
     )
     state_schema = StructType(
         [
             StructField("total_rows", LongType()),
-            StructField("total_sum", DoubleType()),
+            StructField("total_sum_scaled", LongType()),
         ]
     )
 
@@ -109,14 +125,22 @@ def stateful_running_agg_stream(
         if rows == 0:
             return
             yield  # pragma: no cover
-        s = float(batch[val_col].sum())
-        tot_rows, tot_sum = state.get if state.exists else (0, 0.0)
+        # per-row half-even rounding on the double product, then exact
+        # int64 summation — order-independent by construction
+        s = int((batch[val_col] * factor).round().astype("int64").sum())
+        tot_rows, tot_scaled = state.get if state.exists else (0, 0)
         tot_rows += rows
-        tot_sum += s
-        state.update((tot_rows, tot_sum))
+        tot_scaled += s
+        state.update((tot_rows, tot_scaled))
         yield pd.DataFrame(
-            [[key[0], rows, tot_rows, tot_sum]],
-            columns=[key_col, "batch_rows", "total_rows", "total_sum"],
+            [[key[0], rows, tot_rows, tot_scaled / factor, tot_scaled]],
+            columns=[
+                key_col,
+                "batch_rows",
+                "total_rows",
+                "total_sum",
+                "total_sum_scaled",
+            ],
         )
 
     return df.groupBy(key_col).applyInPandasWithState(

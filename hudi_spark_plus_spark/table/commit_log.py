@@ -138,6 +138,10 @@ class CommitLog:
         # PARSED entry list; a commit reading N-1 segments for reuse
         # comparison hits this cache, not the filesystem.
         self._segments: dict[str, list[FileEntry]] = {}
+        # Commit JSON parsed WITHOUT segment resolution (files empty for
+        # v2) — incremental planning diffs segment paths and must not pay
+        # the full-table resolve that read() does.
+        self._metas: dict[int, Commit] = {}
 
     def invalidate(self) -> None:
         """Drop caches after out-of-band timeline edits (vacuum)."""
@@ -145,6 +149,7 @@ class CommitLog:
         self._commits = {}
         self._batch_ids = None
         self._segments = {}
+        self._metas = {}
 
     # -- timeline reads ----------------------------------------------------
 
@@ -216,17 +221,72 @@ class CommitLog:
         c = self.read(version) if version is not None else self.latest()
         return c.files if c else []
 
+    def _read_meta(self, version: int) -> Commit:
+        """Commit JSON without segment resolution — O(1) in table size
+        for v2 commits (the resolved read() is O(files))."""
+        c = self._commits.get(version)
+        if c is not None:
+            return c
+        m = self._metas.get(version)
+        if m is None:
+            with open(self._commit_file(version)) as fh:
+                m = Commit.from_json(fh.read())
+            self._metas[version] = m
+        return m
+
     def changed_files(self, begin: int, end: int | None = None) -> list[FileEntry]:
-        """Files added in versions (begin, end] — incremental read (H7)."""
+        """Files added in versions (begin, end] — incremental read (H7).
+
+        v2 commits are diffed by SEGMENT PATH: segments are immutable,
+        so an identical path between consecutive versions means an
+        identical bucket file list, and only buckets whose segment path
+        changed are resolved (adding a file to a bucket always rewrites
+        that bucket's segment, so every first appearance is seen).
+        Planning cost is O(changed buckets × files-per-bucket), not
+        O(versions × table files). A v1 inline commit in the range falls
+        back to a full file-list diff for that one step.
+        """
         vs = [v for v in self.versions() if v > begin and (end is None or v <= end)]
-        before = {
-            f.path for f in (self.live_files(begin) if begin in self.versions() else [])
-        }
+        if not vs:
+            return []
+        begin_meta = self._read_meta(begin) if begin in self.versions() else None
+        # `before` (files live at `begin`) is folded in lazily, one
+        # bucket at a time — only buckets that actually changed pay it
+        before: set[str] = set()
+        folded: set[str] | None = set()
+        if begin_meta is not None and begin_meta.segments is None:
+            before = {f.path for f in self.read(begin).files}
+            folded = None  # v1 begin: fully materialized up front
+
+        def fold_before(bucket: str) -> None:
+            if folded is None or bucket in folded:
+                return
+            folded.add(bucket)
+            if begin_meta is None:
+                return
+            rel = (begin_meta.segments or {}).get(bucket)
+            if rel is not None:
+                before.update(f.path for f in self._read_segment(rel))
+
         seen: dict[str, FileEntry] = {}
         for v in vs:
-            for f in self.read(v).files:
-                if f.path not in before and f.path not in seen:
-                    seen[f.path] = f
+            cur = self._read_meta(v)
+            prev = self._read_meta(v - 1) if v - 1 >= 1 else None
+            if cur.segments is not None and (prev is None or prev.segments is not None):
+                prev_seg = prev.segments if prev else {}
+                for b in sorted(cur.segments, key=int):
+                    rel = cur.segments[b]
+                    if prev_seg.get(b) == rel:
+                        continue  # immutable path unchanged ⇒ bucket unchanged
+                    fold_before(b)
+                    for f in self._read_segment(rel):
+                        if f.path not in before and f.path not in seen:
+                            seen[f.path] = f
+            else:  # v1 inline commit in range: full diff for this step
+                for f in self.read(v).files:
+                    fold_before(str(f.bucket))
+                    if f.path not in before and f.path not in seen:
+                        seen[f.path] = f
         return list(seen.values())
 
     # -- commit write ------------------------------------------------------

@@ -44,6 +44,58 @@ class TestCommitLog:
         added = {f.path for f in log.changed_files(1)}
         assert added == {"b.parquet", "c.parquet"}
 
+    def test_changed_files_resolves_only_touched_buckets(self, tmp_path):
+        """Incremental planning diffs immutable segment PATHS: buckets
+        whose segment path is unchanged between versions are never
+        resolved, so planning cost is O(changed buckets), not O(table)."""
+        log = CommitLog(str(tmp_path / "t"))
+        wide = [FileEntry(f"base{b}.parquet", b, 1) for b in range(64)]
+        log.commit("insert", wide)
+        log.commit("merge", wide + [FileEntry("new3.parquet", 3, 1)])
+        fresh = CommitLog(str(tmp_path / "t"))  # cold caches
+        added = {f.path for f in fresh.changed_files(1)}
+        assert added == {"new3.parquet"}
+        # only bucket 3's segments resolved: v2's changed one + the
+        # begin-version fold for the same bucket (shared path ⇒ 1 read)
+        assert len(fresh._segments) <= 2
+        # and no commit got a full files resolution
+        assert all(not c.files for c in fresh._metas.values() if c.segments)
+
+    def test_changed_files_v1_inline_compat(self, tmp_path):
+        """A v1 inline-files commit in the range falls back to full diff
+        and still yields correct first-appearance results."""
+        import json
+        import os
+
+        log = CommitLog(str(tmp_path / "t"))
+        log.commit("insert", [FileEntry("a.parquet", 0, 1)])
+        # hand-write a v1 (inline files, no segments) manifest as v2
+        os.makedirs(log.commits_path, exist_ok=True)
+        v1_json = {
+            "version": 2,
+            "batch_id": None,
+            "operation": "merge",
+            "files": [
+                {"path": "a.parquet", "bucket": 0, "rows": 1},
+                {"path": "b.parquet", "bucket": 1, "rows": 1},
+            ],
+            "ts_millis": 0,
+            "buckets": None,
+        }
+        with open(log._commit_file(2), "w") as fh:
+            json.dump(v1_json, fh)
+        log.invalidate()
+        log.commit(
+            "merge",
+            [
+                FileEntry("a.parquet", 0, 1),
+                FileEntry("b.parquet", 1, 1),
+                FileEntry("c.parquet", 2, 1),
+            ],
+        )
+        assert {f.path for f in log.changed_files(1)} == {"b.parquet", "c.parquet"}
+        assert {f.path for f in log.changed_files(2)} == {"c.parquet"}
+
 
 class TestMerge:
     def test_insert_then_update_lww(self, spark, table):

@@ -293,6 +293,69 @@ def test_stateful_dedup_suppresses_across_batches(spark, tmp_path):
     assert got == {"A": 2, "B": 3, "C": 5}
 
 
+def test_stateful_agg_fixed_point_boundary(spark, tmp_path):
+    """Adversarial near-boundary values: products value*1e6 landing on
+    (or within ULPs of) .5 rounding boundaries must yield the identical
+    integer micros from the engine's fixed-point accumulator, a direct
+    numpy half-even computation, and the DuckDB round_even oracle
+    expression — and the total must be independent of batch split."""
+    import json as _json
+    import time as _time
+
+    import duckdb
+    import numpy as np
+
+    from hudi_spark_plus_spark.streaming.stateful import (
+        stateful_running_agg_stream,
+    )
+
+    vals = [
+        0.0000005, 0.0000015, 1.0000025, -0.0000005, -1.0000035,
+        2.0000045, 0.1, 0.3, 1e6 + 0.0000005, 123.4567895,
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, chunk in enumerate((vals[:4], vals[4:])):  # two micro-batches
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(_json.dumps({"k": "x", "v": v}) for v in chunk))
+        os.utime(p, (now - 60 + i * 30,) * 2)
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stateful_running_agg_stream(stream, "k", "v")
+        .writeStream.format("memory")
+        .queryName("ssa_fp_unit")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.table("ssa_fp_unit").collect(), key=lambda r: r["total_rows"]
+    )
+    spark.catalog.dropTempView("ssa_fp_unit")
+    expected = int(np.round(np.array(vals) * 1_000_000).astype(np.int64).sum())
+    oracle = duckdb.connect().execute(
+        "SELECT SUM(CAST(round_even(v * 1000000, 0) AS BIGINT)) "
+        "FROM (SELECT unnest(?) AS v)",
+        [vals],
+    ).fetchone()[0]
+    assert rows[-1]["total_sum_scaled"] == expected == oracle
+    assert rows[-1]["total_rows"] == len(vals)
+    # batch split independence: batch totals sum to the same figure
+    per_batch = [
+        r["total_sum_scaled"] - (rows[i - 1]["total_sum_scaled"] if i else 0)
+        for i, r in enumerate(rows)
+    ]
+    assert sum(per_batch) == expected
+
+
 def test_epoch_us_handles_all_three_ts_layouts(spark):
     """loaders.epoch_us / event_time must agree across the layouts the
     testdata generator has shipped: epoch-nanos BIGINT, TIMESTAMP_NTZ,
