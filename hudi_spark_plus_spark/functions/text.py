@@ -123,3 +123,30 @@ def fingerprint(text: Column) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " ")
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): char classes, bounded repetition, \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/phone numbers with typed placeholder tokens —
+    map-side regexp_replace chain, zero shuffle. Emails first so a
+    phone-shaped digit run inside a local-part can't be clipped out of
+    an address before the email pattern sees it."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )

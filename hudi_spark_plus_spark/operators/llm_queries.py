@@ -30,13 +30,24 @@ from hudi_spark_plus_spark.functions.similarity import (
     ivf_topk,
     lsh_ann_topk,
     lsh_neardup_pairs,
+    quantize_embeddings,
+)
+from hudi_spark_plus_spark.functions.ngrams import (
+    corpus_vocab,
+    distinctive_terms,
+    dup_ngram_fraction,
+    ngram_decontaminate,
+    repetition_signals,
 )
 from hudi_spark_plus_spark.functions.text import (
     bpe_token_count,
     char_count,
     fingerprint,
     lang_id_expr,
+    pii_email_count,
+    pii_phone_count,
     quality_score_expr,
+    redact_pii,
     token_count,
 )
 from hudi_spark_plus_spark.sources.loaders import load_table
@@ -382,6 +393,95 @@ def q_emb_dedup_e2e(spark, sf_dir):
     )
 
 
+DECONTAM_NGRAM = 5
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 plays the benchmark/eval slice
+DUPFRAC_NGRAM = 3
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag training docs sharing any word
+    5-gram with the eval slice (doc_id % 97 == 0). The corpus side is a
+    broadcast semi-join against the (small) eval gram set — no corpus
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.where(F.col("doc_id") % EVAL_MOD == 0)
+    return ngram_decontaminate(
+        train, ev, "doc_id", "text", DECONTAM_NGRAM
+    ).orderBy("doc_id")
+
+
+def q_doc_dupfrac(spark, sf_dir):
+    """Cross-document repetition: per doc, the fraction of its distinct
+    3-grams occurring in >= 2 docs corpus-wide (boilerplate signal)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dup_ngram_fraction(d, "doc_id", "text", DUPFRAC_NGRAM).orderBy(
+        "doc_id"
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-doc Gopher repetition signals: duplicate-word fraction and
+    the char fraction covered by the most frequent word 2-gram."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text").orderBy("doc_id")
+
+
+def q_doc_pii(spark, sf_dir):
+    """PII redaction, hash-checked: the fixtures contain no PII, so a
+    deterministic email + phone is planted per row (same construction in
+    the oracle) — redaction provably fires on every document and the
+    redacted-text hash pins the replacement semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return d.select("doc_id", planted.alias("_t")).select(
+        "doc_id",
+        pii_email_count(F.col("_t")).cast("long").alias("n_emails"),
+        pii_phone_count(F.col("_t")).cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("_t"))).alias("red_hash"),
+    ).orderBy("doc_id")
+
+
+def q_doc_vocab(spark, sf_dir):
+    """Corpus vocabulary induction (tokenizer-training step): term +
+    corpus frequency + document frequency, one hash-agg over exploded
+    tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_vocab(d, "doc_id", "text").orderBy("word")
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Per-doc top-3 distinctive terms, ranked by a float-free tf-idf
+    order (tf DESC, df ASC, term ASC) — monotone in tf·idf for any
+    decreasing idf without transcendental parity risk."""
+    d = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(d, "doc_id", "text", top_k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization, hash-checked: per-vector
+    scale plus the md5 of the quantized byte sequence."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding")
+    return q.select(
+        "vec_id",
+        "q_scale",
+        F.size("qvec").cast("long").alias("n_dims"),
+        F.md5(
+            F.array_join(F.expr("transform(qvec, x -> cast(x as string))"), ",")
+        ).alias("qhash"),
+    ).orderBy("vec_id")
+
+
 def q_media_features(spark, sf_dir):
     """Hash-checked end-to-end media decode: derive one media row per
     document (real PNG/JPEG/GIF container bytes encoded map-side), parse
@@ -411,6 +511,13 @@ LLM_QUERIES = {
     "q-doc-pack": q_doc_pack,
     "q-doc-sample": q_doc_sample,
     "q-doc-chunks": q_doc_chunks,
+    "q-doc-decontaminate": q_doc_decontaminate,
+    "q-doc-dupfrac": q_doc_dupfrac,
+    "q-doc-repetition": q_doc_repetition,
+    "q-doc-pii": q_doc_pii,
+    "q-doc-vocab": q_doc_vocab,
+    "q-doc-tfidf": q_doc_tfidf,
+    "q-emb-quantize": q_emb_quantize,
     "q-emb-cosine-topk": q_emb_cosine_topk,
     "q-emb-neardup-exact": q_emb_neardup_exact,
     "q-emb-neardup-lsh": q_emb_neardup_lsh,
@@ -621,6 +728,172 @@ LLM_ORACLES = {
              UNNEST(generate_series(1, greatest(length(text), 1), 160))
              AS t(s)
         ORDER BY doc_id, chunk_id
+    """,
+    # word 5-grams (distinct per doc, same <n fallback as word_shingles);
+    # eval slice = doc_id % EVAL_MOD == 0; grams distinct per doc so the
+    # join-then-count equals the engine's count over semi-joined grams
+    "q-doc-decontaminate": rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) < {DECONTAM_NGRAM}
+                 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+{DECONTAM_NGRAM - 1}], ' ')
+                       for i in range(1, len(t) - {DECONTAM_NGRAM - 2})]
+            END)) AS gram
+          FROM toks
+        ), ev AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0
+        ), hits AS (
+          SELECT g.doc_id, COUNT(*) AS n_hit_grams
+          FROM g JOIN ev USING (gram)
+          WHERE g.doc_id % {EVAL_MOD} <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+               COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {EVAL_MOD} <> 0
+        ORDER BY doc_id
+    """,
+    # distinct 3-grams per doc; document frequency = COUNT(*) per gram
+    "q-doc-dupfrac": rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) < {DUPFRAC_NGRAM}
+                 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+{DUPFRAC_NGRAM - 1}], ' ')
+                       for i in range(1, len(t) - {DUPFRAC_NGRAM - 2})]
+            END)) AS gram
+          FROM toks
+        ), freq AS (
+          SELECT gram, COUNT(*) AS c FROM g GROUP BY gram
+        ), per AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 COUNT(*) FILTER (WHERE freq.c >= 2) AS n_dup_grams
+          FROM g JOIN freq USING (gram) GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_dup_grams,
+               ROUND(n_dup_grams / CAST(n_grams AS DOUBLE), 4) AS dup_frac
+        FROM per ORDER BY doc_id
+    """,
+    # ALL (non-distinct) 2-grams for occurrence counts; ties on the top
+    # gram break lexicographically, exactly as the engine window does
+    "q-doc-repetition": r"""
+        WITH toks AS (
+          SELECT doc_id, length(text) AS chars,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), base AS (
+          SELECT doc_id, chars,
+                 ROUND(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE),
+                       4) AS dup_word_frac,
+                 CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE [array_to_string(t[i:i+1], ' ')
+                            for i in range(1, len(t))]
+                 END AS g2
+          FROM toks
+        ), cnt AS (
+          SELECT doc_id, gram, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+          GROUP BY doc_id, gram
+        ), top AS (
+          SELECT doc_id, gram, c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, gram) AS rn
+          FROM cnt
+        )
+        SELECT b.doc_id, b.dup_word_frac,
+               COALESCE(t2.gram, '') AS top_2gram,
+               COALESCE(t2.c, 0) AS top_2gram_cnt,
+               COALESCE(ROUND(t2.c * length(t2.gram)
+                              / CAST(b.chars AS DOUBLE), 4), 0.0)
+               AS top_2gram_char_frac
+        FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t2
+          USING (doc_id)
+        ORDER BY doc_id
+    """,
+    # identical planted construction + RE2/Java-portable patterns as
+    # functions/text.py PII_EMAIL_RE / PII_PHONE_RE
+    "q-doc-pii": r"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com or 555-123-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' now' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+               len(regexp_extract_all(t,
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+               md5(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+               AS red_hash
+        FROM p ORDER BY doc_id
+    """,
+    "q-doc-vocab": r"""
+        SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_cnt
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word ORDER BY word
+    """,
+    # float-free tf-idf ranking: tf DESC, corpus df ASC, term ASC
+    "q-doc-tfidf": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS word
+          FROM documents
+        ), wt AS (SELECT * FROM w WHERE word <> ''),
+        tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM wt GROUP BY doc_id, word
+        ), dfreq AS (
+          SELECT word, COUNT(DISTINCT doc_id) AS df_cnt FROM wt GROUP BY word
+        ), ranked AS (
+          SELECT tf.doc_id, tf.word, tf.tf, dfreq.df_cnt,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df_cnt ASC, tf.word ASC)
+                 AS rank
+          FROM tf JOIN dfreq USING (word)
+        )
+        SELECT doc_id, rank, word, tf, df_cnt
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    # scale = max |v_i| with no further arithmetic (bit-exact both
+    # sides); round() is half-away-from-zero in DuckDB and HALF_UP in
+    # Spark — identical for every sign
+    "q-emb-quantize": """
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS q_scale
+          FROM c
+        )
+        SELECT vec_id, q_scale, len(v) AS n_dims,
+               md5(array_to_string(
+                 CASE WHEN q_scale = 0
+                      THEN list_transform(v, x -> 0)
+                 ELSE list_transform(v,
+                        x -> CAST(round(127.0 * x / q_scale) AS INTEGER))
+                 END, ',')) AS qhash
+        FROM s ORDER BY vec_id
     """,
     "q-emb-cosine-topk": """
         WITH c AS (

@@ -402,3 +402,101 @@ def test_stratified_sample_rates_and_stability(spark):
     with pytest.raises(ValueError):
         from hudi_spark_plus_spark.functions.sampling import hash_fraction_keep
         df.where(hash_fraction_keep(F.col("doc_id"), 1.5)).collect()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that shares a 5-gram with an eval doc is flagged;
+    one sharing only shorter runs is not; counts are per distinct gram."""
+    from hudi_spark_plus_spark.functions.ngrams import ngram_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains eval 5-grams "alpha..epsilon" and "beta..zeta"
+            (1, "x alpha beta gamma delta epsilon zeta y"),
+            # only a 4-word overlap -> no shared 5-gram
+            (2, "alpha beta gamma delta other words here"),
+            (3, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in ngram_decontaminate(train, ev, "doc_id", "text", 5).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_pii_redaction_semantics(spark):
+    """Emails are replaced before phones (a digit-run inside an address
+    never leaks), multiple hits all redact, and clean text is unchanged."""
+    from hudi_spark_plus_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@ex-ample.co.uk and 555-123-4567 twice 999.888.7777"),
+            (2, "digits 555-123-4567@host.com inside an address"),
+            (3, "no pii here just words 12345"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: (r["e"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            pii_email_count(F.col("t")).alias("e"),
+            pii_phone_count(F.col("t")).alias("p"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert rows[1] == (
+        1, 2, "mail <EMAIL> and <PHONE> twice <PHONE>",
+    )
+    # counts are independent raw pattern hits (the phone-shaped local
+    # part counts), but REDACTION is email-first so the address never
+    # gets clipped mid-string
+    assert rows[2] == (1, 1, "digits <EMAIL> inside an address")
+    assert rows[3] == (0, 0, "no pii here just words 12345")
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed repetition stats on a crafted doc: 8 words, 4
+    distinct -> dup_word_frac 0.5; top 2-gram 'a b' occurs 3 times."""
+    from hudi_spark_plus_spark.functions.ngrams import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d")], "doc_id long, t string"
+    )
+    r = repetition_signals(df, "doc_id", "t").collect()[0]
+    assert r["dup_word_frac"] == 0.5
+    assert r["top_2gram"] == "a b" and r["top_2gram_cnt"] == 3
+    # 3 occurrences x 3 chars / 15 chars = 0.6
+    assert r["top_2gram_char_frac"] == 0.6
+
+
+def test_quantize_embeddings_known_values(spark):
+    """Hand-checked int8 quantization: scale = max|v|, q = round(127
+    v/scale) half-away-from-zero; zero vectors -> zeros with scale 0."""
+    from hudi_spark_plus_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [2.0, -4.0, 1.0]),
+            (2, [0.0, 0.0]),
+            (3, [-0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: (r["q_scale"], r["qvec"])
+        for r in quantize_embeddings(df).collect()
+    }
+    assert rows[1] == (4.0, [64, -127, 32])  # 63.5 rounds away to 64
+    assert rows[2] == (0.0, [0, 0])
+    assert rows[3] == (0.5, [-127])
