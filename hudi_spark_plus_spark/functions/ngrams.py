@@ -113,31 +113,40 @@ def repetition_signals(
 
     Returns one row per input document.
     """
-    toks = f"split(trim({text_col}), '\\\\s+')"
+    # tokenize ONCE into a column; 2-grams via zip_with over two shifted
+    # slices (no per-index lambda re-slicing — measurably faster than a
+    # transform(sequence...) formulation)
     base = df.select(
         F.col(id_col),
         F.length(text_col).alias("_chars"),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_t"),
+    )
+    stats = base.select(
+        id_col,
+        "_chars",
         F.round(
             1
-            - F.expr(f"size(array_distinct({toks}))")
-            / F.expr(f"size({toks})").cast("double"),
+            - F.expr("size(array_distinct(_t))")
+            / F.expr("size(_t)").cast("double"),
             4,
         ).alias("dup_word_frac"),
-        # ALL 2-grams (not distinct — we need occurrence counts)
-        F.expr(
-            f"""
-            CASE WHEN size({toks}) < 2 THEN array()
-            ELSE transform(sequence(1, size({toks}) - 1),
-                           i -> array_join(slice({toks}, i, 2), ' '))
-            END
-            """
-        ).alias("_g2"),
     )
-    counts = (
-        base.select(id_col, "_chars", "dup_word_frac", F.explode("_g2").alias("gram"))
-        .groupBy(id_col, "_chars", "dup_word_frac", "gram")
-        .agg(F.count("*").alias("cnt"))
+    # the exploded branch carries ONLY (id, gram) — narrow shuffle rows
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(_t) < 2 THEN array()
+                ELSE zip_with(slice(_t, 1, size(_t) - 1),
+                              slice(_t, 2, size(_t) - 1),
+                              (a, b) -> concat(a, ' ', b))
+                END
+                """
+            )
+        ).alias("gram"),
     )
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
@@ -148,26 +157,22 @@ def repetition_signals(
             id_col,
             F.col("gram").alias("top_2gram"),
             F.col("cnt").alias("top_2gram_cnt"),
-            F.round(
-                F.col("cnt")
-                * F.length("gram")
-                / F.col("_chars").cast("double"),
-                4,
-            ).alias("top_2gram_char_frac"),
         )
     )
-    return (
-        base.select(id_col, "dup_word_frac")
-        .join(top, id_col, "left")
-        .select(
-            id_col,
-            "dup_word_frac",
-            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
-            F.coalesce("top_2gram_cnt", F.lit(0)).alias("top_2gram_cnt"),
-            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias(
-                "top_2gram_char_frac"
+    return stats.join(top, id_col, "left").select(
+        id_col,
+        "dup_word_frac",
+        F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+        F.coalesce("top_2gram_cnt", F.lit(0)).alias("top_2gram_cnt"),
+        F.coalesce(
+            F.round(
+                F.col("top_2gram_cnt")
+                * F.length("top_2gram")
+                / F.col("_chars").cast("double"),
+                4,
             ),
-        )
+            F.lit(0.0),
+        ).alias("top_2gram_char_frac"),
     )
 
 

@@ -175,7 +175,49 @@ def q_lake_mor(spark, sf_dir):
     return _roundtrip(spark, sf_dir, "mor")
 
 
+def q_lake_evolve(spark, sf_dir):
+    """Column-mapping schema evolution end-to-end (beyond the
+    reference's Hudi-delegated additive-only evolution): build the
+    two-batch table, RENAME acctbal -> balance (metadata-only — no file
+    rewrite), DROP c_name, then merge a third batch addressed by the new
+    name that also RE-ADDS a column named c_name. The re-added column
+    gets a fresh physical name, so rows untouched by batch 3 must show
+    c_name NULL — any resurrection of the dropped bytes diverges the
+    hash."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeev_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "cow")
+        lake.rename_column("acctbal", "balance")
+        lake.drop_column("c_name")
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch3 = c.where(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(3).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 5000.0, 4).alias("balance"),
+            F.upper("c_name").alias("c_name"),
+        )
+        lake.merge(batch3, "b3")
+        snap = (
+            lake.snapshot()
+            .select(
+                "c_custkey",
+                F.round("balance", 4).alias("balance"),
+                "c_name",
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-evolve": q_lake_evolve,
     "q-lake-roundtrip": q_lake_roundtrip,
     "q-lake-mor": q_lake_mor,
     "q-lake-point-lookup": q_lake_point_lookup,
@@ -207,6 +249,25 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # final state after rename+drop+batch3: %5 rows carry +5000 balance
+    # and the re-added UPPER(c_name); batch-2 deletes (%7) stay gone
+    # unless revived by batch 3 (ts 3 > tombstone ts 2); everyone else
+    # keeps their pre-evolution balance under the new name with NULL
+    # c_name (the drop)
+    "q-lake-evolve": f"""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN ROUND(c_acctbal + 5000.0, 4)
+                    WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS balance,
+               CASE WHEN c_custkey % 5 = 0 THEN upper(c_name)
+                    ELSE NULL END AS c_name
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+          AND (c_custkey % 5 = 0 OR c_custkey % 7 <> 0)
+        ORDER BY c_custkey
+    """,
     "q-lake-roundtrip": _ROUNDTRIP_ORACLE,
     "q-lake-mor": _ROUNDTRIP_ORACLE,
     "q-lake-point-lookup": f"""

@@ -50,7 +50,7 @@ from hudi_spark_plus_spark.functions.text import (
     redact_pii,
     token_count,
 )
-from hudi_spark_plus_spark.sources.loaders import load_table
+from hudi_spark_plus_spark.sources.loaders import load_table, spread
 
 NEARDUP_SUBSET = 150  # doc_id bound for the exact all-pairs oracle query
 NEARDUP_THRESHOLD = 0.30
@@ -120,7 +120,7 @@ def q_doc_minhash_lsh(spark, sf_dir):
 def q_doc_minhash_full(spark, sf_dir):
     """Rows-only: FULL-corpus near-dup dedup via MinHash+LSH (the scale
     path — no subset bound; candidates verified at j >= 0.5)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         d, "doc_id", "text", k=64, bands=16, ngram=3, verify_threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -308,7 +308,7 @@ def q_doc_gopher(spark, sf_dir):
 
     from hudi_spark_plus_spark.functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = spread(load_table(spark, sf_dir, "documents")).withColumn(
         "_toks", tokens(F.col("text"))
     )
     n_words = F.size("_toks")
@@ -344,7 +344,7 @@ def q_doc_dedup_e2e(spark, sf_dir):
     closure, and keeper selection together. Jaccard values are exact
     rationals (integer shingle counts), so the threshold compare cannot
     diverge between engines."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = d.where((F.col("doc_id") % 10) == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
@@ -403,7 +403,7 @@ def q_doc_decontaminate(spark, sf_dir):
     5-gram with the eval slice (doc_id % 97 == 0). The corpus side is a
     broadcast semi-join against the (small) eval gram set — no corpus
     shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     train = d.where(F.col("doc_id") % EVAL_MOD != 0)
     ev = d.where(F.col("doc_id") % EVAL_MOD == 0)
     return ngram_decontaminate(
@@ -414,7 +414,7 @@ def q_doc_decontaminate(spark, sf_dir):
 def q_doc_dupfrac(spark, sf_dir):
     """Cross-document repetition: per doc, the fraction of its distinct
     3-grams occurring in >= 2 docs corpus-wide (boilerplate signal)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return dup_ngram_fraction(d, "doc_id", "text", DUPFRAC_NGRAM).orderBy(
         "doc_id"
     )
@@ -423,7 +423,7 @@ def q_doc_dupfrac(spark, sf_dir):
 def q_doc_repetition(spark, sf_dir):
     """Within-doc Gopher repetition signals: duplicate-word fraction and
     the char fraction covered by the most frequent word 2-gram."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return repetition_signals(d, "doc_id", "text").orderBy("doc_id")
 
 
@@ -432,7 +432,7 @@ def q_doc_pii(spark, sf_dir):
     deterministic email + phone is planted per row (same construction in
     the oracle) — redaction provably fires on every document and the
     redacted-text hash pins the replacement semantics."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -453,7 +453,7 @@ def q_doc_vocab(spark, sf_dir):
     """Corpus vocabulary induction (tokenizer-training step): term +
     corpus frequency + document frequency, one hash-agg over exploded
     tokens."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return corpus_vocab(d, "doc_id", "text").orderBy("word")
 
 
@@ -461,7 +461,7 @@ def q_doc_tfidf(spark, sf_dir):
     """Per-doc top-3 distinctive terms, ranked by a float-free tf-idf
     order (tf DESC, df ASC, term ASC) — monotone in tf·idf for any
     decreasing idf without transcendental parity risk."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return distinctive_terms(d, "doc_id", "text", top_k=3).orderBy(
         "doc_id", "rank"
     )

@@ -41,6 +41,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input UP to the session's default parallelism
+    before CPU-heavy per-row expansion (n-gram explode, signature
+    folds). Scan parallelism is bounded by input splits; the fixture
+    tables are ONE parquet file (one row group), so without this every
+    map stage of a heavy operator runs on a single core. Strictly
+    widen-only: a production corpus already in >= parallelism splits
+    passes through untouched (no shuffle) — this never coalesces or
+    reshuffles already-distributed data. The partition probe is lazy
+    metadata (input split count), not a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def epoch_us(df: DataFrame, col: str = "ts"):
     """Epoch-microseconds BIGINT column for a timestamp-ish source column,
     robust to the three layouts testdata has shipped with: epoch-nanos

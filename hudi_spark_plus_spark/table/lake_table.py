@@ -247,13 +247,35 @@ class LakeTable:
     def exists(self) -> bool:
         return self.log.latest() is not None
 
-    def schema(self) -> StructType | None:
+    def _stored_schema(self) -> StructType | None:
+        """Full committed schema, INCLUDING tombstoned (dropped) fields —
+        they keep claiming their physical column name so a re-added
+        column of the same logical name can never resurrect old bytes."""
         c = self.log.latest()
         if c is None or not c.schema_json:
             return None
         import json
 
         return StructType.fromJson(json.loads(c.schema_json))
+
+    def schema(self) -> StructType | None:
+        """ACTIVE logical schema — what readers and writers see. Column
+        mapping (rename/drop without rewriting data, H-extension beyond
+        the reference's Hudi-delegated additive evolution): each field
+        may carry ``metadata = {"physical": <name in parquet>}``; data
+        files always store PHYSICAL names fixed at column birth, so a
+        rename is a metadata-only commit and a drop merely stops
+        projecting the column (pruned scans never read its bytes)."""
+        full = self._stored_schema()
+        if full is None:
+            return None
+        return StructType(
+            [f for f in full.fields if not (f.metadata or {}).get("dropped")]
+        )
+
+    @staticmethod
+    def _physical_of(f: StructField) -> str:
+        return (f.metadata or {}).get("physical", f.name)
 
     @staticmethod
     def _resolve_latest(df: DataFrame) -> DataFrame:
@@ -288,6 +310,52 @@ class LakeTable:
         if not include_deleted and DELETED_COL in df.columns:
             df = df.where(~F.col(DELETED_COL))
         return df
+
+    def snapshot_as_of(
+        self, ts_millis: int, include_deleted: bool = False
+    ) -> DataFrame:
+        """Point-in-time read: the newest commit published at or before
+        the wall-clock instant (Hudi's ``as.of.instant`` analogue of the
+        version-based time travel). Commit metadata only — no file
+        resolution until the chosen version is read."""
+        best = None
+        for v in self.log.versions():
+            if self.log._read_meta(v).ts_millis <= ts_millis:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"table at {self.path} has no commit at or before "
+                f"ts_millis={ts_millis}"
+            )
+        return self.snapshot(version=best, include_deleted=include_deleted)
+
+    def rollback(self, version: int) -> None:
+        """Restore the table to an earlier version's state by publishing
+        a NEW commit that references that version's files — no data
+        rewrite (the Hudi savepoint/restore analogue). History stays
+        intact: time travel to the rolled-over versions keeps working
+        until vacuumed. Record-level ``incremental`` reflects original
+        commit versions, so restored rows do NOT reappear as changes —
+        a restore rewinds state, it does not re-author history."""
+
+        def attempt() -> None:
+            prev = self.log.latest()
+            if prev is None:
+                raise ValueError(f"lake table at {self.path} has no commits")
+            if version not in self.log.versions():
+                raise ValueError(
+                    f"version {version} not in timeline (vacuumed?)"
+                )
+            old = self.log.read(version)
+            self.log.commit(
+                "rollback",
+                old.files,
+                schema_json=old.schema_json,
+                buckets=old.buckets or self.buckets,
+                expected_version=prev.version + 1,
+            )
+
+        self._with_commit_retries(attempt)
 
     def incremental(self, begin: int, end: int | None = None) -> DataFrame:
         """Records CHANGED in versions (begin, end] (H7) — record-level,
@@ -367,14 +435,32 @@ class LakeTable:
         return df
 
     def _read_files(self, files: list[FileEntry]) -> DataFrame:
+        """Read data files into the LOGICAL schema: scan with physical
+        names (what the parquet actually stores — a logical name absent
+        from the files would silently read as all-null), then alias back
+        to logical. Dropped columns are simply not projected."""
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
         if not files:
-            sch = self.schema()
-            if sch is None:
-                raise ValueError(f"lake table at {self.path} has no commits")
             return self.spark.createDataFrame([], sch)
-        return self.spark.read.schema(self.schema()).parquet(
+        phys = StructType(
+            [
+                StructField(self._physical_of(f), f.dataType, True)
+                for f in sch.fields
+            ]
+        )
+        df = self.spark.read.schema(phys).parquet(
             *[self.log.abs_path(f.path) for f in files]
         )
+        if any(self._physical_of(f) != f.name for f in sch.fields):
+            df = df.select(
+                *[
+                    F.col(self._physical_of(f)).alias(f.name)
+                    for f in sch.fields
+                ]
+            )
+        return df
 
     # -- writes ------------------------------------------------------------
 
@@ -430,9 +516,11 @@ class LakeTable:
         if COMMIT_VER_COL not in df.columns:
             df = df.withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
         out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets))
+        schema_json = self._commit_schema_json(out, next_ver)
         absd, rel = self.log.new_data_subdir()
         (
-            out.repartition(parallelism, F.col(BUCKET_COL))
+            self._apply_physical(out, schema_json)
+            .repartition(parallelism, F.col(BUCKET_COL))
             .write.mode("append")
             .options(**_BLOOM_OPTS)
             .partitionBy(BUCKET_COL)
@@ -444,11 +532,7 @@ class LakeTable:
             operation,
             carry + new_files,
             batch_id=batch_id,
-            schema_json=(
-                self._evolved_schema_json(stored, widened, out)
-                if stored is not None
-                else self._payload_schema_json(out)
-            ),
+            schema_json=schema_json,
             buckets=self.buckets,
             expected_version=next_ver,
         )
@@ -542,17 +626,12 @@ class LakeTable:
         hit = forced + kept
         carry += skipped
 
-        snap_schema = self.schema()
-        if snap_schema is not None and hit:
-            snap = self.spark.read.schema(snap_schema).parquet(
-                *[self.log.abs_path(f.path) for f in hit]
-            )
+        if self.schema() is not None:
+            snap = self._read_files(hit)  # logical view (column mapping)
             if any(f.kind == "delta" for f in hit):
                 # COW over MOR deltas: collapse to latest-per-key before
                 # the merge join (deltas hold several versions per key)
                 snap = self._resolve_latest(snap)
-        elif snap_schema is not None:
-            snap = self.spark.createDataFrame([], snap_schema)
         else:
             snap = None
 
@@ -630,17 +709,18 @@ class LakeTable:
         merged = merged.withColumn(
             BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
         )
+        schema_json = self._commit_schema_json(merged, next_ver)
         absd, rel = self.log.new_data_subdir()
         n = parallelism or max(1, len(affected))
         (
-            merged.repartition(n, F.col(BUCKET_COL))
+            self._apply_physical(merged, schema_json)
+            .repartition(n, F.col(BUCKET_COL))
             .write.mode("append")
             .options(**_BLOOM_OPTS)
             .partitionBy(BUCKET_COL)
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel, spark=self.spark)
-        schema_json = self._payload_schema_json(merged)
         self.log.commit(
             "merge",
             carry + new_files,
@@ -679,23 +759,125 @@ class LakeTable:
                     widened[c] = target
         return b, widened
 
-    def _evolved_schema_json(
-        self, stored: StructType, widened: dict[str, str], df: DataFrame
-    ) -> str:
-        """Committed schema after a write: stored fields with widened
-        types replaced in place, new payload fields appended."""
+    def _commit_schema_json(self, df: DataFrame, next_ver: int) -> str:
+        """Committed schema after a write: active stored fields with
+        types widened to ``df``'s (the write paths have already cast both
+        sides to the read-compatible supertype, or raised), NEW payload
+        fields appended with a collision-free physical name, and
+        tombstoned fields carried so their physical names stay claimed.
+        A new logical name only reuses itself as physical when no field
+        (active or dropped) ever wrote that physical column — otherwise
+        old files' bytes would resurface under the re-added column."""
+        full = self._stored_schema()
+        if full is None:
+            return self._payload_schema_json(df)
+        d_types = dict(df.dtypes)
+        used_phys = {self._physical_of(f) for f in full.fields}
+        fields: list[StructField] = []
+        for f in full.fields:
+            if (f.metadata or {}).get("dropped"):
+                fields.append(f)
+                continue
+            t = d_types.get(f.name)
+            if t is not None and t != f.dataType.simpleString():
+                fields.append(
+                    StructField(
+                        f.name, _SPARK_TYPE_BY_NAME[t], True, f.metadata
+                    )
+                )
+            else:
+                fields.append(f)
+        have = {f.name for f in fields}
+        skip = {OP_COL, BUCKET_COL}
+        for c in df.columns:
+            if c in have or c in skip:
+                continue
+            md: dict = {}
+            phys = c
+            if phys in used_phys:
+                phys = f"{c}_v{next_ver}"
+                md = {"physical": phys}
+            used_phys.add(phys)
+            fields.append(StructField(c, df.schema[c].dataType, True, md))
+        return StructType(fields).json()
+
+    def _apply_physical(self, df: DataFrame, schema_json: str) -> DataFrame:
+        """Rename logical -> physical columns per the schema about to be
+        committed, immediately before the parquet write. Identity (and a
+        no-op plan-wise) for tables that never renamed."""
         import json as _json
 
-        fields = [
-            StructField(f.name, _SPARK_TYPE_BY_NAME[widened[f.name]], True)
-            if f.name in widened
-            else f
-            for f in stored.fields
-        ]
-        have = {f.name for f in fields}
-        new = StructType.fromJson(_json.loads(self._payload_schema_json(df)))
-        fields += [f for f in new.fields if f.name not in have]
-        return StructType(fields).json()
+        sch = StructType.fromJson(_json.loads(schema_json))
+        m = {
+            f.name: self._physical_of(f)
+            for f in sch.fields
+            if not (f.metadata or {}).get("dropped")
+        }
+        if all(m.get(c, c) == c for c in df.columns):
+            return df
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+    # Columns with table-format semantics: never renamable/droppable.
+    RESERVED_COLS = frozenset(
+        {KEY_COL, TS_COL, OP_COL, DELETED_COL, COMMIT_VER_COL, BUCKET_COL}
+    )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column rename (no data rewrite): the logical
+        name changes in the committed schema; the physical parquet name
+        — fixed at column birth — stays, so every existing file remains
+        readable. The Hudi the reference delegates to rejects renames
+        (SURVEY §1.3); this is the Iceberg/Delta-style column-mapping
+        extension of that surface."""
+        self._with_commit_retries(lambda: self._alter_once("rename", old, new))
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop: the field is TOMBSTONED in the
+        schema (keeps claiming its physical name) and stops being
+        projected — column-pruned scans never read its bytes again; a
+        later compaction rewrite physically sheds them. Re-adding the
+        same logical name creates a FRESH physical column, never the old
+        bytes."""
+        self._with_commit_retries(lambda: self._alter_once("drop", name, None))
+
+    def _alter_once(self, kind: str, a: str, b: str | None) -> None:
+        prev = self.log.latest()
+        if prev is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
+        next_ver = prev.version + 1
+        full = self._stored_schema()
+        active = {
+            f.name for f in full.fields if not (f.metadata or {}).get("dropped")
+        }
+        if a in self.RESERVED_COLS:
+            raise ValueError(f"column {a!r} is reserved table metadata")
+        if a not in active:
+            raise ValueError(f"column {a!r} not in table schema")
+        if kind == "rename" and (b in active or b in self.RESERVED_COLS):
+            raise ValueError(f"target column name {b!r} already in use")
+        fields: list[StructField] = []
+        for f in full.fields:
+            if (f.metadata or {}).get("dropped") or f.name != a:
+                fields.append(f)
+                continue
+            md = dict(f.metadata or {})
+            md["physical"] = self._physical_of(f)
+            if kind == "rename":
+                fields.append(StructField(b, f.dataType, True, md))
+            else:
+                md["dropped"] = True
+                fields.append(
+                    StructField(
+                        f"__dropped_v{next_ver}__{a}", f.dataType, True, md
+                    )
+                )
+        self.log.commit(
+            "alter",
+            prev.files,
+            schema_json=StructType(fields).json(),
+            buckets=self.buckets,
+            expected_version=next_ver,
+        )
 
     def _merge_mor(
         self,
@@ -720,10 +902,12 @@ class LakeTable:
             .withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
             .drop(OP_COL)
         )
+        schema_json = self._commit_schema_json(delta, next_ver)
         absd, rel = self.log.new_data_subdir()
         n = parallelism or max(1, len(affected))
         (
-            delta.repartition(n, F.col(BUCKET_COL))
+            self._apply_physical(delta, schema_json)
+            .repartition(n, F.col(BUCKET_COL))
             .write.mode("append")
             .options(**_BLOOM_OPTS)
             .partitionBy(BUCKET_COL)
@@ -734,7 +918,7 @@ class LakeTable:
             "merge",
             prev.files + new_files,
             batch_id=batch_id,
-            schema_json=self._evolved_schema_json(stored, widened, delta),
+            schema_json=schema_json,
             buckets=self.buckets,
             expected_version=next_ver,
         )

@@ -38,8 +38,11 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
         if prev is None:
             return {"files_before": 0, "files_after": 0}
         snap = lake.snapshot(include_deleted=True)
-        out = snap.withColumn(
-            BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+        out = lake._apply_physical(  # files store physical column names
+            snap.withColumn(
+                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            ),
+            prev.schema_json,
         )
         absd, rel = lake.log.new_data_subdir()
         (
@@ -88,8 +91,11 @@ def compact_buckets(
         df = lake._read_files(hit)
         if any(f.kind == "delta" for f in hit):
             df = lake._resolve_latest(df)
-        out = df.withColumn(
-            BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+        out = lake._apply_physical(  # files store physical column names
+            df.withColumn(
+                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            ),
+            prev.schema_json,
         )
         absd, rel = lake.log.new_data_subdir()
         (

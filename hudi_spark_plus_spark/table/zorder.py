@@ -162,9 +162,15 @@ def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
 
     snap = lake.snapshot(include_deleted=True)
     z = with_zvalue(snap, col_a, col_b)
+    schema_json = lake.log.latest().schema_json
     absd, rel = lake.log.new_data_subdir()
     (
-        z.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets))
+        lake._apply_physical(  # files store physical column names
+            z.withColumn(
+                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            ),
+            schema_json,
+        )
         .repartition(lake.buckets, F.col(BUCKET_COL))
         .sortWithinPartitions(BUCKET_COL, "_z")
         .drop("_z")

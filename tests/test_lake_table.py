@@ -1078,3 +1078,131 @@ class TestSegmentManifests:
         )
         # one bucket's worth of state, not 64: comfortably under 5%
         assert written < full_bytes * 0.05, (written, full_bytes)
+
+
+class TestColumnMapping:
+    """Rename/drop without data rewrite (column mapping): files keep
+    PHYSICAL names fixed at column birth; the committed schema maps
+    logical -> physical."""
+
+    def test_rename_is_metadata_only_and_preserves_data(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a"), ("k2", 10, "upsert", "b")]), "b0")
+        files_before = {f.path for f in t.log.live_files()}
+        t.rename_column("val", "value_renamed")
+        # metadata-only: no data file changed
+        assert {f.path for f in t.log.live_files()} == files_before
+        got = {r["_key"]: r["value_renamed"] for r in t.snapshot().collect()}
+        assert got == {"k1": "a", "k2": "b"}
+        assert "val" not in t.snapshot().columns
+
+    def test_merge_after_rename_lww_across_old_files(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "old")]), "b0")
+        t.rename_column("val", "v2")
+        batch = spark.createDataFrame(
+            [("k1", 20, "upsert", "new"), ("k3", 5, "upsert", "x")],
+            "_key string, _ts long, _op string, v2 string",
+        )
+        t.merge(batch, "b1")
+        got = {r["_key"]: (r["_ts"], r["v2"]) for r in t.snapshot().collect()}
+        assert got == {"k1": (20, "new"), "k3": (5, "x")}
+        # stale update must still lose against a row written pre-rename
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", "stale")],
+                "_key string, _ts long, _op string, v2 string",
+            ),
+            "b2",
+        )
+        assert {r["_key"]: r["v2"] for r in t.snapshot().collect()} == {
+            "k1": "new", "k3": "x",
+        }
+
+    def test_drop_then_readd_never_resurrects(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "ghost")]), "b0")
+        t.drop_column("val")
+        assert "val" not in t.snapshot().columns
+        # re-add the same logical name via additive evolution
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 20, "upsert", "fresh")],
+                "_key string, _ts long, _op string, val string",
+            ),
+            "b1",
+        )
+        got = {r["_key"]: r["val"] for r in t.snapshot().collect()}
+        # k1's old 'ghost' bytes exist in its file but belong to the
+        # TOMBSTONED physical column — the re-added val must be null there
+        assert got == {"k1": None, "k2": "fresh"}
+
+    def test_rename_survives_compaction_and_incremental(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.maintenance import compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        v1 = t.log.latest().version
+        t.rename_column("val", "nv")
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 20, "upsert", "b")],
+                "_key string, _ts long, _op string, nv string",
+            ),
+            "b1",
+            mode="mor",
+        )
+        inc = {r["_key"]: r["nv"] for r in t.incremental(v1).collect()}
+        assert inc == {"k2": "b"}
+        compact(t)
+        got = {r["_key"]: r["nv"] for r in t.snapshot().collect()}
+        assert got == {"k1": "a", "k2": "b"}
+
+    def test_alter_guards(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        with pytest.raises(ValueError, match="reserved"):
+            t.rename_column("_key", "k")
+        with pytest.raises(ValueError, match="not in table schema"):
+            t.drop_column("nope")
+        with pytest.raises(ValueError, match="already in use"):
+            t.rename_column("val", "_ts")
+
+
+class TestRollbackAndAsOf:
+    def test_rollback_restores_state_without_rewrite(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "good")]), "b0")
+        v_good = t.log.latest().version
+        good_files = {f.path for f in t.log.live_files()}
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "bad"), ("k2", 20, "upsert", "junk")]), "b1")
+        t.rollback(v_good)
+        # new commit, same files as v_good, no rewrite
+        assert t.log.latest().version == v_good + 2
+        assert {f.path for f in t.log.live_files()} == good_files
+        assert snap_dict(t) == {"k1": (10, "good")}
+        # the bad version is still time-travelable until vacuumed
+        bad = {r["_key"]: r["val"] for r in t.snapshot(version=v_good + 1).collect()}
+        assert bad == {"k1": "bad", "k2": "junk"}
+        # writes continue normally after a rollback
+        t.merge(mkbatch(spark, [("k3", 30, "upsert", "after")]), "b2")
+        assert snap_dict(t) == {"k1": (10, "good"), "k3": (30, "after")}
+
+    def test_rollback_guards(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        with pytest.raises(ValueError, match="not in timeline"):
+            t.rollback(99)
+
+    def test_snapshot_as_of_picks_latest_at_instant(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0")
+        ts1 = t.log.latest().ts_millis
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "v2")]), "b1")
+        ts2 = t.log.latest().ts_millis
+        got1 = {r["_key"]: r["val"] for r in t.snapshot_as_of(ts1).collect()}
+        assert got1 == {"k1": "v1"}
+        got2 = {r["_key"]: r["val"] for r in t.snapshot_as_of(ts2 + 10).collect()}
+        assert got2 == {"k1": "v2"}
+        with pytest.raises(ValueError, match="no commit at or before"):
+            t.snapshot_as_of(ts1 - 100_000)

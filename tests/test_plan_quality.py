@@ -113,3 +113,50 @@ def test_dup_cluster_rounds_have_no_cartesian_shapes(spark):
     plan = plan_of(df.groupBy("cluster_id").agg(F.count("*").alias("n")))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The corpus side of decontamination must join the eval gram set by
+    BROADCAST — a shuffle of the full corpus gram stream here would be
+    the 100 TB bottleneck."""
+    from hudi_spark_plus_spark.operators.llm_queries import LLM_QUERIES
+
+    plan = plan_of(LLM_QUERIES["q-doc-decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_window_is_doc_partitioned(spark, sf_dir):
+    """The top-2-gram window partitions by document — never a global
+    single-partition window."""
+    from hudi_spark_plus_spark.operators.llm_queries import LLM_QUERIES
+
+    plan = plan_of(LLM_QUERIES["q-doc-repetition"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1]
+    # no window without a PARTITION BY over doc_id
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(1)
+
+
+def test_column_mapping_identity_is_plan_noop(spark, tmp_path):
+    """For tables that never renamed, the physical/logical mapping must
+    add NO projection node — the plan is byte-identical in shape to the
+    pre-mapping design."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [("k1", 1, "upsert", "a")],
+            "_key string, _ts long, _op string, val string",
+        ),
+        "b0",
+    )
+    plan = plan_of(t.snapshot())
+    # one scan, a filter on the tombstone flag — and no rename Project
+    # between them beyond the column selection itself
+    assert plan.count("Project") <= 1
