@@ -9,6 +9,8 @@ step for container formats whose headers are parseable in pure Python:
 * JPEG — marker scan to the first SOF frame header
 * GIF  — logical screen descriptor (87a/89a)
 * WAV  — RIFF/fmt chunk (sample rate / channels -> duration)
+* MP4  — ISO-BMFF box walk: moov/mvhd (timescale+duration, v0 and v1)
+  and moov/trak/tkhd (16.16 fixed-point width/height)
 
 Pixel-level decode of other formats still needs a codec library (absent
 in this container); those bytes either raise (default) or fall back to
@@ -146,6 +148,120 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4_shell(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) box tree: ftyp + moov(mvhd +
+    trak(tkhd)), no sample data. mvhd timescale is 1000 so its duration
+    is in milliseconds; tkhd width/height are 16.16 fixed point per the
+    spec."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + _UNITY_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + flags (enabled|in movie|preview)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_ID reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer altgroup volume reserved
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd))
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for ISO-BMFF boxes in
+    b[start:end], handling 64-bit largesize and size-0 (to-end) boxes."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from an ISO-BMFF moov tree (mvhd
+    v0/v1 for duration, first trak's tkhd v0/v1 for dimensions), or
+    None when the bytes are not an MP4."""
+    if len(b) < 12 or b[4:8] not in (b"ftyp", b"styp", b"moov"):
+        return None
+    dur_ms = w = h = None
+    for typ, s, e in _walk_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(b, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                if b[s2] == 1 and e2 - s2 >= 32:  # v1: 64-bit times
+                    (ts,) = struct.unpack(">I", b[s2 + 20 : s2 + 24])
+                    (dur,) = struct.unpack(">Q", b[s2 + 24 : s2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", b[s2 + 12 : s2 + 20])
+                if ts:
+                    dur_ms = int(dur * 1000 // ts)
+            elif t2 == b"trak" and w is None:
+                for t3, s3, e3 in _walk_boxes(b, s2, e2):
+                    if t3 == b"tkhd":
+                        if b[s3] == 1 and e3 - s3 >= 96:  # v1 layout
+                            off = s3 + 88
+                        elif e3 - s3 >= 84:
+                            off = s3 + 76
+                        else:
+                            continue
+                        wf, hf = struct.unpack(">II", b[off : off + 8])
+                        w, h = wf >> 16, hf >> 16
+    if w is None or dur_ms is None:
+        return None
+    return int(w), int(h), dur_ms
+
+
+def encode_wav(rate: int, duration_ms: int, seed: int = 0) -> bytes:
+    """Minimal valid 8-bit mono PCM RIFF/WAVE with deterministic
+    samples."""
+    frames = rate * duration_ms // 1000
+    data = bytes(((i * 7 + seed) & 0xFF) for i in range(frames))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def parse_wav_meta(b: bytes) -> tuple[int, int] | None:
     """(sample_rate, duration_ms) from a RIFF/WAVE header, or None."""
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -185,7 +301,28 @@ def media_kind(i: int) -> str:
         return "jpeg"
     if i % 7 == 3:
         return "gif"
+    if i % 11 == 5:
+        return "mp4"
+    if i % 13 == 7:
+        return "wav"
     return "png"
+
+
+def media_duration_ms(i: int) -> int | None:
+    k = media_kind(i)
+    if k == "mp4":
+        return 1000 + (i % 60) * 250
+    if k == "wav":
+        return 500 + (i % 20) * 125
+    return None
+
+
+def media_sample_rate(i: int) -> int | None:
+    # multiples of 1000 so frames*1000/rate round-trips duration exactly
+    return (4000 + (i % 4) * 2000) if media_kind(i) == "wav" else None
+
+
+_KIND_BY_FMT = {"mp4": "video", "wav": "audio"}
 
 
 def encode_media_bytes(i: int) -> bytes:
@@ -195,6 +332,10 @@ def encode_media_bytes(i: int) -> bytes:
         return encode_jpeg_shell(w, h)
     if kind == "gif":
         return encode_gif_shell(w, h)
+    if kind == "mp4":
+        return encode_mp4_shell(w, h, media_duration_ms(i))
+    if kind == "wav":
+        return encode_wav(media_sample_rate(i), media_duration_ms(i), seed=i)
     return encode_png(w, h, seed=i)
 
 
@@ -206,15 +347,16 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
     partitions by bytes instead)."""
     rows = []
     for i in range(n):
+        k = media_kind(i)
         rows.append(
             (
                 i,
-                "image",
-                f"image/{media_kind(i)}",
+                _KIND_BY_FMT.get(k, "image"),
+                f"{_KIND_BY_FMT.get(k, 'image')}/{k}",
                 bytearray(encode_media_bytes(i)),
                 media_width(i),
                 media_height(i),
-                None,
+                media_duration_ms(i),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
@@ -231,11 +373,14 @@ def encode_media_from_documents(docs: DataFrame) -> DataFrame:
 
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"]]
+            kinds = [media_kind(i) for i in ids]
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
-                    "kind": ["image"] * len(ids),
-                    "mime": [f"image/{media_kind(i)}" for i in ids],
+                    "kind": [_KIND_BY_FMT.get(k, "image") for k in kinds],
+                    "mime": [
+                        f"{_KIND_BY_FMT.get(k, 'image')}/{k}" for k in kinds
+                    ],
                     "content": [encode_media_bytes(i) for i in ids],
                     "meta_width": pd.Series(
                         [media_width(i) for i in ids], dtype="int32"
@@ -244,7 +389,7 @@ def encode_media_from_documents(docs: DataFrame) -> DataFrame:
                         [media_height(i) for i in ids], dtype="int32"
                     ),
                     "meta_duration_ms": pd.Series(
-                        [None] * len(ids), dtype="Int32"
+                        [media_duration_ms(i) for i in ids], dtype="Int32"
                     ),
                 }
             )
@@ -279,6 +424,10 @@ def decode_image_features(
                 raw = bytes(content)
                 digests.append(hashlib.md5(raw).hexdigest())
                 dims = parse_image_dims(raw)
+                if dims is None:
+                    mp4 = parse_mp4_meta(raw)
+                    if mp4 is not None:
+                        dims = mp4[:2]
                 if dims is not None:
                     widths.append(dims[0])
                     heights.append(dims[1])
@@ -287,8 +436,8 @@ def decode_image_features(
                     heights.append(mh)
                 else:
                     raise NotImplementedError(
-                        "unrecognized media container (not PNG/JPEG/GIF) "
-                        "and pixel codecs are unavailable; pass "
+                        "unrecognized media container (not PNG/JPEG/GIF/"
+                        "MP4) and pixel codecs are unavailable; pass "
                         "allow_fake=True to fall back to declared metadata"
                     )
             yield pd.DataFrame(
@@ -304,6 +453,62 @@ def decode_image_features(
 
     cols = ["media_id", "content", "meta_width", "meta_height"]
     return df.select(*cols).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_digest", StringType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame, allow_fake: bool = False
+) -> DataFrame:
+    """Per-audio feature extraction via ``mapInPandas``: sample rate and
+    duration from a REAL RIFF/WAVE header parse. Non-WAV audio bytes
+    raise (codec libraries absent here) unless ``allow_fake=True`` falls
+    back to declared metadata — the marked stub path."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rates: list = []
+            durs: list = []
+            digests = []
+            for content, md in zip(pdf["content"], pdf["meta_duration_ms"]):
+                raw = bytes(content)
+                digests.append(hashlib.md5(raw).hexdigest())
+                meta = parse_wav_meta(raw)
+                if meta is not None:
+                    rates.append(meta[0])
+                    durs.append(meta[1])
+                elif allow_fake:
+                    rates.append(0)
+                    durs.append(md)
+                else:
+                    raise NotImplementedError(
+                        "unrecognized audio container (not RIFF/WAVE) and "
+                        "audio codecs are unavailable; pass allow_fake="
+                        "True to fall back to declared metadata"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_digest": digests,
+                }
+            )
+
+    cols = ["media_id", "content", "meta_duration_ms"]
+    return df.select(*cols).mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -2,10 +2,13 @@
 
 Oracle-checked wherever the semantics are engine-neutral (exact dedup,
 token stats, quality score, language ID, fingerprints, exact n-gram
-Jaccard near-dup, brute-force cosine top-k). MinHash/SimHash/LSH use
-Spark's xxhash64 / seeded hyperplanes — engine-specific by construction —
-so they take the driver's rows-only check and are instead validated by
-recall tests against exact ground truth (tests/test_llm_ops.py).
+Jaccard near-dup, brute-force cosine top-k) — and for the approximate
+ANN indexes (LSH, IVF) via planted exact-duplicate neighbors whose
+top-k is deterministic regardless of the engine-specific hash/centroid
+internals. Only the MinHash/SimHash PAIR queries (whose output is the
+signature collision set itself, xxhash64/seeded-hyperplane specific)
+take the driver's rows-only check; they are instead validated by recall
+tests against exact ground truth (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from hudi_spark_plus_spark.functions.dedup import (
     simhash_near_pairs,
 )
 from hudi_spark_plus_spark.functions.multimodal import (
+    decode_audio_features,
     decode_image_features,
     encode_media_from_documents,
 )
@@ -32,6 +36,7 @@ from hudi_spark_plus_spark.functions.similarity import (
     lsh_neardup_pairs,
     quantize_embeddings,
 )
+from hudi_spark_plus_spark.functions.embedding import hash_embed_components
 from hudi_spark_plus_spark.functions.ngrams import (
     corpus_vocab,
     distinctive_terms,
@@ -182,11 +187,27 @@ def q_emb_ann_lsh(spark, sf_dir):
 
 
 def q_emb_ann_ivf(spark, sf_dir):
-    """Rows-only: IVF ANN — KMeans cells, nprobe probing, exact re-rank
-    (recall vs brute force in tests)."""
+    """IVF ANN (KMeans cells, nprobe probing, exact re-rank), made
+    hash-checkable the same way as q-emb-ann-lsh: the corpus gains 5
+    exact copies of every query vector. An identical vector maps to the
+    identical KMeans cell, and a query's probe set always contains its
+    own nearest cell, so all 5 copies surface at sim ~1.0 and beat every
+    natural pair (max natural cosine ~0.6) — top-5 per query is exactly
+    the planted set ranked by n_id regardless of which other cells the
+    probe visits. Natural-corpus recall is asserted vs brute force in
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    copies = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .drop("j")
+    )
+    corpus = e.unionByName(copies)
     return ivf_topk(
-        e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+        corpus, queries, k=5, n_centroids=16, nprobe=4
     ).orderBy("q_id", "rank")
 
 
@@ -449,6 +470,20 @@ def q_doc_pii(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+HASH_EMBED_DIM = 64
+
+
+def q_doc_hash_embed(spark, sf_dir):
+    """Feature-hashing embedder (hashing trick) as pure declarative SQL:
+    sparse L2-normalized components per document, bit-reproduced by the
+    oracle (md5 dimension hash + sign parity + integer accumulation —
+    no model weights, no UDF)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return hash_embed_components(
+        d, "doc_id", "text", dim=HASH_EMBED_DIM
+    ).orderBy("doc_id", "dim_idx")
+
+
 def q_doc_vocab(spark, sf_dir):
     """Corpus vocabulary induction (tokenizer-training step): term +
     corpus frequency + document frequency, one hash-agg over exploded
@@ -490,8 +525,24 @@ def q_media_features(spark, sf_dir):
     deterministic generating formula — if the header parse is wrong for
     any format, the hashes diverge."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
-    feats = decode_image_features(encode_media_from_documents(docs))
+    media = encode_media_from_documents(docs).where(F.col("kind") != "audio")
+    feats = decode_image_features(media)
     return feats.select("media_id", "width", "height").orderBy("media_id")
+
+
+def q_media_audio(spark, sf_dir):
+    """Hash-checked audio decode: one WAV row per eligible document id
+    (real RIFF bytes encoded map-side), sample rate + duration parsed
+    back from the fmt/data chunks. The oracle recomputes both from the
+    deterministic generating formulas — a wrong fmt parse or a
+    frames-to-duration rounding slip diverges the hash."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = encode_media_from_documents(docs).where(F.col("kind") == "audio")
+    return (
+        decode_audio_features(media)
+        .select("media_id", "sample_rate", "duration_ms")
+        .orderBy("media_id")
+    )
 
 
 # Dict order = registry order. Oracle-checked queries first; the
@@ -516,6 +567,7 @@ LLM_QUERIES = {
     "q-doc-repetition": q_doc_repetition,
     "q-doc-pii": q_doc_pii,
     "q-doc-vocab": q_doc_vocab,
+    "q-doc-hash-embed": q_doc_hash_embed,
     "q-doc-tfidf": q_doc_tfidf,
     "q-emb-quantize": q_emb_quantize,
     "q-emb-cosine-topk": q_emb_cosine_topk,
@@ -524,6 +576,7 @@ LLM_QUERIES = {
     "q-emb-dedup-e2e": q_emb_dedup_e2e,
     "q-doc-dedup-e2e": q_doc_dedup_e2e,
     "q-media-features": q_media_features,
+    "q-media-audio": q_media_audio,
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
     "q-doc-minhash-lsh": q_doc_minhash_lsh,
@@ -843,6 +896,36 @@ LLM_ORACLES = {
                AS red_hash
         FROM p ORDER BY doc_id
     """,
+    # bit-identical recomputation of the hashing-trick embedder: same
+    # md5 dim hash, sign parity, integer accumulation, L2 norm
+    "q-doc-hash-embed": rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+          FROM documents
+        ), wt AS (
+          SELECT doc_id, md5(w) AS h FROM w WHERE w <> ''
+        ), hx AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT)
+                      % {HASH_EMBED_DIM} AS BIGINT) AS dim_idx,
+                 CASE WHEN CAST(concat('0x', substr(h, 9, 2)) AS UBIGINT)
+                           % 2 = 1
+                      THEN 1 ELSE -1 END AS s
+          FROM wt
+        ), comp AS (
+          SELECT doc_id, dim_idx, CAST(SUM(s) AS BIGINT) AS acc
+          FROM hx GROUP BY doc_id, dim_idx
+        ), nrm AS (
+          SELECT doc_id, sqrt(CAST(SUM(acc * acc) AS DOUBLE)) AS n
+          FROM comp GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.dim_idx, ROUND(c.acc / n.n, 4) AS val
+        FROM comp c JOIN nrm n USING (doc_id)
+        WHERE n.n > 0
+        ORDER BY doc_id, dim_idx
+    """,
     "q-doc-vocab": r"""
         SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_cnt
         FROM (SELECT doc_id,
@@ -948,6 +1031,18 @@ LLM_ORACLES = {
     # top-5 (natural cosine tops out ~0.6), identical vectors always
     # collide in every LSH table, and the rank tie-break is n_id — so
     # the approximate path has one exact answer
+    # same planted-duplicate construction as q-emb-ann-lsh: identical
+    # vectors share the query's own KMeans cell, which the probe always
+    # visits, so the approximate index MUST return the planted set
+    "q-emb-ann-ivf": """
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
     "q-emb-ann-lsh": """
         SELECT e.vec_id AS q_id,
                CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
@@ -1009,10 +1104,28 @@ LLM_ORACLES = {
     # The decoded dims must equal the generating formula for every
     # container format in the mix (PNG IHDR, JPEG SOF0, GIF screen
     # descriptor) — a real end-to-end decode check.
+    # audio ids (fmt precedence: jpeg %5, gif %7=3, mp4 %11=5, wav %13=7)
+    # are excluded from the image/video dims query
     "q-media-features": """
         SELECT doc_id AS media_id,
                CAST(16 + doc_id % 48 AS INT) AS width,
                CAST(16 + doc_id % 32 AS INT) AS height
-        FROM documents WHERE doc_id < 64 ORDER BY media_id
+        FROM documents
+        WHERE doc_id < 64
+          AND NOT (doc_id % 5 <> 0 AND doc_id % 7 <> 3
+                   AND doc_id % 11 <> 5 AND doc_id % 13 = 7)
+        ORDER BY media_id
+    """,
+    # the WAV generator uses rates that divide 1000 evenly, so
+    # frames*1000/rate reconstructs the generating duration exactly
+    "q-media-audio": """
+        SELECT doc_id AS media_id,
+               CAST(4000 + doc_id % 4 * 2000 AS INT) AS sample_rate,
+               CAST(500 + doc_id % 20 * 125 AS INT) AS duration_ms
+        FROM documents
+        WHERE doc_id < 200
+          AND doc_id % 5 <> 0 AND doc_id % 7 <> 3
+          AND doc_id % 11 <> 5 AND doc_id % 13 = 7
+        ORDER BY media_id
     """,
 }

@@ -90,7 +90,75 @@ def q_join_salted(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube q14/q15): two chosen
+    grouping shapes in one pass, with GROUPING() markers to
+    disambiguate the null rows."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+def q_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries (decorrelated by
+    Catalyst into semi/anti joins — the plan a hand-written semi join
+    would produce, from declarative SQL)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("c_v")
+    o.createOrReplaceTempView("o_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM c_v
+        WHERE EXISTS (SELECT 1 FROM o_v
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM o_v
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F'
+                            AND o_totalprice < 1000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subqueries — uncorrelated (global average, computed once
+    and broadcast) and correlated (per-row aggregate, decorrelated into
+    a join): orders beating the global average, with each customer's
+    own average alongside."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("c_v2")
+    o.createOrReplaceTempView("o_v2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 4) AS price,
+               ROUND((SELECT AVG(o2.o_totalprice) FROM o_v2 o2
+                      WHERE o2.o_custkey = o_v2.o_custkey), 4)
+                   AS cust_avg
+        FROM o_v2
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM o_v2)
+        ORDER BY o_orderkey
+        """
+    )
+
+
 EXT_QUERIES = {
+    "q-grouping-sets": q_grouping_sets,
+    "q-exists-correlated": q_exists_correlated,
+    "q-scalar-subquery": q_scalar_subquery,
     "q-pivot": q_pivot,
     "q-percentile": q_percentile,
     "q-union": q_union,
@@ -99,6 +167,37 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "q-grouping-sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+    """,
+    "q-exists-correlated": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        ORDER BY c_custkey
+    """,
+    "q-scalar-subquery": """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 4) AS price,
+               ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey), 4) AS cust_avg
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+    """,
     "q-pivot": """
         SELECT l_returnflag,
                ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F'

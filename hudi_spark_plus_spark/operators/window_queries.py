@@ -32,10 +32,45 @@ def q_win_session(spark, sf_dir):
     return df.orderBy("ws", "user_id")
 
 
+def q_win_range(spark, sf_dir):
+    """RANGE-frame window (trailing 1-hour per-user activity): for each
+    event, the count and fixed-point value sum of that user's events in
+    the preceding hour INCLUDING peers at the same instant (RANGE, not
+    ROWS — tie-inclusive on both engines). The sum accumulates integer
+    micros so tie ORDER between engines cannot produce ULP drift, and
+    the window partitions by user — never global."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hudi_spark_plus_spark.sources.loaders import epoch_us
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.select(
+        "user_id",
+        "event_id",
+        epoch_us(e, "ts").alias("t_us"),
+        # rint = IEEE half-even on the double product, = DuckDB's
+        # round_even and numpy .round (same discipline as the stateful
+        # running-agg stream)
+        F.expr("CAST(rint(value * 1000000) AS BIGINT)").alias("micros"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(
+        -3_600_000_000, Window.currentRow
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum("micros").over(w).alias("sum_1h_micros"),
+    ).orderBy("event_id")
+
+
 WINDOW_QUERIES = {
     "q-win-tumbling": q_win_tumbling,
     "q-win-sliding": q_win_sliding,
     "q-win-session": q_win_session,
+    "q-win-range": q_win_range,
 }
 
 WINDOW_ORACLES = {
@@ -80,5 +115,24 @@ WINDOW_ORACLES = {
         ) s
         WHERE t >= w AND t < w + INTERVAL '1 hour'
         GROUP BY w, event_type ORDER BY ws, event_type
+    """,
+    # RANGE frame over integer micros; sums in exact integers (no
+    # HUGEINT/double leak: CAST ... AS BIGINT per the house rule)
+    "q-win-range": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                 CAST(round_even(value * 1000000, 0) AS BIGINT) AS micros
+          FROM events
+        )
+        SELECT user_id, event_id, t_us,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cnt_1h,
+               CAST(SUM(micros) OVER (
+                 PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS sum_1h_micros
+        FROM e ORDER BY event_id
     """,
 }

@@ -311,6 +311,45 @@ class LakeTable:
             df = df.where(~F.col(DELETED_COL))
         return df
 
+    def history(self) -> DataFrame:
+        """Timeline metadata table (the Hudi commits-metadata / Delta
+        DESCRIBE HISTORY analogue): one row per commit with version,
+        operation, batch id, publish time, and file/row counts. Commit
+        metadata only — version rows resolve their segment manifests,
+        not data files."""
+        rows = []
+        for v in self.log.versions():
+            c = self.log.read(v)
+            rows.append(
+                (
+                    c.version,
+                    c.operation,
+                    c.batch_id,
+                    c.ts_millis,
+                    len(c.files),
+                    sum(f.rows for f in c.files),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, batch_id string, "
+            "ts_millis long, n_files long, n_rows long",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Live-files metadata table at a version (default latest):
+        path, bucket, kind (base/delta), row count, and key-range stats
+        — the file-level inspection surface maintenance tooling reads."""
+        rows = [
+            (f.path, f.bucket, f.kind, f.rows, f.min_key, f.max_key)
+            for f in self.log.live_files(version)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, rows long, "
+            "min_key string, max_key string",
+        )
+
     def snapshot_as_of(
         self, ts_millis: int, include_deleted: bool = False
     ) -> DataFrame:

@@ -1206,3 +1206,55 @@ class TestRollbackAndAsOf:
         assert got2 == {"k1": "v2"}
         with pytest.raises(ValueError, match="no commit at or before"):
             t.snapshot_as_of(ts1 - 100_000)
+
+
+class TestMetadataTablesAndIncrementalReader:
+    def test_history_and_files_df(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.maintenance import compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a"), ("k2", 10, "upsert", "b")]), "b0")
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "a2")]), "b1", mode="mor")
+        compact(t)
+        h = t.history().orderBy("version").collect()
+        assert [(r["version"], r["operation"], r["batch_id"]) for r in h] == [
+            (1, "merge", "b0"), (2, "merge", "b1"), (3, "compact", None),
+        ]
+        assert all(r["ts_millis"] > 0 and r["n_files"] > 0 for r in h)
+        f = t.files_df().collect()
+        assert all(r["kind"] == "base" for r in f)  # compacted
+        assert {r["bucket"] for r in f} <= {0, 1, 2, 3}
+        assert sum(r["rows"] for r in f) == 2
+        # pre-compaction version still shows its delta
+        f2 = t.files_df(version=2).collect()
+        assert any(r["kind"] == "delta" for r in f2)
+
+    def test_incremental_reader_poll_commit_cycle(self, spark, tmp_path):
+        from hudi_spark_plus_spark.streaming.incremental_reader import (
+            IncrementalReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        rdr = IncrementalReader(t, str(tmp_path / "ckpt" / "r1.json"))
+        assert rdr.poll() is None  # empty table
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a"), ("k2", 10, "upsert", "b")]), "b0")
+        df, v = rdr.poll()
+        assert {r["_key"] for r in df.collect()} == {"k1", "k2"}
+        # uncommitted poll re-reads the same batch (at-least-once)
+        df2, v2 = rdr.poll()
+        assert v2 == v and df2.count() == 2
+        rdr.commit(v)
+        assert rdr.poll() is None  # caught up
+        t.merge(mkbatch(spark, [("k2", 20, "delete", None), ("k3", 20, "upsert", "c")]), "b1")
+        df3, v3 = rdr.poll()
+        rows = {r["_key"]: r["_deleted"] for r in df3.collect()}
+        assert rows == {"k2": True, "k3": False}  # only the new changes
+        rdr.commit(v3)
+        # an independent consumer has its own cursor from the start;
+        # record-level incremental returns each record ONCE at its
+        # final in-range state (k2's insert+delete collapse to the
+        # tombstone)
+        rdr_b = IncrementalReader(t, str(tmp_path / "ckpt" / "r2.json"))
+        df_b, _ = rdr_b.poll()
+        got_b = {r["_key"]: r["_deleted"] for r in df_b.collect()}
+        assert got_b == {"k1": False, "k2": True, "k3": False}

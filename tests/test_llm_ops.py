@@ -166,9 +166,11 @@ def test_multimodal_real_decode_and_stub_gate(spark):
     )
 
     media = synth_media_df(spark, 32)
-    feats = decode_image_features(media)  # no allow_fake needed now
+    visual = media.where(F.col("kind") != "audio")
+    n_visual = visual.count()
+    feats = decode_image_features(visual)  # no allow_fake needed now
     rows = feats.collect()
-    assert len(rows) == 32
+    assert len(rows) == n_visual
     for r in rows:
         i = r["media_id"]
         assert (r["width"], r["height"]) == (media_width(i), media_height(i))
@@ -500,3 +502,148 @@ def test_quantize_embeddings_known_values(spark):
     assert rows[1] == (4.0, [64, -127, 32])  # 63.5 rounds away to 64
     assert rows[2] == (0.0, [0, 0])
     assert rows[3] == (0.5, [-127])
+
+
+def test_mp4_container_roundtrip_and_v1_parse():
+    """Pure-Python MP4 shell: encode -> parse recovers dims + duration;
+    a hand-built version-1 (64-bit) mvhd/tkhd parses too; junk and
+    truncated boxes return None instead of raising."""
+    import struct
+
+    from hudi_spark_plus_spark.functions.multimodal import (
+        _UNITY_MATRIX,
+        _box,
+        encode_mp4_shell,
+        parse_mp4_meta,
+    )
+
+    for w, h, d in [(320, 240, 5000), (1, 1, 1), (1920, 1080, 3600_000)]:
+        assert parse_mp4_meta(encode_mp4_shell(w, h, d)) == (w, h, d)
+    # version-1 boxes: 64-bit ctime/mtime/duration
+    mvhd1 = _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)          # ctime mtime (64-bit)
+        + struct.pack(">IQ", 1000, 7500)    # timescale, duration
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+        + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd1 = _box(
+        b"tkhd",
+        b"\x01\x00\x00\x07"
+        + struct.pack(">QQIxxxx", 0, 0, 1)  # ctime mtime track (+reserved)
+        + struct.pack(">Q", 7500)           # duration (64-bit)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    b1 = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+        b"moov", mvhd1 + _box(b"trak", tkhd1)
+    )
+    assert parse_mp4_meta(b1) == (640, 360, 7500)
+    assert parse_mp4_meta(b"\x00" * 64) is None
+    assert parse_mp4_meta(encode_mp4_shell(320, 240, 5000)[:40]) is None
+
+
+def test_media_mix_includes_video_and_decodes(spark):
+    """The synthetic media table now carries real MP4 rows; the decode
+    path recovers their dims from the tkhd box, and frame_sample_plan
+    fans real durations into sample timestamps."""
+    from hudi_spark_plus_spark.functions.multimodal import (
+        decode_image_features,
+        frame_sample_plan,
+        media_duration_ms,
+        media_kind,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 64)
+    vids = [i for i in range(64) if media_kind(i) == "mp4"]
+    assert vids, "fixture must include mp4 rows"
+    assert media.where(F.col("kind") == "video").count() == len(vids)
+    feats = {r["media_id"]: (r["width"], r["height"])
+             for r in decode_image_features(
+                 media.where(F.col("kind") != "audio")).collect()}
+    from hudi_spark_plus_spark.functions.multimodal import (
+        media_height,
+        media_width,
+    )
+    for i in vids:
+        assert feats[i] == (media_width(i), media_height(i))
+    plan = frame_sample_plan(media, every_ms=1000)
+    got = {r["media_id"] for r in plan.collect()}
+    assert got == set(vids)
+    n0 = plan.where(F.col("media_id") == vids[0]).count()
+    assert n0 == media_duration_ms(vids[0]) // 1000 + 1
+
+
+def test_hash_embed_dense_chains_into_ann(spark):
+    """Dense hash_embed: unit-norm vectors, identical texts embed
+    identically (exact), and the output plugs straight into the
+    similarity operators — top-1 for a duplicated doc is its twin at
+    cosine ~1.0."""
+    import math
+
+    from hudi_spark_plus_spark.functions.embedding import hash_embed
+
+    rows = [
+        (1, "spark shuffles parquet files into sorted buckets"),
+        (2, "completely different words about merge windows and keys"),
+        (3, "spark shuffles parquet files into sorted buckets"),  # dup of 1
+        (4, "a third text that shares nothing with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embed(df, "doc_id", "text", dim=32)
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert vecs[1] == vecs[3]
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    queries = emb.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    top = cosine_topk(corpus, queries, k=1).collect()
+    assert top[0]["n_id"] == 3 and top[0]["sim"] >= 0.9999
+
+
+def test_wav_roundtrip_and_audio_decode(spark):
+    """encode_wav -> parse_wav_meta round-trips rate and duration; the
+    audio decode path recovers them for every wav row in the mix and
+    rejects non-RIFF bytes without allow_fake."""
+    from hudi_spark_plus_spark.functions.multimodal import (
+        decode_audio_features,
+        encode_wav,
+        media_duration_ms,
+        media_kind,
+        media_sample_rate,
+        parse_wav_meta,
+        synth_media_df,
+    )
+
+    for rate, dur in [(4000, 500), (8000, 2375), (10000, 1000)]:
+        assert parse_wav_meta(encode_wav(rate, dur)) == (rate, dur)
+    media = synth_media_df(spark, 64)
+    wavs = [i for i in range(64) if media_kind(i) == "wav"]
+    assert wavs, "fixture must include wav rows"
+    got = {
+        r["media_id"]: (r["sample_rate"], r["duration_ms"])
+        for r in decode_audio_features(
+            media.where(F.col("kind") == "audio")
+        ).collect()
+    }
+    assert got == {
+        i: (media_sample_rate(i), media_duration_ms(i)) for i in wavs
+    }
+    import pytest as _pytest
+
+    from hudi_spark_plus_spark.functions.multimodal import MEDIA_SCHEMA
+
+    junk = spark.createDataFrame(
+        [(0, "audio", "audio/flac", bytearray(b"\x00" * 64), 0, 0, 123)],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        decode_audio_features(junk).collect()
+    fake = decode_audio_features(junk, allow_fake=True).collect()[0]
+    assert fake["duration_ms"] == 123

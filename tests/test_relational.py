@@ -64,7 +64,16 @@ def test_engine_facade(spark, sf_dir, tmp_path):
     assert eng.sql("SELECT COUNT(*) c FROM cust_lake").first()["c"] == 1
 
 
-@pytest.mark.parametrize("name", ["q-pivot", "q-percentile", "q-union", "q-except"])
+def _ext_oracle_names():
+    from hudi_spark_plus_spark.operators.relational_ext import (
+        EXT_ORACLES,
+        EXT_QUERIES,
+    )
+
+    return sorted(n for n in EXT_QUERIES if n in EXT_ORACLES and n != "q-join-salted")
+
+
+@pytest.mark.parametrize("name", _ext_oracle_names())
 def test_ext_query_matches_oracle(name, spark, sf_dir, con):
     from hudi_spark_plus_spark.operators.relational_ext import (
         EXT_ORACLES,
