@@ -216,7 +216,73 @@ def q_lake_evolve(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_derived(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance end-to-end: a
+    source lake table ingests two CDC batches (inserts, then updates +
+    deletes); after EACH batch a derived table is refreshed via the
+    IncrementalReader + partial recompute of affected groups only. The
+    final derived snapshot must hash-equal the oracle's full-recompute
+    group aggregate over the settled source state — missed groups,
+    stale aggregates, or tombstone leaks all diverge the hash. Sums are
+    exact integer micros (no float accumulation-order surface)."""
+    work = tempfile.mkdtemp(prefix="hsp_lakedrv_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            (F.col("c_custkey") % 10).alias("grp"),
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            (F.col("c_custkey") % 10).alias("grp"),
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        src = LakeTable(spark, f"{work}/src", buckets=4)
+        dst = LakeTable(spark, f"{work}/dst", buckets=2)
+        ckpt = f"{work}/ckpt.json"
+
+        def agg_fn(slice_df):
+            return slice_df.groupBy("grp").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(
+                    F.expr("CAST(rint(acctbal * 1000000) AS BIGINT)")
+                ).alias("bal_micros"),
+            )
+
+        from hudi_spark_plus_spark.operators.derived import (
+            refresh_grouped_aggregate,
+        )
+
+        src.merge(batch1, "b1")
+        refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn)
+        src.merge(batch2, "b2")
+        refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn)
+        snap = (
+            dst.snapshot()
+            .select("grp", "cnt", "bal_micros")
+            .orderBy("grp")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-derived": q_lake_derived,
     "q-lake-evolve": q_lake_evolve,
     "q-lake-roundtrip": q_lake_roundtrip,
     "q-lake-mor": q_lake_mor,
@@ -249,6 +315,22 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # full recompute over the settled source state (the incremental
+    # path must be indistinguishable from it); round_even = Spark rint
+    "q-lake-derived": f"""
+        WITH fs AS (
+          SELECT c_custkey % 10 AS grp,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN ROUND(c_acctbal + 1000.0, 4)
+                      ELSE ROUND(c_acctbal, 4) END AS acctbal
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 7 <> 0
+        )
+        SELECT grp, COUNT(*) AS cnt,
+               CAST(SUM(CAST(round_even(acctbal * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS bal_micros
+        FROM fs GROUP BY grp ORDER BY grp
+    """,
     # final state after rename+drop+batch3: %5 rows carry +5000 balance
     # and the re-added UPPER(c_name); batch-2 deletes (%7) stay gone
     # unless revived by batch 3 (ts 3 > tombstone ts 2); everyone else

@@ -1258,3 +1258,41 @@ class TestMetadataTablesAndIncrementalReader:
         df_b, _ = rdr_b.poll()
         got_b = {r["_key"]: r["_deleted"] for r in df_b.collect()}
         assert got_b == {"k1": False, "k2": True, "k3": False}
+
+
+class TestDerivedTableMaintenance:
+    def test_group_delete_and_replay_idempotence(self, spark, tmp_path):
+        """A group whose last member is deleted vanishes downstream; a
+        replayed refresh (crash between merge and checkpoint commit) is
+        a no-op; untouched groups are never recomputed."""
+        from hudi_spark_plus_spark.operators.derived import (
+            refresh_grouped_aggregate,
+        )
+        from hudi_spark_plus_spark.streaming.incremental_reader import (
+            IncrementalReader,
+        )
+
+        def agg_fn(s):
+            return s.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "_key string, _ts long, _op string, grp long"
+            )
+
+        src = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        dst = LakeTable(spark, str(tmp_path / "dst"), buckets=2)
+        ckpt = str(tmp_path / "ckpt.json")
+        src.merge(mk([("a", 1, "upsert", 1), ("b", 1, "upsert", 1), ("c", 1, "upsert", 2)]), "b0")
+        assert refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn) == 2
+        assert {r["grp"]: r["cnt"] for r in dst.snapshot().collect()} == {1: 2, 2: 1}
+        # delete group 2's only member; group 1 untouched
+        src.merge(mk([("c", 2, "delete", 2)]), "b1")
+        assert refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn) == 1
+        assert {r["grp"]: r["cnt"] for r in dst.snapshot().collect()} == {1: 2}
+        # simulate crash-before-checkpoint: rewind cursor and re-refresh
+        IncrementalReader(src, ckpt).commit(1)
+        assert refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn) == 1
+        assert {r["grp"]: r["cnt"] for r in dst.snapshot().collect()} == {1: 2}
+        # caught up: no-op
+        assert refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn) == 0
