@@ -281,7 +281,70 @@ def q_lake_derived(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_rollback(spark, sf_dir):
+    """Savepoint/restore under oracle control: ingest batch 1, apply a
+    CORRUPTING batch (doubles every balance at _ts=2), roll the table
+    back to the pre-corruption version (new commit, zero rewrite), then
+    apply the legitimate batch 2. The final state must equal the
+    history where the corruption never happened — and because the
+    rollback rewinds LWW state, batch 2's _ts=2 rows must win over the
+    rolled-back _ts=2 corruption they never see."""
+    work = tempfile.mkdtemp(prefix="hsp_lakerb_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        lake.merge(batch1, "b1")
+        good_version = lake.log.latest().version
+        corrupt = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 2, 4).alias("acctbal"),
+        )
+        lake.merge(corrupt, "bad")
+        lake.rollback(good_version)
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        lake.merge(batch2, "b2")
+        snap = (
+            lake.snapshot()
+            .select(
+                "c_custkey",
+                "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-rollback": q_lake_rollback,
     "q-lake-derived": q_lake_derived,
     "q-lake-evolve": q_lake_evolve,
     "q-lake-roundtrip": q_lake_roundtrip,
@@ -315,6 +378,9 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # the corruption must be invisible: same oracle as the roundtrip
+    # history that never had it
+    "q-lake-rollback": _ROUNDTRIP_ORACLE,
     # full recompute over the settled source state (the incremental
     # path must be indistinguishable from it); round_even = Spark rint
     "q-lake-derived": f"""

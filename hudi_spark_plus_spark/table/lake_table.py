@@ -547,9 +547,8 @@ class LakeTable:
         prev = self.log.latest()
         next_ver = (prev.version + 1) if prev else 1
         stored = self.schema()
-        widened: dict[str, str] = {}
         if stored is not None:
-            df, widened = self._reconcile_batch_types(df, stored)
+            df, _ = self._reconcile_batch_types(df, stored)
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
         if COMMIT_VER_COL not in df.columns:
@@ -935,7 +934,7 @@ class LakeTable:
         for c in (DELETED_COL, COMMIT_VER_COL):
             if c in b.columns:
                 b = b.drop(c)
-        b, widened = self._reconcile_batch_types(b, stored)
+        b, _ = self._reconcile_batch_types(b, stored)
         delta = (
             b.withColumn(DELETED_COL, F.col(OP_COL) == DELETE_OP)
             .withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))

@@ -647,3 +647,35 @@ def test_wav_roundtrip_and_audio_decode(spark):
         decode_audio_features(junk).collect()
     fake = decode_audio_features(junk, allow_fake=True).collect()[0]
     assert fake["duration_ms"] == 123
+
+
+def test_ngram_ops_invariants(spark):
+    """Structural invariants of the corpus-hygiene operators:
+    self-decontamination flags everything, dup fractions are bounded and
+    hit their extremes on all-identical / all-distinct corpora, and a
+    single-word run has hand-computable repetition stats."""
+    from hudi_spark_plus_spark.functions.ngrams import (
+        dup_ngram_fraction,
+        ngram_decontaminate,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)]
+        + [(10, "one unique sentence nothing shares these words")],
+        "doc_id long, text string",
+    )
+    # eval == train: every doc shares its own 5-grams
+    got = ngram_decontaminate(docs, docs, "doc_id", "text", 5).collect()
+    assert all(r["contaminated"] for r in got)
+    fr = {r["doc_id"]: r["dup_frac"] for r in dup_ngram_fraction(docs, "doc_id", "text", 3).collect()}
+    assert all(0.0 <= v <= 1.0 for v in fr.values())
+    assert all(fr[i] == 1.0 for i in range(4))  # identical docs
+    assert fr[10] == 0.0  # shares no 3-gram with anything
+    rep = repetition_signals(
+        spark.createDataFrame([(1, "w w w w")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    assert rep["dup_word_frac"] == 0.75
+    assert rep["top_2gram"] == "w w" and rep["top_2gram_cnt"] == 3
