@@ -83,3 +83,52 @@ def stratified_sample(
             keep
         )
     return df.where(keep)
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Data-mixture curation by TOKEN budget (domain reweighting): for
+    each stratum with a budget, keep a deterministic hash-fraction of
+    documents ~= budget_tokens / total_tokens, so the surviving token
+    mass approximates the requested mixture; unlisted strata pass
+    through whole. Two passes: one bounded aggregate (one row per
+    stratum — sources number in the dozens, never data-scaled) to learn
+    totals, then the zero-shuffle hash filter. Selection is per record
+    key: growing the corpus never flips an existing record's fate
+    within the same totals."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, float(b) / float(totals[s]))
+        for s, b in budgets.items()
+        if s in totals and totals[s]
+    }
+    return stratified_sample(df, strata_col, rates, key_col, salt=salt)
+
+
+def epoch_shuffle(
+    df: DataFrame, key_col: str, seed: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic epoch reshuffle for training-data loading: every
+    record gets a seed-salted md5 ``sort_key`` and a ``shard`` (first
+    hash byte mod ``n_shards``). Readers stream shards in shard order,
+    each shard sorted by ``sort_key`` — a different permutation per
+    seed, reproducible across runs and engines, with NO global
+    row_number (a global rank would funnel the corpus through one
+    partition; shard + within-shard sort is the distributed-safe
+    equivalent, and the uniform hash balances shard sizes)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
+    )
+    return df.withColumn("sort_key", h).withColumn("shard", shard)

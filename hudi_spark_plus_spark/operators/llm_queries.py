@@ -425,6 +425,51 @@ EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 plays the benchmark/eval slice
 DUPFRAC_NGRAM = 3
 
 
+def q_doc_pipeline_e2e(spark, sf_dir):
+    """The canonical pre-training text pipeline in ONE hash-checked
+    query: Gopher quality gates -> exact-dedup keepers (min doc id per
+    identical text among the gated set) -> word-5-gram test-set
+    decontamination -> surviving doc ids. Every stage is the operator
+    used by its standalone query; the composition pins stage ORDER and
+    interaction (dedup before decontamination, eval slice excluded from
+    training output) in a single hash. Shape: map-side gates, one
+    hash-agg for keepers, broadcast semi-join for decontamination —
+    nothing quadratic anywhere."""
+    from hudi_spark_plus_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio_expr,
+        tokens,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    train = d.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.where(F.col("doc_id") % EVAL_MOD == 0)
+    t = train.withColumn("_toks", tokens(F.col("text")))
+    n_words = F.size("_toks")
+    mwl = F.expr(
+        "aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)"
+    ) / F.greatest(n_words, F.lit(1))
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (punct_ratio(F.col("text")) < 0.1)
+        & (stopword_ratio_expr("text") >= 0.02)
+    )
+    gated = t.where(keep).select("doc_id", "text")
+    keepers = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    decon = ngram_decontaminate(kept, ev, "doc_id", "text", DECONTAM_NGRAM)
+    return (
+        decon.where(~F.col("contaminated")).select("doc_id").orderBy("doc_id")
+    )
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Test-set decontamination: flag training docs sharing any word
     5-gram with the eval slice (doc_id % 97 == 0). The corpus side is a
@@ -488,6 +533,42 @@ def q_doc_hash_embed(spark, sf_dir):
     return hash_embed_components(
         d, "doc_id", "text", dim=HASH_EMBED_DIM
     ).orderBy("doc_id", "dim_idx")
+
+
+MIXTURE_BUDGETS = {"en": 6000, "zh": 1500}
+
+
+def q_doc_mixture(spark, sf_dir):
+    """Token-budget data mixture (domain reweighting): survivors after
+    hash-sampling each budgeted language down to ~its token budget;
+    unbudgeted languages pass whole. The per-language keep rate is
+    COMPUTED FROM THE DATA (budget / total tokens) — the oracle
+    recomputes the same rate, cutoff integer, and hash filter, so the
+    two-pass rate derivation is hash-checked, not just the filter."""
+    from hudi_spark_plus_spark.functions.sampling import (
+        token_budget_mixture,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_mixture(
+        d, "lang", "n_tokens", MIXTURE_BUDGETS, key_col="doc_id"
+    ).orderBy("doc_id")
+
+
+def q_doc_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch reshuffle: seed-salted md5 sort key + shard
+    assignment per document — the distributed-safe global shuffle
+    (shard + within-shard sort, no global row_number)."""
+    from hudi_spark_plus_spark.functions.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", seed="epoch1", n_shards=16).orderBy(
+        "shard", "sort_key"
+    )
 
 
 def q_doc_vocab(spark, sf_dir):
@@ -569,10 +650,13 @@ LLM_QUERIES = {
     "q-doc-sample": q_doc_sample,
     "q-doc-chunks": q_doc_chunks,
     "q-doc-decontaminate": q_doc_decontaminate,
+    "q-doc-pipeline-e2e": q_doc_pipeline_e2e,
     "q-doc-dupfrac": q_doc_dupfrac,
     "q-doc-repetition": q_doc_repetition,
     "q-doc-pii": q_doc_pii,
     "q-doc-vocab": q_doc_vocab,
+    "q-doc-mixture": q_doc_mixture,
+    "q-doc-epoch-shuffle": q_doc_epoch_shuffle,
     "q-doc-hash-embed": q_doc_hash_embed,
     "q-doc-tfidf": q_doc_tfidf,
     "q-emb-quantize": q_emb_quantize,
@@ -788,6 +872,59 @@ LLM_ORACLES = {
              AS t(s)
         ORDER BY doc_id, chunk_id
     """,
+    # the standalone gopher / exact-dedup / decontamination oracle
+    # fragments composed in the engine's stage order
+    "q-doc-pipeline-e2e": rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+        ), m AS (
+          SELECT doc_id, text, len(toks) AS n_words,
+                 CAST(list_sum(list_transform(toks, t -> length(t)))
+                      AS DOUBLE) / greatest(len(toks), 1) AS mwl,
+                 length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS sym,
+                 {_ratio(_EN)} AS stop_r
+          FROM t
+        ), gated AS (
+          SELECT doc_id, text FROM m
+          WHERE n_words >= 50 AND n_words <= 100000
+            AND mwl >= 3.0 AND mwl <= 10.0
+            AND sym < 0.1 AND stop_r >= 0.02
+        ), keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+        ), kept AS (
+          SELECT g.doc_id, g.text FROM gated g JOIN keepers USING (doc_id)
+        ), kt AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM kept
+        ), kg AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(tk) < {DECONTAM_NGRAM}
+                 THEN [array_to_string(tk, ' ')]
+                 ELSE [array_to_string(tk[i:i+{DECONTAM_NGRAM - 1}], ' ')
+                       for i in range(1, len(tk) - {DECONTAM_NGRAM - 2})]
+            END)) AS gram
+          FROM kt
+        ), et AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE doc_id % {EVAL_MOD} = 0
+        ), eg AS (
+          SELECT DISTINCT unnest(list_distinct(
+            CASE WHEN len(tk) < {DECONTAM_NGRAM}
+                 THEN [array_to_string(tk, ' ')]
+                 ELSE [array_to_string(tk[i:i+{DECONTAM_NGRAM - 1}], ' ')
+                       for i in range(1, len(tk) - {DECONTAM_NGRAM - 2})]
+            END)) AS gram
+          FROM et
+        ), bad AS (
+          SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (gram)
+        )
+        SELECT doc_id FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
+    """,
     # word 5-grams (distinct per doc, same <n fallback as word_shingles);
     # eval slice = doc_id % EVAL_MOD == 0; grams distinct per doc so the
     # join-then-count equals the engine's count over semi-joined grams
@@ -931,6 +1068,41 @@ LLM_ORACLES = {
         FROM comp c JOIN nrm n USING (doc_id)
         WHERE n.n > 0
         ORDER BY doc_id, dim_idx
+    """,
+    # budgets mirror MIXTURE_BUDGETS; the rate, its 16-bit cutoff
+    # integer (floor == Python int() for non-negatives), and the hex
+    # compare are all recomputed from the data exactly as the engine's
+    # two-pass derivation does
+    "q-doc-mixture": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents
+        ), tot AS (
+          SELECT lang, SUM(n_tokens) AS t FROM tok GROUP BY lang
+        ), j AS (SELECT tok.*, tot.t FROM tok JOIN tot USING (lang))
+        SELECT doc_id, lang, n_tokens FROM j
+        WHERE CASE
+          WHEN lang = 'en' THEN
+            t <= 6000 OR
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 4)
+            < lpad(to_hex(CAST(floor(least(CAST(1.0 AS DOUBLE),
+                    CAST(6000 AS DOUBLE) / t) * 65536) AS INT)), 4, '0')
+          WHEN lang = 'zh' THEN
+            t <= 1500 OR
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 4)
+            < lpad(to_hex(CAST(floor(least(CAST(1.0 AS DOUBLE),
+                    CAST(1500 AS DOUBLE) / t) * 65536) AS INT)), 4, '0')
+          ELSE TRUE END
+        ORDER BY doc_id
+    """,
+    "q-doc-epoch-shuffle": """
+        SELECT doc_id,
+               md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+               CAST(CAST(concat('0x',
+                      substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                             1, 2)) AS UBIGINT) % 16 AS INT) AS shard
+        FROM documents ORDER BY shard, sort_key
     """,
     "q-doc-vocab": r"""
         SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_cnt

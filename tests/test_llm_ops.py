@@ -679,3 +679,47 @@ def test_ngram_ops_invariants(spark):
     ).collect()[0]
     assert rep["dup_word_frac"] == 0.75
     assert rep["top_2gram"] == "w w" and rep["top_2gram_cnt"] == 3
+
+
+def test_mixture_and_epoch_shuffle_invariants(spark):
+    """Mixture: surviving token mass lands within hash tolerance of the
+    budget, unbudgeted strata pass whole, membership is key-stable under
+    corpus growth. Shuffle: permutations differ by seed, shards are
+    balanced within tolerance, assignment is reproducible."""
+    from hudi_spark_plus_spark.functions.sampling import (
+        epoch_shuffle,
+        token_budget_mixture,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", 10) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    kept = token_budget_mixture(
+        df, "lang", "n_tokens", {"a": 5000}, key_col="doc_id"
+    )
+    by = {
+        r["lang"]: r["s"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert by["b"] == 10 * 1000  # unbudgeted stratum whole
+    assert abs(by["a"] - 5000) < 1200  # ~budget within hash tolerance
+    kept_ids = {r["doc_id"] for r in kept.where(F.col("lang") == "a").collect()}
+    # key-stability: halving the corpus keeps the same survivors (rate
+    # recomputed on the half -> same 0.25 ratio -> same cutoff)
+    half = df.where((F.col("doc_id") < 1500) & (F.col("lang") == "a"))
+    kept_half = token_budget_mixture(
+        half, "lang", "n_tokens", {"a": 2500}, key_col="doc_id"
+    )
+    assert {r["doc_id"] for r in kept_half.collect()} == {
+        i for i in kept_ids if i < 1500
+    }
+    s1 = epoch_shuffle(df.select("doc_id"), "doc_id", "e1", n_shards=8)
+    s2 = epoch_shuffle(df.select("doc_id"), "doc_id", "e2", n_shards=8)
+    o1 = [r["doc_id"] for r in s1.orderBy("shard", "sort_key").collect()]
+    o2 = [r["doc_id"] for r in s2.orderBy("shard", "sort_key").collect()]
+    assert o1 != o2  # different epoch -> different permutation
+    assert sorted(o1) == sorted(o2) == list(range(3000))
+    sizes = [r["n"] for r in s1.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and max(sizes) < 2 * min(sizes)
+    # reproducible
+    o1b = [r["doc_id"] for r in epoch_shuffle(df.select("doc_id"), "doc_id", "e1", n_shards=8).orderBy("shard", "sort_key").collect()]
+    assert o1 == o1b
