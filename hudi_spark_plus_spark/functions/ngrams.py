@@ -227,3 +227,56 @@ def distinctive_terms(
         .where(F.col("rank") <= top_k)
         .select(id_col, "rank", "word", "tf", "df_cnt")
     )
+
+
+def unigram_familiarity_buckets(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-shaped corpus quality bucketing with a REAL (if minimal)
+    language model: the unigram corpus-frequency familiarity score.
+
+    ``familiarity_milli`` = (1000 * sum of each token's corpus term
+    frequency) DIV token count — an exact integer (integer division on
+    both engines), monotone in the doc's average unigram probability,
+    so it orders documents exactly as a unigram-LM perplexity would
+    (without the cross-engine libm log() parity hazard). Documents are
+    then bucketed head / middle / tail by the corpus's exact 33rd/66th
+    percentile of the score — CCNet's head-middle-tail split, with the
+    unigram LM standing in for the Wikipedia LM (the model-quality knob
+    a deployment swaps in; the Spark shape is identical).
+
+    Shape: explode -> corpus-tf hash-agg -> join back on the token ->
+    per-doc agg; the two percentile thresholds are a 1-row aggregate
+    broadcast into the final projection. No driver-side row data.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    tf = words.groupBy("word").agg(F.count("*").alias("tf"))
+    per_doc = (
+        words.join(tf, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            id_col,
+            F.expr("1000 * _s div _n").alias("familiarity_milli"),
+        )
+    )
+    cuts = per_doc.agg(
+        F.expr("percentile(familiarity_milli, 0.33)").alias("_t1"),
+        F.expr("percentile(familiarity_milli, 0.66)").alias("_t2"),
+    )
+    return per_doc.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "familiarity_milli",
+        F.when(F.col("familiarity_milli") < F.col("_t1"), "tail")
+        .when(F.col("familiarity_milli") < F.col("_t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )

@@ -571,6 +571,21 @@ def q_doc_epoch_shuffle(spark, sf_dir):
     )
 
 
+def q_doc_unigram_ppl(spark, sf_dir):
+    """CCNet-shaped head/middle/tail quality bucketing from a REAL
+    unigram LM: integer familiarity score (monotone in unigram-LM
+    perplexity, no libm log parity hazard) + exact corpus percentiles
+    for the split."""
+    from hudi_spark_plus_spark.functions.ngrams import (
+        unigram_familiarity_buckets,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return unigram_familiarity_buckets(d, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 def q_doc_vocab(spark, sf_dir):
     """Corpus vocabulary induction (tokenizer-training step): term +
     corpus frequency + document frequency, one hash-agg over exploded
@@ -657,6 +672,7 @@ LLM_QUERIES = {
     "q-doc-vocab": q_doc_vocab,
     "q-doc-mixture": q_doc_mixture,
     "q-doc-epoch-shuffle": q_doc_epoch_shuffle,
+    "q-doc-unigram-ppl": q_doc_unigram_ppl,
     "q-doc-hash-embed": q_doc_hash_embed,
     "q-doc-tfidf": q_doc_tfidf,
     "q-emb-quantize": q_emb_quantize,
@@ -1103,6 +1119,33 @@ LLM_ORACLES = {
                       substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
                              1, 2)) AS UBIGINT) % 16 AS INT) AS shard
         FROM documents ORDER BY shard, sort_key
+    """,
+    # integer score (// truncates on both engines, HUGEINT collapsed by
+    # the CAST); quantile_cont == Spark percentile (parity proven by
+    # q-percentile); ties on a threshold fall to the same side (both <)
+    "q-doc-unigram-ppl": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS word
+          FROM documents
+        ), wt AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        tf AS (SELECT word, COUNT(*) AS tf FROM wt GROUP BY word),
+        per AS (
+          SELECT doc_id,
+                 CAST(1000 * SUM(tf) // COUNT(*) AS BIGINT)
+                 AS familiarity_milli
+          FROM wt JOIN tf USING (word) GROUP BY doc_id
+        ), cuts AS (
+          SELECT quantile_cont(familiarity_milli, 0.33) AS t1,
+                 quantile_cont(familiarity_milli, 0.66) AS t2
+          FROM per
+        )
+        SELECT doc_id, familiarity_milli,
+               CASE WHEN familiarity_milli < t1 THEN 'tail'
+                    WHEN familiarity_milli < t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM per, cuts ORDER BY doc_id
     """,
     "q-doc-vocab": r"""
         SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_cnt
