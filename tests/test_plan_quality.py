@@ -160,3 +160,22 @@ def test_column_mapping_identity_is_plan_noop(spark, tmp_path):
     # one scan, a filter on the tombstone flag — and no rename Project
     # between them beyond the column selection itself
     assert plan.count("Project") <= 1
+
+
+def test_new_pipeline_query_plans_are_bounded(spark, sf_dir):
+    """Round-3 additions keep the shapes the 100 TB posture requires:
+    the pipeline capstone joins by hash/broadcast only; the unigram
+    bucketing's single nested-loop join is the 1-row threshold
+    broadcast (bounded by construction); the mixture is a pure filter
+    (rates resolved in a bounded driver-side aggregate, no join)."""
+    from hudi_spark_plus_spark.operators.llm_queries import LLM_QUERIES
+
+    p1 = plan_of(LLM_QUERIES["q-doc-pipeline-e2e"](spark, sf_dir))
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+    p2 = plan_of(LLM_QUERIES["q-doc-unigram-ppl"](spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    assert p2.count("BroadcastNestedLoopJoin") <= 1  # 1-row cuts only
+    p3 = plan_of(LLM_QUERIES["q-doc-mixture"](spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p3, f"mixture must be a pure filter, found {j}"
