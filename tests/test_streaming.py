@@ -377,3 +377,41 @@ def test_epoch_us_handles_all_three_ts_layouts(spark):
             F.unix_micros(event_time(df, "ts")).alias("u")
         ).first()["u"]
         assert got == us, dict(df.dtypes)
+
+
+def test_cli_entrypoint_once_mode(spark, tmp_path):
+    """The spark-submit entry point (__main__.run) drains an envelope
+    directory in --once mode and lands the synced lake tables — the
+    deployment face of the reference's spark-submit class."""
+    import json as _json
+
+    from hudi_spark_plus_spark.__main__ import build_parser, run
+    from hudi_spark_plus_spark.operators.cdc_queries import (
+        build_envelopes,
+        derive_cdc_events,
+        sync_options,
+    )
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    src = str(tmp_path / "envelopes")
+    build_envelopes(
+        derive_cdc_events(spark, "/root/testdata/sf0.001")
+    ).coalesce(1).write.mode("overwrite").text(src)
+    opts_path = str(tmp_path / "sync.json")
+    with open(opts_path, "w") as fh:
+        _json.dump(sync_options(str(tmp_path / "tables")), fh)
+    args = build_parser().parse_args(
+        [
+            "--options", opts_path,
+            "--source-path", src,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--once",
+            "--timeout", "300",
+        ]
+    )
+    assert run(spark, args) is True
+    t = LakeTable(
+        spark, str(tmp_path / "tables" / "db1" / "ods_db1_t_customer"),
+        buckets=4,
+    )
+    assert t.snapshot().count() > 0
