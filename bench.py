@@ -38,6 +38,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = all_queries()
     # warm-up: JVM/codegen/file-listing paths
     qs["q01"](spark, sf_dir).count()
+    # ... and the streaming state-store/Python-worker path, at the
+    # smallest fixture: otherwise the alphabetically-first stateful
+    # query absorbs the one-time bring-up (~2s) and reads as a
+    # per-query regression (the r3 q-stream-stateful-agg artifact)
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if "q-stream-stateful-agg" in qs and os.path.isdir(tiny):
+        qs["q-stream-stateful-agg"](spark, tiny).count()
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
@@ -304,7 +311,17 @@ def main() -> None:
             **({"spot10x": spot} if spot else {}),
             **cdc,
         }
-        print(json.dumps(result))
+        # durable copy FIRST: the driver's stdout capture has truncated
+        # the tail before (BENCH_r02/r03 "parsed": null) — the file is
+        # the canonical record, the final printed line the contract
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
+        )
+        with open(out_path, "w") as fh:
+            json.dump(result, fh)
+            fh.write("\n")
+        sys.stdout.flush()
+        print(json.dumps(result), flush=True)
     finally:
         spark.stop()
 

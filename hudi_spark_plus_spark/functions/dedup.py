@@ -24,8 +24,54 @@ NOTE: no ``from __future__ import annotations`` here — pandas_udf resolves
 real type hints, and stringified ones break it.
 """
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# Buckets larger than this are DROPPED from the within-bucket self-join
+# (the join is quadratic in bucket size — a corpus with 10^6 identical
+# boilerplate docs would otherwise concentrate one 10^12-pair bucket).
+# A capped bucket is by definition a mass-duplicate cluster: its members
+# still surface through the exact md5 dedup pass, so capping costs only
+# *near*-dup recall among docs that are outright duplicates anyway.
+DEFAULT_MAX_BUCKET = 500
+
+
+def cap_bucket_size(
+    banded: DataFrame,
+    keys: list[str],
+    cap: int,
+    report: bool = False,
+) -> DataFrame:
+    """Drop rows in LSH buckets with more than ``cap`` members.
+
+    One window count over the same keys the candidate self-join shuffles
+    on (co-partitioned — no extra exchange under AQE). ``report=True``
+    runs a bounded count job and logs how many buckets were capped
+    (observability for skew audits; off in query paths to avoid an extra
+    action)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    if report:
+        n = (
+            sized.where(F.col("_bsz") > cap)
+            .select(*keys)
+            .distinct()
+            .count()
+        )
+        if n:
+            logger.warning(
+                "LSH bucket cap: dropped %d bucket(s) larger than %d "
+                "(mass-duplicate clusters; members still dedup via the "
+                "exact pass)", n, cap,
+            )
+    return sized.where(F.col("_bsz") <= cap).drop("_bsz")
+
 
 # -- exact ------------------------------------------------------------------
 
@@ -166,12 +212,19 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 3,
     verify_threshold: float | None = None,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    report_capped: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (optionally verified by exact Jaccard).
 
     signature -> ``bands`` band keys/doc -> shuffle on band key ->
     within-bucket self-join -> distinct pairs. With k=64, bands=16 (r=4),
     the S-curve crosses ~0.5 at j≈0.5; tune bands per threshold.
+
+    ``max_bucket_size`` guards the quadratic self-join against
+    pathological buckets (see ``cap_bucket_size``); the verify step only
+    computes/shuffles shingles for CANDIDATE docs (semi-join pruned —
+    candidates ≪ corpus after LSH).
     """
     rows = k // bands
     sig = with_minhash(
@@ -190,6 +243,9 @@ def minhash_lsh_pairs(
     # materialize once: the self-join would otherwise recompute the whole
     # shingle->64-hash signature subtree for BOTH sides
     banded = banded.localCheckpoint(eager=True)
+    banded = cap_bucket_size(
+        banded, ["band", "band_key"], max_bucket_size, report_capped
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -203,8 +259,21 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    sh = df.select(
-        F.col(id_col).alias("vid"), word_shingles(text_col, ngram).alias("sh")
+    # checkpoint the (small) candidate set so the id semi-joins below
+    # don't re-run the banded self-join twice
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("vid"))
+        .union(cand.select(F.col("id_b").alias("vid")))
+        .distinct()
+    )
+    # semi-join prune BEFORE shingling: only candidate docs' shingle
+    # arrays are computed and shuffled (candidates ≪ corpus after LSH) —
+    # never the corpus-wide arrays
+    sh = (
+        df.select(F.col(id_col).alias("vid"), F.col(text_col))
+        .join(cand_ids, "vid", "left_semi")
+        .select("vid", word_shingles(text_col, ngram).alias("sh"))
     )
     return (
         cand.join(sh.withColumnRenamed("vid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -272,7 +341,12 @@ def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    report_capped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-bucketed on
     16-bit signature bands (4 bands -> any pair within hamming<=3*? is
@@ -291,6 +365,9 @@ def simhash_near_pairs(
     )
     # materialize once — the self-join would re-run the pandas_udf fold
     banded = banded.localCheckpoint(eager=True)
+    banded = cap_bucket_size(
+        banded, ["band", "band_key"], max_bucket_size, report_capped
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

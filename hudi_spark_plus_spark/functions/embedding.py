@@ -106,15 +106,21 @@ def hash_embed(
             F.collect_list(F.struct("dim_idx", "acc"))
         ).alias("_m")
     )
+    # zero-norm guard (mirrors hash_embed_components): a doc whose signed
+    # sums all cancel would divide 0/0 -> NaN array; emit zeros instead
     return dense.select(
         id_col,
         F.expr(
             f"""
-            transform(sequence(0, {dim - 1}), i -> CAST(
+            CASE WHEN aggregate(map_values(_m), CAST(0.0 AS DOUBLE),
+                               (a, x) -> a + x * x) > 0
+            THEN transform(sequence(0, {dim - 1}), i -> CAST(
               coalesce(_m[CAST(i AS BIGINT)], CAST(0.0 AS DOUBLE))
               / sqrt(aggregate(map_values(_m), CAST(0.0 AS DOUBLE),
                                (a, x) -> a + x * x))
               AS FLOAT))
+            ELSE transform(sequence(0, {dim - 1}), i -> CAST(0.0 AS FLOAT))
+            END
             """
         ).alias("embedding"),
     )

@@ -490,7 +490,11 @@ def decode_audio_features(
                     durs.append(meta[1])
                 elif allow_fake:
                     rates.append(0)
-                    durs.append(md)
+                    # declared duration is nullable Int32 (pd.NA for
+                    # unknown containers); int32 Series construction
+                    # raises on NA — coalesce to 0 so the designated
+                    # fallback path degrades instead of crashing
+                    durs.append(0 if pd.isna(md) else int(md))
                 else:
                     raise NotImplementedError(
                         "unrecognized audio container (not RIFF/WAVE) and "

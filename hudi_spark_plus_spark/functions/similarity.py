@@ -208,6 +208,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     n_tables: int = 6,
     seed: int = 42,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at scale: candidates =
     same sign-bit LSH bucket in ANY table, then exact cosine verify of
@@ -226,15 +227,26 @@ def lsh_neardup_pairs(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         "vec", bits, dim, n_tables, seed,
     ).localCheckpoint()
-    a = sig.select(
+    from hudi_spark_plus_spark.functions.dedup import cap_bucket_size
+
+    exploded = sig.select(
+        "id", "vec", F.posexplode("bucket").alias("table", "bucket")
+    )
+    # guard the quadratic within-bucket self-join against pathological
+    # mass-duplicate buckets (same rationale as minhash_lsh_pairs — the
+    # members of an over-cap bucket are outright dups, caught exactly)
+    exploded = cap_bucket_size(exploded, ["table", "bucket"], max_bucket_size)
+    a = exploded.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
-        F.posexplode("bucket").alias("table", "bucket"),
+        "table",
+        "bucket",
     )
-    b = sig.select(
+    b = exploded.select(
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
-        F.posexplode("bucket").alias("table", "bucket"),
+        "table",
+        "bucket",
     )
     cand = (
         a.join(b, ["table", "bucket"])

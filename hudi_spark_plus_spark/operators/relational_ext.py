@@ -133,10 +133,16 @@ def q_exists_correlated(spark, sf_dir):
 
 
 def q_scalar_subquery(spark, sf_dir):
-    """Scalar subqueries — uncorrelated (global average, computed once
+    """Scalar subqueries — uncorrelated (global totals, computed once
     and broadcast) and correlated (per-row aggregate, decorrelated into
-    a join): orders beating the global average, with each customer's
-    own average alongside."""
+    a join): orders beating 1.5x the global average price, with each
+    customer's own order count and lifetime total alongside.
+
+    All comparisons/aggregates run in exact integer CENTS (prices have 2
+    decimals, so ROUND(x*100, 0) is rounding-mode-proof): a double AVG's
+    value depends on summation order, which differs between engines and
+    flips borderline rows/rounded digits — integer math is associative
+    and hash-stable."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     c.createOrReplaceTempView("c_v2")
@@ -145,11 +151,16 @@ def q_scalar_subquery(spark, sf_dir):
         """
         SELECT o_orderkey, o_custkey,
                ROUND(o_totalprice, 4) AS price,
-               ROUND((SELECT AVG(o2.o_totalprice) FROM o_v2 o2
-                      WHERE o2.o_custkey = o_v2.o_custkey), 4)
-                   AS cust_avg
-        FROM o_v2
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM o_v2)
+               (SELECT COUNT(*) FROM o_v2 o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_orders,
+               (SELECT SUM(CAST(ROUND(o2.o_totalprice * 100, 0) AS BIGINT))
+                FROM o_v2 o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_total_cents
+        FROM o_v2 o
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+              * 2 * (SELECT COUNT(*) FROM o_v2)
+              > 3 * (SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     FROM o_v2)
         ORDER BY o_orderkey
         """
     )
@@ -192,10 +203,16 @@ EXT_ORACLES = {
     "q-scalar-subquery": """
         SELECT o_orderkey, o_custkey,
                ROUND(o_totalprice, 4) AS price,
-               ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
-                      WHERE o2.o_custkey = o.o_custkey), 4) AS cust_avg
+               (SELECT COUNT(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_orders,
+               (SELECT SUM(CAST(ROUND(o2.o_totalprice * 100, 0) AS BIGINT))
+                FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_total_cents
         FROM orders o
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+              * 2 * (SELECT COUNT(*) FROM orders)
+              > 3 * (SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     FROM orders)
         ORDER BY o_orderkey
     """,
     "q-pivot": """

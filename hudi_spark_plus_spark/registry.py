@@ -66,6 +66,17 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+# Front-of-line pins: queries whose ORACLE was upgraded after their last
+# driver pass (the rotation ranks them by that stale green, which can
+# push them behind the cap). Listed queries sort before everything else;
+# remove a pin once a CORRECTNESS row proves the upgraded oracle.
+_PINNED = [
+    "q-emb-ann-lsh",  # planted-duplicate hash oracle added r3; driver last saw r2 no_oracle
+    "q-emb-ann-ivf",  # same upgrade, same round
+    "q-scalar-subquery",  # reformulated r4 (non-vacuous, integer cents) — r3 green was on the old query
+]
+
+
 def _gather(attr_idx: int) -> dict:
     out: dict = {}
     for mod_name, qattr, oattr in _SOURCES:
@@ -76,9 +87,12 @@ def _gather(attr_idx: int) -> dict:
         attr = (qattr, oattr)[attr_idx]
         out.update(getattr(mod, attr, {}))
     last = _last_green_round()
-    # stable sort: unverified/red (rank -1) first, then oldest green
-    # round first; registration order breaks ties deterministically
-    ordered = sorted(out, key=lambda k: last.get(k, -1))
+    # stable sort: pinned first, then unverified/red (rank -1), then
+    # oldest green round; registration order breaks ties deterministically
+    ordered = sorted(
+        out,
+        key=lambda k: (-2, 0) if k in _PINNED else (last.get(k, -1), 1),
+    )
     return {k: out[k] for k in ordered}
 
 

@@ -41,8 +41,12 @@ class IncrementalReader:
         try:
             with open(self.checkpoint_path) as fh:
                 return int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
-            return 0
+        except FileNotFoundError:
+            return 0  # no checkpoint yet: start of the timeline
+        except (ValueError, KeyError):
+            return 0  # malformed/torn content: restart from the beginning
+        # any other OSError (EACCES, transient I/O) propagates — silently
+        # resetting the cursor would replay the whole table as one batch
 
     def poll(self) -> tuple[DataFrame, int] | None:
         """(changes DataFrame, version-to-acknowledge) for everything

@@ -68,7 +68,14 @@ def stateful_dedup_stream(
             state.remove()
             return
             yield  # pragma: no cover — makes fn a generator on this path
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = [c for c in pdfs if len(c)]
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame()
+        )
         fresh = not state.exists
         if fresh:
             state.update((1,))
@@ -120,11 +127,14 @@ def stateful_running_agg_stream(
     )
 
     def fn(key, pdfs, state):
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        rows = len(batch)
+        chunks = [c for c in pdfs if len(c)]
+        rows = sum(len(c) for c in chunks)
         if rows == 0:
             return
             yield  # pragma: no cover
+        batch = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        )
         # per-row half-even rounding on the double product, then exact
         # int64 summation — order-independent by construction
         s = int((batch[val_col] * factor).round().astype("int64").sum())

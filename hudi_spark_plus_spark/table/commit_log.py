@@ -246,10 +246,11 @@ class CommitLog:
         O(versions × table files). A v1 inline commit in the range falls
         back to a full file-list diff for that one step.
         """
-        vs = [v for v in self.versions() if v > begin and (end is None or v <= end)]
+        present = set(self.versions())
+        vs = sorted(v for v in present if v > begin and (end is None or v <= end))
         if not vs:
             return []
-        begin_meta = self._read_meta(begin) if begin in self.versions() else None
+        begin_meta = self._read_meta(begin) if begin in present else None
         # `before` (files live at `begin`) is folded in lazily, one
         # bucket at a time — only buckets that actually changed pay it
         before: set[str] = set()
@@ -271,7 +272,11 @@ class CommitLog:
         seen: dict[str, FileEntry] = {}
         for v in vs:
             cur = self._read_meta(v)
-            prev = self._read_meta(v - 1) if v - 1 >= 1 else None
+            # vacuum may have dropped the predecessor's commit JSON: a
+            # missing prev (prev=None) falls back to diffing this
+            # version's full bucket set against `before`, which is the
+            # correct over-approximation (never misses a changed file)
+            prev = self._read_meta(v - 1) if (v - 1) in present else None
             if cur.segments is not None and (prev is None or prev.segments is not None):
                 prev_seg = prev.segments if prev else {}
                 for b in sorted(cur.segments, key=int):

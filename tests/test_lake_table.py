@@ -1296,3 +1296,60 @@ class TestDerivedTableMaintenance:
         assert {r["grp"]: r["cnt"] for r in dst.snapshot().collect()} == {1: 2}
         # caught up: no-op
         assert refresh_grouped_aggregate(src, dst, ckpt, "grp", agg_fn) == 0
+
+
+class TestRound4AdvisorFindings:
+    """Round-3 ADVICE.md regressions."""
+
+    def test_incremental_read_survives_vacuum(self, spark, tmp_path):
+        """changed_files() must treat a vacuumed-away predecessor commit
+        as prev=None (full-bucket diff fallback) instead of crashing on
+        the missing commit JSON (r3 high-severity ADVICE finding)."""
+        from hudi_spark_plus_spark.streaming.incremental_reader import (
+            IncrementalReader,
+        )
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        t.merge(mkbatch(spark, [("k2", 2, "upsert", "b")]), "b1")
+        t.merge(mkbatch(spark, [("k1", 3, "upsert", "a2")]), "b2")
+        vacuum(t, keep_last=1)
+        # range starting below the vacuum horizon: full current state
+        rows = {(r["_key"], r["val"]) for r in t.incremental(0).collect()}
+        assert rows == {("k1", "a2"), ("k2", "b")}
+        # fresh consumer with no checkpoint polls from 0 after vacuum
+        rd = IncrementalReader(t, str(tmp_path / "ckpt.json"))
+        polled = rd.poll()
+        assert polled is not None
+        df, v = polled
+        assert {(r["_key"], r["val"]) for r in df.collect()} == rows
+        rd.commit(v)
+        assert rd.poll() is None
+
+    def test_incremental_reader_propagates_real_oserrors(self, tmp_path):
+        """A permission/I-O blip must NOT silently reset the cursor to 0
+        (which would replay the whole table as one batch)."""
+        import os
+
+        import pytest
+
+        ckpt = tmp_path / "c.json"
+        ckpt.write_text('{"version": 7}')
+        from hudi_spark_plus_spark.streaming.incremental_reader import (
+            IncrementalReader,
+        )
+
+        rd = IncrementalReader(None, str(ckpt))
+        assert rd.last_acknowledged() == 7
+        (tmp_path / "missing").mkdir()
+        rd2 = IncrementalReader(None, str(tmp_path / "missing" / "x.json"))
+        assert rd2.last_acknowledged() == 0  # FileNotFoundError -> start
+        ckpt.write_text("not json {")
+        assert rd.last_acknowledged() == 0  # malformed -> restart
+        if os.getuid() != 0:  # EACCES can't be provoked as root
+            ckpt.write_text('{"version": 7}')
+            ckpt.chmod(0)
+            with pytest.raises(OSError):
+                rd.last_acknowledged()
+            ckpt.chmod(0o644)

@@ -723,3 +723,42 @@ def test_mixture_and_epoch_shuffle_invariants(spark):
     # reproducible
     o1b = [r["doc_id"] for r in epoch_shuffle(df.select("doc_id"), "doc_id", "e1", n_shards=8).orderBy("shard", "sort_key").collect()]
     assert o1 == o1b
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """1000 identical documents: without the cap, one LSH bucket per band
+    would hold all 1000 docs and the self-join would emit ~500k pairs x
+    16 bands. With the cap, those buckets are dropped entirely (bounded
+    candidates) while distinct near-dup docs still pair up, and the
+    identical docs still dedup via the exact pass."""
+    from hudi_spark_plus_spark.functions.dedup import exact_dedup
+
+    boiler = [(i, "the same boilerplate text repeated everywhere forever") for i in range(1000)]
+    near = [
+        (2000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    cand = minhash_lsh_pairs(
+        df, "doc_id", "text", k=16, bands=4, max_bucket_size=100
+    )
+    rows = cand.collect()
+    # the 1000-doc buckets are capped away; only the small near-dup
+    # bucket contributes -> candidate count stays tiny, never ~500k
+    assert len(rows) <= 10
+    assert (2000, 2001) in {(r["id_a"], r["id_b"]) for r in rows}
+    # mass-duplicates still surface through exact dedup
+    ex = exact_dedup(df, "text", "doc_id").where(F.col("dup_cnt") == 1000)
+    assert ex.count() == 1
+
+
+def test_lsh_verify_shingles_are_semijoin_pruned(spark, sf_dir):
+    """The exact-Jaccard verify step must compute shingles only for
+    candidate ids (LeftSemi prune before the shingle transform), never
+    shuffle corpus-wide shingle arrays."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=4, verify_threshold=0.3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
