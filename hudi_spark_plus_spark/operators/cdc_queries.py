@@ -306,11 +306,133 @@ def q_cdc_4(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- q-cdc-transformer: N19 SQL transformer hook end-to-end -----------------
+
+# Projects (seq passthrough), derives (upper, exact cents), and FILTERS —
+# the filter is KEY-STABLE (on the record key, not a value) so every
+# batch drops the same keys and the oracle is the plain LWW replay over
+# the surviving key set. The reference's hook is the same <SRC>
+# placeholder contract (BinlogSyncHoodieCommand.scala:104-111).
+TRANSFORMER_QUERY_SQL = """
+    SELECT seq, key_id, upper(col_a) AS col_a,
+           ROUND(col_b, 4) AS col_b,
+           CAST(ROUND(col_b * 100, 0) AS BIGINT) AS price_cents
+    FROM <SRC> WHERE key_id % 4 <> 0
+"""
+
+
+def q_cdc_transformer(spark, sf_dir):
+    """N19 end-to-end: the db1.t_customer event slice through TWO
+    micro-batches with ``hoodie.transformer.sql`` configured — the
+    transformer projects, uppercases, derives exact integer cents, and
+    filters out every key divisible by 4. Final snapshot must equal the
+    oracle's LWW replay over transformed survivors."""
+    ev = derive_cdc_events(spark, sf_dir).where(
+        (F.col("db_name") == "db1") & (F.col("table_name") == "t_customer")
+    )
+    max_seq = ev.agg(F.max("seq")).first()[0] or 0
+    step = max_seq // 2 + 1
+    work = tempfile.mkdtemp(prefix="hsp_cdct_")
+    opts = {
+        cfg.HOODIE_PATH: work + "/{db}/ods_{db}_{table}",
+        cfg.SOURCE_SHUFFLE_PARALLELISM: "8",
+        cfg.SINK_SHUFFLE_PARALLELISM: "4",
+        cfg.DEDUP_ORDER_FIELDS: "seq",
+        cfg.BUCKETS: "4",
+        "db1.t_customer." + cfg.RECORDKEY_FIELD: "key_id",
+        "db1.t_customer." + cfg.PRECOMBINE_FIELD: "seq",
+        "db1.t_customer." + cfg.TABLE_NAME: "ods_db1_t_customer",
+        "db1.t_customer." + cfg.TRANSFORMER_SQL: TRANSFORMER_QUERY_SQL,
+    }
+    try:
+        for b in range(2):
+            env = build_envelopes(
+                ev.where(
+                    (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
+                )
+            )
+            st = sync_batch(spark, env, opts, batch_id=b)
+            assert st.get("db1.t_customer") == "ok", st
+        lake = LakeTable(spark, f"{work}/db1/ods_db1_t_customer")
+        result = (
+            lake.snapshot()
+            .select("key_id", "seq", "col_a", "col_b", "price_cents")
+            .orderBy("key_id")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# -- q-cdc-retention: N6 raw-binlog retention -------------------------------
+
+
+def q_cdc_retention(spark, sf_dir):
+    """N6 end-to-end: run the full sync with ``keepbinlog`` enabled over
+    two micro-batches, then read the RETAINED raw envelopes back from
+    disk and aggregate them — envelope counts, event counts, and the
+    timestamp range per (db, table, type) must match the oracle's
+    derivation of what the producer grouped. Proves retention persists
+    bytes (the reference materializes but never writes — SURVEY Q4) and
+    that what it persists is the exact envelope stream."""
+    from pyspark.sql.types import ArrayType
+
+    ev = derive_cdc_events(spark, sf_dir)
+    max_seq = ev.agg(F.max("seq")).first()[0] or 0
+    step = max_seq // 2 + 1
+    work = tempfile.mkdtemp(prefix="hsp_cdcr_")
+    opts = sync_options(work + "/tables")
+    opts[cfg.KEEP_BINLOG_ENABLE] = "true"
+    opts[cfg.BINLOG_PATH] = work + "/binlog"
+    try:
+        for b in range(2):
+            env = build_envelopes(
+                ev.where(
+                    (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
+                )
+            )
+            sync_batch(spark, env, opts, batch_id=b)
+        env_schema = StructType(
+            [
+                StructField("databaseName", StringType()),
+                StructField("tableName", StringType()),
+                StructField("type", StringType()),
+                StructField("timestamp", LongType()),
+                StructField("rows", ArrayType(ROW_SCHEMA)),
+            ]
+        )
+        retained = spark.read.text(work + "/binlog/batch_id=*")
+        parsed = retained.select(
+            F.from_json("value", env_schema).alias("e")
+        ).select("e.*")
+        result = (
+            parsed.groupBy(
+                F.col("databaseName").alias("db_name"),
+                F.col("tableName").alias("table_name"),
+                F.col("type").alias("op"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_envelopes"),
+                F.sum(F.size("rows")).alias("n_events"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts"),
+            )
+            .orderBy("db_name", "table_name", "op")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CDC_QUERIES = {
     "q-cdc-1": q_cdc_1,
     "q-cdc-2": q_cdc_2,
     "q-cdc-3": q_cdc_3,
     "q-cdc-4": q_cdc_4,
+    "q-cdc-transformer": q_cdc_transformer,
+    "q-cdc-retention": q_cdc_retention,
 }
 
 CDC_ORACLES = {
@@ -344,6 +466,37 @@ CDC_ORACLES = {
           FROM cdc_events) t
         WHERE rn = 1 AND op <> 'delete'
         ORDER BY db_name, table_name, key_id
+    """,
+    # LWW replay over the db1.t_customer route, restricted to the
+    # transformer's surviving keys, with the transformer's projections
+    "q-cdc-transformer": CDC_EVENTS_CTE
+    + """
+        SELECT key_id, seq, upper(col_a) AS col_a,
+               ROUND(col_b, 4) AS col_b,
+               CAST(ROUND(col_b * 100, 0) AS BIGINT) AS price_cents
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+          FROM cdc_events
+          WHERE db_name = 'db1' AND table_name = 't_customer') t
+        WHERE rn = 1 AND op <> 'delete' AND key_id % 4 <> 0
+        ORDER BY key_id
+    """,
+    # Envelopes are grouped per (batch, db, table, ts, op): envelope
+    # count = distinct (batch, ts) per group key; event count = raw rows
+    "q-cdc-retention": CDC_EVENTS_CTE
+    + """
+        SELECT db_name, table_name, op,
+               COUNT(DISTINCT CAST(FLOOR(seq /
+                        ((SELECT MAX(seq) FROM cdc_events) // 2 + 1))
+                        AS BIGINT)
+                              * 4294967296 + ts) AS n_envelopes,
+               COUNT(*) AS n_events,
+               MIN(ts) AS min_ts,
+               MAX(ts) AS max_ts
+        FROM cdc_events
+        GROUP BY db_name, table_name, op
+        ORDER BY db_name, table_name, op
     """,
     # All-bigint replay of the widening pipeline: the engine's int batch
     # + bigint batch must converge to the same final values

@@ -343,7 +343,214 @@ def q_lake_rollback(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_zorder(spark, sf_dir):
+    """Z-order clustering (K3; reference kernel BitUtil.java:122-157)
+    under oracle control. Two checks in one:
+
+    1. ``zorder_cluster_table`` rewrites the two-batch lake table
+       clustered on (c_custkey, acctbal); the returned snapshot must
+       hash-equal the UNCHANGED roundtrip oracle — layout rewrites are
+       logically invisible.
+    2. In-engine layout assertion via ``zorder_write`` on an orders
+       slice: under a selective two-sided predicate, the Z-ordered
+       layout must concentrate matches in strictly fewer files than the
+       unsorted layout (the min/max-tightening payoff that lets
+       file/row-group stats skip data on BOTH dimensions)."""
+    import os
+
+    from hudi_spark_plus_spark.table.zorder import (
+        zorder_cluster_table,
+        zorder_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="hsp_lakez_")
+    try:
+        lake = _build_lake(spark, sf_dir, work + "/t", "cow")
+        files_before = {f.path for f in lake.log.live_files()}
+        zorder_cluster_table(lake, "c_custkey", "acctbal")
+        files_after = {f.path for f in lake.log.live_files()}
+        assert files_after and files_after.isdisjoint(files_before), (
+            "cluster commit must publish a full rewrite"
+        )
+        snap = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        n_files = 16
+        plain_dir, z_dir = os.path.join(work, "plain"), os.path.join(work, "z")
+        o.repartition(n_files).write.mode("overwrite").parquet(plain_dir)
+        zorder_write(o, z_dir, "o_custkey", "o_totalprice", n_files=n_files)
+        pred = (
+            (F.col("o_custkey") < 100) & (F.col("o_totalprice") < 50000)
+        )
+
+        def files_hit(path):
+            return (
+                spark.read.parquet(path)
+                .where(pred)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+
+        hit_plain, hit_z = files_hit(plain_dir), files_hit(z_dir)
+        assert hit_z < hit_plain, (
+            f"z-order must concentrate the 2-sided predicate: {hit_z} vs "
+            f"{hit_plain} files"
+        )
+        # same logical data either way
+        n_match = spark.read.parquet(z_dir).where(pred).count()
+        assert n_match == o.where(pred).count()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_compact(spark, sf_dir):
+    """Compaction + vacuum under oracle control: batch 1 lands as FIVE
+    separate commits (small files accumulate, as sustained micro-batch
+    ingest produces), batch 2 applies updates+deletes, then
+    ``compact()`` folds each bucket to one file and ``vacuum()`` drops
+    every superseded file and old commit JSON. The post-maintenance
+    snapshot must hash-equal the never-compacted oracle, file counts
+    must actually shrink, and an incremental read from version 0 must
+    still work across the vacuumed horizon (r3 ADVICE regression)."""
+    from hudi_spark_plus_spark.table.maintenance import compact, vacuum
+
+    work = tempfile.mkdtemp(prefix="hsp_lakec_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        lake = LakeTable(spark, work + "/t", buckets=4)
+        for i in range(5):  # batch 1 split into 5 commits
+            part = c.where(F.col("c_custkey") % 5 == i).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_name",
+                F.round("c_acctbal", 4).alias("acctbal"),
+            )
+            lake.merge(part, f"b1-{i}")
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        lake.merge(batch2, "b2", mode="mor")  # deltas on top of small files
+        stats = compact(lake)
+        assert stats["files_after"] < stats["files_before"], stats
+        assert stats["files_after"] <= lake.buckets, stats
+        vstats = vacuum(lake, keep_last=1)
+        assert vstats["files_removed"] > 0, vstats
+        # incremental across the vacuumed horizon: full current state
+        inc = lake.incremental(0)
+        assert inc.where(~F.col("_deleted")).count() > 0
+        snap = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_concurrent(spark, sf_dir):
+    """Two-writer commit-conflict arbitration under oracle control: two
+    threads interleave merges of DISJOINT key halves (each split into 3
+    commits) against one table; the bounded conflict retry must land
+    every batch regardless of race order, and the final snapshot is
+    order-independent by construction — so it hash-checks against the
+    single deterministic oracle."""
+    import threading
+
+    work = tempfile.mkdtemp(prefix="hsp_lakecc_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        LakeTable(spark, work + "/t", buckets=4).merge(
+            c.where(F.col("c_custkey") == 1).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(99).cast("long").alias("_ts"),  # seed outlives both writers
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_name",
+                F.round("c_acctbal", 4).alias("acctbal"),
+            ),
+            "seed",
+        )
+        errs: list = []
+        barrier = threading.Barrier(2)
+
+        def writer(half):
+            try:
+                t = LakeTable(spark, work + "/t", buckets=4)
+                mine = c.where((F.col("c_custkey") % 2 == half)
+                               & (F.col("c_custkey") > 1))
+                barrier.wait()
+                for i in range(3):
+                    batch = mine.where(F.col("c_custkey") % 3 == i).select(
+                        F.col("c_custkey").cast("string").alias("_key"),
+                        F.lit(half + 1).cast("long").alias("_ts"),
+                        F.lit("upsert").alias("_op"),
+                        "c_custkey",
+                        "c_name",
+                        F.round(
+                            F.col("c_acctbal") + (half + 1) * 100.0, 4
+                        ).alias("acctbal"),
+                    )
+                    t.merge(batch, f"h{half}-{i}")
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(h,)) for h in (0, 1)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        lake = LakeTable(spark, work + "/t", buckets=4)
+        assert lake.log.latest().version == 7  # seed + 2x3, all landed
+        snap = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-zorder": q_lake_zorder,
+    "q-lake-compact": q_lake_compact,
+    "q-lake-concurrent": q_lake_concurrent,
     "q-lake-rollback": q_lake_rollback,
     "q-lake-derived": q_lake_derived,
     "q-lake-evolve": q_lake_evolve,
@@ -378,6 +585,21 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # layout rewrite is logically invisible: unchanged roundtrip state
+    "q-lake-zorder": _ROUNDTRIP_ORACLE,
+    # compaction + vacuum are logically invisible too
+    "q-lake-compact": _ROUNDTRIP_ORACLE,
+    # disjoint halves: evens +100 (writer 0), odds > 1 +200 (writer 1),
+    # custkey 1 from the seed at its original balance (LWW: seed _ts=99)
+    "q-lake-concurrent": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey = 1 THEN ROUND(c_acctbal, 4)
+                    WHEN c_custkey % 2 = 0 THEN ROUND(c_acctbal + 100.0, 4)
+                    ELSE ROUND(c_acctbal + 200.0, 4) END AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey >= 1
+        ORDER BY c_custkey
+    """,
     # the corruption must be invisible: same oracle as the roundtrip
     # history that never had it
     "q-lake-rollback": _ROUNDTRIP_ORACLE,

@@ -26,9 +26,16 @@ def test_every_oracle_has_a_query():
 
 
 def test_rotation_orders_stalest_first():
+    """Pinned queries (oracle upgraded since their last driver pass) sort
+    first; after them the order is stalest-green-first."""
+    from hudi_spark_plus_spark.registry import _PINNED
+
     order = list(all_queries())
+    n_pin = sum(1 for q in order if q in _PINNED)
+    assert all(q in _PINNED for q in order[:n_pin]), "pins must lead"
+    rest = order[n_pin:]
     last = _last_green_round()
-    ranks = [last.get(q, -1) for q in order]
+    ranks = [last.get(q, -1) for q in rest]
     assert ranks == sorted(ranks), "registry order must be stalest-green-first"
 
 
