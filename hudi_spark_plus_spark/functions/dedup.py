@@ -287,6 +287,144 @@ def minhash_lsh_pairs(
     )
 
 
+# -- cross-document line dedup (CCNet-style) --------------------------------
+
+
+def segment_words_expr(text_col: str, words_per_line: int = 8) -> Column:
+    """Deterministic re-segmentation of running text into fixed
+    ``words_per_line`` "lines" (array<string>) — the line unit for
+    corpora whose documents carry no natural newlines. Pure JVM lambda
+    expr; the same segmentation is expressible in ANSI SQL for oracles."""
+    w = words_per_line
+    return F.expr(
+        f"""
+        transform(
+          sequence(0, cast(ceil(size(split({text_col}, ' ')) / {w}.0) as int) - 1),
+          i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))
+        """
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    lines_col: Column | str,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-document LINE dedup: drop every line that
+    appears in >= ``min_doc_freq`` DISTINCT documents (boilerplate —
+    headers, navigation, license blocks), reassemble each document from
+    its surviving lines in order.
+
+    Scale shape (100 TB): lines shuffle ONCE keyed by their 128-bit md5
+    (never the line text as a join key), doc-frequency counting gets
+    map-side partial aggregation, the boilerplate set is anti-joined
+    (not collected), and reassembly is one groupBy(doc) with an
+    in-group array_sort — no global window anywhere. Documents whose
+    every line is boilerplate drop out (callers left-join the id
+    universe if empty docs must be retained).
+
+    Returns (id, lines_kept, clean_text)."""
+    lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    lines = df.select(
+        F.col(id_col), F.posexplode(lc).alias("pos", "line")
+    ).withColumn("_lh", F.md5("line"))
+    boiler = (
+        lines.groupBy("_lh")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_doc_freq)
+        .select("_lh")
+    )
+    kept = lines.join(boiler, "_lh", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("lines_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, line))),"
+            " x -> x.line), '\\n')"
+        ).alias("clean_text"),
+    )
+
+
+# -- incremental dedup: new batch vs existing corpus ------------------------
+
+_BLOOM_SEEDS = (101, 202, 303)
+
+
+def corpus_text_bloom(
+    corpus: DataFrame, text_col: str, m_bits: int = 1 << 17
+) -> list[int]:
+    """Bloom filter of the corpus's exact text digests as a packed
+    int64 list (``m_bits / 64`` words).
+
+    The corpus side is ONE narrow pass: md5 -> k=3 bit positions ->
+    bit_or aggregation into at most m/64 groups. The driver collect is
+    bounded METADATA (16 KiB at 2^20 bits), not row data — this is the
+    piece that lets a 100-TB deployment dedup a new batch against the
+    full corpus without ever shuffling the corpus: the bloom broadcasts
+    to executors, only probable-dup candidates pay the exact
+    verification join."""
+    pos = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.md5(text_col), F.lit(s)), F.lit(m_bits)
+                    ).cast("long")
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
+    rows = (
+        pos.groupBy(F.expr("p div 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in rows:
+        arr[int(r["w"])] = int(r["bits"])
+    return arr
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """EXACT dedup of a new ingest batch against an existing corpus
+    without shuffling the corpus: bloom prefilter (possible false
+    positives, NO false negatives) -> exact md5 semi-join verification
+    of the candidates only -> anti-join the verified dups out of the
+    batch. The result is exactly ``new_df`` minus texts present in
+    ``corpus`` — hash-checkable against a plain SQL anti-join."""
+    bloom = corpus_text_bloom(corpus, text_col, m_bits)
+    probed = new_df.withColumn("_th", F.md5(text_col)).withColumn(
+        "_bloom", F.lit(bloom)
+    )
+    cond = None
+    for s in _BLOOM_SEEDS:
+        hit = F.expr(
+            f"(element_at(_bloom, cast(shiftright(pmod(xxhash64(_th, {s}),"
+            f" {m_bits}), 6) as int) + 1)"
+            f" & shiftleft(cast(1 as bigint),"
+            f" cast(pmod(xxhash64(_th, {s}), {m_bits}) % 64 as int))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    cand = probed.where(cond).select(id_col, "_th")
+    verified_dups = cand.join(
+        corpus.select(F.md5(text_col).alias("_th")).distinct(),
+        "_th",
+        "left_semi",
+    ).select(id_col)
+    return new_df.join(verified_dups, id_col, "left_anti")
+
+
 # -- simhash ----------------------------------------------------------------
 
 

@@ -651,7 +651,56 @@ def q_media_audio(spark, sf_dir):
 # engine-specific no-oracle signatures (minhash/simhash) come last so a
 # driver that bounds how many registry entries it checks still records
 # every hash-checkable row.
+def q_doc_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup: the corpus re-segmented
+    into deterministic 8-word lines, every line appearing in >= 2
+    distinct documents dropped as boilerplate, documents reassembled
+    from surviving lines (md5-pinned so the full reassembly is in the
+    hash). At sf0.01, 153 distinct lines are cross-document duplicates
+    — the operator provably bites while most text survives."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        dedup_lines,
+        segment_words_expr,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    seg = d.select("doc_id", segment_words_expr("text", 8).alias("_lines"))
+    out = dedup_lines(seg, "doc_id", "_lines", min_doc_freq=2)
+    return (
+        out.select(
+            "doc_id",
+            "lines_kept",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_dedup_incremental(spark, sf_dir):
+    """Incremental new-batch-vs-corpus dedup: corpus = doc_id < 400;
+    the new batch is docs 400..499 plus PLANTED exact copies of docs
+    0..49 (re-keyed +10000). The bloom prefilter + exact-verify path
+    must keep exactly the 100 genuinely new docs and drop all 50
+    planted dups — identical to the oracle's plain SQL anti-join, with
+    zero corpus shuffle on the engine side."""
+    from hudi_spark_plus_spark.functions.dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 400)
+    new_batch = d.where(F.col("doc_id") >= 400).unionByName(
+        d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    kept = incremental_dedup(new_batch, corpus, "doc_id", "text")
+    return kept.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
 LLM_QUERIES = {
+    "q-doc-line-dedup": q_doc_line_dedup,
+    "q-doc-dedup-incremental": q_doc_dedup_incremental,
     "q-doc-dedup-exact": q_doc_dedup_exact,
     "q-doc-token-stats": q_doc_token_stats,
     "q-doc-quality": q_doc_quality,
@@ -707,6 +756,41 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    # identical 8-word segmentation, doc-freq >= 2 boilerplate removal,
+    # ordered reassembly with '\n'
+    "q-doc-line-dedup": r"""
+        WITH lines AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(string_split(text, ' '),
+                                            i * 8 + 1, i * 8 + 8), ' ') AS line
+          FROM documents,
+               UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                                 AS BIGINT))) AS t(i)
+        ),
+        boiler AS (
+          SELECT line FROM lines GROUP BY line
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        kept AS (
+          SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        )
+        SELECT doc_id, COUNT(*) AS lines_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    # plain anti-join ground truth for the bloom + verify path
+    "q-doc-dedup-incremental": """
+        WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        newb AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        )
+        SELECT n.doc_id, md5(n.text) AS text_md5
+        FROM newb n
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+        ORDER BY n.doc_id
+    """,
     "q-doc-dedup-exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                COUNT(*) AS dup_cnt

@@ -53,7 +53,10 @@ def spread(df: DataFrame) -> DataFrame:
     metadata (input split count), not a job."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # JVM-side partition probe: df.rdd would wrap the plan in a Python
+    # deserializer RDD just to read metadata; _jdf.rdd() asks the
+    # existing JVM plan directly (still lazy, no job)
+    if df._jdf.rdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

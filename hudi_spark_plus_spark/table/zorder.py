@@ -19,17 +19,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Magic-number bit spread: x's bit i moves to bit 2i in five constant
+# shift-mask steps (the classic Morton dilation) — pure 64-bit integer
+# arithmetic, whole-stage codegen, O(1) per row. The r1-r3 formulation
+# (aggregate over sequence(0, bits-1)) ran an INTERPRETED lambda per
+# row per bit and dominated the cluster command's wall-clock.
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_expr(col_sql: str, bits: int) -> str:
+    """SQL for dilating the low ``bits`` bits of a bigint (bit i -> 2i)."""
+    x = f"(cast({col_sql} as bigint) & {(1 << bits) - 1})"
+    for shift, mask in _SPREAD_STEPS:
+        if shift >= bits:
+            continue  # no bit of the input crosses this distance
+        x = f"((({x}) | shiftleft(({x}), {shift})) & {mask})"
+    return x
+
+
 def interleave_bits(even: Column | str, odd: Column | str, bits: int = 32) -> Column:
     """Morton interleave: bit i of ``even`` -> bit 2i, bit i of ``odd`` ->
     bit 2i+1 (the reference's BitUtil.interleave semantics). Inputs are
-    taken as non-negative 32-bit ints."""
+    taken as non-negative ints of up to 32 significant bits. Constant
+    shift-mask dilation — codegen arithmetic, no lambda."""
     e = F.col(even) if isinstance(even, str) else even
     o = F.col(odd) if isinstance(odd, str) else odd
     return F.expr(
-        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, i) ->
-              acc
-              + shiftleft(cast(shiftright({e._jc.toString()}, i) & 1 as bigint), 2 * i)
-              + shiftleft(cast(shiftright({o._jc.toString()}, i) & 1 as bigint), 2 * i + 1))"""
+        f"({_spread_expr(e._jc.toString(), bits)})"
+        f" | shiftleft({_spread_expr(o._jc.toString(), bits)}, 1)"
     )
 
 
@@ -47,11 +70,14 @@ def deinterleave_bits(z: Column | str, bits: int = 32) -> tuple[Column, Column]:
     return even, odd
 
 
-# Bins per clustered dimension: 2^10 quantile bins give a 20-bit Morton
-# code — the same granularity the old percent_rank path produced, without
-# its global sort.
-BIN_BITS = 10
-QUANTILE_REL_ERR = 0.001
+# Bins per clustered dimension: 2^8 quantile bins give a 16-bit Morton
+# code = 65,536 cells — orders of magnitude more than any realistic
+# file count (the code only needs to ORDER files; within-file order
+# beyond that granularity buys nothing). Fewer bins => a much smaller
+# Greenwald-Khanna sketch: the quantile pass is the cluster command's
+# fixed cost, and 1023 probes at 0.001 rel-err dominated it in r3.
+BIN_BITS = 8
+QUANTILE_REL_ERR = 0.005
 
 _NUMERIC_PREFIXES = (
     "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
@@ -82,22 +108,40 @@ def _surrogate_expr(dtype: str, col: str) -> Column:
     raise ValueError(f"zorder: unsupported cluster column type {dtype}")
 
 
-def _bin_expr(col: str, edges: list[float]) -> Column:
-    """Bin id = number of edges <= value: a codegen'd filter over a
-    ~1K-element literal array, O(bins) per row map-side — never a
-    shuffle, never a sort. The raw id is rescaled to the full
-    [0, 2^BIN_BITS) range so a low-cardinality dimension (few distinct
-    edges) still exercises its high Morton bits instead of being
-    dominated by the other column (the rank-normalization contract)."""
-    uniq = sorted(set(edges))
+def _bucketize(
+    df: DataFrame, col: str, out: str, edges: list[float]
+) -> DataFrame:
+    """Quantile-bin ``col`` into [0, 2^BIN_BITS) via ``ml.Bucketizer`` —
+    JVM binary search over the split array, O(log bins) per row (the r3
+    ``filter(arr, e -> e <= v)`` scan was O(bins) INTERPRETED lambda
+    evals per row and dominated wall-clock at ~1K bins). Never a
+    shuffle, never a sort. The raw id is rescaled to the full range so
+    a low-cardinality dimension (few distinct edges) still exercises
+    its high Morton bits instead of being dominated by the other column
+    (the rank-normalization contract)."""
+    uniq = sorted({e for e in edges if e == e})  # drop NaN sketch output
     if not uniq:  # empty/all-null column: single bin
-        return F.lit(0).cast("bigint")
-    arr = F.lit(uniq)
-    raw = F.coalesce(
-        F.size(F.filter(arr, lambda e: e <= F.col(col))), F.lit(0)
-    )
+        return df.withColumn(out, F.lit(0).cast("bigint"))
+    from pyspark.ml.feature import Bucketizer
+
     top = (1 << BIN_BITS) - 1
-    return F.floor(raw * F.lit(top) / F.lit(len(uniq))).cast("bigint")
+    raw = out + "_raw"
+    b = Bucketizer(
+        splits=[float("-inf")] + uniq + [float("inf")],
+        inputCol=col,
+        outputCol=raw,
+        handleInvalid="keep",  # nulls -> overflow bucket, clamped below
+    )
+    return (
+        b.transform(df)
+        .withColumn(
+            out,
+            F.least(
+                F.floor(F.col(raw) * top / len(uniq)), F.lit(top)
+            ).cast("bigint"),
+        )
+        .drop(raw)
+    )
 
 
 def with_zvalue(df: DataFrame, col_a: str, col_b: str, out: str = "_z") -> DataFrame:
@@ -119,9 +163,8 @@ def with_zvalue(df: DataFrame, col_a: str, col_b: str, out: str = "_z") -> DataF
     n_bins = 1 << BIN_BITS
     probs = [i / n_bins for i in range(1, n_bins)]
     qa, qb = d.approxQuantile([sa, sb], probs, QUANTILE_REL_ERR)
-    d = d.withColumn("_ra", _bin_expr(sa, qa)).withColumn(
-        "_rb", _bin_expr(sb, qb)
-    )
+    d = _bucketize(d, sa, "_ra", qa)
+    d = _bucketize(d, sb, "_rb", qb)
     return d.withColumn(
         out, interleave_bits(F.col("_ra"), F.col("_rb"), bits=BIN_BITS)
     ).drop("_ra", "_rb", sa, sb)

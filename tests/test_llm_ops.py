@@ -762,3 +762,64 @@ def test_lsh_verify_shingles_are_semijoin_pruned(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    """Shared boilerplate lines vanish; unique lines survive in original
+    order; a doc that is ALL boilerplate drops out."""
+    from hudi_spark_plus_spark.functions.dedup import dedup_lines
+
+    rows = [
+        (1, ["COOKIE BANNER", "real content one", "FOOTER NAV"]),
+        (2, ["COOKIE BANNER", "real content two", "FOOTER NAV"]),
+        (3, ["FOOTER NAV", "COOKIE BANNER"]),  # pure boilerplate
+        (4, ["only unique text here"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _lines array<string>")
+    out = {
+        r["doc_id"]: (r["lines_kept"], r["clean_text"])
+        for r in dedup_lines(df, "doc_id", "_lines", min_doc_freq=2).collect()
+    }
+    assert out[1] == (1, "real content one")
+    assert out[2] == (1, "real content two")
+    assert 3 not in out  # fully boilerplate
+    assert out[4] == (1, "only unique text here")
+
+
+def test_dedup_lines_ordering_multi_line(spark):
+    from hudi_spark_plus_spark.functions.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, [f"line {i}" for i in range(20)])],
+        "doc_id long, _lines array<string>",
+    )
+    r = dedup_lines(df, "doc_id", "_lines", min_doc_freq=2).first()
+    assert r["clean_text"] == "\n".join(f"line {i}" for i in range(20))
+
+
+def test_incremental_dedup_exact_no_false_negatives(spark):
+    """The bloom can only over-approximate: every corpus-present text
+    MUST be dropped (no false negatives by construction), and every
+    novel text must survive (false positives die in exact verify)."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        corpus_text_bloom,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 50 dups of the corpus + 50 novel
+        [(1000 + i, f"corpus document number {i}") for i in range(50)]
+        + [(2000 + i, f"brand new document {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            incremental_dedup(new, corpus, "doc_id", "text").collect()}
+    assert kept == {2000 + i for i in range(50)}
+    # bloom is bounded metadata: m_bits/64 longs
+    bloom = corpus_text_bloom(corpus, "text", m_bits=1 << 12)
+    assert len(bloom) == (1 << 12) // 64
+    assert any(bloom)  # bits actually set
