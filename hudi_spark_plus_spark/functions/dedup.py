@@ -48,29 +48,30 @@ def cap_bucket_size(
 ) -> DataFrame:
     """Drop rows in LSH buckets with more than ``cap`` members.
 
-    One window count over the same keys the candidate self-join shuffles
-    on (co-partitioned — no extra exchange under AQE). ``report=True``
-    runs a bounded count job and logs how many buckets were capped
-    (observability for skew audits; off in query paths to avoid an extra
-    action)."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*keys)
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    Shape: groupBy-count on the bucket keys (map-side partial
+    aggregation — a window count would force a per-partition sort), keep
+    only OVERSIZED buckets (tiny by definition: they are pathological
+    mass-duplicate clusters), anti-join them out. The aggregation and
+    the anti-join shuffle on the same keys as the candidate self-join
+    that follows, and AQE broadcasts the oversized side when it is as
+    small as it should be. ``report=True`` runs a bounded count job and
+    logs how many buckets were capped (skew-audit observability; off in
+    query paths to avoid an extra action)."""
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > cap)
+        .select(*keys)
+    )
     if report:
-        n = (
-            sized.where(F.col("_bsz") > cap)
-            .select(*keys)
-            .distinct()
-            .count()
-        )
+        n = oversized.count()
         if n:
             logger.warning(
                 "LSH bucket cap: dropped %d bucket(s) larger than %d "
                 "(mass-duplicate clusters; members still dedup via the "
                 "exact pass)", n, cap,
             )
-    return sized.where(F.col("_bsz") <= cap).drop("_bsz")
+    return banded.join(oversized, keys, "left_anti")
 
 
 # -- exact ------------------------------------------------------------------

@@ -647,6 +647,24 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def q_media_pixels(spark, sf_dir):
+    """END-TO-END raster decode: every PNG media row's bytes are REALLY
+    inflated (zlib) and unfiltered to pixels, and the integer pixel
+    sum/min/max per image must match the oracle's closed-form replay of
+    the generator formula ((x*31 + y*17 + id) & 255) over the full
+    w x h grid — a wrong IDAT reassembly, inflate, unfilter, or
+    dimension parse diverges the hash."""
+    from hudi_spark_plus_spark.functions.multimodal import (
+        decode_pixel_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = encode_media_from_documents(docs).where(
+        F.col("mime") == "image/png"
+    )
+    return decode_pixel_features(media).orderBy("media_id")
+
+
 # Dict order = registry order. Oracle-checked queries first; the
 # engine-specific no-oracle signatures (minhash/simhash) come last so a
 # driver that bounds how many registry entries it checks still records
@@ -699,6 +717,7 @@ def q_doc_dedup_incremental(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-media-pixels": q_media_pixels,
     "q-doc-line-dedup": q_doc_line_dedup,
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
     "q-doc-dedup-exact": q_doc_dedup_exact,
@@ -756,6 +775,27 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    # closed-form replay of the PNG pixel generator over the w x h grid
+    # (media id is a PNG iff none of the jpeg/gif/mp4/wav id-classes hit)
+    "q-media-pixels": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+          FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+            AND doc_id % 11 <> 5 AND doc_id % 13 <> 7
+        ),
+        px AS (
+          SELECT media_id, w, h,
+                 ((x.g * 31 + y.g * 17 + media_id) & 255) AS v
+          FROM m, UNNEST(range(w)) AS x(g), UNNEST(range(h)) AS y(g)
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               COUNT(*) AS n_px, SUM(v) AS px_sum,
+               CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+        FROM px GROUP BY media_id, w, h ORDER BY media_id
+    """,
     # identical 8-word segmentation, doc-freq >= 2 boilerplate removal,
     # ordered reassembly with '\n'
     "q-doc-line-dedup": r"""

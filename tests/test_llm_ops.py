@@ -823,3 +823,82 @@ def test_incremental_dedup_exact_no_false_negatives(spark):
     bloom = corpus_text_bloom(corpus, "text", m_bits=1 << 12)
     assert len(bloom) == (1 << 12) // 64
     assert any(bloom)  # bits actually set
+
+
+def test_png_unfilter_all_filter_types():
+    """decode_png_gray must invert every PNG scanline filter (Sub, Up,
+    Average, Paeth), not just the None filter the synth encoder emits:
+    filter a known image per spec, rebuild the PNG, decode, compare."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hudi_spark_plus_spark.functions.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+
+    def filt(img, ftype):
+        h, w = img.shape
+        out = bytearray()
+        prev = np.zeros(w, dtype=np.uint8)
+        for y in range(h):
+            cur = img[y]
+            out.append(ftype)
+            for x in range(w):
+                left = int(cur[x - 1]) if x else 0
+                up = int(prev[x])
+                ul = int(prev[x - 1]) if x else 0
+                if ftype == 0:
+                    v = int(cur[x])
+                elif ftype == 1:
+                    v = (int(cur[x]) - left) & 0xFF
+                elif ftype == 2:
+                    v = (int(cur[x]) - up) & 0xFF
+                elif ftype == 3:
+                    v = (int(cur[x]) - ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else ul)
+                    )
+                    v = (int(cur[x]) - pred) & 0xFF
+                out.append(v)
+            prev = cur
+        return bytes(out)
+
+    for ftype in range(5):
+        h, w = img.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(filt(img, ftype)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_gray(png)
+        assert got is not None and (got == img).all(), f"filter {ftype}"
+    # multi-IDAT reassembly: split the compressed stream across chunks
+    comp = zlib.compress(filt(img, 4))
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 6, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", comp[: len(comp) // 2])
+        + _png_chunk(b"IDAT", comp[len(comp) // 2:])
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png_gray(png)
+    assert got is not None and (got == img).all()
+    # non-grayscale / truncated bytes refuse instead of mis-decoding
+    assert decode_png_gray(b"not a png") is None
+    rgb_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    assert decode_png_gray(
+        _PNG_SIG + _png_chunk(b"IHDR", rgb_ihdr) + _png_chunk(b"IEND", b"")
+    ) is None
