@@ -132,3 +132,34 @@ def epoch_shuffle(
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
     )
     return df.withColumn("sort_key", h).withColumn("shard", shard)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep at most ``n`` records per group (domain/source caps — the
+    standard crawl-curation guard against a handful of domains dominating
+    the corpus). Selection is the FIRST ``n`` by ``order_cols`` — a
+    deterministic total order (e.g. a quality score with the doc id as
+    tiebreak), never partition order.
+
+    Scale shape: one hash-partitioned window shuffle on the group key;
+    rank + filter happen within each group's partition, no global sort.
+    Skewed groups (one domain with 10^8 docs) are exactly the rows this
+    operator discards, and Spark's rank-based window short-circuits
+    nothing — for pathological skew pre-filter with a per-group count
+    and only window the groups above the cap (same pattern as the LSH
+    bucket cap)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

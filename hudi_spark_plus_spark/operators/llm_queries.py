@@ -647,6 +647,22 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def q_doc_source_cap(spark, sf_dir):
+    """Per-source document caps (the crawl-curation guard against a few
+    domains dominating the corpus): keep at most 15 docs per source,
+    preferring the longest (n_chars DESC, doc_id tiebreak)."""
+    from hudi_spark_plus_spark.functions.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_neg_chars", -F.col("n_chars")
+    )
+    return (
+        cap_per_group(d, "source", 15, ["_neg_chars", "doc_id"])
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_media_pixels(spark, sf_dir):
     """END-TO-END raster decode: every PNG media row's bytes are REALLY
     inflated (zlib) and unfiltered to pixels, and the integer pixel
@@ -717,6 +733,7 @@ def q_doc_dedup_incremental(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-doc-source-cap": q_doc_source_cap,
     "q-media-pixels": q_media_pixels,
     "q-doc-line-dedup": q_doc_line_dedup,
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
@@ -775,6 +792,15 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    "q-doc-source-cap": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 15 ORDER BY doc_id
+    """,
     # closed-form replay of the PNG pixel generator over the w x h grid
     # (media id is a PNG iff none of the jpeg/gif/mp4/wav id-classes hit)
     "q-media-pixels": """

@@ -240,13 +240,64 @@ def q_stream_join(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment (§2.5 surface the reference's transformer
+    users reach for constantly): the event stream joined per micro-batch
+    to the BROADCAST customer dimension, aggregated per market segment
+    in complete mode. Two micro-batches; the final memory-sink state
+    must equal the oracle's single static join+aggregate. Sums are
+    exact integer micros."""
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    work = tempfile.mkdtemp(prefix="hsp_ssq_")
+    try:
+        src_dir = _spool_two_batches(spark, sf_dir, work)
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        out = _run_stream(
+            spark,
+            lambda s: (
+                s.join(
+                    F.broadcast(dim), s.user_id == dim.c_custkey, "inner"
+                )
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(
+                        F.expr("CAST(rint(value * 1000000) AS BIGINT)")
+                    ).alias("val_micros"),
+                )
+            ),
+            src_dir,
+            work,
+            "complete",
+        )
+        return out.orderBy("c_mktsegment")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_QUERIES = {
+    "q-stream-static-join": q_stream_static_join,
     "q-stream-stateful-dedup": q_stream_stateful_dedup,
     "q-stream-stateful-agg": q_stream_stateful_agg,
     "q-stream-join": q_stream_join,
 }
 
 STREAM_ORACLES = {
+    # the streamed two-batch complete-mode aggregate must converge to
+    # the plain static join+aggregate over the same slice
+    "q-stream-static-join": f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS cnt,
+               SUM(CAST(round_even(value * 1000000, 0) AS BIGINT))
+                   AS val_micros
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_id < {EVENT_BOUND}
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     # first batch (event_id parity) containing the user, then that
     # batch's earliest row by (ts, event_id)
     "q-stream-stateful-dedup": f"""

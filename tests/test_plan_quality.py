@@ -179,3 +179,40 @@ def test_new_pipeline_query_plans_are_bounded(spark, sf_dir):
     p3 = plan_of(LLM_QUERIES["q-doc-mixture"](spark, sf_dir))
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in p3, f"mixture must be a pure filter, found {j}"
+
+
+def test_incremental_dedup_never_joins_full_corpus(spark, sf_dir):
+    """The bloom path must keep the corpus out of the new-batch plan:
+    candidates verify through hash semi/anti joins only — no nested
+    loop, no cartesian, and exactly one semi-join (the verification)."""
+    from hudi_spark_plus_spark.functions.dedup import incremental_dedup
+    from hudi_spark_plus_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        d.where(F.col("doc_id") >= 400),
+        d.where(F.col("doc_id") < 400),
+        "doc_id",
+        "text",
+    )
+    plan = plan_of(out)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lines_uses_no_window(spark, sf_dir):
+    """Line reassembly must be a groupBy + in-group array_sort, never a
+    global/partitioned Window (and never a cartesian)."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        dedup_lines,
+        segment_words_expr,
+    )
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = d.select("doc_id", segment_words_expr("text", 8).alias("_l"))
+    plan = plan_of(dedup_lines(seg, "doc_id", "_l"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
