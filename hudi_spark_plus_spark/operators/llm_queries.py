@@ -647,6 +647,31 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def q_emb_ann_pq(spark, sf_dir):
+    """Product-quantization ANN, hash-checkable via the planted-neighbor
+    construction (same scheme as q-emb-ann-lsh/-ivf): 5 exact copies of
+    every query vector join the corpus. An exact copy quantizes to the
+    query's own code, the refine set includes every full-code match BY
+    CONSTRUCTION, and the exact re-rank puts the copies (sim ~1.0) above
+    every natural neighbor — top-5 per query is exactly the planted set
+    ranked by n_id, or the hash diverges. The ADC scan, codebook fit,
+    and refine union are the real pipeline; natural-corpus recall is
+    asserted vs brute force in tests."""
+    from hudi_spark_plus_spark.functions.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    copies = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .drop("j")
+    )
+    corpus = e.unionByName(copies).localCheckpoint()
+    return pq_topk(corpus, queries, k=5).orderBy("q_id", "rank")
+
+
 def q_doc_source_cap(spark, sf_dir):
     """Per-source document caps (the crawl-curation guard against a few
     domains dominating the corpus): keep at most 15 docs per source,
@@ -733,6 +758,7 @@ def q_doc_dedup_incremental(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-emb-ann-pq": q_emb_ann_pq,
     "q-doc-source-cap": q_doc_source_cap,
     "q-media-pixels": q_media_pixels,
     "q-doc-line-dedup": q_doc_line_dedup,
@@ -1415,6 +1441,18 @@ LLM_ORACLES = {
         ORDER BY q_id, rank
     """,
     "q-emb-ann-lsh": """
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
+    # same planted-copy construction through the PQ pipeline: exact
+    # copies share the query's full code, the code-match refine arm
+    # guarantees their presence, exact re-rank puts them on top
+    "q-emb-ann-pq": """
         SELECT e.vec_id AS q_id,
                CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,

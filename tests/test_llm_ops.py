@@ -902,3 +902,25 @@ def test_png_unfilter_all_filter_types():
     assert decode_png_gray(
         _PNG_SIG + _png_chunk(b"IHDR", rgb_ihdr) + _png_chunk(b"IEND", b"")
     ) is None
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """PQ ADC + refine must recover most of the exact top-5 per query on
+    the natural corpus, and every emitted similarity must be the EXACT
+    cosine (re-rank step) — approximation affects recall only."""
+    from hudi_spark_plus_spark.functions.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    pq = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in pq_topk(e, q, k=5, refine=50).collect()
+    }
+    hits = set(pq) & set(exact)
+    assert len(hits) / len(exact) >= 0.6, (len(hits), len(exact))
+    for key in hits:  # exact re-rank: sims must agree exactly
+        assert abs(pq[key] - exact[key]) < 1e-9

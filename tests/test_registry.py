@@ -40,21 +40,16 @@ def test_rotation_orders_stalest_first():
 
 
 def test_bounded_pass_covers_unverified_queries():
-    """Every query without a green row in the LATEST correctness file must
-    land inside the driver's 50-row bounded pass."""
-    files = sorted(ROOT.glob("CORRECTNESS_r*.json"))
-    if not files:
+    """Every query that has NEVER had a green driver row (any round) must
+    land inside the driver's 50-row bounded pass — rounds may rotate
+    older greens out (the registry is larger than the cap), but a query
+    must never wait a round for its FIRST verification."""
+    if not list(ROOT.glob("CORRECTNESS_r*.json")):
         return
-    latest = json.loads(files[-1].read_text())
     order = list(all_queries())
-
-    def green(row):
-        return row.get("hash_match") is True or (
-            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-        )
-
-    stale = [q for q in order if q not in latest or not green(latest[q])]
-    assert all(order.index(q) < 50 for q in stale), (
-        f"stale queries beyond slot 50: "
-        f"{[q for q in stale if order.index(q) >= 50]}"
+    ever_green = _last_green_round()
+    never = [q for q in order if q not in ever_green]
+    assert all(order.index(q) < 50 for q in never), (
+        f"never-verified queries beyond slot 50: "
+        f"{[q for q in never if order.index(q) >= 50]}"
     )
