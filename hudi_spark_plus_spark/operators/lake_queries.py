@@ -475,6 +475,66 @@ def q_lake_compact(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_mor_ro(spark, sf_dir):
+    """Hudi's read-optimized vs real-time MOR view split, both pinned in
+    one query: pre-compaction the RO view (base files only, zero merge
+    cost) must equal the BATCH-1 state (delta updates invisible — the
+    staleness RO trades for read speed, asserted in-engine against time
+    travel), and post-compaction RO must CONVERGE to the real-time view
+    — the returned snapshot, hash-checked against the roundtrip
+    oracle."""
+    from hudi_spark_plus_spark.table.maintenance import compact
+
+    work = tempfile.mkdtemp(prefix="hsp_lakero_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "mor")
+
+        def rows_of(df):
+            return sorted(
+                (r["c_custkey"], r["c_name"], r["acctbal"])
+                for r in df.select(
+                    "c_custkey", "c_name",
+                    F.round("acctbal", 4).alias("acctbal"),
+                ).collect()
+            )
+
+        # RO before compaction: batch-2 deltas invisible == v1 state
+        assert rows_of(lake.snapshot(read_optimized=True)) == rows_of(
+            lake.snapshot(version=1)
+        ), "pre-compaction RO view must equal the base-file (v1) state"
+        compact(lake)
+        ro = lake.snapshot(read_optimized=True)
+        assert rows_of(ro) == rows_of(lake.snapshot()), (
+            "post-compaction RO and RT views must converge"
+        )
+        snap = ro.select(
+            "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+        ).orderBy("c_custkey")
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_history(spark, sf_dir):
+    """Timeline metadata surface (DESCRIBE HISTORY analogue): version,
+    operation, batch id, and row counts of every commit of the
+    two-batch build — deterministic, so even the metadata table is
+    hash-checked (wall-clock columns excluded)."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeh_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "cow")
+        h = (
+            lake.history()
+            .select("version", "operation", "batch_id", "n_rows")
+            .orderBy("version")
+        )
+        rows = h.collect()
+        return spark.createDataFrame(rows, h.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_concurrent(spark, sf_dir):
     """Two-writer commit-conflict arbitration under oracle control: two
     threads interleave merges of DISJOINT key halves (each split into 3
@@ -551,6 +611,8 @@ LAKE_QUERIES = {
     "q-lake-zorder": q_lake_zorder,
     "q-lake-compact": q_lake_compact,
     "q-lake-concurrent": q_lake_concurrent,
+    "q-lake-mor-ro": q_lake_mor_ro,
+    "q-lake-history": q_lake_history,
     "q-lake-rollback": q_lake_rollback,
     "q-lake-derived": q_lake_derived,
     "q-lake-evolve": q_lake_evolve,
@@ -589,6 +651,19 @@ LAKE_ORACLES = {
     "q-lake-zorder": _ROUNDTRIP_ORACLE,
     # compaction + vacuum are logically invisible too
     "q-lake-compact": _ROUNDTRIP_ORACLE,
+    # post-compaction the RO view converges to the real-time state
+    "q-lake-mor-ro": _ROUNDTRIP_ORACLE,
+    # deterministic timeline: two merges of the full key subset (rows
+    # include tombstones, so both commits carry every key)
+    "q-lake-history": f"""
+        SELECT 1 AS version, 'merge' AS operation, 'b1' AS batch_id,
+               (SELECT COUNT(*) FROM customer WHERE c_custkey < {SUBSET})
+                   AS n_rows
+        UNION ALL
+        SELECT 2, 'merge', 'b2',
+               (SELECT COUNT(*) FROM customer WHERE c_custkey < {SUBSET})
+        ORDER BY version
+    """,
     # disjoint halves: evens +100 (writer 0), odds > 1 +200 (writer 1),
     # custkey 1 from the seed at its original balance (LWW: seed _ts=99)
     "q-lake-concurrent": f"""

@@ -297,15 +297,27 @@ class LakeTable:
         )
 
     def snapshot(
-        self, version: int | None = None, include_deleted: bool = False
+        self,
+        version: int | None = None,
+        include_deleted: bool = False,
+        read_optimized: bool = False,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame (H6).
         Tombstone rows are hidden unless ``include_deleted``. When the
         live set contains merge-on-read delta files, the latest row per
-        key is resolved at read time."""
+        key is resolved at read time.
+
+        ``read_optimized=True`` is Hudi's ``_ro`` view: read the BASE
+        files only — zero merge cost, no window shuffle — at the price
+        of staleness (delta-only updates/deletes are invisible until
+        compaction folds them in). The default is the real-time ``_rt``
+        view. After ``compact()`` the two views converge (asserted by
+        q-lake-mor-ro)."""
         files = self.log.live_files(version)
+        if read_optimized:
+            files = [f for f in files if f.kind != "delta"]
         df = self._read_files(files)
-        if any(f.kind == "delta" for f in files):
+        if not read_optimized and any(f.kind == "delta" for f in files):
             df = self._resolve_latest(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.where(~F.col(DELETED_COL))
