@@ -56,6 +56,26 @@ def interleave_bits(even: Column | str, odd: Column | str, bits: int = 32) -> Co
     )
 
 
+def interleave_bits_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton interleave: bit i of column j lands at bit
+    ``i*n + j`` (the 2-column kernel generalized the way Hudi's
+    multi-column Z-order does). UNROLLED shift-mask arithmetic — n*bits
+    compiled terms, no interpreted lambda (n*bits <= 63 to fit a
+    bigint)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"z-value needs {n * bits} bits; max 63")
+    terms = []
+    for j, c in enumerate(cols):
+        sql = c._jc.toString()
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(cast(shiftright({sql}, {i}) & 1 as bigint),"
+                f" {i * n + j})"
+            )
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
 def deinterleave_bits(z: Column | str, bits: int = 32) -> tuple[Column, Column]:
     """Inverse: (even, odd) halves of a Morton code."""
     zc = (F.col(z) if isinstance(z, str) else z)._jc.toString()
@@ -109,7 +129,11 @@ def _surrogate_expr(dtype: str, col: str) -> Column:
 
 
 def _bucketize(
-    df: DataFrame, col: str, out: str, edges: list[float]
+    df: DataFrame,
+    col: str,
+    out: str,
+    edges: list[float],
+    bits: int = None,
 ) -> DataFrame:
     """Quantile-bin ``col`` into [0, 2^BIN_BITS) via ``ml.Bucketizer`` —
     JVM binary search over the split array, O(log bins) per row (the r3
@@ -124,7 +148,7 @@ def _bucketize(
         return df.withColumn(out, F.lit(0).cast("bigint"))
     from pyspark.ml.feature import Bucketizer
 
-    top = (1 << BIN_BITS) - 1
+    top = (1 << (bits if bits is not None else BIN_BITS)) - 1
     raw = out + "_raw"
     b = Bucketizer(
         splits=[float("-inf")] + uniq + [float("inf")],
@@ -170,17 +194,55 @@ def with_zvalue(df: DataFrame, col_a: str, col_b: str, out: str = "_z") -> DataF
     ).drop("_ra", "_rb", sa, sb)
 
 
+def with_zvalue_n(
+    df: DataFrame, cols: list[str], out: str = "_z"
+) -> DataFrame:
+    """N-column generalization of :func:`with_zvalue` (the surface
+    Hudi's multi-column ``OPTIMIZE ... ZORDER BY (a, b, c)`` exposes):
+    quantile-bin every cluster column with ONE shared approxQuantile
+    sketch pass, then round-robin bit-interleave all of them. Bits per
+    dimension shrink as dimensions grow (63-bit budget), which mirrors
+    the real trade — each added dimension halves the locality the curve
+    can give the others."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    bits = min(BIN_BITS, 63 // len(cols))
+    dtypes = dict(df.dtypes)
+    surrogates = [f"__zq_{i}" for i in range(len(cols))]
+    d = df
+    for s, c in zip(surrogates, cols):
+        d = d.withColumn(s, _surrogate_expr(dtypes[c], c))
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = d.approxQuantile(surrogates, probs, QUANTILE_REL_ERR)
+    ranks = []
+    for i, (s, e) in enumerate(zip(surrogates, edges)):
+        r = f"__zr_{i}"
+        d = _bucketize(d, s, r, e, bits=bits)
+        ranks.append(r)
+    return d.withColumn(
+        out, interleave_bits_n([F.col(r) for r in ranks], bits=bits)
+    ).drop(*ranks, *surrogates)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
     n_files: int = 16,
+    *more_cols: str,
 ) -> None:
-    """Write ``df`` as parquet clustered by the Z-value of (col_a, col_b):
+    """Write ``df`` as parquet clustered by the Z-value of the cluster
+    columns (2 on the fast magic-number path, N via ``with_zvalue_n``):
     range-partitioned so each file owns a contiguous Z range, sorted
-    within files so parquet row-group stats are tight on both columns."""
-    z = with_zvalue(df, col_a, col_b)
+    within files so parquet row-group stats are tight on every
+    clustered column."""
+    z = (
+        with_zvalue(df, col_a, col_b)
+        if not more_cols
+        else with_zvalue_n(df, [col_a, col_b, *more_cols])
+    )
     (
         z.repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
@@ -190,13 +252,15 @@ def zorder_write(
     )
 
 
-def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
+def zorder_cluster_table(lake, col_a: str, col_b: str, *more_cols: str) -> None:
     """OPTIMIZE ZORDER BY-equivalent for a LakeTable: rewrite the current
     snapshot with rows Z-ordered WITHIN each key bucket (same logical
     data, tombstones preserved). Keeping the bucket dirs preserves the
     merge path's selective copy-on-write; the Z sort within each bucket
-    file tightens parquet row-group min/max on both cluster columns, so
-    predicate pushdown skips row groups server-side."""
+    file tightens parquet row-group min/max on every cluster column, so
+    predicate pushdown skips row groups server-side. Two columns take
+    the magic-number interleave; 3+ go through ``with_zvalue_n``
+    (Hudi's multi-column ZORDER BY surface)."""
     from hudi_spark_plus_spark.table.keygen import BUCKET_COL, KEY_COL, bucket_expr
     from hudi_spark_plus_spark.table.lake_table import (
         _BLOOM_OPTS,
@@ -204,7 +268,11 @@ def zorder_cluster_table(lake, col_a: str, col_b: str) -> None:
     )
 
     snap = lake.snapshot(include_deleted=True)
-    z = with_zvalue(snap, col_a, col_b)
+    z = (
+        with_zvalue(snap, col_a, col_b)
+        if not more_cols
+        else with_zvalue_n(snap, [col_a, col_b, *more_cols])
+    )
     schema_json = lake.log.latest().schema_json
     absd, rel = lake.log.new_data_subdir()
     (
