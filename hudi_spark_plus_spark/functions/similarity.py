@@ -407,10 +407,17 @@ def pq_fit_codebooks(
     import numpy as np
 
     n = corpus.count()
+    if n == 0:
+        raise ValueError("pq_fit_codebooks: empty corpus")
     s = corpus.select(vec_col)
     if n > fit_sample_max:
         s = s.sample(fraction=min(1.0, fit_sample_max / n), seed=seed)
     mat = np.array([r[0] for r in s.collect()], dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[1] != dim:
+        raise ValueError(
+            f"pq_fit_codebooks: expected {dim}-dim vectors, "
+            f"got shape {mat.shape}"
+        )
     sub = dim // n_sub
     rng = np.random.RandomState(seed)
     books = np.empty((n_sub, n_codes, sub), dtype=np.float64)
