@@ -568,3 +568,116 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 50,
+    seed: int = 42,
+    fit_sample_max: int = 50_000,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the standard billion-scale index layout
+    (FAISS ``IVFx,PQy``): an IVF coarse quantizer restricts each query
+    to its ``nprobe`` nearest cells, and WITHIN the probed cells the
+    scan reads PQ codes instead of raw vectors. Candidates =
+    (top-``refine`` by ADC score within probed cells) UNION (full-code
+    matches within probed cells); only those pay the exact cosine
+    re-rank.
+
+    Scale shape: corpus pays one narrow encode pass (cell id + PQ
+    code); the probe join shuffles on the cell id only; ADC scoring is
+    a pure codegen expression over 8-byte codes. An exact duplicate of
+    a query lands in the query's own nearest cell with the query's own
+    code, so the planted-duplicate hash oracle applies end-to-end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("features", array_to_vector("n_vec"))
+    n_corpus = c.count()
+    fit_df = c
+    if n_corpus > fit_sample_max:
+        fit_df = c.sample(
+            fraction=min(1.0, fit_sample_max / n_corpus), seed=seed
+        )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(fit_df)
+    books = pq_fit_codebooks(
+        corpus, vec_col, dim=dim, n_sub=n_sub, n_codes=n_codes,
+        seed=seed, fit_sample_max=fit_sample_max,
+    )
+    assigned = pq_encode(
+        model.transform(c).select(
+            "n_id", "n_vec", F.col("prediction").alias("cell")
+        ),
+        books,
+        "n_vec",
+        "n_code",
+    ).localCheckpoint()
+    centers = np.stack(model.clusterCenters())
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(
+            list(np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32))
+        )
+
+    q = pq_encode(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        books,
+        "q_vec",
+        "q_code",
+    ).withColumn("cell", F.explode(probe_cells("q_vec"))).localCheckpoint()
+    cand = (
+        assigned.join(q, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("_recon", F.expr(_pq_recon_expr("n_code", books)))
+        .withColumn("_adc", F.expr(DOT_EXPR.format(a="q_vec", b="_recon")))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("_adc").desc(), F.col("n_id")
+    )
+    top_adc = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= refine)
+        .select("q_id", "q_vec", "n_id", "n_vec")
+    )
+    code_match = cand.where(
+        F.array_join("n_code", "_") == F.array_join("q_code", "_")
+    ).select("q_id", "q_vec", "n_id", "n_vec")
+    refined = top_adc.unionByName(code_match).dropDuplicates(
+        ["q_id", "n_id"]
+    )
+    dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
+    nq = F.expr(NORM_EXPR.format(a="q_vec"))
+    nc = F.expr(NORM_EXPR.format(a="n_vec"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("n_id")
+    )
+    return (
+        refined.select("q_id", "n_id", (dot / (nq * nc)).alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )

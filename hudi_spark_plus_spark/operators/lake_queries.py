@@ -535,6 +535,37 @@ def q_lake_history(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_colstats(spark, sf_dir):
+    """Manifest column-statistics file skipping (Hudi metadata-table
+    col_stats analogue): after z-order clustering the two-batch table on
+    (c_custkey, acctbal) into per-bucket Z slices, a selective
+    ``scan_range`` on c_custkey must read strictly fewer files than the
+    table holds (in-engine assert on the manifest pruning) and still
+    return exactly the oracle's filtered state."""
+    from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+    work = tempfile.mkdtemp(prefix="hsp_lakecs_")
+    try:
+        lake = _build_lake(spark, sf_dir, work, "cow")
+        zorder_cluster_table(lake, "c_custkey", "acctbal")
+        kept, all_files = lake.files_in_range("c_custkey", 10, 30)
+        assert len(all_files) > 4 and len(kept) < len(all_files), (
+            f"col_stats must prune files: kept {len(kept)} of "
+            f"{len(all_files)}"
+        )
+        snap = (
+            lake.scan_range("c_custkey", 10, 30)
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_concurrent(spark, sf_dir):
     """Two-writer commit-conflict arbitration under oracle control: two
     threads interleave merges of DISJOINT key halves (each split into 3
@@ -613,6 +644,7 @@ LAKE_QUERIES = {
     "q-lake-concurrent": q_lake_concurrent,
     "q-lake-mor-ro": q_lake_mor_ro,
     "q-lake-history": q_lake_history,
+    "q-lake-colstats": q_lake_colstats,
     "q-lake-rollback": q_lake_rollback,
     "q-lake-derived": q_lake_derived,
     "q-lake-evolve": q_lake_evolve,
@@ -653,6 +685,17 @@ LAKE_ORACLES = {
     "q-lake-compact": _ROUNDTRIP_ORACLE,
     # post-compaction the RO view converges to the real-time state
     "q-lake-mor-ro": _ROUNDTRIP_ORACLE,
+    # pruned value-range scan == plain filtered roundtrip state
+    "q-lake-colstats": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 7 <> 0
+          AND c_custkey BETWEEN 10 AND 30
+        ORDER BY c_custkey
+    """,
     # deterministic timeline: two merges of the full key subset (rows
     # include tombstones, so both commits carry every key)
     "q-lake-history": f"""

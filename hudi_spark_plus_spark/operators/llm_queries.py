@@ -672,6 +672,29 @@ def q_emb_ann_pq(spark, sf_dir):
     return pq_topk(corpus, queries, k=5).orderBy("q_id", "rank")
 
 
+def q_emb_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (the FAISS billion-scale layout) under the
+    planted-copy hash oracle: an exact copy lands in the query's own
+    nearest cell (which the probe always visits) carrying the query's
+    own PQ code (which the code-match refine arm always admits), and
+    the exact re-rank puts the copies on top — the coarse quantizer,
+    codebooks, ADC scan, and refine union are all on the verified
+    path."""
+    from hudi_spark_plus_spark.functions.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    copies = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .drop("j")
+    )
+    corpus = e.unionByName(copies).localCheckpoint()
+    return ivfpq_topk(corpus, queries, k=5).orderBy("q_id", "rank")
+
+
 def q_doc_source_cap(spark, sf_dir):
     """Per-source document caps (the crawl-curation guard against a few
     domains dominating the corpus): keep at most 15 docs per source,
@@ -758,6 +781,7 @@ def q_doc_dedup_incremental(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-emb-ann-ivfpq": q_emb_ann_ivfpq,
     "q-emb-ann-pq": q_emb_ann_pq,
     "q-doc-source-cap": q_doc_source_cap,
     "q-media-pixels": q_media_pixels,
@@ -1441,6 +1465,17 @@ LLM_ORACLES = {
         ORDER BY q_id, rank
     """,
     "q-emb-ann-lsh": """
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
+    # planted copies land in the query's own probed cell with the
+    # query's own code — deterministic through the composite index
+    "q-emb-ann-ivfpq": """
         SELECT e.vec_id AS q_id,
                CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,

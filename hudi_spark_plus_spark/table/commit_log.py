@@ -66,6 +66,13 @@ class FileEntry:
     # only that commit's rows; readers resolve latest-per-key). Old
     # manifests predate the field and default to base.
     kind: str = "base"
+    # Per-file payload-column statistics (Hudi metadata-table col_stats
+    # analogue): column name -> [min, max], taken from the parquet
+    # footer at commit time (zero extra I/O — the footer is already
+    # read for rows/key stats). Value-range scans prune files whose
+    # range misses the predicate; tight after z-order clustering.
+    # Old manifests predate the field and default to None.
+    col_stats: dict | None = None
 
 
 @dataclass

@@ -148,10 +148,34 @@ def _collect_file_entries(
             if mins:
                 min_key, max_key = min(mins), max(maxs)
             key_files.append(f)
+        # per-column min/max from the SAME footer (no extra I/O) — the
+        # Hudi col_stats analogue, feeding value-range file pruning
+        col_stats: dict = {}
+        for cname, ci in names.items():
+            if cname.startswith("_"):
+                continue  # engine meta cols: key stats cover _key
+            cmins, cmaxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    cmins = []
+                    break
+                cmins.append(st.min)
+                cmaxs.append(st.max)
+            if not cmins:
+                continue
+            lo, hi = min(cmins), max(cmaxs)
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(lo, (int, float, str)):  # JSON-stable only
+                col_stats[cname] = [lo, hi]
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
                       min_key=min_key, max_key=max_key, bloom=None,
-                      kind=kind)
+                      kind=kind, col_stats=col_stats or None)
         )
     total_rows = sum(e.rows for e in entries)
     if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
@@ -484,6 +508,47 @@ class LakeTable:
         if any(f.kind == "delta" for f in files):
             df = self._resolve_latest(df)
         return df
+
+    def files_in_range(self, col: str, lo, hi) -> tuple[list, list]:
+        """(kept, all_live): live files whose manifest col_stats range
+        for ``col`` intersects [lo, hi] — a file with no recorded stats
+        for the column is conservatively kept. Pure manifest metadata,
+        no data I/O. ``col`` is the LOGICAL name; stats are recorded
+        under the physical (stored) name, mapped here."""
+        sch = self.schema()
+        phys = col
+        if sch is not None:
+            for fld in sch.fields:
+                if fld.name == col:
+                    phys = self._physical_of(fld)
+                    break
+        files = self.log.live_files()
+        kept = []
+        for f in files:
+            st = (f.col_stats or {}).get(phys)
+            if st is None or not (hi < st[0] or lo > st[1]):
+                kept.append(f)
+        return kept, files
+
+    def scan_range(self, col: str, lo, hi) -> DataFrame:
+        """Value-range scan with manifest col_stats file pruning (the
+        Hudi metadata-table col_stats read path): rows of the current
+        snapshot with ``col`` in [lo, hi], reading ONLY files whose
+        recorded range intersects — after z-order clustering on the
+        column this skips most of the table for selective ranges.
+
+        MOR caveat: pruning base files under unresolved deltas could
+        surface superseded rows, so when deltas are live this falls
+        back to the full resolved snapshot + filter (compaction restores
+        the pruned path)."""
+        files = self.log.live_files()
+        if any(f.kind == "delta" for f in files):
+            return self.snapshot().where(F.col(col).between(lo, hi))
+        kept, _ = self.files_in_range(col, lo, hi)
+        df = self._read_files(kept)
+        if DELETED_COL in df.columns:
+            df = df.where(~F.col(DELETED_COL))
+        return df.where(F.col(col).between(lo, hi))
 
     def _read_files(self, files: list[FileEntry]) -> DataFrame:
         """Read data files into the LOGICAL schema: scan with physical

@@ -252,7 +252,13 @@ def zorder_write(
     )
 
 
-def zorder_cluster_table(lake, col_a: str, col_b: str, *more_cols: str) -> None:
+def zorder_cluster_table(
+    lake,
+    col_a: str,
+    col_b: str,
+    *more_cols: str,
+    files_per_bucket: int = 4,
+) -> None:
     """OPTIMIZE ZORDER BY-equivalent for a LakeTable: rewrite the current
     snapshot with rows Z-ordered WITHIN each key bucket (same logical
     data, tombstones preserved). Keeping the bucket dirs preserves the
@@ -282,7 +288,13 @@ def zorder_cluster_table(lake, col_a: str, col_b: str, *more_cols: str) -> None:
             ),
             schema_json,
         )
-        .repartition(lake.buckets, F.col(BUCKET_COL))
+        # range-partition on (bucket, z): each output file owns ONE
+        # bucket's contiguous Z slice, so manifest col_stats are tight
+        # on every cluster column and value-range scans (scan_range)
+        # skip whole files — the col_stats payoff z-order exists for
+        .repartitionByRange(
+            lake.buckets * files_per_bucket, F.col(BUCKET_COL), F.col("_z")
+        )
         .sortWithinPartitions(BUCKET_COL, "_z")
         .drop("_z")
         .write.mode("append")

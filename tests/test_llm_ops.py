@@ -924,3 +924,24 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
     assert len(hits) / len(exact) >= 0.6, (len(hits), len(exact))
     for key in hits:  # exact re-rank: sims must agree exactly
         assert abs(pq[key] - exact[key]) < 1e-9
+
+
+def test_ivfpq_topk_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ: probing + compressed scan must still recover most exact
+    neighbors, and emitted sims are exact (re-rank)."""
+    from hudi_spark_plus_spark.functions.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in ivfpq_topk(e, q, k=5, nprobe=6, refine=50).collect()
+    }
+    hits = set(got) & set(exact)
+    assert len(hits) / len(exact) >= 0.5, (len(hits), len(exact))
+    for key in hits:
+        assert abs(got[key] - exact[key]) < 1e-9
