@@ -222,7 +222,22 @@ def lsh_neardup_pairs(
     of the corpus squared only WITHIN buckets; near-identical vectors
     collide with prob ~ (1 - theta/pi)^bits per table, so high
     thresholds (the near-dup regime) get recall from ``n_tables``
-    independent chances."""
+    independent chances.
+
+    ``bits`` AUTO-SCALES with the corpus: expected bucket occupancy is
+    n / 2^bits, and the within-bucket join is quadratic in it, so fixed
+    bits that are fine at 5k rows make 250k-row buckets ~50x more
+    expensive (the round-4 spot50x finding: exponent ~0.77). Growing
+    bits by log2(n / target_bucket) keeps expected occupancy — and so
+    per-bucket join cost — constant as the corpus grows; identical
+    vectors still share every bucket at any bits, so planted-dup
+    correctness is bits-independent."""
+    import math
+
+    n = corpus.count()
+    target_bucket = 64
+    if n > target_bucket:
+        bits = max(bits, math.ceil(math.log2(n / target_bucket)))
     sig = with_lsh_buckets(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         "vec", bits, dim, n_tables, seed,

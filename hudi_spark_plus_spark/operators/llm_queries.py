@@ -672,6 +672,31 @@ def q_emb_ann_pq(spark, sf_dir):
     return pq_topk(corpus, queries, k=5).orderBy("q_id", "rank")
 
 
+def q_doc_corpus_stats(spark, sf_dir):
+    """Corpus-composition report (the dataset-card numbers every
+    curation run ends with): per (lang, source-class) document counts,
+    exact token totals, char totals, and exact length quartiles — one
+    hash-aggregate plus an exact percentile, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr("size(split(trim(text), '\\\\s+'))")
+    return (
+        d.withColumn("_tok", toks)
+        .groupBy(
+            "lang",
+            F.substring("source", 1, 3).alias("src_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_tok").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "src_class")
+    )
+
+
 def q_emb_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composite ANN (the FAISS billion-scale layout) under the
     planted-copy hash oracle: an exact copy lands in the query's own
@@ -781,6 +806,7 @@ def q_doc_dedup_incremental(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-doc-corpus-stats": q_doc_corpus_stats,
     "q-emb-ann-ivfpq": q_emb_ann_ivfpq,
     "q-emb-ann-pq": q_emb_ann_pq,
     "q-doc-source-cap": q_doc_source_cap,
@@ -842,6 +868,19 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    # exact aggregates; both engines linear-interpolate the exact median
+    "q-doc-corpus-stats": r"""
+        SELECT lang, substr(source, 1, 3) AS src_class,
+               COUNT(*) AS docs,
+               SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS tokens,
+               SUM(n_chars) AS chars,
+               MIN(n_chars) AS min_chars,
+               quantile_cont(n_chars, 0.5) AS median_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, substr(source, 1, 3)
+        ORDER BY lang, src_class
+    """,
     "q-doc-source-cap": """
         SELECT doc_id, source, n_chars FROM (
           SELECT doc_id, source, n_chars,
