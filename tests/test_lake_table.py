@@ -1353,3 +1353,22 @@ class TestRound4AdvisorFindings:
             with pytest.raises(OSError):
                 rd.last_acknowledged()
             ckpt.chmod(0o644)
+
+    def test_colstats_pruning_survives_column_rename(self, spark, tmp_path):
+        """files_in_range maps the LOGICAL column name to the physical
+        stored name, so stats pruning keeps working after rename_column
+        (stats are recorded under physical names in the footer)."""
+        from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        rows = [(f"k{i:03d}", 1, "upsert", f"v{i}") for i in range(200)]
+        batch = mkbatch(spark, rows).withColumn(
+            "num", F.expr("CAST(substring(_key, 2) AS INT)")
+        )
+        t.merge(batch, "b0")
+        t.rename_column("num", "metric")
+        zorder_cluster_table(t, "metric", "val")
+        kept, all_files = t.files_in_range("metric", 5, 20)
+        assert len(kept) < len(all_files), (len(kept), len(all_files))
+        got = {r["_key"] for r in t.scan_range("metric", 5, 20).collect()}
+        assert got == {f"k{i:03d}" for i in range(5, 21)}
