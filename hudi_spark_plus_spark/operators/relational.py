@@ -144,9 +144,13 @@ def q08(spark, sf_dir):
 
 
 def q09(spark, sf_dir):
-    """Anti join / NOT EXISTS — the delete-merge primitive (SURVEY H2)."""
+    """Anti join / NOT EXISTS — the delete-merge primitive (SURVEY H2).
+
+    Customers with no order above 400k (202 rows at sf0.01; the unfiltered
+    variant was vacuous — every custkey has orders in this testdata).
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
@@ -174,21 +178,30 @@ def q10(spark, sf_dir):
 
 
 def q11(spark, sf_dir):
-    """As-of style join: latest event at-or-before each order date (q11).
+    """As-of style join: latest event at-or-before a per-order anchor (q11).
 
     events.ts arrives as epoch-nanos BIGINT or TIMESTAMP_NTZ depending on
-    the testdata layout; compare in microseconds against the NTZ order
-    date (UTC session => tz-free epoch).
+    the testdata layout; compare in microseconds. The anchor is a
+    deterministic per-order cutoff spread across the events window
+    (2024-01-01 + (o_orderkey % 696 + 1) hours, in epoch micros) — the
+    original o_orderdate anchor (1995-2001) predates every event, which
+    made the check vacuous. Pure integer arithmetic, so no timestamp
+    dialect hazard between Spark and the oracle.
     """
     from hudi_spark_plus_spark.sources.loaders import epoch_us
 
+    base_us = 1704067200000000  # epoch micros of 2024-01-01T00:00:00Z
+    hour_us = 3600000000
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", epoch_us(ev, "ts").alias("ts_us"))
     od = o.select(
         "o_orderkey",
         "o_custkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        (
+            F.lit(base_us)
+            + (F.col("o_orderkey") % 696 + 1).cast("long") * F.lit(hour_us)
+        ).alias("od_us"),
     )
     j = od.join(
         e, (e.user_id == od.o_custkey) & (e.ts_us <= od.od_us), "inner"
@@ -512,7 +525,8 @@ RELATIONAL_ORACLES = {
     "q09": """
         SELECT c.c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
         ORDER BY c.c_custkey
     """,
     "q10": """
@@ -526,7 +540,8 @@ RELATIONAL_ORACLES = {
         SELECT o.o_orderkey, MAX(epoch_us(e.ts)) AS last_event_ts
         FROM orders o JOIN events e
           ON e.user_id = o.o_custkey
-         AND epoch_us(e.ts) <= epoch_us(o.o_orderdate)
+         AND epoch_us(e.ts) <= 1704067200000000
+                               + (o.o_orderkey % 696 + 1) * 3600000000
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """,
     "q12": """

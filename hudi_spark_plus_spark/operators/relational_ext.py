@@ -55,15 +55,22 @@ def q_union(spark, sf_dir):
 
 
 def q_except(spark, sf_dir):
-    """EXCEPT: nations having customers but no suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("x")
+    """EXCEPT: custkeys with a >400k order but no finished ('F') order.
+
+    (The nation-key formulation was vacuous — customer and supplier
+    cover the same 25 nations in this testdata; 52 rows at sf0.01.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hi = (
+        o.where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("x"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("x")
+    fin = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("x"))
     )
     # subtract == EXCEPT (distinct) — matches the oracle's DISTINCT+EXCEPT
-    return c.subtract(s).orderBy("x")
+    return hi.subtract(fin).orderBy("x")
 
 
 def q_join_salted(spark, sf_dir):
@@ -205,9 +212,10 @@ EXT_ORACLES = {
                ROUND(o_totalprice, 4) AS price,
                (SELECT COUNT(*) FROM orders o2
                 WHERE o2.o_custkey = o.o_custkey) AS cust_orders,
-               (SELECT SUM(CAST(ROUND(o2.o_totalprice * 100, 0) AS BIGINT))
-                FROM orders o2
-                WHERE o2.o_custkey = o.o_custkey) AS cust_total_cents
+               CAST((SELECT SUM(CAST(ROUND(o2.o_totalprice * 100, 0) AS BIGINT))
+                     FROM orders o2
+                     WHERE o2.o_custkey = o.o_custkey)
+                    AS BIGINT) AS cust_total_cents
         FROM orders o
         WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
               * 2 * (SELECT COUNT(*) FROM orders)
@@ -244,9 +252,11 @@ EXT_ORACLES = {
     """,
     "q-except": """
         SELECT x FROM (
-          SELECT DISTINCT c_nationkey AS x FROM customer
+          SELECT DISTINCT o_custkey AS x FROM orders
+          WHERE o_totalprice > 400000
           EXCEPT
-          SELECT DISTINCT s_nationkey AS x FROM supplier) t
+          SELECT DISTINCT o_custkey AS x FROM orders
+          WHERE o_orderstatus = 'F') t
         ORDER BY x
     """,
     # the plain join the salted variant must be indistinguishable from

@@ -291,8 +291,8 @@ STREAM_ORACLES = {
     "q-stream-static-join": f"""
         SELECT c_mktsegment,
                COUNT(*) AS cnt,
-               SUM(CAST(round_even(value * 1000000, 0) AS BIGINT))
-                   AS val_micros
+               CAST(SUM(CAST(round_even(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS val_micros
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_id < {EVENT_BOUND}
         GROUP BY c_mktsegment

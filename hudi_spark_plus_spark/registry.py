@@ -71,9 +71,10 @@ def _last_green_round() -> dict[str, int]:
 # push them behind the cap). Listed queries sort before everything else;
 # remove a pin once a CORRECTNESS row proves the upgraded oracle.
 _PINNED = [
-    "q-emb-ann-lsh",  # planted-duplicate hash oracle added r3; driver last saw r2 no_oracle
-    "q-emb-ann-ivf",  # same upgrade, same round
-    "q-scalar-subquery",  # reformulated r4 (non-vacuous, integer cents) — r3 green was on the old query
+    "q-scalar-subquery",  # reformulated r4 (non-vacuous, integer cents); r4 red was oracle-side HUGEINT, cast fixed r5
+    "q09",  # reformulated r5 (non-vacuous anti-join) — prior greens were on a 0-row query
+    "q11",  # reformulated r5 (non-vacuous as-of anchor) — prior greens were on a 0-row query
+    "q-except",  # reformulated r5 (non-vacuous EXCEPT) — prior greens were on a 0-row query
 ]
 
 

@@ -53,3 +53,35 @@ def test_bounded_pass_covers_unverified_queries():
         f"never-verified queries beyond slot 50: "
         f"{[q for q in never if order.index(q) >= 50]}"
     )
+
+
+def test_oracle_types_and_nonvacuous():
+    """Registry-wide oracle lint (VERDICT r4 directive 2).
+
+    The driver's value hash is type-sensitive: DuckDB types SUM(BIGINT)
+    as HUGEINT (INT128), which hash-mismatches Spark's BIGINT even when
+    every value is equal — this bug class shipped red rows in r2 AND r4.
+    The local harness string-normalizes numerics and cannot see it, so
+    ban the types at the registry gate. Also ban vacuous oracles: the
+    r1-r3 q-scalar-subquery green was on a 0-row query that verified
+    nothing.
+    """
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.harness import duck_connection
+
+    con = duck_connection(SF_DIR_ORACLE)
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    bad_types, vacuous = [], []
+    for name, sql in all_oracles().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in banned):
+                bad_types.append((name, col, t))
+        if not con.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall():
+            vacuous.append(name)
+    assert not bad_types, (
+        f"oracle columns with hash-unstable DuckDB types (wrap in "
+        f"CAST(... AS BIGINT) / CAST(... AS DOUBLE)): {bad_types}"
+    )
+    assert not vacuous, f"oracles returning 0 rows at sf0.01: {vacuous}"
