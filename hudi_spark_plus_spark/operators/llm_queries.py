@@ -110,34 +110,104 @@ def q_doc_neardup_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def q_doc_minhash_lsh(spark, sf_dir):
-    """Rows-only: LSH candidates verified by exact Jaccard (recall vs the
-    exact variant asserted in tests)."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < NEARDUP_SUBSET
+_PLANT_OFFSET = 1_000_000
+
+
+def _plant_copies(d, mod, residue=0, gens=1):
+    """Append ``gens`` exact-copy rows (doc_id + g * offset, same text)
+    for every doc with doc_id % mod == residue — the planted-outcome
+    oracle device the ANN queries use (VERDICT r4 directive 3): an exact
+    copy has an IDENTICAL sketch (MinHash signature / SimHash), so its
+    pair is a guaranteed LSH/band candidate regardless of hash values,
+    and the verified outcome (pair ids + exact similarity) is replayable
+    in ANSI SQL."""
+    src = d.where(F.col("doc_id") % mod == residue)
+    copies = (
+        src.withColumn(
+            "_g", F.explode(F.array([F.lit(g) for g in range(1, gens + 1)]))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("_g") * F.lit(_PLANT_OFFSET)
+        )
+        .drop("_g")
     )
+    return d.unionByName(copies)
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs under a planted-outcome hash oracle:
+    exact copies are planted (doc_id % 10 within the subset), candidates
+    are exact-verified at jaccard = 1.0, so the output is precisely the
+    equal-shingle-set pairs — DuckDB replays it without knowing the
+    engine's hash family. The signature build, banding, bucket join and
+    semi-join-pruned verify are all on the verified path. Distinct LSH
+    config (k=32, bands=8 => r=4) from the full variant. Bucket capping
+    is disabled here because a capped bucket could drop a planted pair
+    nondeterministically; the cap itself is property-tested in
+    tests/test_dedup_property.py and on by default in the API."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < NEARDUP_SUBSET)
+        .select("doc_id", "text")
+    )
+    corpus = _plant_copies(d, mod=10)
     return minhash_lsh_pairs(
-        d, "doc_id", "text", k=64, bands=16, ngram=3,
-        verify_threshold=NEARDUP_THRESHOLD,
+        corpus, "doc_id", "text", k=32, bands=8, ngram=3,
+        verify_threshold=1.0, max_bucket_size=1_000_000,
     ).orderBy("id_a", "id_b")
 
 
 def q_doc_minhash_full(spark, sf_dir):
-    """Rows-only: FULL-corpus near-dup dedup via MinHash+LSH (the scale
-    path — no subset bound; candidates verified at j >= 0.5)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    """FULL-corpus MinHash+LSH dedup (the scale path — no subset bound)
+    under the same planted-outcome oracle: two copy generations per
+    planted doc (doc_id % 50) yield 3-cliques, exercising multi-way pair
+    enumeration inside buckets; verify at jaccard = 1.0 makes the
+    outcome hash-replayable (see q_doc_minhash_lsh)."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    corpus = _plant_copies(d, mod=50, gens=2)
     return minhash_lsh_pairs(
-        d, "doc_id", "text", k=64, bands=16, ngram=3, verify_threshold=0.5
+        corpus, "doc_id", "text", k=64, bands=16, ngram=3,
+        verify_threshold=1.0, max_bucket_size=1_000_000,
     ).orderBy("id_a", "id_b")
 
 
 def q_doc_simhash(spark, sf_dir):
-    """Rows-only: SimHash near-dup pairs by hamming distance."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < NEARDUP_SUBSET
+    """SimHash near-dup pairs under the planted-outcome oracle: planted
+    exact copies (doc_id % 10 == 3 within the subset) have identical
+    64-bit SimHash (hamming 0, every 16-bit band collides), so candidacy
+    is guaranteed; the exact token-set equality verify then admits
+    exactly the equal-content pairs, which DuckDB replays. hamming is 0
+    for every emitted pair by construction (equal token sets => equal
+    signatures); n_tokens carries the verified content size."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < NEARDUP_SUBSET)
+        .select("doc_id", "text")
     )
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy(
-        "id_a", "id_b"
+    corpus = _plant_copies(d, mod=10, residue=3)
+    pairs = simhash_near_pairs(
+        corpus, "doc_id", "text", max_hamming=8, max_bucket_size=1_000_000
+    )
+    tokset = F.expr(
+        "sort_array(array_distinct(split(trim(text), '\\\\s+')))"
+    )
+    toks = corpus.select(F.col("doc_id"), tokset.alias("tk"))
+    return (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b")),
+            "id_b",
+        )
+        .where(F.col("tk_a") == F.col("tk_b"))
+        .select(
+            "id_a", "id_b", "hamming", F.size("tk_a").alias("n_tokens")
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1063,6 +1133,86 @@ LLM_ORACLES = {
         WHERE len(list_intersect(a.g, b.g))
               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
               >= {NEARDUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    # planted-outcome replays of the MinHash/SimHash pipelines: exact
+    # copies guarantee candidacy (identical sketch), verify-at-equality
+    # makes the output exactly the equal-content pairs — computable here
+    # as equal sorted distinct shingle/token sets, no engine hash needed
+    "q-doc-minhash-lsh": rf"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {NEARDUP_SUBSET}
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id < {NEARDUP_SUBSET} AND doc_id % 10 = 0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(1.0 AS DOUBLE) AS jac
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE len(a.g) > 0
+        ORDER BY id_a, id_b
+    """,
+    "q-doc-minhash-full": r"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 * t.g, text
+          FROM documents, UNNEST([1, 2]) AS t(g)
+          WHERE doc_id % 50 = 0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(1.0 AS DOUBLE) AS jac
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE len(a.g) > 0
+        ORDER BY id_a, id_b
+    """,
+    "q-doc-simhash": rf"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {NEARDUP_SUBSET}
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id < {NEARDUP_SUBSET} AND doc_id % 10 = 3
+        ),
+        tk AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   regexp_split_to_array(trim(text), '\s+'))) AS t
+          FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(0 AS INT) AS hamming,
+               CAST(len(a.t) AS INT) AS n_tokens
+        FROM tk a JOIN tk b ON a.t = b.t AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
     """,
     # same min-reachable-id labeling the Spark label propagation

@@ -75,6 +75,9 @@ _PINNED = [
     "q09",  # reformulated r5 (non-vacuous anti-join) — prior greens were on a 0-row query
     "q11",  # reformulated r5 (non-vacuous as-of anchor) — prior greens were on a 0-row query
     "q-except",  # reformulated r5 (non-vacuous EXCEPT) — prior greens were on a 0-row query
+    "q-doc-minhash-lsh",  # planted-outcome hash oracle added r5 (was rows-only)
+    "q-doc-minhash-full",  # same upgrade, same round
+    "q-doc-simhash",  # same upgrade, same round
 ]
 
 

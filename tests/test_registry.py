@@ -16,13 +16,9 @@ ROOT = Path(__file__).resolve().parent.parent
 def test_every_oracle_has_a_query():
     qs, os_ = all_queries(), all_oracles()
     assert set(os_) <= set(qs)
-    # no-oracle queries are the declared engine-specific signatures only
-    assert set(qs) - set(os_) <= {
-        "q-doc-minhash-full",
-        "q-doc-minhash-lsh",
-        "q-doc-simhash",
-        "q-emb-ann-ivf",
-    }
+    # every query is oracled as of r5 (the minhash/simhash trio got
+    # planted-outcome hash oracles — rows-only count is 0)
+    assert set(qs) == set(os_)
 
 
 def test_rotation_orders_stalest_first():
