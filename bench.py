@@ -280,9 +280,40 @@ def bench_spot10x(spark, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
+def _foreign_spark_jvms() -> list[int]:
+    """PIDs of Spark JVMs already running before this bench starts.
+
+    Per-query numbers under CPU contention are noise (the r4 working-tree
+    rerun disagreed with the committed record by ~9% for exactly this
+    reason); any live Spark JVM at bench start is foreign by definition —
+    ours hasn't launched yet."""
+    pids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd and ("org.apache.spark" in cmd or "pyspark" in cmd):
+            pids.append(int(pid))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hudi_spark_plus_spark.session import get_spark
+
+    contended = _foreign_spark_jvms()
+    if contended:
+        print(
+            f"WARNING: {len(contended)} Spark JVM(s) already running "
+            f"(pids {contended}) — per-query timings will be contention "
+            f"noise; stop them or discard this record",
+            file=sys.stderr,
+            flush=True,
+        )
 
     spark = get_spark("hsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -308,6 +339,7 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": sf,
+            **({"contended_with_pids": contended} if contended else {}),
             **({"spot10x": spot} if spot else {}),
             **cdc,
         }
