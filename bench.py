@@ -288,7 +288,11 @@ def _foreign_spark_jvms() -> list[int]:
     reason); any live Spark JVM at bench start is foreign by definition —
     ours hasn't launched yet."""
     pids = []
-    for pid in os.listdir("/proc"):
+    try:
+        proc_entries = os.listdir("/proc")
+    except OSError:  # non-Linux: no procfs — skip the contention check
+        return []
+    for pid in proc_entries:
         if not pid.isdigit():
             continue
         try:

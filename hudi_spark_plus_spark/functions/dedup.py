@@ -16,9 +16,14 @@ Scale shapes (100 TB posture):
                   oracle-checkable exact variant on bounded subsets).
 
 MinHash/SimHash signatures use Spark's ``xxhash64`` — engine-specific by
-nature, so their queries take the driver's rows-only check; their
-CORRECTNESS comes from recall tests against exact Jaccard ground truth
-(tests/test_llm_ops.py).
+nature, so their registry queries use PLANTED-OUTCOME hash oracles
+(operators/llm_queries.py:_plant_copies): exact copies are planted at
+known ids, which guarantees band candidacy independent of the hash
+family, and the exact verify (jaccard = 1.0 / token-set equality)
+restricts the output to equal-content pairs that DuckDB replays as
+equal sorted distinct shingle/token sets. <1.0-threshold behavior is
+pinned separately by recall tests against exact Jaccard ground truth
+(tests/test_llm_ops.py) and the 0.9-threshold e2e pipeline query.
 
 NOTE: no ``from __future__ import annotations`` here — pandas_udf resolves
 real type hints, and stringified ones break it.

@@ -120,7 +120,18 @@ def _plant_copies(d, mod, residue=0, gens=1):
     copy has an IDENTICAL sketch (MinHash signature / SimHash), so its
     pair is a guaranteed LSH/band candidate regardless of hash values,
     and the verified outcome (pair ids + exact similarity) is replayable
-    in ANSI SQL."""
+    in ANSI SQL.
+
+    Planted ids live at doc_id + g*_PLANT_OFFSET; a corpus whose ids
+    reach the offset would collide planted ids with real ones, so the
+    id range is asserted (bounded one-row agg — these queries run on
+    fixture-sized subsets by construction)."""
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= _PLANT_OFFSET:
+        raise ValueError(
+            f"_plant_copies: max doc_id {max_id} >= _PLANT_OFFSET "
+            f"{_PLANT_OFFSET}; planted ids would collide with real ones"
+        )
     src = d.where(F.col("doc_id") % mod == residue)
     copies = (
         src.withColumn(
@@ -773,9 +784,13 @@ def q_doc_corpus_stats(spark, sf_dir):
         )
     )
     # histogram: one row per (group, n_chars) value — bounded regardless
-    # of corpus row count
-    hist = d.groupBy("lang", src_class, "n_chars").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # of corpus row count. NULL n_chars is excluded so the rank
+    # arithmetic (n, cum) matches quantile_cont/percentile NULL
+    # semantics, which ignore NULL inputs.
+    hist = (
+        d.where(F.col("n_chars").isNotNull())
+        .groupBy("lang", src_class, "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     wp = Window.partitionBy("lang", "src_class")
     wo = wp.orderBy("n_chars")

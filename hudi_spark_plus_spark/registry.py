@@ -71,13 +71,7 @@ def _last_green_round() -> dict[str, int]:
 # push them behind the cap). Listed queries sort before everything else;
 # remove a pin once a CORRECTNESS row proves the upgraded oracle.
 _PINNED = [
-    "q-scalar-subquery",  # reformulated r4 (non-vacuous, integer cents); r4 red was oracle-side HUGEINT, cast fixed r5
-    "q09",  # reformulated r5 (non-vacuous anti-join) — prior greens were on a 0-row query
-    "q11",  # reformulated r5 (non-vacuous as-of anchor) — prior greens were on a 0-row query
-    "q-except",  # reformulated r5 (non-vacuous EXCEPT) — prior greens were on a 0-row query
-    "q-doc-minhash-lsh",  # planted-outcome hash oracle added r5 (was rows-only)
-    "q-doc-minhash-full",  # same upgrade, same round
-    "q-doc-simhash",  # same upgrade, same round
+    "q11",  # engine side reformulated r6 (scale-safe union+window as-of, oracle unchanged)
 ]
 
 

@@ -475,17 +475,34 @@ class LakeTable:
         """Bucket-, stats-, and Bloom-pruned snapshot slice for a set of
         record keys (the query-side of the Bloom-index capability, K1/H8:
         the reference skips files where ``!mightContain(key)``,
-        BloomFilter.java:82-87). One bounded collect — this is a
-        point-lookup API, key count << table size by construction."""
-        rows = (
+        BloomFilter.java:82-87). The collect of the distinct key set is
+        CAPPED at ``SCAN_KEYS_MAX`` (same stance as the merge probe's
+        ``MERGE_PROBE_MAX_KEYS``): past the cap this is no longer a
+        point lookup, so the method degrades to a distributed semi-join
+        against the bucket-pruned snapshot — only the distinct BUCKET
+        ids (bounded by ``self.buckets``) ever reach the driver."""
+        key_set = (
             keys_df.select(
                 F.col(KEY_COL),
                 bucket_expr(F.col(KEY_COL), self.buckets).alias("_b"),
             )
             .where(F.col(KEY_COL).isNotNull())
             .distinct()
-            .collect()
         )
+        rows = key_set.limit(self.SCAN_KEYS_MAX + 1).collect()
+        if len(rows) > self.SCAN_KEYS_MAX:
+            buckets = {
+                r[0] for r in key_set.select("_b").distinct().collect()
+            }
+            files = [
+                f for f in self.log.live_files() if f.bucket in buckets
+            ]
+            df = self._read_files(files)
+            if any(f.kind == "delta" for f in files):
+                df = self._resolve_latest(df)
+            return df.join(
+                key_set.select(KEY_COL).distinct(), KEY_COL, "left_semi"
+            )
         keys = [r[0] for r in rows]
         lo, hi = (min(keys), max(keys)) if keys else (None, None)
         hashes_by_bucket: dict[int, list] = {}
@@ -1042,6 +1059,9 @@ class LakeTable:
     # skipped: collecting the key hashes driver-side stops being cheap,
     # and a batch that large touches most files of its buckets anyway.
     MERGE_PROBE_MAX_KEYS = 200_000
+    # scan_for_keys driver-collect cap; past it the lookup degrades to a
+    # distributed semi-join (see scan_for_keys)
+    SCAN_KEYS_MAX = 200_000
 
     def _bloom_prune_hit_files(
         self, batch: DataFrame, hit: list[FileEntry]

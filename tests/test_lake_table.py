@@ -172,6 +172,21 @@ class TestMerge:
         assert read_rows < 100, "bucket pruning should skip most rows"
         assert all_files > 1
 
+    def test_scan_for_keys_caps_driver_collect(self, spark, table, monkeypatch):
+        """Past SCAN_KEYS_MAX the lookup must NOT materialize the key set
+        on the driver — it degrades to a distributed semi-join (same
+        result set), with only bucket ids collected."""
+        table.merge(
+            mkbatch(spark, [(f"k{i}", 1, "upsert", "v") for i in range(50)]),
+            "b0",
+        )
+        monkeypatch.setattr(type(table), "SCAN_KEYS_MAX", 5)
+        probe = spark.createDataFrame(
+            [(f"k{i}",) for i in range(0, 50, 2)], "_key string"
+        )
+        got = {r["_key"] for r in table.scan_for_keys(probe).collect()}
+        assert got == {f"k{i}" for i in range(0, 50, 2)}
+
 
 class TestInsertAndIncremental:
     def test_insert_and_bulk_insert_append(self, spark, table):

@@ -40,11 +40,12 @@ def test_llm_query_matches_oracle(name, spark, sf_dir, con):
     compare(LLM_QUERIES[name](spark, sf_dir), con, LLM_ORACLES[name], name)
 
 
-@pytest.mark.parametrize(
-    "name", [n for n in sorted(LLM_QUERIES) if n not in LLM_ORACLES]
-)
-def test_llm_rows_only_queries_run(name, spark, sf_dir):
-    assert LLM_QUERIES[name](spark, sf_dir).count() >= 0
+def test_no_rows_only_llm_queries():
+    """Every LLM query is value-hash-oracled as of r5 (planted-outcome
+    oracles for the MinHash/SimHash trio). A query without an oracle is
+    a regression to the weaker rows-only driver check — fail loudly."""
+    rows_only = sorted(set(LLM_QUERIES) - set(LLM_ORACLES))
+    assert not rows_only, f"rows-only LLM queries reappeared: {rows_only}"
 
 
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
