@@ -73,6 +73,19 @@ class FileEntry:
     # range misses the predicate; tight after z-order clustering.
     # Old manifests predate the field and default to None.
     col_stats: dict | None = None
+    # Rendered partition-path value (partition-path tables, H4): the
+    # file holds ONLY rows of this partition, so readers prune files
+    # structurally — partition elimination needs no per-file stats.
+    # None = unpartitioned table (all pre-partitioning manifests).
+    partition: str | None = None
+
+
+def seg_key(f: FileEntry) -> str:
+    """Segment-manifest grouping key: one immutable segment per
+    (partition, bucket) on partitioned tables — a commit touching one
+    partition never rewrites another partition's segment — and per
+    bucket on unpartitioned tables (v2 manifest compatibility)."""
+    return f"{f.partition}|{f.bucket}" if f.partition is not None else str(f.bucket)
 
 
 @dataclass
@@ -88,10 +101,13 @@ class Commit:
     # caller-supplied count would rewrite files under new bucket ids and
     # break affected-bucket pruning for later merges.
     buckets: int | None = None
-    # v2: bucket -> table-relative segment-manifest path. When set, the
-    # serialized commit stores only this map; ``files`` is the resolved
-    # view (populated by CommitLog.read / commit).
+    # v2: segment key (seg_key) -> table-relative segment-manifest path.
+    # When set, the serialized commit stores only this map; ``files`` is
+    # the resolved view (populated by CommitLog.read / commit).
     segments: dict[str, str] | None = None
+    # Table-level partition-path fields (H4). Persisted like ``buckets``
+    # so every writer renders the same layout; None = unpartitioned.
+    partition_fields: list[str] | None = None
 
     def to_json(self) -> str:
         d = {
@@ -102,6 +118,8 @@ class Commit:
             "ts_millis": self.ts_millis,
             "buckets": self.buckets,
         }
+        if self.partition_fields is not None:
+            d["partition_fields"] = self.partition_fields
         if self.segments is not None:
             d["segments"] = self.segments
         else:  # v1 inline form
@@ -120,6 +138,7 @@ class Commit:
             ts_millis=d.get("ts_millis", 0),
             buckets=d.get("buckets"),
             segments=d.get("segments"),
+            partition_fields=d.get("partition_fields"),
         )
 
 
@@ -192,9 +211,12 @@ class CommitLog:
             with open(self._commit_file(version)) as fh:
                 c = Commit.from_json(fh.read())
             if c.segments is not None:  # v2: resolve bucket segments
+                # plain string sort: keys are "<bucket>" or
+                # "<partition>|<bucket>" — order only fixes file-list
+                # determinism, it carries no semantics
                 c.files = [
                     f
-                    for b in sorted(c.segments, key=int)
+                    for b in sorted(c.segments)
                     for f in self._read_segment(c.segments[b])
                 ]
             self._commits[version] = c
@@ -286,7 +308,7 @@ class CommitLog:
             prev = self._read_meta(v - 1) if (v - 1) in present else None
             if cur.segments is not None and (prev is None or prev.segments is not None):
                 prev_seg = prev.segments if prev else {}
-                for b in sorted(cur.segments, key=int):
+                for b in sorted(cur.segments):
                     rel = cur.segments[b]
                     if prev_seg.get(b) == rel:
                         continue  # immutable path unchanged ⇒ bucket unchanged
@@ -296,7 +318,7 @@ class CommitLog:
                             seen[f.path] = f
             else:  # v1 inline commit in range: full diff for this step
                 for f in self.read(v).files:
-                    fold_before(str(f.bucket))
+                    fold_before(seg_key(f))
                     if f.path not in before and f.path not in seen:
                         seen[f.path] = f
         return list(seen.values())
@@ -306,15 +328,16 @@ class CommitLog:
     def _write_segments(
         self, files: list[FileEntry], prev: Commit | None
     ) -> tuple[dict[str, str], list[str]]:
-        """Group ``files`` by bucket into immutable segment manifests,
-        REUSING the previous commit's segment for every bucket whose
-        file list is unchanged — the common case: a micro-batch merge
-        touches a few buckets, so only those write new segments.
-        Returns (bucket -> path map, list of NEWLY written paths) so a
+        """Group ``files`` by segment key (bucket, or partition|bucket on
+        partitioned tables) into immutable segment manifests, REUSING the
+        previous commit's segment for every key whose file list is
+        unchanged — the common case: a micro-batch merge touches a few
+        (partition, bucket) units, so only those write new segments.
+        Returns (key -> path map, list of NEWLY written paths) so a
         failed publish can reclaim what it wrote."""
         by_bucket: dict[str, list[FileEntry]] = {}
         for f in files:
-            by_bucket.setdefault(str(f.bucket), []).append(f)
+            by_bucket.setdefault(seg_key(f), []).append(f)
         prev_segments = (prev.segments or {}) if prev else {}
         os.makedirs(self.segments_path, exist_ok=True)
         out: dict[str, str] = {}
@@ -341,6 +364,7 @@ class CommitLog:
         schema_json: str | None = None,
         buckets: int | None = None,
         expected_version: int | None = None,
+        partition_fields: list[str] | None = None,
     ) -> Commit:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
@@ -366,6 +390,9 @@ class CommitLog:
             if buckets is not None
             else (latest.buckets if latest else None),
             segments=segments,
+            partition_fields=partition_fields
+            if partition_fields is not None
+            else (latest.partition_fields if latest else None),
         )
         # Atomic publish: temp file + hard link. link() fails with EEXIST
         # when the target version already exists, which makes the publish

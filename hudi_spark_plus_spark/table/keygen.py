@@ -22,7 +22,8 @@ KEY_COL = "_key"
 TS_COL = "_ts"
 OP_COL = "_op"
 BUCKET_COL = "_bucket"
-META_COLS = (KEY_COL, TS_COL, OP_COL, BUCKET_COL)
+PARTITION_COL = "_part"
+META_COLS = (KEY_COL, TS_COL, OP_COL, BUCKET_COL, PARTITION_COL)
 
 
 def _null_safe_str(field: str) -> Column:
@@ -67,6 +68,21 @@ def record_key_expr(
 
         fn = load_object(keygenerator)
     return (fn or composite_key)(db, table, key_fields)
+
+
+def partition_path_expr(fields: list[str]) -> Column:
+    """Partition-path rendering — the OTHER half of Hudi's Simple/Complex
+    key generators (paired with ``record_key_expr``, H4): each configured
+    partition column is string-rendered null-safely (nulls take Hudi's
+    "default" partition name) and multi-field paths join with "/"
+    (ComplexKeyGenerator's nested layout; the slash is directory-escaped
+    by the writer and unescaped when manifests are built). Dates and
+    strings render as themselves — the recommended partition types, since
+    partition values compare as strings for range pruning."""
+    parts = [
+        F.coalesce(F.col(f).cast("string"), F.lit("default")) for f in fields
+    ]
+    return parts[0] if len(parts) == 1 else F.concat_ws("/", *parts)
 
 
 def bucket_expr(key: Column, buckets: int) -> Column:

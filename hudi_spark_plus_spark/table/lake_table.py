@@ -57,8 +57,10 @@ from hudi_spark_plus_spark.table.keygen import (
     BUCKET_COL,
     KEY_COL,
     OP_COL,
+    PARTITION_COL,
     TS_COL,
     bucket_expr,
+    partition_path_expr,
 )
 
 DELETE_OP = "delete"
@@ -128,12 +130,24 @@ def _collect_file_entries(
     memory, I/O proportional to the commit's own write; large commits
     (compaction, clustering — whole-table rewrites) build the blooms in
     one distributed job grouped by file when a session is provided."""
+    from urllib.parse import unquote as _unquote
+
     entries: list[FileEntry] = []
     key_files: list[str] = []  # abs paths needing a bloom
     base = os.path.join(table_path, subdir_rel)
-    for f in sorted(glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))):
+    found = sorted(
+        glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))
+        + glob.glob(os.path.join(base, "_part=*", "_bucket=*", "*.parquet"))
+    )
+    for f in found:
         rel = os.path.relpath(f, table_path)
         bucket = int(f.split("_bucket=")[1].split(os.sep)[0])
+        partition = None
+        if "_part=" in f:
+            # the writer directory-escapes special chars in partition
+            # values (e.g. "/" in multi-field paths); manifests store
+            # the UNESCAPED logical value
+            partition = _unquote(f.split("_part=")[1].split(os.sep)[0])
         md = pq.ParquetFile(f).metadata
         min_key = max_key = None
         names = {md.schema.column(i).name: i for i in range(len(md.schema))}
@@ -175,7 +189,8 @@ def _collect_file_entries(
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
                       min_key=min_key, max_key=max_key, bloom=None,
-                      kind=kind, col_stats=col_stats or None)
+                      kind=kind, col_stats=col_stats or None,
+                      partition=partition)
         )
     total_rows = sum(e.rows for e in entries)
     if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
@@ -235,7 +250,11 @@ class LakeTable:
     """One keyed lake table (TableMetaInfo equivalent, SURVEY §1.1.3)."""
 
     def __init__(
-        self, spark: SparkSession, path: str, buckets: int | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        buckets: int | None = None,
+        partition_fields: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -265,6 +284,77 @@ class LakeTable:
             )
         else:
             self.buckets = buckets if buckets is not None else DEFAULT_BUCKETS
+        # Partition-path fields (H4, the half of Hudi's Simple/Complex
+        # key generators the record key doesn't cover): table state like
+        # buckets — the persisted list wins, a conflicting caller errors,
+        # and an existing unpartitioned table cannot be retrofitted
+        # without a rewrite (files carry no partition dirs to prune on).
+        persisted_pf = latest.partition_fields if latest else None
+        if persisted_pf:
+            if partition_fields is not None and list(partition_fields) != persisted_pf:
+                raise ValueError(
+                    f"table at {path} is partitioned by {persisted_pf}; "
+                    f"caller requested {list(partition_fields)}"
+                )
+            self.partition_fields: list[str] = persisted_pf
+        elif latest is not None and partition_fields:
+            raise ValueError(
+                f"table at {path} was created unpartitioned; partitioning "
+                "an existing table requires a full rewrite"
+            )
+        else:
+            self.partition_fields = list(partition_fields or [])
+
+    # -- partition-path layout ----------------------------------------------
+
+    def _partition_expr(self):
+        return partition_path_expr(self.partition_fields)
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        """Attach the rendered partition-path column (derived from the
+        payload partition fields — never stored in data files)."""
+        if not self.partition_fields:
+            return df
+        return df.withColumn(PARTITION_COL, self._partition_expr())
+
+    def _layout_cols(self) -> list[str]:
+        """Directory layout under each commit's data subdir:
+        ``_part=<value>/_bucket=<b>/`` for partitioned tables,
+        ``_bucket=<b>/`` otherwise."""
+        return ([PARTITION_COL] if self.partition_fields else []) + [BUCKET_COL]
+
+    @staticmethod
+    def _prune_partitions(files, partitions=None, partition_range=None):
+        """Structural partition elimination over manifest entries — no
+        stats needed: each file's single partition value is exact.
+        ``partitions``: iterable of partition-path values to keep;
+        ``partition_range``: (lo, hi) inclusive string range (partition
+        values are rendered strings — ISO dates and strings compare
+        correctly; pick such types for range-pruned partitions)."""
+        if partitions is not None:
+            keep = {str(p) for p in partitions}
+            files = [f for f in files if f.partition in keep]
+        if partition_range is not None:
+            lo, hi = partition_range
+            files = [
+                f
+                for f in files
+                if f.partition is None
+                or ((lo is None or f.partition >= str(lo))
+                    and (hi is None or f.partition <= str(hi)))
+            ]
+        return files
+
+    def partition_values(self, version: int | None = None) -> list[str]:
+        """Distinct live partition-path values — manifest metadata only
+        (the SHOW PARTITIONS analogue)."""
+        return sorted(
+            {
+                f.partition
+                for f in self.log.live_files(version)
+                if f.partition is not None
+            }
+        )
 
     # -- reads -------------------------------------------------------------
 
@@ -301,16 +391,20 @@ class LakeTable:
     def _physical_of(f: StructField) -> str:
         return (f.metadata or {}).get("physical", f.name)
 
-    @staticmethod
-    def _resolve_latest(df: DataFrame) -> DataFrame:
-        """Merge-on-read resolution: latest row per key by (_ts, commit
-        version) — identical to the COW merge's precombine rule (batch
-        wins iff ``_ts >=`` stored; equal ``_ts`` goes to the later
-        commit). One window shuffle: the read-time cost MOR trades for
-        its O(batch) writes."""
+    def _resolve_latest(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: latest row per record identity by
+        (_ts, commit version) — identical to the COW merge's precombine
+        rule (batch wins iff ``_ts >=`` stored; equal ``_ts`` goes to the
+        later commit). One window shuffle: the read-time cost MOR trades
+        for its O(batch) writes. On partitioned tables record identity is
+        (partition, key) — Hudi's non-global-index semantics — with the
+        partition value derived from the payload fields (never stored)."""
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(KEY_COL).orderBy(
+        ident = (
+            [self._partition_expr()] if self.partition_fields else []
+        ) + [F.col(KEY_COL)]
+        w = Window.partitionBy(*ident).orderBy(
             F.col(TS_COL).desc(),
             F.coalesce(F.col(COMMIT_VER_COL), F.lit(0)).desc(),
         )
@@ -325,6 +419,8 @@ class LakeTable:
         version: int | None = None,
         include_deleted: bool = False,
         read_optimized: bool = False,
+        partitions=None,
+        partition_range=None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame (H6).
         Tombstone rows are hidden unless ``include_deleted``. When the
@@ -336,10 +432,18 @@ class LakeTable:
         of staleness (delta-only updates/deletes are invisible until
         compaction folds them in). The default is the real-time ``_rt``
         view. After ``compact()`` the two views converge (asserted by
-        q-lake-mor-ro)."""
+        q-lake-mor-ro).
+
+        ``partitions`` / ``partition_range`` prune the read STRUCTURALLY
+        to the matching partitions' files (the at-scale point of a
+        partitioned layout: a "last 7 days" query on a time-partitioned
+        table never plans a scan over the other days). Safe under MOR —
+        a delta file lives inside its partition dir, so the pruned slice
+        still carries every row needed to resolve its own partitions."""
         files = self.log.live_files(version)
         if read_optimized:
             files = [f for f in files if f.kind != "delta"]
+        files = self._prune_partitions(files, partitions, partition_range)
         df = self._read_files(files)
         if not read_optimized and any(f.kind == "delta" for f in files):
             df = self._resolve_latest(df)
@@ -377,13 +481,13 @@ class LakeTable:
         path, bucket, kind (base/delta), row count, and key-range stats
         — the file-level inspection surface maintenance tooling reads."""
         rows = [
-            (f.path, f.bucket, f.kind, f.rows, f.min_key, f.max_key)
+            (f.path, f.partition, f.bucket, f.kind, f.rows, f.min_key, f.max_key)
             for f in self.log.live_files(version)
         ]
         return self.spark.createDataFrame(
             rows,
-            "path string, bucket int, kind string, rows long, "
-            "min_key string, max_key string",
+            "path string, partition string, bucket int, kind string, "
+            "rows long, min_key string, max_key string",
         )
 
     def snapshot_as_of(
@@ -432,7 +536,13 @@ class LakeTable:
 
         self._with_commit_retries(attempt)
 
-    def incremental(self, begin: int, end: int | None = None) -> DataFrame:
+    def incremental(
+        self,
+        begin: int,
+        end: int | None = None,
+        partitions=None,
+        partition_range=None,
+    ) -> DataFrame:
         """Records CHANGED in versions (begin, end] (H7) — record-level,
         like Hudi's commit-time incremental query. Deletes surface as
         tombstone records (``_deleted = true``) for downstream CDC.
@@ -443,21 +553,27 @@ class LakeTable:
         bucket rewrite, so it appears in exactly one live file), then
         rows are filtered to ``_commit_ver`` in range. Null
         ``_commit_ver`` (files written before record versioning) counts
-        as version 0."""
+        as version 0. ``partitions``/``partition_range`` prune the
+        changed-file set structurally — record identity is scoped to its
+        partition, so pruning cannot change resolution outcomes."""
         live = self.log.live_files(end)
         changed = {f.path for f in self.log.changed_files(begin, end)}
         files = [f for f in live if f.path in changed]
+        files = self._prune_partitions(files, partitions, partition_range)
         if any(f.kind == "delta" for f in live):
             # MOR: a stale in-range delta row may have LOST
             # last-write-wins to a row OUTSIDE the range (COW settles
             # this at write time; MOR must settle it here). Winners are
             # decided by resolving over every live row of the affected
-            # buckets first; only then are winners filtered to the
-            # range. Buckets without an in-range file can't contribute
-            # a winner in range, so they are pruned from the read.
-            buckets = {f.bucket for f in files}
+            # (partition, bucket) units first; only then are winners
+            # filtered to the range. Units without an in-range file
+            # can't contribute a winner in range, so they are pruned
+            # from the read.
+            units = {(f.partition, f.bucket) for f in files}
             df = self._resolve_latest(
-                self._read_files([f for f in live if f.bucket in buckets])
+                self._read_files(
+                    [f for f in live if (f.partition, f.bucket) in units]
+                )
             )
         else:
             # COW: one live copy per key, already LWW-settled at write;
@@ -540,8 +656,25 @@ class LakeTable:
                     phys = self._physical_of(fld)
                     break
         files = self.log.live_files()
+        # structural partition elimination first: when ``col`` IS the
+        # (single) partition field, each file's exact partition value
+        # prunes it with no stats at all — works even for files whose
+        # col_stats were unrecordable. String compare, so only applied
+        # to string bounds (ISO dates / strings — the recommended
+        # partition types).
+        part_pruned = files
+        if (
+            self.partition_fields == [col]
+            and isinstance(lo, str)
+            and isinstance(hi, str)
+        ):
+            part_pruned = [
+                f
+                for f in files
+                if f.partition is None or (lo <= f.partition <= hi)
+            ]
         kept = []
-        for f in files:
+        for f in part_pruned:
             st = (f.col_stats or {}).get(phys)
             if st is None or not (hi < st[0] or lo > st[1]):
                 kept.append(f)
