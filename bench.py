@@ -193,6 +193,11 @@ def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     text, dimension rotation for vectors) so near-dup/cluster structure
     is preserved WITHIN a replica but replicas don't near-dup each other
     — dup pairs scale ~linearly with rows instead of quadratically.
+    Replica ids are DENSE (``id * factor + i``): the max id stays
+    ~factor× the fixture's max instead of jumping to 10^8-scale sparse
+    ids — matching how a real corpus's id space grows with its row count
+    (the r6 sparse offsets tripped the then-fixed planted-copy offset
+    and killed the whole bench run, VERDICT r6 #2).
     Other tables are symlinked as-is."""
     from pyspark.sql import functions as F
 
@@ -204,7 +209,7 @@ def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         rot = alpha[i:] + alpha[:i]
         reps.append(
             docs.select(
-                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                (F.col("doc_id") * factor + i).alias("doc_id"),
                 (F.translate("text", alpha, rot) if i else F.col("text")).alias(
                     "text"
                 ),
@@ -231,7 +236,7 @@ def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         )
         reps.append(
             emb.select(
-                (F.col("vec_id") + i * 100_000_000).alias("vec_id"),
+                (F.col("vec_id") * factor + i).alias("vec_id"),
                 vec.alias("embedding"),
                 "label",
             )
@@ -321,38 +326,54 @@ def main() -> None:
 
     spark = get_spark("hsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = sf_name
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
+    )
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        **({"contended_with_pids": contended} if contended else {}),
+        "phases_done": [],
+    }
+
+    def checkpoint(phase: str) -> None:
+        # durable after EVERY phase: a crash in a later phase must not
+        # erase the ~20 min of completed work (the r6 spot10x crash
+        # discarded the whole run because only the final write existed)
+        result["phases_done"] = result.get("phases_done", []) + [phase]
+        with open(out_path, "w") as fh:
+            json.dump(result, fh)
+            fh.write("\n")
+
     try:
         # CDC first: its state is fully torn down afterwards, while the
         # query phase leaves JVM warmth that benefits neither unfairly
         cdc = bench_cdc(spark, sf_dir)
+        result.update(cdc)
+        checkpoint("cdc")
         _clear_session_state(spark)
         queries = bench_queries(spark, sf_dir)
-        spot = (
-            bench_spot10x(spark, sf_dir)
-            if os.environ.get("SPARK_GRAFT_SPOT10X", "1") != "0"
-            else {}
-        )
-        sf_name = os.path.basename(sf_dir.rstrip("/"))
-        try:
-            sf = float(sf_name.replace("sf", ""))
-        except ValueError:
-            sf = sf_name
-        result = {
-            "metric": "total_query_wall_sec",
-            "value": round(sum(queries.values()), 3),
-            "unit": "sec",
-            "queries": queries,
-            "sf": sf,
-            **({"contended_with_pids": contended} if contended else {}),
-            **({"spot10x": spot} if spot else {}),
-            **cdc,
-        }
+        result["queries"] = queries
+        result["value"] = round(sum(queries.values()), 3)
+        checkpoint("queries")
+        if os.environ.get("SPARK_GRAFT_SPOT10X", "1") != "0":
+            spot = bench_spot10x(spark, sf_dir)
+            if spot:
+                result["spot10x"] = spot
+            checkpoint("spot10x")
+        result.pop("phases_done", None)  # complete record: marker gone
         # durable copy FIRST: the driver's stdout capture has truncated
         # the tail before (BENCH_r02/r03 "parsed": null) — the file is
         # the canonical record, the final printed line the contract
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
-        )
         with open(out_path, "w") as fh:
             json.dump(result, fh)
             fh.write("\n")

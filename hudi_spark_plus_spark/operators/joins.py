@@ -42,6 +42,78 @@ def salted_join(
     return out.drop("_salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: list[str],
+    right_on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the right row with
+    the LARGEST ``right_ts`` <= ``left_ts`` within its key group.
+
+    Scale shape (the reason this is not a range join): union both sides,
+    ONE shuffle on the key, one window sort, and a running
+    ``last(..., ignorenulls)`` carries the latest right payload forward
+    to each left row. Cost is O((|L|+|R|) log) per key group — a range
+    inner join (``r.ts <= l.ts`` then groupBy-max) multiplies each left
+    row by ALL earlier right rows of its key first, which is quadratic
+    on active keys and the classic at-scale killer for as-of semantics.
+    At equal timestamps the right row qualifies (<=): right rows sort
+    before left rows on the tie.
+
+    ``right_cols`` are the right-side payload columns to attach; their
+    names must not collide with left's columns. ``how``: "inner" drops
+    left rows with no earlier right row; "left" keeps them with nulls.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("asof_join supports inner/left")
+    if len(left_on) != len(right_on):
+        raise ValueError("left_on/right_on length mismatch")
+    from pyspark.sql.window import Window
+
+    keys = [f"_asof_k{i}" for i in range(len(left_on))]
+    r_sel = right.select(
+        *[F.col(k).alias(a) for k, a in zip(right_on, keys)],
+        F.col(right_ts).cast("long").alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
+    )
+    payload_t = r_sel.schema["_asof_payload"].dataType
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_sel = left.select(
+        *[F.col(k).alias(a) for k, a in zip(left_on, keys)],
+        F.col(left_ts).cast("long").alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(payload_t).alias("_asof_payload"),
+        left_struct.alias("_asof_left"),
+    )
+    left_t = l_sel.schema["_asof_left"].dataType
+    u = l_sel.unionByName(
+        r_sel.withColumn("_asof_left", F.lit(None).cast(left_t))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn(
+            "_asof_m", F.last("_asof_payload", ignorenulls=True).over(w)
+        )
+        .where(F.col("_asof_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.where(F.col("_asof_m").isNotNull())
+    return matched.select(
+        F.col("_asof_left.*"),
+        *[F.col(f"_asof_m.{c}").alias(c) for c in right_cols],
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

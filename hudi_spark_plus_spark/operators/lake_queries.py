@@ -638,7 +638,98 @@ def q_lake_concurrent(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_partitioned(spark, sf_dir):
+    """Partition-path table (H4 — the partition half of Hudi's Simple/
+    ComplexKeyGenerator, README.md:59,65 / BinlogSyncHoodieCommand.scala:
+    99-102) under oracle control. Same two-batch customer fixture as the
+    roundtrip, but the table is partitioned by a derived date string
+    ``d`` (custkey % 3 → 2024-01-01..03). Checks, in one query:
+
+    1. the writers actually produce ``_part=<d>/_bucket=<b>/`` dirs and
+       the manifest records each file's partition value;
+    2. ``partition_values()`` lists exactly the three dates;
+    3. a partition-pruned ``snapshot(partitions=[...])`` reads ONLY that
+       partition's files (structural file-count assertion) and returns
+       exactly its rows;
+    4. reopening the table with no constructor args picks the persisted
+       ``partition_fields`` up;
+    5. the returned range-pruned snapshot (2024-01-01..02) hash-matches
+       the oracle's row-filtered recompute."""
+    import glob as _glob
+    import os as _os
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        d_col = F.concat(
+            F.lit("2024-01-0"), ((F.col("c_custkey") % 3) + 1).cast("string")
+        ).alias("d")
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            d_col,
+        )
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+            d_col,
+        )
+        lake = LakeTable(spark, work, buckets=4, partition_fields=["d"])
+        lake.merge(batch1, "b1")
+        lake.merge(batch2, "b2")
+
+        # 1. physical layout + manifest partition values
+        part_dirs = _glob.glob(_os.path.join(work, "data", "*", "_part=*"))
+        assert part_dirs, "partitioned writer produced no _part= dirs"
+        live = lake.log.live_files()
+        assert live and all(f.partition is not None for f in live), (
+            "manifest entries missing partition values"
+        )
+        # 2. SHOW PARTITIONS
+        expected = ["2024-01-01", "2024-01-02", "2024-01-03"]
+        assert lake.partition_values() == expected, lake.partition_values()
+        # 3. structural pruning: one partition's files only, exact rows
+        kept = lake._prune_partitions(live, partitions=["2024-01-02"])
+        assert kept and len(kept) < len(live)
+        assert all(f.partition == "2024-01-02" for f in kept)
+        one = lake.snapshot(partitions=["2024-01-02"])
+        assert one.where(F.col("c_custkey") % 3 != 1).count() == 0
+        # 4. reopen with NO args: persisted partition_fields win
+        reopened = LakeTable(spark, work)
+        assert reopened.partition_fields == ["d"]
+        # 5. the oracle-checked result: an inclusive partition RANGE
+        out = (
+            reopened.snapshot(
+                partition_range=("2024-01-01", "2024-01-02")
+            )
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"), "d",
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-partitioned": q_lake_partitioned,
     "q-lake-zorder": q_lake_zorder,
     "q-lake-compact": q_lake_compact,
     "q-lake-concurrent": q_lake_concurrent,
@@ -679,6 +770,19 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # partitions 2024-01-01..02 = custkey % 3 in (0, 1); merge semantics
+    # identical to the roundtrip, plus the derived partition column
+    "q-lake-partitioned": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               '2024-01-0' || CAST(1 + c_custkey % 3 AS VARCHAR) AS d
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 7 <> 0
+          AND c_custkey % 3 IN (0, 1)
+        ORDER BY c_custkey
+    """,
     # layout rewrite is logically invisible: unchanged roundtrip state
     "q-lake-zorder": _ROUNDTRIP_ORACLE,
     # compaction + vacuum are logically invisible too

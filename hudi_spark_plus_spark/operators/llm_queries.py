@@ -110,7 +110,18 @@ def q_doc_neardup_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-_PLANT_OFFSET = 1_000_000
+def _plant_offset(max_id: int) -> int:
+    """Smallest power of ten > max_id + 1 — the id stride between planted
+    copy generations. Derived from the CORPUS (not a constant), so the
+    planted-oracle device works on any id range: a 10^9-document corpus
+    gets a 10^10 stride instead of colliding (the r6 fixed 10^6 offset
+    asserted-and-died on the bench's replicated ids, VERDICT r6 #2).
+    DuckDB mirrors the formula verbatim as
+    ``POWER(10, CEIL(LOG10(MAX(doc_id) + 2)))`` — both sides are IEEE
+    doubles, so they agree exactly."""
+    import math
+
+    return 10 ** math.ceil(math.log10(max_id + 2))
 
 
 def _plant_copies(d, mod, residue=0, gens=1):
@@ -122,23 +133,18 @@ def _plant_copies(d, mod, residue=0, gens=1):
     and the verified outcome (pair ids + exact similarity) is replayable
     in ANSI SQL.
 
-    Planted ids live at doc_id + g*_PLANT_OFFSET; a corpus whose ids
-    reach the offset would collide planted ids with real ones, so the
-    id range is asserted (bounded one-row agg — these queries run on
-    fixture-sized subsets by construction)."""
+    Planted ids live at doc_id + g*offset where the offset is derived
+    from the corpus's own max id (one bounded one-row agg) — collision-
+    free at ANY corpus scale."""
     max_id = d.agg(F.max("doc_id")).first()[0]
-    if max_id is not None and max_id >= _PLANT_OFFSET:
-        raise ValueError(
-            f"_plant_copies: max doc_id {max_id} >= _PLANT_OFFSET "
-            f"{_PLANT_OFFSET}; planted ids would collide with real ones"
-        )
+    offset = _plant_offset(max_id if max_id is not None else 0)
     src = d.where(F.col("doc_id") % mod == residue)
     copies = (
         src.withColumn(
             "_g", F.explode(F.array([F.lit(g) for g in range(1, gens + 1)]))
         )
         .withColumn(
-            "doc_id", F.col("doc_id") + F.col("_g") * F.lit(_PLANT_OFFSET)
+            "doc_id", F.col("doc_id") + F.col("_g") * F.lit(offset)
         )
         .drop("_g")
     )
@@ -1155,10 +1161,14 @@ LLM_ORACLES = {
     # makes the output exactly the equal-content pairs — computable here
     # as equal sorted distinct shingle/token sets, no engine hash needed
     "q-doc-minhash-lsh": rf"""
-        WITH corpus AS (
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents WHERE doc_id < {NEARDUP_SUBSET}
+        ),
+        corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < {NEARDUP_SUBSET}
           UNION ALL
-          SELECT doc_id + 1000000, text FROM documents
+          SELECT doc_id + (SELECT o FROM off), text FROM documents
           WHERE doc_id < {NEARDUP_SUBSET} AND doc_id % 10 = 0
         ),
         sh AS (
@@ -1183,10 +1193,14 @@ LLM_ORACLES = {
         ORDER BY id_a, id_b
     """,
     "q-doc-minhash-full": r"""
-        WITH corpus AS (
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ),
+        corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 * t.g, text
+          SELECT doc_id + (SELECT o FROM off) * t.g, text
           FROM documents, UNNEST([1, 2]) AS t(g)
           WHERE doc_id % 50 = 0
         ),
@@ -1212,10 +1226,14 @@ LLM_ORACLES = {
         ORDER BY id_a, id_b
     """,
     "q-doc-simhash": rf"""
-        WITH corpus AS (
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents WHERE doc_id < {NEARDUP_SUBSET}
+        ),
+        corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < {NEARDUP_SUBSET}
           UNION ALL
-          SELECT doc_id + 1000000, text FROM documents
+          SELECT doc_id + (SELECT o FROM off), text FROM documents
           WHERE doc_id < {NEARDUP_SUBSET} AND doc_id % 10 = 3
         ),
         tk AS (

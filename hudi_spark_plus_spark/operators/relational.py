@@ -187,14 +187,22 @@ def q11(spark, sf_dir):
     original o_orderdate anchor (1995-2001) predates every event, which
     made the check vacuous. Pure integer arithmetic, so no timestamp
     dialect hazard between Spark and the oracle.
+
+    Engine shape (r7): ``asof_join`` — union both sides + ONE window
+    over the user key, never the expanding inner range-join (each order
+    × all earlier events of its user) that r5 flagged as the at-scale
+    killer. Plan-tested join-free in test_plan_quality.
     """
+    from hudi_spark_plus_spark.operators.joins import asof_join
     from hudi_spark_plus_spark.sources.loaders import epoch_us
 
     base_us = 1704067200000000  # epoch micros of 2024-01-01T00:00:00Z
     hour_us = 3600000000
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
-    e = ev.select("user_id", epoch_us(ev, "ts").alias("ts_us"))
+    e = ev.select(
+        "user_id", epoch_us(ev, "ts").alias("ts_us")
+    ).withColumn("last_event_ts", F.col("ts_us"))
     od = o.select(
         "o_orderkey",
         "o_custkey",
@@ -203,14 +211,13 @@ def q11(spark, sf_dir):
             + (F.col("o_orderkey") % 696 + 1).cast("long") * F.lit(hour_us)
         ).alias("od_us"),
     )
-    j = od.join(
-        e, (e.user_id == od.o_custkey) & (e.ts_us <= od.od_us), "inner"
+    j = asof_join(
+        od, e,
+        left_on=["o_custkey"], right_on=["user_id"],
+        left_ts="od_us", right_ts="ts_us",
+        right_cols=["last_event_ts"], how="inner",
     )
-    return (
-        j.groupBy("o_orderkey")
-        .agg(F.max("ts_us").alias("last_event_ts"))
-        .orderBy("o_orderkey")
-    )
+    return j.select("o_orderkey", "last_event_ts").orderBy("o_orderkey")
 
 
 # --- aggregation -----------------------------------------------------------

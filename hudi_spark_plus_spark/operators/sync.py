@@ -51,15 +51,27 @@ _LAKE_CACHE: dict[tuple[int, str], LakeTable] = {}
 _LAKE_LOCK = threading.Lock()
 
 
-def _cached_lake(spark: SparkSession, path: str, buckets: int | None) -> LakeTable:
+def _cached_lake(
+    spark: SparkSession,
+    path: str,
+    buckets: int | None,
+    partition_fields: list[str] | None = None,
+) -> LakeTable:
     key = (id(spark), path)
     with _LAKE_LOCK:
         t = _LAKE_CACHE.get(key)
-        if t is not None and (buckets is None or t.buckets == buckets):
+        if (
+            t is not None
+            and (buckets is None or t.buckets == buckets)
+            and (partition_fields is None
+                 or t.partition_fields == list(partition_fields))
+        ):
             vs = t.log._versions
             if not vs or os.path.exists(t.log._commit_file(vs[-1])):
                 return t
-        t = LakeTable(spark, path, buckets=buckets)
+        t = LakeTable(
+            spark, path, buckets=buckets, partition_fields=partition_fields
+        )
         _LAKE_CACHE[key] = t
         return t
 
@@ -276,7 +288,9 @@ def _sync_one_table(
     batch = decoded.select(
         *[c for c in decoded.columns if c not in (cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL, "_pos")]
     )
-    lake = _cached_lake(spark, tc.path, tc.buckets)
+    lake = _cached_lake(
+        spark, tc.path, tc.buckets, tc.partition_fields or None
+    )
     lake.merge(
         batch,
         batch_id=f"{batch_id}",

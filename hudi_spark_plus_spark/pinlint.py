@@ -1,0 +1,110 @@
+"""Mechanical pin-lint (VERDICT r6 directive 4).
+
+The registry workflow rule — "pin any query whose semantics changed
+after its last green driver pass" — was violated twice in round 6 (q11
+pinned needlessly, q-doc-corpus-stats changed unpinned). This module
+turns the rule into a test: each registry query gets a SOURCE HASH over
+
+* the query function's own source,
+* the source of every function it (transitively) references by name —
+  module-level helpers like ``_plant_copies`` and cross-module operator
+  functions like ``minhash_lsh_pairs`` included,
+* simple module-level constants it references (``NEARDUP_SUBSET``...),
+* its oracle SQL string.
+
+``tests/query_source_hashes.json`` is the committed baseline — the
+hashes as of the last acknowledged state. ``tests/test_registry.py``
+fails for any query whose current hash differs from the baseline UNLESS
+the query is in ``registry._PINNED``: changing a query forces you to pin
+it (so the next driver round re-greens it) and regenerate the baseline;
+removing the pin after the green requires the hash to be back in sync.
+
+Known granularity limit: changes to CLASS internals (``LakeTable``
+methods) are not hashed — function-level closure only — because pulling
+whole classes in would flag every lake query on any lake_table.py edit
+and eat the driver's ~50-row budget in pins. Table-format changes still
+need judgment; this lint mechanizes the function/oracle cases that were
+actually violated.
+
+Regenerate the baseline with::
+
+    python -m hudi_spark_plus_spark.pinlint
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import sys
+from pathlib import Path
+
+
+def _source_closure(fn, seen: set | None = None) -> str:
+    """fn's source + the sources of hudi_spark_plus_spark functions it
+    references by (global) name, recursively; plus repr of simple
+    constants it reads. Deterministic traversal order."""
+    if seen is None:
+        seen = set()
+    key = (getattr(fn, "__module__", ""), getattr(fn, "__qualname__", ""))
+    if key in seen:
+        return ""
+    seen.add(key)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return ""
+    mod = sys.modules.get(fn.__module__)
+    parts = [src]
+    code = getattr(fn, "__code__", None)
+    if mod is None or code is None:
+        return src
+    names = set(code.co_names)
+    # constants/functions referenced from nested code objects (lambdas,
+    # inner defs) too
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):
+            names.update(const.co_names)
+    for name in sorted(names):
+        obj = getattr(mod, name, None)
+        if obj is None:
+            continue
+        if inspect.isfunction(obj) and getattr(obj, "__module__", "").startswith(
+            "hudi_spark_plus_spark"
+        ):
+            parts.append(_source_closure(obj, seen))
+        elif isinstance(obj, (int, float, str, tuple, frozenset)):
+            parts.append(f"{name}={obj!r}")
+    return "\n".join(parts)
+
+
+def compute_hashes() -> dict[str, str]:
+    from hudi_spark_plus_spark.registry import all_oracles, all_queries
+
+    oracles = all_oracles()
+    out: dict[str, str] = {}
+    for name, fn in all_queries().items():
+        blob = _source_closure(fn) + "\n--oracle--\n" + oracles.get(name, "")
+        out[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return dict(sorted(out.items()))
+
+
+BASELINE_PATH = (
+    Path(__file__).resolve().parent.parent / "tests" / "query_source_hashes.json"
+)
+
+
+def load_baseline() -> dict[str, str]:
+    try:
+        return json.loads(BASELINE_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def main() -> None:
+    BASELINE_PATH.write_text(json.dumps(compute_hashes(), indent=1) + "\n")
+    print(f"wrote {BASELINE_PATH}")
+
+
+if __name__ == "__main__":
+    main()

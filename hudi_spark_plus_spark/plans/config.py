@@ -37,6 +37,12 @@ HOODIE_PATH = "option.hoodie.path"
 # reference pulls from KeyGeneratorOptions / HoodieWriteConfig)
 RECORDKEY_FIELD = "hoodie.datasource.write.recordkey.field"
 PRECOMBINE_FIELD = "hoodie.datasource.write.precombine.field"
+# Partition-path half of the keygen pair (H4; KeyGeneratorOptions'
+# PARTITIONPATH_FIELD_NAME — the option Hudi's Simple/ComplexKeyGenerator
+# read, README.md:59,65): comma-separated payload columns whose rendered
+# values become the table's partition path. Ignored (forced empty) under
+# NonpartitionedKeyGenerator, matching that class's contract.
+PARTITIONPATH_FIELD = "hoodie.datasource.write.partitionpath.field"
 TABLE_NAME = "hoodie.table.name"
 BASE_PATH = "hoodie.base.path"
 KEYGENERATOR_CLASS = "hoodie.datasource.write.keygenerator.class"
@@ -80,6 +86,7 @@ class TableConfig:
     table_name: str
     path: str
     keygenerator: str = "composite"
+    partition_fields: list[str] = field(default_factory=list)
     transformer_sql: str | None = None
     dedup_order_fields: list[str] = field(default_factory=list)
     json_options: dict[str, str] = field(default_factory=dict)
@@ -128,6 +135,12 @@ def resolve_table_config(
         if not k.startswith("hoodie.") and not k.startswith("engine.")
     }
     json_opts.setdefault(TIMESTAMP_FORMAT_KEY, TIMESTAMP_FORMAT_DEFAULT)
+    keygen = t.get(KEYGENERATOR_CLASS, "composite")
+    partition_fields = [
+        s.strip() for s in t.get(PARTITIONPATH_FIELD, "").split(",") if s.strip()
+    ]
+    if keygen.endswith("NonpartitionedKeyGenerator"):
+        partition_fields = []  # that keygen's contract: no partition path
     return TableConfig(
         db=db,
         table=table,
@@ -135,7 +148,8 @@ def resolve_table_config(
         precombine_field=t[PRECOMBINE_FIELD],
         table_name=t[TABLE_NAME],
         path=resolve_table_path(options, t, db, table),
-        keygenerator=t.get(KEYGENERATOR_CLASS, "composite"),
+        keygenerator=keygen,
+        partition_fields=partition_fields,
         transformer_sql=t.get(TRANSFORMER_SQL) or options.get(TRANSFORMER_SQL),
         dedup_order_fields=[
             s.strip()

@@ -66,12 +66,25 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-# Front-of-line pins: queries whose ORACLE was upgraded after their last
-# driver pass (the rotation ranks them by that stale green, which can
-# push them behind the cap). Listed queries sort before everything else;
-# remove a pin once a CORRECTNESS row proves the upgraded oracle.
+# Front-of-line pins: queries whose ENGINE or ORACLE side changed after
+# their last green driver pass (the rotation ranks them by that stale
+# green, which can push them behind the cap). Listed queries sort before
+# everything else; remove a pin once a CORRECTNESS row proves the new
+# code, and regenerate tests/query_source_hashes.json (the pin-lint
+# baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    "q11",  # engine side reformulated r6 (scale-safe union+window as-of, oracle unchanged)
+    # r7: as-of join genuinely reformulated (union+window via
+    # operators.joins.asof_join, no expanding inner range-join) — the r6
+    # pin claimed this without the code change; now the change is real
+    "q11",
+    # r7: planted-copy offset now corpus-derived (10^ceil(log10(max+2)))
+    # on BOTH engine and oracle sides — planted ids moved
+    "q-doc-minhash-lsh",
+    "q-doc-minhash-full",
+    "q-doc-simhash",
+    # r6 engine change (NULL-histogram exclusion) never driver-verified —
+    # the pin r6 should have added (VERDICT r6 directive 8)
+    "q-doc-corpus-stats",
 ]
 
 

@@ -315,6 +315,13 @@ class LakeTable:
         payload partition fields — never stored in data files)."""
         if not self.partition_fields:
             return df
+        missing = [c for c in self.partition_fields if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"table at {self.path} is partitioned by "
+                f"{self.partition_fields}; batch is missing partition "
+                f"column(s) {missing}"
+            )
         return df.withColumn(PARTITION_COL, self._partition_expr())
 
     def _layout_cols(self) -> list[str]:
@@ -323,17 +330,32 @@ class LakeTable:
         ``_bucket=<b>/`` otherwise."""
         return ([PARTITION_COL] if self.partition_fields else []) + [BUCKET_COL]
 
-    @staticmethod
-    def _prune_partitions(files, partitions=None, partition_range=None):
+    def _prune_partitions(self, files, partitions=None, partition_range=None):
         """Structural partition elimination over manifest entries — no
         stats needed: each file's single partition value is exact.
         ``partitions``: iterable of partition-path values to keep;
         ``partition_range``: (lo, hi) inclusive string range (partition
         values are rendered strings — ISO dates and strings compare
-        correctly; pick such types for range-pruned partitions)."""
+        correctly; pick such types for range-pruned partitions).
+
+        A table with no partition metadata REJECTS both arguments
+        (silently returning everything — or nothing — would turn a
+        mis-targeted prune into a wrong answer); files with no recorded
+        partition value on a partitioned table are kept conservatively
+        by BOTH filters (symmetric: an unprunable file is never
+        silently dropped)."""
+        if partitions is None and partition_range is None:
+            return files
+        if not self.partition_fields:
+            raise ValueError(
+                f"table at {self.path} is not partitioned; partitions=/"
+                "partition_range= cannot prune it"
+            )
         if partitions is not None:
             keep = {str(p) for p in partitions}
-            files = [f for f in files if f.partition in keep]
+            files = [
+                f for f in files if f.partition is None or f.partition in keep
+            ]
         if partition_range is not None:
             lo, hi = partition_range
             files = [
@@ -532,6 +554,7 @@ class LakeTable:
                 schema_json=old.schema_json,
                 buckets=old.buckets or self.buckets,
                 expected_version=prev.version + 1,
+                partition_fields=self.partition_fields or None,
             )
 
         self._with_commit_retries(attempt)
@@ -781,14 +804,16 @@ class LakeTable:
         if COMMIT_VER_COL not in df.columns:
             df = df.withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
         out = df.withColumn(BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets))
+        out = self._with_part(out)
         schema_json = self._commit_schema_json(out, next_ver)
         absd, rel = self.log.new_data_subdir()
+        layout = [F.col(c) for c in self._layout_cols()]
         (
             self._apply_physical(out, schema_json)
-            .repartition(parallelism, F.col(BUCKET_COL))
+            .repartition(parallelism, *layout)
             .write.mode("append")
             .options(**_BLOOM_OPTS)
-            .partitionBy(BUCKET_COL)
+            .partitionBy(*self._layout_cols())
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel, spark=self.spark)
@@ -800,6 +825,7 @@ class LakeTable:
             schema_json=schema_json,
             buckets=self.buckets,
             expected_version=next_ver,
+            partition_fields=self.partition_fields or None,
         )
 
     def bulk_insert(
@@ -861,19 +887,47 @@ class LakeTable:
         batch = batch.withColumn(
             BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
         )
+        batch = self._with_part(batch)
         # Selective COW: only buckets containing batch keys are touched.
-        affected = (
-            affected_buckets
-            if affected_buckets is not None
-            else {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
-        )
+        # On partitioned tables the unit is (partition, bucket) — a batch
+        # touching one day never rewrites another day's files. The unit
+        # set comes from ONE bounded collect of the batch's distinct
+        # units (bounded by batch size, typically a handful); a caller-
+        # supplied bucket set (the multi-table sync's single metadata
+        # job) degrades to bucket-granular pruning — correct, just less
+        # selective.
+        units: set | None = None
+        if affected_buckets is not None:
+            affected = affected_buckets
+        elif self.partition_fields:
+            units = {
+                (r[0], r[1])
+                for r in batch.select(PARTITION_COL, BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+            affected = {b for _, b in units}
+        else:
+            affected = {
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            }
         prev = self.log.latest()
         if mode == "mor" and prev is not None:
             self._merge_mor(batch, batch_id, parallelism, affected, prev)
             return
         live = prev.files if prev else []
-        carry = [f for f in live if f.bucket not in affected]
-        hit = [f for f in live if f.bucket in affected]
+        if units is not None:
+            # unknown-partition files (shouldn't exist on a partitioned
+            # table) fall back to bucket-granular matching
+            def _is_hit(f: FileEntry) -> bool:
+                return (f.partition, f.bucket) in units or (
+                    f.partition is None and f.bucket in affected
+                )
+        else:
+            def _is_hit(f: FileEntry) -> bool:
+                return f.bucket in affected
+        hit = [f for f in live if _is_hit(f)]
+        carry = [f for f in live if not _is_hit(f)]
         # Bloom probe (K1/H8 read-amplification fix): within an affected
         # bucket, a file whose key bloom matches NO batch key cannot hold
         # a row this merge changes — carry it live untouched instead of
@@ -904,7 +958,9 @@ class LakeTable:
         payload_cols = [
             c
             for c in batch.columns
-            if c not in (OP_COL, BUCKET_COL, DELETED_COL, COMMIT_VER_COL)
+            if c not in (
+                OP_COL, BUCKET_COL, PARTITION_COL, DELETED_COL, COMMIT_VER_COL,
+            )
         ]
         if snap is not None:
             # additive schema evolution: union of payload columns
@@ -938,9 +994,18 @@ class LakeTable:
                         s = s.withColumn(c, F.col(c).cast(target))
             if COMMIT_VER_COL not in s.columns:  # pre-versioning files
                 s = s.withColumn(COMMIT_VER_COL, F.lit(0).cast("long"))
+            # record identity on partitioned tables is (partition, key) —
+            # Hudi's non-global-index semantics: the same key in two
+            # partitions is two records (never merged across partitions)
+            s = self._with_part(s)
             b = b.alias("b")
             s = s.alias("s")
-            j = s.join(b, F.col(f"s.{KEY_COL}") == F.col(f"b.{KEY_COL}"), "full_outer")
+            join_cond = F.col(f"s.{KEY_COL}") == F.col(f"b.{KEY_COL}")
+            if self.partition_fields:
+                join_cond = join_cond & (
+                    F.col(f"s.{PARTITION_COL}") == F.col(f"b.{PARTITION_COL}")
+                )
+            j = s.join(b, join_cond, "full_outer")
             batch_wins = F.col(f"b.{KEY_COL}").isNotNull() & (
                 F.col(f"s.{KEY_COL}").isNull()
                 | (F.col(f"b.{TS_COL}") >= F.col(f"s.{TS_COL}"))
@@ -971,18 +1036,23 @@ class LakeTable:
                 F.lit(next_ver).cast("long").alias(COMMIT_VER_COL),
             )
 
-        merged = merged.withColumn(
-            BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+        merged = self._with_part(
+            merged.withColumn(
+                BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+            )
         )
         schema_json = self._commit_schema_json(merged, next_ver)
         absd, rel = self.log.new_data_subdir()
-        n = parallelism or max(1, len(affected))
+        n = parallelism or max(
+            1, len(units) if units is not None else len(affected)
+        )
+        layout = [F.col(c) for c in self._layout_cols()]
         (
             self._apply_physical(merged, schema_json)
-            .repartition(n, F.col(BUCKET_COL))
+            .repartition(n, *layout)
             .write.mode("append")
             .options(**_BLOOM_OPTS)
-            .partitionBy(BUCKET_COL)
+            .partitionBy(*self._layout_cols())
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel, spark=self.spark)
@@ -993,6 +1063,7 @@ class LakeTable:
             schema_json=schema_json,
             buckets=self.buckets,
             expected_version=next_ver,
+            partition_fields=self.partition_fields or None,
         )
 
     def _reconcile_batch_types(
@@ -1006,7 +1077,7 @@ class LakeTable:
         s_types = {f.name: f.dataType.simpleString() for f in stored.fields}
         widened: dict[str, str] = {}
         for c, t in dict(b.dtypes).items():
-            if c in (OP_COL, BUCKET_COL):
+            if c in (OP_COL, BUCKET_COL, PARTITION_COL):
                 continue
             st = s_types.get(c)
             if st is not None and st != t:
@@ -1053,7 +1124,7 @@ class LakeTable:
             else:
                 fields.append(f)
         have = {f.name for f in fields}
-        skip = {OP_COL, BUCKET_COL}
+        skip = {OP_COL, BUCKET_COL, PARTITION_COL}
         for c in df.columns:
             if c in have or c in skip:
                 continue
@@ -1084,7 +1155,8 @@ class LakeTable:
 
     # Columns with table-format semantics: never renamable/droppable.
     RESERVED_COLS = frozenset(
-        {KEY_COL, TS_COL, OP_COL, DELETED_COL, COMMIT_VER_COL, BUCKET_COL}
+        {KEY_COL, TS_COL, OP_COL, DELETED_COL, COMMIT_VER_COL, BUCKET_COL,
+         PARTITION_COL}
     )
 
     def rename_column(self, old: str, new: str) -> None:
@@ -1116,6 +1188,12 @@ class LakeTable:
         }
         if a in self.RESERVED_COLS:
             raise ValueError(f"column {a!r} is reserved table metadata")
+        if a in self.partition_fields:
+            raise ValueError(
+                f"column {a!r} is a partition field of the table at "
+                f"{self.path}; partition fields cannot be renamed/dropped "
+                "without a rewrite"
+            )
         if a not in active:
             raise ValueError(f"column {a!r} not in table schema")
         if kind == "rename" and (b in active or b in self.RESERVED_COLS):
@@ -1142,6 +1220,7 @@ class LakeTable:
             schema_json=StructType(fields).json(),
             buckets=self.buckets,
             expected_version=next_ver,
+            partition_fields=self.partition_fields or None,
         )
 
     def _merge_mor(
@@ -1170,12 +1249,13 @@ class LakeTable:
         schema_json = self._commit_schema_json(delta, next_ver)
         absd, rel = self.log.new_data_subdir()
         n = parallelism or max(1, len(affected))
+        layout = [F.col(c) for c in self._layout_cols()]
         (
             self._apply_physical(delta, schema_json)
-            .repartition(n, F.col(BUCKET_COL))
+            .repartition(n, *layout)
             .write.mode("append")
             .options(**_BLOOM_OPTS)
-            .partitionBy(BUCKET_COL)
+            .partitionBy(*self._layout_cols())
             .parquet(absd)
         )
         new_files = _collect_file_entries(self.path, rel, kind="delta", spark=self.spark)
@@ -1186,6 +1266,7 @@ class LakeTable:
             schema_json=schema_json,
             buckets=self.buckets,
             expected_version=next_ver,
+            partition_fields=self.partition_fields or None,
         )
 
     # Above this many distinct batch keys the per-merge bloom probe is
@@ -1245,8 +1326,8 @@ class LakeTable:
     @staticmethod
     def _payload_schema_json(df: DataFrame) -> str:
         """Stored-file schema: payload + _key/_ts/_deleted meta (never the
-        transient _op/_bucket columns)."""
-        drop = {OP_COL, BUCKET_COL}
+        transient _op/_bucket/_part layout columns)."""
+        drop = {OP_COL, BUCKET_COL, PARTITION_COL}
         kept = StructType([f for f in df.schema.fields if f.name not in drop])
         return kept.json()
 

@@ -39,20 +39,23 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
             return {"files_before": 0, "files_after": 0}
         snap = lake.snapshot(include_deleted=True)
         out = lake._apply_physical(  # files store physical column names
-            snap.withColumn(
-                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            lake._with_part(
+                snap.withColumn(
+                    BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+                )
             ),
             prev.schema_json,
         )
         absd, rel = lake.log.new_data_subdir()
+        layout = lake._layout_cols()
         (
             out.repartition(
                 max(1, lake.buckets * target_files_per_bucket),
-                F.col(BUCKET_COL),
+                *[F.col(c) for c in layout],
             )
             .write.mode("append")
             .options(**_BLOOM_OPTS)  # keep the key bloom through rewrites
-            .partitionBy(BUCKET_COL)
+            .partitionBy(*layout)
             .parquet(absd)
         )
         files = _collect_file_entries(lake.path, rel, spark=lake.spark)
@@ -61,6 +64,7 @@ def compact(lake: LakeTable, target_files_per_bucket: int = 1) -> dict:
             files,
             schema_json=prev.schema_json,
             expected_version=prev.version + 1,
+            partition_fields=lake.partition_fields or None,
         )
         return {"files_before": len(prev.files), "files_after": len(files)}
 
@@ -92,20 +96,23 @@ def compact_buckets(
         if any(f.kind == "delta" for f in hit):
             df = lake._resolve_latest(df)
         out = lake._apply_physical(  # files store physical column names
-            df.withColumn(
-                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            lake._with_part(
+                df.withColumn(
+                    BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+                )
             ),
             prev.schema_json,
         )
         absd, rel = lake.log.new_data_subdir()
+        layout = lake._layout_cols()
         (
             out.repartition(
                 max(1, len(buckets) * target_files_per_bucket),
-                F.col(BUCKET_COL),
+                *[F.col(c) for c in layout],
             )
             .write.mode("append")
             .options(**_BLOOM_OPTS)
-            .partitionBy(BUCKET_COL)
+            .partitionBy(*layout)
             .parquet(absd)
         )
         files = _collect_file_entries(lake.path, rel, spark=lake.spark)
@@ -114,6 +121,7 @@ def compact_buckets(
             carry + files,
             schema_json=prev.schema_json,
             expected_version=prev.version + 1,
+            partition_fields=lake.partition_fields or None,
         )
         return {
             "buckets_compacted": len(buckets),

@@ -281,26 +281,37 @@ def zorder_cluster_table(
     )
     schema_json = lake.log.latest().schema_json
     absd, rel = lake.log.new_data_subdir()
+    layout = lake._layout_cols()
     (
         lake._apply_physical(  # files store physical column names
-            z.withColumn(
-                BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+            lake._with_part(
+                z.withColumn(
+                    BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+                )
             ),
             schema_json,
         )
-        # range-partition on (bucket, z): each output file owns ONE
-        # bucket's contiguous Z slice, so manifest col_stats are tight
-        # on every cluster column and value-range scans (scan_range)
-        # skip whole files — the col_stats payoff z-order exists for
+        # range-partition on (layout, z): each output file owns ONE
+        # (partition, bucket) unit's contiguous Z slice, so manifest
+        # col_stats are tight on every cluster column and value-range
+        # scans (scan_range) skip whole files — the col_stats payoff
+        # z-order exists for
         .repartitionByRange(
-            lake.buckets * files_per_bucket, F.col(BUCKET_COL), F.col("_z")
+            lake.buckets * files_per_bucket,
+            *[F.col(c) for c in layout],
+            F.col("_z"),
         )
-        .sortWithinPartitions(BUCKET_COL, "_z")
+        .sortWithinPartitions(*layout, "_z")
         .drop("_z")
         .write.mode("append")
         .options(**_BLOOM_OPTS)  # keep the key bloom filter through rewrites
-        .partitionBy(BUCKET_COL)
+        .partitionBy(*layout)
         .parquet(absd)
     )
     files = _collect_file_entries(lake.path, rel, spark=lake.spark)
-    lake.log.commit("cluster", files, schema_json=lake.log.latest().schema_json)
+    lake.log.commit(
+        "cluster",
+        files,
+        schema_json=lake.log.latest().schema_json,
+        partition_fields=lake.partition_fields or None,
+    )

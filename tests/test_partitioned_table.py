@@ -1,0 +1,300 @@
+"""Partition-path lake tables (H4 — the partition half of Hudi's
+Simple/ComplexKeyGenerator pair, reference README.md:59,65 and
+BinlogSyncHoodieCommand.scala:99-102): layout, persistence, pruning,
+merge identity scoped to (partition, key), MOR, compaction, config."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.plans import config as cfg
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+from hudi_spark_plus_spark.table.maintenance import compact
+
+
+def mkbatch(spark, rows):
+    """rows: (key, ts, op, d, val) — ``d`` is the partition column."""
+    return spark.createDataFrame(
+        rows, "_key string, _ts long, _op string, d string, val string"
+    )
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    return LakeTable(
+        spark, str(tmp_path / "pt"), buckets=4, partition_fields=["d"]
+    )
+
+
+def snap_dict(table, **kw):
+    return {
+        (r["d"], r["_key"]): (r["_ts"], r["val"])
+        for r in table.snapshot(**kw).collect()
+    }
+
+
+B1 = [
+    ("k1", 1, "upsert", "2024-01-01", "a"),
+    ("k2", 1, "upsert", "2024-01-01", "b"),
+    ("k3", 1, "upsert", "2024-01-02", "c"),
+    ("k4", 1, "upsert", "2024-01-03", "d"),
+]
+
+
+class TestPartitionedLayout:
+    def test_writer_produces_part_dirs_and_manifest_values(
+        self, spark, ptable
+    ):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        dirs = glob.glob(os.path.join(ptable.path, "data", "*", "_part=*"))
+        assert sorted(os.path.basename(p) for p in dirs) == [
+            "_part=2024-01-01", "_part=2024-01-02", "_part=2024-01-03",
+        ]
+        # every _part dir nests _bucket dirs (layout order part/bucket)
+        assert all(
+            glob.glob(os.path.join(p, "_bucket=*")) for p in dirs
+        )
+        live = ptable.log.live_files()
+        assert {f.partition for f in live} == {
+            "2024-01-01", "2024-01-02", "2024-01-03",
+        }
+        assert ptable.partition_values() == [
+            "2024-01-01", "2024-01-02", "2024-01-03",
+        ]
+
+    def test_partition_value_not_stored_in_data_files(self, spark, ptable):
+        """_part is directory layout, not data: parquet files must not
+        carry a _part column (the value re-derives from the payload)."""
+        import pyarrow.parquet as pq
+
+        ptable.merge(mkbatch(spark, B1), "b1")
+        f = glob.glob(
+            os.path.join(ptable.path, "data", "*", "_part=*", "_bucket=*",
+                         "*.parquet")
+        )[0]
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "_part" not in names and "_bucket" not in names
+        assert "d" in names  # the payload partition FIELD is stored
+
+    def test_reopen_roundtrip(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        # same args: fine
+        again = LakeTable(
+            spark, ptable.path, buckets=4, partition_fields=["d"]
+        )
+        assert again.partition_fields == ["d"]
+        # no args: persisted metadata wins
+        bare = LakeTable(spark, ptable.path)
+        assert bare.partition_fields == ["d"] and bare.buckets == 4
+        assert snap_dict(bare) == snap_dict(ptable)
+        # conflicting fields: error
+        with pytest.raises(ValueError, match="partitioned by"):
+            LakeTable(spark, ptable.path, partition_fields=["val"])
+
+    def test_retrofit_unpartitioned_rejected(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "u"), buckets=2)
+        t.merge(
+            mkbatch(spark, B1).drop("d").withColumn("d", F.lit("x")), "b1"
+        )
+        with pytest.raises(ValueError, match="unpartitioned"):
+            LakeTable(spark, t.path, partition_fields=["d"])
+
+    def test_missing_partition_column_in_batch_raises(self, spark, ptable):
+        with pytest.raises(ValueError, match="missing partition"):
+            ptable.merge(mkbatch(spark, B1).drop("d"), "b1")
+
+
+class TestPartitionPruning:
+    def test_snapshot_partitions_reads_only_matching_files(
+        self, spark, ptable
+    ):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        live = ptable.log.live_files()
+        kept = ptable._prune_partitions(live, partitions=["2024-01-01"])
+        assert kept and len(kept) < len(live)
+        assert all(f.partition == "2024-01-01" for f in kept)
+        got = snap_dict(ptable, partitions=["2024-01-01"])
+        assert set(got) == {("2024-01-01", "k1"), ("2024-01-01", "k2")}
+
+    def test_partition_range(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        got = snap_dict(
+            ptable, partition_range=("2024-01-02", "2024-01-03")
+        )
+        assert set(got) == {("2024-01-02", "k3"), ("2024-01-03", "k4")}
+        kept = ptable._prune_partitions(
+            ptable.log.live_files(),
+            partition_range=("2024-01-02", "2024-01-03"),
+        )
+        assert all(
+            f.partition in ("2024-01-02", "2024-01-03") for f in kept
+        )
+
+    def test_prune_on_unpartitioned_table_raises(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "u"), buckets=2)
+        t.merge(mkbatch(spark, B1), "b1")  # d is just a payload column
+        with pytest.raises(ValueError, match="not partitioned"):
+            t.snapshot(partitions=["2024-01-01"])
+        with pytest.raises(ValueError, match="not partitioned"):
+            t.snapshot(partition_range=("a", "b"))
+        with pytest.raises(ValueError, match="not partitioned"):
+            t.incremental(0, partitions=["x"])
+
+    def test_merge_rewrites_only_touched_partitions(self, spark, ptable):
+        """Selective COW at (partition, bucket) granularity: a batch
+        touching one partition carries every other partition's files
+        through the commit untouched."""
+        ptable.merge(mkbatch(spark, B1), "b1")
+        before = {f.path for f in ptable.log.live_files()}
+        ptable.merge(
+            mkbatch(spark, [("k3", 2, "upsert", "2024-01-02", "c2")]), "b2"
+        )
+        after = ptable.log.live_files()
+        untouched_before = {
+            f.path
+            for f in ptable.log.read(1).files
+            if f.partition != "2024-01-02"
+        }
+        untouched_after = {
+            f.path for f in after if f.partition != "2024-01-02"
+        }
+        assert untouched_before == untouched_after  # carried by reference
+        changed = {f.path for f in after} - before
+        assert changed  # the touched partition DID rewrite
+        assert snap_dict(ptable)[("2024-01-02", "k3")] == (2, "c2")
+
+
+class TestPartitionScopedIdentity:
+    def test_same_key_in_two_partitions_is_two_records(self, spark, ptable):
+        """Hudi non-global-index semantics: record identity is
+        (partition, key) — the same _key in two partitions never
+        merges, and a delete only tombstones its own partition."""
+        ptable.merge(
+            mkbatch(spark, [
+                ("k1", 1, "upsert", "2024-01-01", "a"),
+                ("k1", 1, "upsert", "2024-01-02", "b"),
+            ]),
+            "b1",
+        )
+        got = snap_dict(ptable)
+        assert got == {
+            ("2024-01-01", "k1"): (1, "a"),
+            ("2024-01-02", "k1"): (1, "b"),
+        }
+        ptable.merge(
+            mkbatch(spark, [("k1", 2, "delete", "2024-01-01", "a")]), "b2"
+        )
+        assert set(snap_dict(ptable)) == {("2024-01-02", "k1")}
+
+    def test_lww_within_partition(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        # stale update (ts 0 < stored 1) must lose
+        ptable.merge(
+            mkbatch(spark, [("k1", 0, "upsert", "2024-01-01", "stale")]),
+            "b2",
+        )
+        assert snap_dict(ptable)[("2024-01-01", "k1")] == (1, "a")
+
+
+class TestPartitionedMorAndMaintenance:
+    def test_mor_partitioned_roundtrip_and_compact(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1", mode="mor")
+        ptable.merge(
+            mkbatch(spark, [
+                ("k3", 2, "upsert", "2024-01-02", "c2"),
+                ("k4", 2, "delete", "2024-01-03", "d"),
+            ]),
+            "b2",
+            mode="mor",
+        )
+        live = ptable.log.live_files()
+        assert all(f.partition is not None for f in live)
+        assert any(f.kind == "delta" for f in live)
+        expect = {
+            ("2024-01-01", "k1"): (1, "a"),
+            ("2024-01-01", "k2"): (1, "b"),
+            ("2024-01-02", "k3"): (2, "c2"),
+        }
+        assert snap_dict(ptable) == expect
+        # pruned MOR read resolves within the partition slice
+        assert snap_dict(ptable, partitions=["2024-01-02"]) == {
+            ("2024-01-02", "k3"): (2, "c2")
+        }
+        compact(ptable)
+        live = ptable.log.live_files()
+        assert all(f.kind == "base" and f.partition is not None for f in live)
+        assert snap_dict(ptable) == expect
+
+    def test_incremental_partition_pruned(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.merge(
+            mkbatch(spark, [
+                ("k3", 2, "upsert", "2024-01-02", "c2"),
+                ("k1", 2, "upsert", "2024-01-01", "a2"),
+            ]),
+            "b2",
+        )
+        inc = ptable.incremental(1)
+        assert {r["_key"] for r in inc.collect()} == {"k1", "k3"}
+        pruned = ptable.incremental(1, partitions=["2024-01-02"])
+        assert {r["_key"] for r in pruned.collect()} == {"k3"}
+
+    def test_partition_field_not_alterable(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        with pytest.raises(ValueError, match="partition field"):
+            ptable.rename_column("d", "day")
+        with pytest.raises(ValueError, match="partition field"):
+            ptable.drop_column("d")
+
+
+class TestConfigWiring:
+    OPTS = {
+        "option.hoodie.path": "/tmp/lake/{db}/{table}",
+        "db1.t1.hoodie.datasource.write.recordkey.field": "id",
+        "db1.t1.hoodie.datasource.write.precombine.field": "ts",
+        "db1.t1.hoodie.table.name": "t1",
+        "db1.t1.hoodie.datasource.write.partitionpath.field": "dt,region",
+    }
+
+    def test_partitionpath_field_resolves(self):
+        tc = cfg.resolve_table_config(self.OPTS, "db1", "t1")
+        assert tc.partition_fields == ["dt", "region"]
+
+    def test_nonpartitioned_keygen_forces_empty(self):
+        opts = dict(self.OPTS)
+        opts["db1.t1.hoodie.datasource.write.keygenerator.class"] = (
+            "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+        )
+        tc = cfg.resolve_table_config(opts, "db1", "t1")
+        assert tc.partition_fields == []
+
+    def test_default_unpartitioned(self):
+        opts = {
+            k: v for k, v in self.OPTS.items() if "partitionpath" not in k
+        }
+        tc = cfg.resolve_table_config(opts, "db1", "t1")
+        assert tc.partition_fields == []
+
+
+class TestMultiFieldPartition:
+    def test_slash_joined_path_escaped_and_restored(self, spark, tmp_path):
+        """ComplexKeyGenerator nested layout: two partition fields join
+        with '/' in the LOGICAL value; the writer directory-escapes the
+        slash (one dir level, not two) and manifests hold the unescaped
+        value."""
+        t = LakeTable(
+            spark, str(tmp_path / "m"), buckets=2,
+            partition_fields=["d", "val"],
+        )
+        t.merge(
+            mkbatch(spark, [("k1", 1, "upsert", "2024-01-01", "eu")]), "b1"
+        )
+        assert t.partition_values() == ["2024-01-01/eu"]
+        assert snap_dict(t, partitions=["2024-01-01/eu"]) == {
+            ("2024-01-01", "k1"): (1, "eu")
+        }
+        # one _part dir level on disk (escaped slash), not nested dirs
+        dirs = glob.glob(os.path.join(t.path, "data", "*", "_part=*"))
+        assert len(dirs) == 1 and "%2F" in os.path.basename(dirs[0])

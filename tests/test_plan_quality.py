@@ -36,6 +36,48 @@ def test_q10_range_join_stays_hash(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q11_asof_join_has_no_join_operator(spark, sf_dir):
+    """The as-of join (VERDICT r5 directive 7 / r6 directive 3) must be
+    the union+window shape: ONE window over the key, ZERO join operators
+    — the old expanding inner range-join (each order × all earlier
+    events of its user, then groupBy-max) is the at-scale killer this
+    guards against."""
+    from hudi_spark_plus_spark.operators.relational import q11
+
+    plan = plan_of(q11(spark, sf_dir))
+    assert "Join" not in plan, plan  # no join operator of ANY kind
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_asof_join_left_and_tie_semantics(spark):
+    """asof_join unit semantics: latest right at-or-BEFORE (ties
+    included), inner drops unmatched, left keeps them as nulls."""
+    from hudi_spark_plus_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 5, 2), ("b", 7, 3), ("c", 9, 4)],
+        "k string, lts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, "r1"), ("a", 8, "r2"), ("a", 11, "r3"), ("b", 8, "r4")],
+        "k string, rts long, rv string",
+    )
+    inner = asof_join(
+        left, right, ["k"], ["k"], "lts", "rts", ["rv"], how="inner"
+    )
+    got = {(r["lid"], r["rv"]) for r in inner.collect()}
+    # lid=1 (a@10): r2@8; lid=2 (a@5): tie -> r1@5; b@7: no rts<=7 on b
+    # is false (8>7) -> dropped; c: no right rows -> dropped
+    assert got == {(1, "r2"), (2, "r1")}
+    outer = asof_join(
+        left, right, ["k"], ["k"], "lts", "rts", ["rv"], how="left"
+    )
+    got = {(r["lid"], r["rv"]) for r in outer.collect()}
+    assert got == {(1, "r2"), (2, "r1"), (3, None), (4, None)}
+
+
 def test_q17_dedup_is_single_shuffle(spark, sf_dir):
     """The LWW-dedup primitive: exactly one hash-partitioning exchange
     (the window), plus the final presentation sort."""

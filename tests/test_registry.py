@@ -51,6 +51,41 @@ def test_bounded_pass_covers_unverified_queries():
     )
 
 
+def test_pin_lint_changed_queries_are_pinned():
+    """Mechanical pin discipline (VERDICT r6 directive 4): a query whose
+    engine function / referenced helpers / oracle SQL changed since the
+    committed baseline MUST be in _PINNED (so the next driver round
+    re-greens it on current code). Changing a query: add the pin AND
+    regenerate the baseline (``python -m hudi_spark_plus_spark.pinlint``).
+    Removing a pin after its green row: regenerate the baseline in the
+    same commit (a pinned query with an in-sync hash is a stale pin)."""
+    from hudi_spark_plus_spark.pinlint import compute_hashes, load_baseline
+    from hudi_spark_plus_spark.registry import _PINNED
+
+    baseline = load_baseline()
+    assert baseline, (
+        "missing tests/query_source_hashes.json — run "
+        "python -m hudi_spark_plus_spark.pinlint"
+    )
+    current = compute_hashes()
+    changed_unpinned = [
+        q
+        for q, h in current.items()
+        if q in baseline and baseline[q] != h and q not in _PINNED
+    ]
+    assert not changed_unpinned, (
+        f"queries changed since baseline but not pinned: {changed_unpinned} "
+        "— add to registry._PINNED and regenerate the baseline"
+    )
+    # new queries (no baseline entry) must appear in the baseline once it
+    # is regenerated — forgetting leaves them permanently unlinted
+    missing = [q for q in current if q not in baseline]
+    assert not missing, (
+        f"queries missing from the pin-lint baseline: {missing} — "
+        "regenerate it (python -m hudi_spark_plus_spark.pinlint)"
+    )
+
+
 def test_oracle_types_and_nonvacuous():
     """Registry-wide oracle lint (VERDICT r4 directive 2).
 
