@@ -11,6 +11,18 @@ processing — a consumer that crashes after poll but before commit
 re-reads the same batch, and the checkpoint write is atomic
 (tmp + rename), so a torn write can never corrupt the cursor.
 
+Exactly-once (VERDICT r5 directive 8 / r6 directive 7):
+``poll_exactly_once()`` additionally persists the DELIVERED-but-
+unacknowledged epoch (``inflight: [begin, end]``) durably BEFORE
+handing the batch out. A consumer that dies mid-processing resumes to
+the SAME epoch — identical version range, identical rows, identical
+epoch id — even if new commits landed meanwhile (they wait for the
+next epoch). Stable epoch identity is what lets any idempotent or
+transactional sink (e.g. ``LakeTable.merge(batch_id=epoch)``, H5)
+deduplicate the redelivery, so every commit's rows take effect exactly
+once end-to-end. ``process()`` packages the loop: deliver → ``fn(df,
+epoch)`` → ack.
+
 Scale: a poll's planning cost is the segment-path diff
 (O(changed buckets)); the read cost is the changed files only (COW) or
 the affected buckets (MOR — see DESIGN.md). The checkpoint is one tiny
@@ -34,38 +46,106 @@ class IncrementalReader:
         self.lake = lake
         self.checkpoint_path = checkpoint_path
 
+    def _read_ckpt(self) -> dict:
+        try:
+            with open(self.checkpoint_path) as fh:
+                d = json.load(fh)
+            return d if isinstance(d, dict) else {}
+        except FileNotFoundError:
+            return {}  # no checkpoint yet: start of the timeline
+        except ValueError:
+            return {}  # malformed/torn content: restart from the beginning
+        # any other OSError (EACCES, transient I/O) propagates — silently
+        # resetting the cursor would replay the whole table as one batch
+
+    def _write_ckpt(self, state: dict) -> None:
+        d = os.path.dirname(self.checkpoint_path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self.checkpoint_path)
+
     def last_acknowledged(self) -> int:
         """The newest version this consumer has committed (0 = start of
         the timeline: the first poll returns the full current state as
         changes)."""
         try:
-            with open(self.checkpoint_path) as fh:
-                return int(json.load(fh)["version"])
-        except FileNotFoundError:
-            return 0  # no checkpoint yet: start of the timeline
-        except (ValueError, KeyError):
-            return 0  # malformed/torn content: restart from the beginning
-        # any other OSError (EACCES, transient I/O) propagates — silently
-        # resetting the cursor would replay the whole table as one batch
+            return int(self._read_ckpt().get("version", 0))
+        except (TypeError, ValueError):
+            return 0
+
+    def inflight(self) -> tuple[int, int] | None:
+        """The delivered-but-unacknowledged epoch's (begin, end], or
+        None when nothing is in flight."""
+        v = self._read_ckpt().get("inflight")
+        if (
+            isinstance(v, list)
+            and len(v) == 2
+            and all(isinstance(x, int) for x in v)
+        ):
+            return (v[0], v[1])
+        return None
 
     def poll(self) -> tuple[DataFrame, int] | None:
-        """(changes DataFrame, version-to-acknowledge) for everything
-        committed after the checkpoint, or None when caught up. The
-        DataFrame is the record-level incremental view: one row per
-        changed record at its final in-range state, deletes as
-        tombstone rows (``_deleted = true``)."""
+        """At-least-once poll: (changes DataFrame, version-to-
+        acknowledge) for everything committed after the checkpoint, or
+        None when caught up. The DataFrame is the record-level
+        incremental view: one row per changed record at its final
+        in-range state, deletes as tombstone rows (``_deleted = true``).
+        Unlike ``poll_exactly_once`` the epoch is NOT pinned: a re-poll
+        after a crash may return a LARGER range if new commits landed."""
         last = self.last_acknowledged()
         latest = self.lake.log.latest()
         if latest is None or latest.version <= last:
             return None
         return self.lake.incremental(last, latest.version), latest.version
 
+    def poll_exactly_once(self) -> tuple[DataFrame, int] | None:
+        """Pinned-epoch poll: persists the epoch boundaries durably
+        BEFORE returning the batch, so a crashed consumer resumes to
+        the IDENTICAL (begin, end] range and epoch id — the redelivery
+        an idempotent sink needs to achieve exactly-once effects.
+        Returns (changes DataFrame, epoch id) — pass the epoch id to
+        ``commit()`` after the sink's effects are durable."""
+        st = self._read_ckpt()
+        acked = int(st.get("version", 0) or 0)
+        inflight = self.inflight()
+        if inflight is not None:
+            b, e = inflight  # redeliver the pinned epoch verbatim
+            return self.lake.incremental(b, e), e
+        latest = self.lake.log.latest()
+        if latest is None or latest.version <= acked:
+            return None
+        self._write_ckpt(
+            {"version": acked, "inflight": [acked, latest.version]}
+        )
+        return self.lake.incremental(acked, latest.version), latest.version
+
     def commit(self, version: int) -> None:
         """Durably acknowledge every change up to ``version``
-        (atomic tmp + rename — readable cursor at all times)."""
-        d = os.path.dirname(self.checkpoint_path) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"version": int(version)}, fh)
-        os.replace(tmp, self.checkpoint_path)
+        (atomic tmp + rename — readable cursor at all times). With a
+        pinned epoch in flight, only that epoch's id is committable —
+        acknowledging anything else would tear the exactly-once chain."""
+        inflight = self.inflight()
+        if inflight is not None and int(version) != inflight[1]:
+            raise ValueError(
+                f"epoch {inflight} is in flight; commit({inflight[1]}) "
+                f"is the only valid acknowledgement, got {version}"
+            )
+        self._write_ckpt({"version": int(version)})
+
+    def process(self, fn) -> int | None:
+        """One exactly-once step: deliver the next (or in-flight) epoch
+        to ``fn(df, epoch_id)``, then acknowledge. Returns the epoch id
+        processed, or None when caught up. ``fn`` must make its effects
+        idempotent per epoch id (e.g. use it as the sink's batch id) —
+        then a crash anywhere in the step re-runs ``fn`` with the same
+        epoch and rows, and the effects land exactly once."""
+        got = self.poll_exactly_once()
+        if got is None:
+            return None
+        df, epoch = got
+        fn(df, epoch)
+        self.commit(epoch)
+        return epoch

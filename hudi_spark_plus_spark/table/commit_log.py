@@ -51,6 +51,104 @@ class CommitConflict(RuntimeError):
     with a bounded retry)."""
 
 
+class CommitFinalizer:
+    """Pluggable atomic-publish protocol (VERDICT r5 directive 5 /
+    r6 directive 5): the ONE storage primitive the whole commit
+    protocol's correctness rests on is "create this commit file iff no
+    file exists at that path, atomically, and tell me which happened".
+    Everything else (data files, segment manifests) is write-once at
+    unique paths and needs no atomicity.
+
+    Implementations:
+
+    * :class:`HardLinkFinalizer` (default) — POSIX / HDFS: temp file +
+      ``os.link`` (EEXIST ⇒ lost the race). NOT safe on S3-style object
+      stores, where rename/link is copy+delete and two writers can both
+      "succeed".
+    * :class:`ConditionalPutFinalizer` — object stores: one
+      conditional PUT (put-if-absent). S3 (``If-None-Match: *``,
+      supported since late 2024), GCS (``x-goog-if-generation-match:
+      0``) and Azure Blob (``If-None-Match: *``) all provide it; bind
+      the store's SDK call in :meth:`ConditionalPutFinalizer.put_if_absent`.
+      For stores WITHOUT conditional writes, an external lock service
+      (DynamoDB-style, the Hudi/Delta S3 lock-provider pattern) must
+      serialize the publish; that binding is out of scope here and
+      raises ``NotImplementedError`` until provided.
+    * :class:`ExclusiveCreateFinalizer` — ``O_CREAT|O_EXCL`` local
+      put-if-absent: the in-repo reference implementation of the
+      conditional-put semantics (and the test double the race tests
+      drive).
+
+    See DESIGN.md "Object-store commit atomicity" for the full
+    protocol argument (why publish is the only atomic point, and why
+    losing it is always recomputable)."""
+
+    def publish(self, content: str, target: str) -> None:
+        """Atomically create ``target`` with ``content`` iff it does not
+        exist; raise :class:`CommitConflict` if it does."""
+        raise NotImplementedError
+
+
+class HardLinkFinalizer(CommitFinalizer):
+    """POSIX/HDFS publish: temp file + hard link. ``link()`` fails with
+    EEXIST when the target version already exists, which makes the
+    publish itself the optimistic-concurrency check — unlike
+    ``rename()``, which silently REPLACES an existing target, so a lost
+    single-writer race would overwrite the winner's manifest (dropping
+    its files from the table state) instead of failing."""
+
+    def publish(self, content: str, target: str) -> None:
+        d = os.path.dirname(target)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(content)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"commit conflict: {target} already published"
+                ) from None
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutFinalizer(CommitFinalizer):
+    """Object-store publish via ONE conditional PUT. Subclass and bind
+    :meth:`put_if_absent` to the store's SDK (S3 ``If-None-Match: *``,
+    GCS generation-match 0, Azure ``If-None-Match: *``). The method
+    must return False — not overwrite — when the key exists."""
+
+    def put_if_absent(self, target: str, content: str) -> bool:
+        raise NotImplementedError(
+            "bind put_if_absent to the object store's conditional-write "
+            "API (S3 If-None-Match:*, GCS x-goog-if-generation-match:0, "
+            "Azure If-None-Match:*)"
+        )
+
+    def publish(self, content: str, target: str) -> None:
+        if not self.put_if_absent(target, content):
+            raise CommitConflict(
+                f"commit conflict: {target} already published"
+            )
+
+
+class ExclusiveCreateFinalizer(ConditionalPutFinalizer):
+    """Local put-if-absent: ``open(O_CREAT|O_EXCL)`` — same observable
+    semantics as a store's conditional PUT (atomic create-or-fail),
+    so race tests through this class exercise exactly the code path a
+    cloud binding would."""
+
+    def put_if_absent(self, target: str, content: str) -> bool:
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(content)
+        return True
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -147,10 +245,17 @@ class CommitLog:
     SEGMENTS_DIR = os.path.join("_commits", "segments")
     DATA_DIR = "data"
 
-    def __init__(self, table_path: str):
+    def __init__(
+        self, table_path: str, finalizer: CommitFinalizer | None = None
+    ):
         self.table_path = table_path
         self.commits_path = os.path.join(table_path, self.COMMITS_DIR)
         self.segments_path = os.path.join(table_path, self.SEGMENTS_DIR)
+        # Atomic-publish strategy: hard-link on POSIX/HDFS by default;
+        # pass a ConditionalPutFinalizer binding for S3-style stores
+        # (see CommitFinalizer / DESIGN.md "Object-store commit
+        # atomicity").
+        self.finalizer = finalizer or HardLinkFinalizer()
         # Timeline cache (single-writer assumption, documented above):
         # manifests are immutable once renamed into place, so an instance
         # can cache versions/commits/batch-ids and update them on its own
@@ -394,19 +499,13 @@ class CommitLog:
             if partition_fields is not None
             else (latest.partition_fields if latest else None),
         )
-        # Atomic publish: temp file + hard link. link() fails with EEXIST
-        # when the target version already exists, which makes the publish
-        # itself the optimistic-concurrency check — unlike rename(),
-        # which silently REPLACES an existing target, so a lost
-        # single-writer race would overwrite the winner's manifest
-        # (dropping its files from the table state) instead of failing.
-        fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(c.to_json())
+        # Atomic publish through the pluggable finalizer: create-or-fail
+        # on the versioned commit path IS the optimistic-concurrency
+        # check (see CommitFinalizer for the per-store strategies).
         target = self._commit_file(version)
         try:
-            os.link(tmp, target)
-        except FileExistsError:
+            self.finalizer.publish(c.to_json(), target)
+        except CommitConflict:
             # reclaim the segments this attempt wrote (never the reused
             # ones) — a retry loop must not strand orphans until vacuum
             for rel in new_segments:
@@ -419,9 +518,7 @@ class CommitLog:
                 f"commit conflict at version {version}: another writer "
                 "published this version first; re-read the timeline and "
                 "retry the operation"
-            )
-        finally:
-            os.unlink(tmp)
+            ) from None
         if self._versions is not None:
             self._versions.append(version)
         self._commits[version] = c

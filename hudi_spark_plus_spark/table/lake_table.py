@@ -255,10 +255,14 @@ class LakeTable:
         path: str,
         buckets: int | None = None,
         partition_fields: list[str] | None = None,
+        finalizer=None,
     ):
         self.spark = spark
         self.path = path
-        self.log = CommitLog(path)
+        # ``finalizer``: atomic-publish strategy for the commit log —
+        # default POSIX hard-link; pass a ConditionalPutFinalizer
+        # binding on S3-style stores (commit_log.CommitFinalizer).
+        self.log = CommitLog(path, finalizer=finalizer)
         # The bucket count is TABLE state, not caller state: a mismatched
         # modulus would assign new bucket ids on rewrite and break
         # affected-bucket pruning (stale duplicates would survive merges).
