@@ -124,6 +124,17 @@ def _plant_offset(max_id: int) -> int:
     return 10 ** math.ceil(math.log10(max_id + 2))
 
 
+def _id_offset(df, col):
+    """Corpus-derived planted-id stride (``_plant_offset`` over the
+    table's max id — one bounded one-row agg) for fixtures that plant
+    copies with explicit arithmetic rather than ``_plant_copies``.
+    Replaces the r6-and-earlier fixed ``+100000`` strides, which would
+    silently collide planted ids with real ones on any corpus past 10^5
+    ids (same at-scale defect class as the r6 bench crash)."""
+    mx = df.agg(F.max(col)).first()[0]
+    return _plant_offset(mx if mx is not None else 0)
+
+
 def _plant_copies(d, mod, residue=0, gens=1):
     """Append ``gens`` exact-copy rows (doc_id + g * offset, same text)
     for every doc with doc_id % mod == residue — the planted-outcome
@@ -259,12 +270,13 @@ def q_emb_ann_lsh(spark, sf_dir):
     re-rank); recall on natural corpora is asserted vs brute force in
     tests."""
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     queries = e.where(F.col("vec_id") < 10)
     copies = (
         queries.withColumn(
             "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
         )
-        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
         .drop("j")
     )
     # the planted union feeds BOTH bucket-signature branches of the
@@ -287,12 +299,13 @@ def q_emb_ann_ivf(spark, sf_dir):
     probe visits. Natural-corpus recall is asserted vs brute force in
     tests."""
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     queries = e.where(F.col("vec_id") < 10)
     copies = (
         queries.withColumn(
             "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
         )
-        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
         .drop("j")
     )
     # corpus feeds the KMeans fit, the cell assignment, and the probe
@@ -322,8 +335,9 @@ def q_emb_neardup_lsh(spark, sf_dir):
     corpus's max NATURAL pairwise cosine is ~0.6, so recall below 1.0
     or any false positive diverges the hash."""
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     planted = e.where((F.col("vec_id") % 10) == 0).withColumn(
-        "vec_id", F.col("vec_id") + 100000
+        "vec_id", F.col("vec_id") + F.lit(off)
     )
     corpus = e.unionByName(planted)
     return lsh_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
@@ -459,8 +473,9 @@ def q_doc_dedup_e2e(spark, sf_dir):
     rationals (integer shingle counts), so the threshold compare cannot
     diverge between engines."""
     d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    off = _id_offset(d, "doc_id")
     planted = d.where((F.col("doc_id") % 10) == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     corpus = d.unionByName(planted)
     pairs = minhash_lsh_pairs(
@@ -490,8 +505,9 @@ def q_emb_dedup_e2e(spark, sf_dir):
     EXACTLY the original corpus — any lost original or surviving
     planted copy diverges the hash."""
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     planted = e.where((F.col("vec_id") % 10) == 0).withColumn(
-        "vec_id", F.col("vec_id") + 100000
+        "vec_id", F.col("vec_id") + F.lit(off)
     )
     corpus = e.unionByName(planted)
     pairs = lsh_neardup_pairs(corpus, threshold=0.9)
@@ -747,12 +763,13 @@ def q_emb_ann_pq(spark, sf_dir):
     from hudi_spark_plus_spark.functions.similarity import pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     queries = e.where(F.col("vec_id") < 10)
     copies = (
         queries.withColumn(
             "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
         )
-        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
         .drop("j")
     )
     corpus = e.unionByName(copies).localCheckpoint()
@@ -848,12 +865,13 @@ def q_emb_ann_ivfpq(spark, sf_dir):
     from hudi_spark_plus_spark.functions.similarity import ivfpq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
     queries = e.where(F.col("vec_id") < 10)
     copies = (
         queries.withColumn(
             "j", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
         )
-        .withColumn("vec_id", F.col("vec_id") + F.col("j") * 100000)
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
         .drop("j")
     )
     corpus = e.unionByName(copies).localCheckpoint()
@@ -1716,7 +1734,11 @@ LLM_ORACLES = {
     # always share every LSH signature, so the output is exactly this
     # set (sim = 1.0) or the hash diverges.
     "q-emb-neardup-lsh": """
-        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
+        SELECT vec_id AS id_a, vec_id + (SELECT o FROM off) AS id_b,
                CAST(1.0 AS DOUBLE) AS sim
         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a
     """,
@@ -1728,8 +1750,12 @@ LLM_ORACLES = {
     # vectors share the query's own KMeans cell, which the probe always
     # visits, so the approximate index MUST return the planted set
     "q-emb-ann-ivf": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
         SELECT e.vec_id AS q_id,
-               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,
                CAST(j AS INT) AS rank
         FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
@@ -1737,8 +1763,12 @@ LLM_ORACLES = {
         ORDER BY q_id, rank
     """,
     "q-emb-ann-lsh": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
         SELECT e.vec_id AS q_id,
-               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,
                CAST(j AS INT) AS rank
         FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
@@ -1748,8 +1778,12 @@ LLM_ORACLES = {
     # planted copies land in the query's own probed cell with the
     # query's own code — deterministic through the composite index
     "q-emb-ann-ivfpq": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
         SELECT e.vec_id AS q_id,
-               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,
                CAST(j AS INT) AS rank
         FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
@@ -1760,8 +1794,12 @@ LLM_ORACLES = {
     # copies share the query's full code, the code-match refine arm
     # guarantees their presence, exact re-rank puts them on top
     "q-emb-ann-pq": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
         SELECT e.vec_id AS q_id,
-               CAST(e.vec_id + 100000 * j AS BIGINT) AS n_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
                CAST(1.0 AS DOUBLE) AS sim,
                CAST(j AS INT) AS rank
         FROM embeddings e, UNNEST(generate_series(1, 5)) AS t(j)
@@ -1779,10 +1817,14 @@ LLM_ORACLES = {
     # by recursive CTE, min-id keeper per cluster — natural >= 0.9 pairs
     # participate identically on both sides
     "q-doc-dedup-e2e": f"""
-        WITH RECURSIVE corpus AS (
+        WITH RECURSIVE off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ), corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+          SELECT doc_id + (SELECT o FROM off), text FROM documents
+          WHERE doc_id % 10 = 0
         ), sh AS (
           SELECT doc_id,
                  list_distinct(

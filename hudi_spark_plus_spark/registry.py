@@ -77,11 +77,19 @@ _PINNED = [
     # operators.joins.asof_join, no expanding inner range-join) — the r6
     # pin claimed this without the code change; now the change is real
     "q11",
-    # r7: planted-copy offset now corpus-derived (10^ceil(log10(max+2)))
-    # on BOTH engine and oracle sides — planted ids moved
+    # r7: planted-copy offsets now corpus-derived (10^ceil(log10(max+2)))
+    # on BOTH engine and oracle sides — planted ids moved (the fixed
+    # 10^6/10^5 strides were the r6 bench-killer defect class)
     "q-doc-minhash-lsh",
     "q-doc-minhash-full",
     "q-doc-simhash",
+    "q-doc-dedup-e2e",
+    "q-emb-neardup-lsh",
+    "q-emb-ann-lsh",
+    "q-emb-ann-ivf",
+    "q-emb-ann-pq",
+    "q-emb-ann-ivfpq",
+    "q-emb-dedup-e2e",  # engine-side offset change; output unchanged
     # r6 engine change (NULL-histogram exclusion) never driver-verified —
     # the pin r6 should have added (VERDICT r6 directive 8)
     "q-doc-corpus-stats",

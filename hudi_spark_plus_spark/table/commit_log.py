@@ -178,6 +178,20 @@ class FileEntry:
     partition: str | None = None
 
 
+def seg_sort_key(k: str) -> tuple:
+    """Deterministic segment ordering: partition lexicographic, bucket
+    NUMERIC — matches the order pre-partition v2 readers produced
+    (sorted(key=int) over "0".."15"); a plain string sort would flip
+    "10" before "2" for >=10-bucket tables across the upgrade (r6
+    ADVICE low)."""
+    part, _, b = k.rpartition("|")
+    try:
+        bn = int(b)
+    except ValueError:
+        bn = -1
+    return (part, bn, k)
+
+
 def seg_key(f: FileEntry) -> str:
     """Segment-manifest grouping key: one immutable segment per
     (partition, bucket) on partitioned tables — a commit touching one
@@ -316,12 +330,12 @@ class CommitLog:
             with open(self._commit_file(version)) as fh:
                 c = Commit.from_json(fh.read())
             if c.segments is not None:  # v2: resolve bucket segments
-                # plain string sort: keys are "<bucket>" or
-                # "<partition>|<bucket>" — order only fixes file-list
-                # determinism, it carries no semantics
+                # order only fixes file-list determinism (no semantics);
+                # seg_sort_key keeps buckets numeric across the
+                # partitioned-key upgrade
                 c.files = [
                     f
-                    for b in sorted(c.segments)
+                    for b in sorted(c.segments, key=seg_sort_key)
                     for f in self._read_segment(c.segments[b])
                 ]
             self._commits[version] = c
@@ -413,7 +427,7 @@ class CommitLog:
             prev = self._read_meta(v - 1) if (v - 1) in present else None
             if cur.segments is not None and (prev is None or prev.segments is not None):
                 prev_seg = prev.segments if prev else {}
-                for b in sorted(cur.segments):
+                for b in sorted(cur.segments, key=seg_sort_key):
                     rel = cur.segments[b]
                     if prev_seg.get(b) == rel:
                         continue  # immutable path unchanged ⇒ bucket unchanged
