@@ -306,6 +306,125 @@ def q_cdc_4(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- q-cdc-partitioned: H4 partition half through the FULL config chain -----
+
+_PART_ROW_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("key_id", LongType()),
+        StructField("part_d", StringType()),
+        StructField("col_a", StringType()),
+    ]
+)
+
+
+def derive_part_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table partitioned fixture: each key's partition value is a
+    FUNCTION of the key (key_id % 3 -> p0/p1/p2), so a key never moves
+    between partitions — the well-formed CDC shape for Hudi's
+    non-global index."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderkey % 4 = 1")
+        .selectExpr(
+            "o_orderkey AS seq",
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'delete' "
+            "WHEN o_orderkey % 5 = 0 THEN 'insert' ELSE 'update' END AS op",
+            "CAST(1723500000 + (o_orderkey % 50) AS BIGINT) AS ts",
+            "o_custkey % 120 AS key_id",
+            "concat('p', CAST((o_custkey % 120) % 3 AS STRING)) AS part_d",
+            "o_orderstatus AS col_a",
+        )
+    )
+
+
+def build_part_envelopes(events: DataFrame) -> DataFrame:
+    schema_json = json.dumps(json.loads(_PART_ROW_SCHEMA.json()))
+    rows = events.groupBy("ts", "op").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seq", "key_id", "part_d", "col_a"))
+        ).alias("rows")
+    )
+    return rows.select(
+        F.to_json(
+            F.struct(
+                F.lit("dbp").alias("databaseName"),
+                F.lit("t_part").alias("tableName"),
+                F.lit(schema_json).alias("schema"),
+                F.col("op").alias("type"),
+                F.col("ts").alias("timestamp"),
+                F.col("rows").alias("rows"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+
+
+def q_cdc_partitioned(spark, sf_dir):
+    """H4's partition half through the FULL reference config chain
+    (README.md:59,65 / BinlogSyncHoodieCommand.scala:99-102):
+    ``hoodie.datasource.write.keygenerator.class =
+    SimpleKeyGenerator`` + ``hoodie.datasource.write.partitionpath.
+    field = part_d`` -> plans/config -> sync -> LakeTable. Two
+    micro-batches of envelopes land in a PARTITIONED lake table;
+    asserts inline that the layout (``_part=pX`` dirs), the persisted
+    partition metadata (no-arg reopen), and structural pruning all
+    engage; returns a partition-pruned snapshot (p0+p2 only) that must
+    equal the oracle's LWW replay filtered to those partitions."""
+    import glob as _glob
+    import os as _os
+
+    ev = derive_part_events(spark, sf_dir)
+    max_seq = ev.agg(F.max("seq")).first()[0] or 0
+    step = max_seq // 2 + 1
+    work = tempfile.mkdtemp(prefix="hsp_cdcp_")
+    opts = {
+        cfg.HOODIE_PATH: work + "/{db}/ods_{db}_{table}",
+        cfg.SOURCE_SHUFFLE_PARALLELISM: "8",
+        cfg.SINK_SHUFFLE_PARALLELISM: "4",
+        cfg.DEDUP_ORDER_FIELDS: "seq",
+        cfg.BUCKETS: "4",
+        "dbp.t_part." + cfg.RECORDKEY_FIELD: "key_id",
+        "dbp.t_part." + cfg.PRECOMBINE_FIELD: "seq",
+        "dbp.t_part." + cfg.TABLE_NAME: "ods_dbp_t_part",
+        "dbp.t_part." + cfg.KEYGENERATOR_CLASS:
+            "org.apache.hudi.keygen.SimpleKeyGenerator",
+        "dbp.t_part." + cfg.PARTITIONPATH_FIELD: "part_d",
+    }
+    try:
+        for b in range(2):
+            env = build_part_envelopes(
+                ev.where(
+                    (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
+                )
+            )
+            st = sync_batch(spark, env, opts, batch_id=b)
+            assert st.get("dbp.t_part") == "ok", st
+        path = f"{work}/dbp/ods_dbp_t_part"
+        # layout: partition dirs on disk
+        assert _glob.glob(_os.path.join(path, "data", "*", "_part=p*")), (
+            "sync wrote no _part dirs"
+        )
+        # persistence: a no-arg reopen sees the partition metadata
+        lake = LakeTable(spark, path)
+        assert lake.partition_fields == ["part_d"]
+        assert lake.partition_values() == ["p0", "p1", "p2"]
+        # structural pruning engages (file-level, before any scan)
+        live = lake.log.live_files()
+        kept = lake._prune_partitions(live, partitions=["p1"])
+        assert kept and len(kept) < len(live)
+        assert all(f.partition == "p1" for f in kept)
+        result = (
+            lake.snapshot(partitions=["p0", "p2"])
+            .select("key_id", "part_d", "col_a")
+            .orderBy("key_id")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- q-cdc-transformer: N19 SQL transformer hook end-to-end -----------------
 
 # Projects (seq passthrough), derives (upper, exact cents), and FILTERS —
@@ -431,6 +550,7 @@ CDC_QUERIES = {
     "q-cdc-2": q_cdc_2,
     "q-cdc-3": q_cdc_3,
     "q-cdc-4": q_cdc_4,
+    "q-cdc-partitioned": q_cdc_partitioned,
     "q-cdc-transformer": q_cdc_transformer,
     "q-cdc-retention": q_cdc_retention,
 }
@@ -466,6 +586,28 @@ CDC_ORACLES = {
           FROM cdc_events) t
         WHERE rn = 1 AND op <> 'delete'
         ORDER BY db_name, table_name, key_id
+    """,
+    # LWW replay of the partitioned-table fixture, filtered to the
+    # returned partitions (partition is a function of the key, so
+    # partition-scoped identity == key identity here)
+    "q-cdc-partitioned": """
+        WITH cdc AS (
+          SELECT o_orderkey AS seq,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                      WHEN o_orderkey % 5 = 0 THEN 'insert'
+                      ELSE 'update' END AS op,
+                 CAST(1723500000 + (o_orderkey % 50) AS BIGINT) AS ts,
+                 o_custkey % 120 AS key_id,
+                 'p' || CAST((o_custkey % 120) % 3 AS VARCHAR) AS part_d,
+                 o_orderstatus AS col_a
+          FROM orders WHERE o_orderkey % 4 = 1
+        )
+        SELECT key_id, part_d, col_a FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+          FROM cdc) t
+        WHERE rn = 1 AND op <> 'delete' AND part_d IN ('p0', 'p2')
+        ORDER BY key_id
     """,
     # LWW replay over the db1.t_customer route, restricted to the
     # transformer's surviving keys, with the transformer's projections

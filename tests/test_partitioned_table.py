@@ -249,6 +249,42 @@ class TestPartitionedMorAndMaintenance:
             ptable.drop_column("d")
 
 
+class TestPartitionedZorder:
+    def test_zorder_preserves_partition_layout(self, spark, tmp_path):
+        """OPTIMIZE ZORDER on a partitioned table: the rewrite must keep
+        the _part layout (files stay partition-pruneable) and change
+        nothing logically."""
+        from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+        t = LakeTable(
+            spark, str(tmp_path / "z"), buckets=2, partition_fields=["d"]
+        )
+        batch = spark.createDataFrame(
+            [
+                (f"k{i}", 1, "upsert", f"2024-01-0{1 + i % 2}", i % 7, i % 5)
+                for i in range(40)
+            ],
+            "_key string, _ts long, _op string, d string, x int, y int",
+        )
+        t.merge(batch, "b1")
+        before = {
+            (r["d"], r["_key"], r["x"], r["y"])
+            for r in t.snapshot().collect()
+        }
+        zorder_cluster_table(t, "x", "y", files_per_bucket=2)
+        live = t.log.live_files()
+        assert all(f.partition is not None for f in live)
+        assert t.partition_values() == ["2024-01-01", "2024-01-02"]
+        after = {
+            (r["d"], r["_key"], r["x"], r["y"])
+            for r in t.snapshot().collect()
+        }
+        assert after == before
+        # pruning still structural after the rewrite
+        kept = t._prune_partitions(live, partitions=["2024-01-02"])
+        assert kept and all(f.partition == "2024-01-02" for f in kept)
+
+
 class TestConfigWiring:
     OPTS = {
         "option.hoodie.path": "/tmp/lake/{db}/{table}",
