@@ -75,6 +75,7 @@ def compact_buckets(
     lake: LakeTable,
     buckets: set[int],
     target_files_per_bucket: int = 1,
+    units: set[tuple[str | None, int]] | None = None,
 ) -> dict:
     """Bucket-scoped compaction: rewrite ONLY the given buckets' live
     rows (tombstones included) into right-sized base files and carry the
@@ -82,16 +83,31 @@ def compact_buckets(
     inline-compaction unit of work — cost proportional to the compacted
     buckets, not the table (the Hudi file-group analogue of the
     reference's inline compaction service, pom.xml:43-58). Commit-race
-    safe: a lost publish retries against the fresh timeline."""
+    safe: a lost publish retries against the fresh timeline.
+
+    On partitioned tables pass ``units`` — a set of (partition, bucket)
+    pairs — to scope the rewrite to exactly those units: compacting
+    bucket 3 of one hot day must not rewrite bucket 3 of every other
+    day (at 1000 partitions that is 1000x the write amplification).
+    ``buckets`` is then ignored for file selection and only used for
+    the return count."""
 
     def attempt() -> dict:
         prev = lake.log.latest()
-        if prev is None or not buckets:
+        if prev is None or (not buckets and not units):
             return {
                 "buckets_compacted": 0, "files_before": 0, "files_after": 0,
             }
-        hit = [f for f in prev.files if f.bucket in buckets]
-        carry = [f for f in prev.files if f.bucket not in buckets]
+        if units is not None:
+            hit = [
+                f for f in prev.files if (f.partition, f.bucket) in units
+            ]
+            carry = [
+                f for f in prev.files if (f.partition, f.bucket) not in units
+            ]
+        else:
+            hit = [f for f in prev.files if f.bucket in buckets]
+            carry = [f for f in prev.files if f.bucket not in buckets]
         df = lake._read_files(hit)
         if any(f.kind == "delta" for f in hit):
             df = lake._resolve_latest(df)
@@ -105,9 +121,10 @@ def compact_buckets(
         )
         absd, rel = lake.log.new_data_subdir()
         layout = lake._layout_cols()
+        n_units = len(units) if units is not None else len(buckets)
         (
             out.repartition(
-                max(1, len(buckets) * target_files_per_bucket),
+                max(1, n_units * target_files_per_bucket),
                 *[F.col(c) for c in layout],
             )
             .write.mode("append")
@@ -124,7 +141,7 @@ def compact_buckets(
             partition_fields=lake.partition_fields or None,
         )
         return {
-            "buckets_compacted": len(buckets),
+            "buckets_compacted": n_units,
             "files_before": len(hit),
             "files_after": len(files),
         }
@@ -138,22 +155,33 @@ def maybe_compact(
     target_files_per_bucket: int = 1,
 ) -> dict:
     """Automatic merge-on-read compaction trigger: compact exactly the
-    buckets whose accumulated delta-file count reached the threshold.
+    units whose accumulated delta-file count reached the threshold.
     Called by the sync loop after each MOR merge, it bounds snapshot-read
     amplification (the latest-per-key window reads at most
-    ``max_deltas_per_bucket`` deltas per bucket) without ever paying a
-    full-table rewrite. No-op when nothing is due."""
+    ``max_deltas_per_bucket`` deltas per unit) without ever paying a
+    full-table rewrite. The unit is (partition, bucket) on partitioned
+    tables — a hot partition's deltas never trigger a rewrite of the
+    same bucket in cold partitions. No-op when nothing is due."""
     prev = lake.log.latest()
     if prev is None:
         return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-    per_bucket: dict[int, int] = {}
+    per_unit: dict[tuple[str | None, int], int] = {}
     for f in prev.files:
         if f.kind == "delta":
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            u = (f.partition, f.bucket)
+            per_unit[u] = per_unit.get(u, 0) + 1
     due = {
-        b for b, n in per_bucket.items() if n >= max_deltas_per_bucket
+        u for u, n in per_unit.items() if n >= max_deltas_per_bucket
     }
-    return compact_buckets(lake, due, target_files_per_bucket)
+    if not due:
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    if lake.partition_fields:
+        return compact_buckets(
+            lake, {b for _, b in due}, target_files_per_bucket, units=due
+        )
+    return compact_buckets(
+        lake, {b for _, b in due}, target_files_per_bucket
+    )
 
 
 def vacuum(

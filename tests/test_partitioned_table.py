@@ -227,6 +227,41 @@ class TestPartitionedMorAndMaintenance:
         assert all(f.kind == "base" and f.partition is not None for f in live)
         assert snap_dict(ptable) == expect
 
+    def test_maybe_compact_is_unit_scoped(self, spark, ptable):
+        """Inline MOR compaction on a partitioned table compacts the
+        (partition, bucket) UNITS over threshold — a hot partition's
+        delta pile must not trigger rewrites of the same bucket in cold
+        partitions (1000x write amplification at 1000 partitions)."""
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        ptable.merge(mkbatch(spark, B1), "b1", mode="mor")
+        # hammer ONE key (one partition/bucket unit) with delta merges
+        for i in range(2, 6):
+            ptable.merge(
+                mkbatch(
+                    spark, [("k1", i, "upsert", "2024-01-01", f"v{i}")]
+                ),
+                f"b{i}",
+                mode="mor",
+            )
+        before = snap_dict(ptable)
+        cold_before = {
+            f.path
+            for f in ptable.log.live_files()
+            if f.partition != "2024-01-01"
+        }
+        st = maybe_compact(ptable, max_deltas_per_bucket=3)
+        assert st["buckets_compacted"] >= 1
+        live = ptable.log.live_files()
+        cold_after = {
+            f.path for f in live if f.partition != "2024-01-01"
+        }
+        assert cold_before == cold_after  # cold partitions untouched
+        hot = [f for f in live if f.partition == "2024-01-01"]
+        # the hot unit's delta pile is folded (at most non-due deltas left)
+        assert sum(1 for f in hot if f.kind == "delta") < 3
+        assert snap_dict(ptable) == before  # logically invisible
+
     def test_incremental_partition_pruned(self, spark, ptable):
         ptable.merge(mkbatch(spark, B1), "b1")
         ptable.merge(
