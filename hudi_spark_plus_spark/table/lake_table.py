@@ -517,12 +517,17 @@ class LakeTable:
         )
 
     def snapshot_as_of(
-        self, ts_millis: int, include_deleted: bool = False
+        self,
+        ts_millis: int,
+        include_deleted: bool = False,
+        partitions=None,
+        partition_range=None,
     ) -> DataFrame:
         """Point-in-time read: the newest commit published at or before
         the wall-clock instant (Hudi's ``as.of.instant`` analogue of the
         version-based time travel). Commit metadata only — no file
-        resolution until the chosen version is read."""
+        resolution until the chosen version is read. Partition pruning
+        composes with it like on ``snapshot``."""
         best = None
         for v in self.log.versions():
             if self.log._read_meta(v).ts_millis <= ts_millis:
@@ -532,7 +537,12 @@ class LakeTable:
                 f"table at {self.path} has no commit at or before "
                 f"ts_millis={ts_millis}"
             )
-        return self.snapshot(version=best, include_deleted=include_deleted)
+        return self.snapshot(
+            version=best,
+            include_deleted=include_deleted,
+            partitions=partitions,
+            partition_range=partition_range,
+        )
 
     def rollback(self, version: int) -> None:
         """Restore the table to an earlier version's state by publishing

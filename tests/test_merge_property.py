@@ -111,6 +111,73 @@ def test_mixed_mode_merge_matches_dict_replay(
     assert got == expect
 
 
+def _replay_partitioned(spark, work, events, cut, batch_modes):
+    """Partitioned variant: record identity is (partition, key). The
+    generated key space maps to partitions by key % 2 — stable per key
+    like a real CDC source — and the dict model keys on (part, key)."""
+    part_of = lambda k: f"p{k % 2}"
+    best = {}
+    for seq, (k, ts, is_del) in enumerate(events):
+        ident = (part_of(k), k)
+        if ident not in best or (ts, seq) >= best[ident][:2]:
+            best[ident] = (ts, seq, is_del)
+    expect = {i for i, v in best.items() if not v[2]}
+
+    batches, cur = [], []
+    for seq, e in enumerate(events):
+        cur.append((seq, e))
+        if cut[seq % len(cut)]:
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+
+    lake = LakeTable(
+        spark, str(work / "t"), buckets=2, partition_fields=["d"]
+    )
+    for i, batch in enumerate(batches):
+        surv = {}
+        for seq, (k, ts, is_del) in batch:
+            if k not in surv or (ts, seq) >= surv[k][:2]:
+                surv[k] = (ts, seq, is_del)
+        rows = [
+            (str(k), ts, "delete" if is_del else "upsert",
+             part_of(k), f"v{seq}")
+            for k, (ts, seq, is_del) in surv.items()
+        ]
+        lake.merge(
+            spark.createDataFrame(
+                rows,
+                "_key string, _ts long, _op string, d string, val string",
+            ),
+            batch_id=f"b{i}",
+            mode=batch_modes[i % len(batch_modes)],
+        )
+    got = {
+        (r["d"], int(r["_key"])) for r in lake.snapshot().collect()
+    }
+    return got, expect
+
+
+@given(events=schedule, cut=boundaries, batch_modes=modes)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_partitioned_merge_matches_dict_replay(
+    spark, tmp_path_factory, events, cut, batch_modes
+):
+    """Partition-path tables under generated schedules (mixed COW/MOR
+    batches): (partition, key) identity must land on the dict-model
+    state — partitioned writers, per-unit COW pruning, partition-scoped
+    MOR resolution, and tombstones all under generated ties and delete
+    storms."""
+    work = tmp_path_factory.mktemp("prop_part")
+    got, expect = _replay_partitioned(spark, work, events, cut, batch_modes)
+    assert got == expect
+
+
 if HAS_HYPOTHESIS:
     edge_lists = st.lists(
         st.tuples(

@@ -276,6 +276,59 @@ class TestPartitionedMorAndMaintenance:
         pruned = ptable.incremental(1, partitions=["2024-01-02"])
         assert {r["_key"] for r in pruned.collect()} == {"k3"}
 
+    def test_vacuum_partitioned_prunes_part_dirs(self, spark, ptable):
+        """Vacuum reclaims superseded files inside _part dirs and prunes
+        emptied partition directories; the surviving state and partition
+        metadata are intact."""
+        import glob as _glob
+        import os as _os
+
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        ptable.merge(mkbatch(spark, B1), "b1")
+        # rewrite every 2024-01-01 key so v1's files for that partition
+        # become garbage once v1 is dropped
+        ptable.merge(
+            mkbatch(spark, [
+                ("k1", 2, "upsert", "2024-01-01", "a2"),
+                ("k2", 2, "upsert", "2024-01-01", "b2"),
+            ]),
+            "b2",
+        )
+        before = snap_dict(ptable)
+        st = vacuum(ptable, keep_last=1, grace_seconds=0)
+        assert st["files_removed"] > 0
+        assert snap_dict(ptable) == before
+        assert ptable.partition_values() == [
+            "2024-01-01", "2024-01-02", "2024-01-03",
+        ]
+        # every parquet left on disk is referenced by the manifest
+        live = {f.path for f in ptable.log.live_files()}
+        on_disk = {
+            _os.path.relpath(p, ptable.path)
+            for p in _glob.glob(
+                _os.path.join(
+                    ptable.path, "data", "*", "_part=*", "_bucket=*",
+                    "*.parquet",
+                )
+            )
+        }
+        assert on_disk == live
+
+    def test_snapshot_as_of_with_partition_pruning(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ts = ptable.log.latest().ts_millis
+        ptable.merge(
+            mkbatch(spark, [("k3", 2, "upsert", "2024-01-02", "c2")]), "b2"
+        )
+        got = {
+            (r["d"], r["_key"], r["val"])
+            for r in ptable.snapshot_as_of(
+                ts, partitions=["2024-01-02"]
+            ).collect()
+        }
+        assert got == {("2024-01-02", "k3", "c")}  # pre-b2 state, pruned
+
     def test_partition_field_not_alterable(self, spark, ptable):
         ptable.merge(mkbatch(spark, B1), "b1")
         with pytest.raises(ValueError, match="partition field"):
