@@ -624,7 +624,7 @@ class LakeTable:
             df = df.where(cond)
         return df
 
-    def scan_for_keys(self, keys_df: DataFrame) -> DataFrame:
+    def scan_for_keys(self, keys_df: DataFrame, partitions=None) -> DataFrame:
         """Bucket-, stats-, and Bloom-pruned snapshot slice for a set of
         record keys (the query-side of the Bloom-index capability, K1/H8:
         the reference skips files where ``!mightContain(key)``,
@@ -633,7 +633,14 @@ class LakeTable:
         ``MERGE_PROBE_MAX_KEYS``): past the cap this is no longer a
         point lookup, so the method degrades to a distributed semi-join
         against the bucket-pruned snapshot — only the distinct BUCKET
-        ids (bounded by ``self.buckets``) ever reach the driver."""
+        ids (bounded by ``self.buckets``) ever reach the driver.
+
+        ``partitions``: the Hudi (partition_path, record_key) lookup —
+        when the caller knows the keys' partitions, files of other
+        partitions are eliminated structurally BEFORE bucket/bloom
+        probing (on a date-partitioned table this is the difference
+        between probing one day's blooms and every day's)."""
+        live = self._prune_partitions(self.log.live_files(), partitions)
         key_set = (
             keys_df.select(
                 F.col(KEY_COL),
@@ -647,9 +654,7 @@ class LakeTable:
             buckets = {
                 r[0] for r in key_set.select("_b").distinct().collect()
             }
-            files = [
-                f for f in self.log.live_files() if f.bucket in buckets
-            ]
+            files = [f for f in live if f.bucket in buckets]
             df = self._read_files(files)
             if any(f.kind == "delta" for f in files):
                 df = self._resolve_latest(df)
@@ -663,7 +668,7 @@ class LakeTable:
             hashes_by_bucket.setdefault(b, []).append(hash_key(k))
         files = [
             f
-            for f in self.log.live_files()
+            for f in live
             if f.bucket in hashes_by_bucket
             and (f.min_key is None or hi is None or f.min_key <= hi)
             and (f.max_key is None or lo is None or f.max_key >= lo)

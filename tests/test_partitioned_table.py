@@ -315,6 +315,21 @@ class TestPartitionedMorAndMaintenance:
         }
         assert on_disk == live
 
+    def test_scan_for_keys_partition_scoped(self, spark, ptable):
+        """(partition_path, record_key) point lookup: files of other
+        partitions are eliminated before the bloom probe, and the result
+        is the keys' rows in the named partition only."""
+        ptable.merge(mkbatch(spark, B1), "b1")
+        keys = spark.createDataFrame([("k1",), ("k3",)], "_key string")
+        out = ptable.scan_for_keys(keys, partitions=["2024-01-01"])
+        got = {(r["d"], r["_key"]) for r in out.collect()}
+        assert got == {("2024-01-01", "k1")}  # k3 lives in 2024-01-02
+        unpart = LakeTable(
+            spark, str(ptable.path) + "_nope", buckets=2
+        )
+        with pytest.raises(ValueError, match="not partitioned"):
+            unpart.scan_for_keys(keys, partitions=["x"])
+
     def test_snapshot_as_of_with_partition_pruning(self, spark, ptable):
         ptable.merge(mkbatch(spark, B1), "b1")
         ts = ptable.log.latest().ts_millis
