@@ -919,13 +919,25 @@ class LakeTable:
         if affected_buckets is not None:
             affected = affected_buckets
         elif self.partition_fields:
-            units = {
-                (r[0], r[1])
-                for r in batch.select(PARTITION_COL, BUCKET_COL)
+            # capped like every other driver collect: a batch touching
+            # more than MERGE_UNITS_MAX (partition, bucket) units is no
+            # longer a selective merge, so unit pruning degrades to
+            # bucket granularity (correct, less selective) instead of
+            # collecting an unbounded unit list
+            rows = (
+                batch.select(PARTITION_COL, BUCKET_COL)
                 .distinct()
+                .limit(self.MERGE_UNITS_MAX + 1)
                 .collect()
-            }
-            affected = {b for _, b in units}
+            )
+            if len(rows) > self.MERGE_UNITS_MAX:
+                affected = {
+                    r[0]
+                    for r in batch.select(BUCKET_COL).distinct().collect()
+                }
+            else:
+                units = {(r[0], r[1]) for r in rows}
+                affected = {b for _, b in units}
         else:
             affected = {
                 r[0] for r in batch.select(BUCKET_COL).distinct().collect()
@@ -1295,6 +1307,9 @@ class LakeTable:
     # scan_for_keys driver-collect cap; past it the lookup degrades to a
     # distributed semi-join (see scan_for_keys)
     SCAN_KEYS_MAX = 200_000
+    # distinct (partition, bucket) units a merge will collect for unit-
+    # granular COW pruning; past it pruning degrades to bucket level
+    MERGE_UNITS_MAX = 100_000
 
     def _bloom_prune_hit_files(
         self, batch: DataFrame, hit: list[FileEntry]

@@ -113,6 +113,63 @@ def test_stream_sync_end_to_end_with_restart(spark, tmp_path):
     } == {2: "b2"}
 
 
+def test_stream_sync_into_partitioned_table(spark, tmp_path):
+    """Streaming foreachBatch sync into a PARTITION-PATH table (H4
+    through the streaming entry): partitionpath.field config flows to
+    the lake layout, tombstones land in their own partition, and the
+    pruned read returns exactly the partition's rows."""
+    import os
+
+    from hudi_spark_plus_spark.operators.cdc_queries import (
+        build_part_envelopes,
+    )
+    from hudi_spark_plus_spark.plans import config as cfg
+
+    src = str(tmp_path / "pstream_in")
+    os.makedirs(src, exist_ok=True)
+    chunks = [
+        [(1, "update", 10, 1, "p1", "a"), (2, "update", 10, 2, "p2", "b")],
+        [(3, "delete", 20, 1, "p1", None), (4, "update", 20, 2, "p2", "b2")],
+    ]
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            rows,
+            "seq long, op string, ts long, key_id long, part_d string,"
+            " col_a string",
+        )
+        vals = [r["value"] for r in build_part_envelopes(df).collect()]
+        with open(os.path.join(src, f"chunk{i}.jsonl"), "w") as fh:
+            fh.write("\n".join(vals) + "\n")
+    opts = {
+        cfg.HOODIE_PATH: str(tmp_path / "tables") + "/{db}/{table}",
+        cfg.DEDUP_ORDER_FIELDS: "seq",
+        cfg.BUCKETS: "4",
+        "dbp.t_part." + cfg.RECORDKEY_FIELD: "key_id",
+        "dbp.t_part." + cfg.PRECOMBINE_FIELD: "seq",
+        "dbp.t_part." + cfg.TABLE_NAME: "t_part",
+        "dbp.t_part." + cfg.PARTITIONPATH_FIELD: "part_d",
+    }
+    q = start_binlog_sync(
+        envelope_file_stream(spark, src, max_files_per_trigger=1),
+        opts,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    lake = LakeTable(spark, str(tmp_path / "tables" / "dbp" / "t_part"))
+    assert lake.partition_fields == ["part_d"]
+    # p1 still holds key 1's tombstone file; p2 the live row
+    assert lake.partition_values() == ["p1", "p2"]
+    assert {
+        (r["part_d"], r["key_id"], r["col_a"])
+        for r in lake.snapshot().collect()
+    } == {("p2", 2, "b2")}
+    assert lake.snapshot(partitions=["p1"]).count() == 0  # only tombstone
+    assert {
+        r["key_id"] for r in lake.snapshot(partitions=["p2"]).collect()
+    } == {2}
+
+
 def test_binlog_hudi_format_registration(spark, tmp_path):
     """writeStream.format('binlog-hudi') parity (the reference's
     DataSource short-name registration): executors spool the envelope
