@@ -295,7 +295,14 @@ def _sync_one_table(
         batch,
         batch_id=f"{batch_id}",
         parallelism=None,
-        affected_buckets=affected_buckets,
+        # Partitioned tables skip the precomputed bucket set: the sync's
+        # single metadata job sees only undecoded JSON rows (partition
+        # fields live inside them), so bucket-granular pruning would
+        # rewrite EVERY partition of an affected bucket (1000x write
+        # amplification at 1000 partitions). Passing None lets the merge
+        # derive exact (partition, bucket) units from the decoded batch
+        # — one extra bounded distinct per table per batch.
+        affected_buckets=None if tc.partition_fields else affected_buckets,
         mode=tc.write_mode,
     )
     if tc.write_mode == "mor" and tc.compact_max_deltas > 0:

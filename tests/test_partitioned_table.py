@@ -417,6 +417,66 @@ class TestConfigWiring:
         assert tc.partition_fields == []
 
 
+class TestSyncUnitScoped:
+    def test_sync_merge_rewrites_only_touched_partitions(
+        self, spark, tmp_path
+    ):
+        """The CDC sync path on a partitioned table must derive exact
+        (partition, bucket) units from the decoded batch instead of the
+        metadata job's bucket-granular set — a batch touching one
+        partition carries every other partition's files untouched."""
+        from hudi_spark_plus_spark.operators.cdc_queries import (
+            build_part_envelopes,
+        )
+        from hudi_spark_plus_spark.operators.sync import sync_batch
+
+        opts = {
+            cfg.HOODIE_PATH: str(tmp_path / "tables") + "/{db}/{table}",
+            cfg.DEDUP_ORDER_FIELDS: "seq",
+            cfg.BUCKETS: "4",
+            "dbp.t_part." + cfg.RECORDKEY_FIELD: "key_id",
+            "dbp.t_part." + cfg.PRECOMBINE_FIELD: "seq",
+            "dbp.t_part." + cfg.TABLE_NAME: "t_part",
+            "dbp.t_part." + cfg.PARTITIONPATH_FIELD: "part_d",
+        }
+
+        def env(rows):
+            df = spark.createDataFrame(
+                rows,
+                "seq long, op string, ts long, key_id long,"
+                " part_d string, col_a string",
+            )
+            return build_part_envelopes(df)
+
+        b1 = [
+            (i, "update", 10, i, f"p{i % 3}", f"v{i}") for i in range(1, 7)
+        ]
+        assert sync_batch(spark, env(b1), opts, batch_id=0) == {
+            "dbp.t_part": "ok"
+        }
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        lake = LakeTable(spark, str(tmp_path / "tables" / "dbp" / "t_part"))
+        untouched_before = {
+            f.path for f in lake.log.live_files() if f.partition != "p0"
+        }
+        # batch 2 touches ONLY partition p0 (key 3)
+        b2 = [(100, "update", 20, 3, "p0", "v3b")]
+        assert sync_batch(spark, env(b2), opts, batch_id=1) == {
+            "dbp.t_part": "ok"
+        }
+        lake.log.invalidate()
+        untouched_after = {
+            f.path for f in lake.log.live_files() if f.partition != "p0"
+        }
+        assert untouched_before == untouched_after
+        got = {
+            (r["part_d"], r["key_id"]): r["col_a"]
+            for r in lake.snapshot().collect()
+        }
+        assert got[("p0", 3)] == "v3b" and len(got) == 6
+
+
 class TestMultiFieldPartition:
     def test_slash_joined_path_escaped_and_restored(self, spark, tmp_path):
         """ComplexKeyGenerator nested layout: two partition fields join
