@@ -93,6 +93,14 @@ _PINNED = [
     # r6 engine change (NULL-histogram exclusion) never driver-verified —
     # the pin r6 should have added (VERDICT r6 directive 8)
     "q-doc-corpus-stats",
+    # r7: sync merge unit-scoping on partitioned tables touched the
+    # shared _sync_one_table path — re-green every sync-driven query on
+    # current code (outputs unchanged by design; pin-lint enforced)
+    "q-cdc-3",
+    "q-cdc-4",
+    "q-cdc-partitioned",
+    "q-cdc-retention",
+    "q-cdc-transformer",
 ]
 
 

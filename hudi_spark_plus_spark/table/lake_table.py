@@ -382,6 +382,29 @@ class LakeTable:
             }
         )
 
+    def partition_stats(self, version: int | None = None) -> DataFrame:
+        """Per-partition file/row accounting from manifest metadata
+        alone (no data I/O): the SHOW PARTITIONS + stats surface a
+        maintenance scheduler reads to find skewed or delta-heavy
+        partitions. Row counts include tombstones (they occupy storage
+        until vacuumed — that is what a maintenance view must see)."""
+        agg: dict[str | None, list[int]] = {}
+        for f in self.log.live_files(version):
+            a = agg.setdefault(f.partition, [0, 0, 0])
+            a[0] += 1
+            a[1] += f.rows
+            if f.kind == "delta":
+                a[2] += 1
+        rows = [
+            (p, n[0], n[1], n[2]) for p, n in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, n_files long, n_rows long, n_delta_files long",
+        )
+
     # -- reads -------------------------------------------------------------
 
     def exists(self) -> bool:

@@ -64,6 +64,22 @@ class TestPartitionedLayout:
             "2024-01-01", "2024-01-02", "2024-01-03",
         ]
 
+    def test_partition_stats_metadata_table(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.merge(
+            mkbatch(spark, [("k5", 2, "upsert", "2024-01-01", "e")]),
+            "b2",
+            mode="mor",
+        )
+        st = {
+            r["partition"]: (r["n_files"], r["n_rows"], r["n_delta_files"])
+            for r in ptable.partition_stats().collect()
+        }
+        assert set(st) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+        assert st["2024-01-01"][1] == 3  # k1, k2 + k5's delta row
+        assert st["2024-01-01"][2] == 1  # the MOR delta file
+        assert st["2024-01-02"] == (1, 1, 0)
+
     def test_partition_value_not_stored_in_data_files(self, spark, ptable):
         """_part is directory layout, not data: parquet files must not
         carry a _part column (the value re-derives from the payload)."""
