@@ -118,6 +118,62 @@ _BLOOM_OPTS = {
 BLOOM_DISTRIBUTED_MIN_ROWS = 2_000_000
 
 
+def _footer_stats(f: str) -> tuple[int, str | None, str | None, dict, bool]:
+    """(rows, min_key, max_key, col_stats, has_key) from ONE parquet
+    footer — pure per-file extraction, runnable on the driver (small
+    commits) or inside an executor task (large rewrites)."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(f).metadata
+    min_key = max_key = None
+    has_key = False
+    names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+    ki = names.get(KEY_COL)
+    if ki is not None:
+        has_key = True
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            min_key, max_key = min(mins), max(maxs)
+    # per-column min/max from the SAME footer (no extra I/O) — the
+    # Hudi col_stats analogue, feeding value-range file pruning
+    col_stats: dict = {}
+    for cname, ci in names.items():
+        if cname.startswith("_"):
+            continue  # engine meta cols: key stats cover _key
+        cmins, cmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                cmins = []
+                break
+            cmins.append(st.min)
+            cmaxs.append(st.max)
+        if not cmins:
+            continue
+        lo, hi = min(cmins), max(cmaxs)
+        if isinstance(lo, bytes):
+            try:
+                lo, hi = lo.decode(), hi.decode()
+            except UnicodeDecodeError:
+                continue
+        if isinstance(lo, (int, float, str)):  # JSON-stable only
+            col_stats[cname] = [lo, hi]
+    return md.num_rows, min_key, max_key, col_stats, has_key
+
+
+# Commits with more files than this gather footer stats in one Spark
+# job instead of a driver-serial loop: a micro-batch writes a handful
+# of files (driver loop is the cheap path, no job overhead), but a
+# whole-table compaction/clustering at thousands of (partition, bucket)
+# units would stall the driver for minutes at ~ms per footer.
+FOOTER_DISTRIBUTED_MIN_FILES = 256
+
+
 def _collect_file_entries(
     table_path: str, subdir_rel: str, kind: str = "base", spark=None
 ) -> list[FileEntry]:
@@ -125,11 +181,15 @@ def _collect_file_entries(
     with per-file row counts, min/max record key, and a per-file key
     Bloom filter (the reference's key-index primitive,
     BloomFilter.java:31-104). Row counts and min/max come from footer
-    metadata only. The bloom needs the key column's DATA: small commits
-    (micro-batches) stream it row-batch-wise on the driver — bounded
-    memory, I/O proportional to the commit's own write; large commits
-    (compaction, clustering — whole-table rewrites) build the blooms in
-    one distributed job grouped by file when a session is provided."""
+    metadata only — driver-serial for micro-batch-sized commits,
+    one distributed ``mapPartitions`` job past
+    ``FOOTER_DISTRIBUTED_MIN_FILES`` (per-partition imperative footer
+    I/O is the one place an RDD is the right tool). The bloom needs the
+    key column's DATA: small commits (micro-batches) stream it
+    row-batch-wise on the driver — bounded memory, I/O proportional to
+    the commit's own write; large commits (compaction, clustering —
+    whole-table rewrites) build the blooms in one distributed job
+    grouped by file when a session is provided."""
     from urllib.parse import unquote as _unquote
 
     entries: list[FileEntry] = []
@@ -139,6 +199,19 @@ def _collect_file_entries(
         glob.glob(os.path.join(base, "_bucket=*", "*.parquet"))
         + glob.glob(os.path.join(base, "_part=*", "_bucket=*", "*.parquet"))
     )
+    if spark is not None and len(found) > FOOTER_DISTRIBUTED_MIN_FILES:
+        sc = spark.sparkContext
+        n_tasks = max(1, min(len(found) // 32, sc.defaultParallelism * 4))
+
+        def scan(paths):
+            for p in paths:
+                yield p, _footer_stats(p)
+
+        stats = dict(
+            sc.parallelize(found, n_tasks).mapPartitions(scan).collect()
+        )
+    else:
+        stats = {f: _footer_stats(f) for f in found}
     for f in found:
         rel = os.path.relpath(f, table_path)
         bucket = int(f.split("_bucket=")[1].split(os.sep)[0])
@@ -148,46 +221,11 @@ def _collect_file_entries(
             # values (e.g. "/" in multi-field paths); manifests store
             # the UNESCAPED logical value
             partition = _unquote(f.split("_part=")[1].split(os.sep)[0])
-        md = pq.ParquetFile(f).metadata
-        min_key = max_key = None
-        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
-        ki = names.get(KEY_COL)
-        if ki is not None:
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ki).statistics
-                if st is not None and st.has_min_max:
-                    mins.append(st.min)
-                    maxs.append(st.max)
-            if mins:
-                min_key, max_key = min(mins), max(maxs)
+        rows, min_key, max_key, col_stats, has_key = stats[f]
+        if has_key:
             key_files.append(f)
-        # per-column min/max from the SAME footer (no extra I/O) — the
-        # Hudi col_stats analogue, feeding value-range file pruning
-        col_stats: dict = {}
-        for cname, ci in names.items():
-            if cname.startswith("_"):
-                continue  # engine meta cols: key stats cover _key
-            cmins, cmaxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    cmins = []
-                    break
-                cmins.append(st.min)
-                cmaxs.append(st.max)
-            if not cmins:
-                continue
-            lo, hi = min(cmins), max(cmaxs)
-            if isinstance(lo, bytes):
-                try:
-                    lo, hi = lo.decode(), hi.decode()
-                except UnicodeDecodeError:
-                    continue
-            if isinstance(lo, (int, float, str)):  # JSON-stable only
-                col_stats[cname] = [lo, hi]
         entries.append(
-            FileEntry(path=rel, bucket=bucket, rows=md.num_rows,
+            FileEntry(path=rel, bucket=bucket, rows=rows,
                       min_key=min_key, max_key=max_key, bloom=None,
                       kind=kind, col_stats=col_stats or None,
                       partition=partition)

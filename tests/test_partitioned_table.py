@@ -433,6 +433,39 @@ class TestConfigWiring:
         assert tc.partition_fields == []
 
 
+class TestDistributedFooterScan:
+    def test_distributed_and_driver_footer_paths_agree(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past FOOTER_DISTRIBUTED_MIN_FILES the manifest footer scan
+        runs as one Spark job; its entries must be identical to the
+        driver-serial path's (the micro-batch default)."""
+        from hudi_spark_plus_spark.table import lake_table as lt
+
+        def build(path):
+            t = LakeTable(
+                spark, str(tmp_path / path), buckets=4,
+                partition_fields=["d"],
+            )
+            t.merge(mkbatch(spark, B1), "b1")
+            return sorted(
+                (f.partition, f.bucket, f.rows, f.min_key, f.max_key,
+                 f.kind,
+                 tuple(sorted(
+                     (k, tuple(v)) for k, v in (f.col_stats or {}).items()
+                 )))
+                for f in t.log.live_files()
+            )
+
+        driver = build("drv")
+        monkeypatch.setattr(lt, "FOOTER_DISTRIBUTED_MIN_FILES", 0)
+        dist = build("dst")
+        # uuid file/dir names differ; all stats content must match
+        assert driver == dist
+        assert all(e[2] > 0 for e in dist)  # real row counts
+        assert all(e[3] is not None for e in dist)  # real key stats
+
+
 class TestSyncUnitScoped:
     def test_sync_merge_rewrites_only_touched_partitions(
         self, spark, tmp_path
