@@ -728,7 +728,96 @@ def q_lake_partitioned(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_overwrite(spark, sf_dir):
+    """Replacecommit write surface (Hudi insert_overwrite /
+    delete_partition — the ``hoodie.datasource.write.operation`` values
+    the reference's Hudi tables accept beyond the sync's upsert/delete)
+    under oracle control. Timeline on a d-partitioned customer table
+    (d = 2024-01-0(1 + custkey%3)):
+
+    v1  merge: every customer < SUBSET at _ts=1;
+    v2  insert_overwrite: partition 2024-01-02 (custkey%3==1) replaced
+        with ONLY its even custkeys at acctbal+500;
+    v3  delete_partition 2024-01-03 (custkey%3==2), metadata-only.
+
+    Structural assertions: untouched partition 2024-01-01 carries its
+    exact manifest entries through both replaces (zero data I/O), the
+    delete writes no data files, and v1 time travel still sees all
+    three partitions. The returned final snapshot is hash-checked."""
+    import glob as _glob
+    import os as _os
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        d_col = F.concat(
+            F.lit("2024-01-0"), ((F.col("c_custkey") % 3) + 1).cast("string")
+        ).alias("d")
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            d_col,
+        )
+        ow = c.where(
+            (F.col("c_custkey") % 3 == 1) & (F.col("c_custkey") % 2 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 500.0, 4).alias("acctbal"),
+            d_col,
+        )
+        lake = LakeTable(spark, work, buckets=4, partition_fields=["d"])
+        lake.merge(batch1, "b1")
+        keep = {
+            f.path for f in lake.log.live_files()
+            if f.partition == "2024-01-01"
+        }
+        n_parquet = len(_glob.glob(
+            _os.path.join(work, "data", "*", "_part=*", "_bucket=*",
+                          "*.parquet")
+        ))
+        lake.insert_overwrite(ow, "ow")
+        lake.delete_partitions(["2024-01-03"], "dp")
+        # untouched partition: exact manifest carry-over, no rewrite
+        assert {
+            f.path for f in lake.log.live_files()
+            if f.partition == "2024-01-01"
+        } == keep
+        # the delete was metadata-only (overwrite added files; none since)
+        n_after = len(_glob.glob(
+            _os.path.join(work, "data", "*", "_part=*", "_bucket=*",
+                          "*.parquet")
+        ))
+        assert n_after > n_parquet
+        ops = {r["version"]: r["operation"] for r in lake.history().collect()}
+        assert ops[2] == "insert_overwrite" and ops[3] == "delete_partition"
+        assert lake.partition_values() == ["2024-01-01", "2024-01-02"]
+        # v1 time travel still sees all three partitions
+        assert len(lake.partition_values(version=1)) == 3
+        out = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"), "d",
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-overwrite": q_lake_overwrite,
     "q-lake-partitioned": q_lake_partitioned,
     "q-lake-zorder": q_lake_zorder,
     "q-lake-compact": q_lake_compact,
@@ -770,6 +859,21 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # final state after the replacecommit timeline: partition 01
+    # (custkey%3==0) untouched, partition 02 (custkey%3==1) replaced
+    # with only its even custkeys at +500, partition 03 dropped
+    "q-lake-overwrite": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 1
+                    THEN ROUND(c_acctbal + 500.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               '2024-01-0' || CAST(1 + c_custkey % 3 AS VARCHAR) AS d
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+          AND (c_custkey % 3 = 0
+               OR (c_custkey % 3 = 1 AND c_custkey % 2 = 0))
+        ORDER BY c_custkey
+    """,
     # partitions 2024-01-01..02 = custkey % 3 in (0, 1); merge semantics
     # identical to the roundtrip, plus the derived partition column
     "q-lake-partitioned": f"""

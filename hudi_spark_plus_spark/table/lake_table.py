@@ -915,6 +915,160 @@ class LakeTable:
         (the reference's separate bulkinsert parallelism knob, N15)."""
         self.insert(df, batch_id, parallelism, operation="bulk_insert")
 
+    def insert_overwrite(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        parallelism: int = 2,
+    ) -> None:
+        """Hudi ``insert_overwrite`` (the replacecommit half of the write
+        surface the reference's Hudi tables expose beyond the sync's
+        upsert/delete, ``hoodie.datasource.write.operation``): replace
+        exactly the partitions PRESENT IN THE BATCH with the batch's
+        rows, atomically in one commit. Untouched partitions carry over
+        unchanged (their manifest entries are reused — zero data I/O);
+        the replaced partitions' old files (base AND delta) leave the
+        live set but stay on disk for time travel until vacuumed. The
+        replaced-partition set is derived from the NEW files' manifest
+        entries, so no extra Spark job or driver collect is needed.
+
+        An unpartitioned table must use ``insert_overwrite_table``: an
+        unpartitioned "overwrite what the batch covers" is the whole
+        table anyway, and requiring the explicit call keeps a mis-routed
+        batch from silently truncating the table."""
+        if not self.partition_fields:
+            raise ValueError(
+                f"table at {self.path} is not partitioned; use "
+                "insert_overwrite_table to replace an unpartitioned table"
+            )
+        self._with_commit_retries(
+            lambda: self._overwrite_once(
+                df, batch_id, parallelism, "insert_overwrite",
+                whole_table=False,
+            )
+        )
+
+    def insert_overwrite_table(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        parallelism: int = 2,
+    ) -> None:
+        """Hudi ``insert_overwrite_table``: replace the ENTIRE table
+        with the batch in one atomic commit (partitioned or not). Prior
+        versions stay readable via time travel until vacuumed."""
+        self._with_commit_retries(
+            lambda: self._overwrite_once(
+                df, batch_id, parallelism, "insert_overwrite_table",
+                whole_table=True,
+            )
+        )
+
+    def _overwrite_once(
+        self,
+        df: DataFrame,
+        batch_id: str | None,
+        parallelism: int,
+        operation: str,
+        whole_table: bool,
+    ) -> None:
+        if batch_id is not None and self.log.has_batch(batch_id):
+            return  # idempotent re-run (H5)
+        prev = self.log.latest()
+        next_ver = (prev.version + 1) if prev else 1
+        stored = self.schema()
+        if stored is not None:
+            df, _ = self._reconcile_batch_types(df, stored)
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        if COMMIT_VER_COL not in df.columns:
+            df = df.withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
+        out = self._with_part(
+            df.withColumn(
+                BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+            )
+        )
+        schema_json = self._commit_schema_json(out, next_ver)
+        absd, rel = self.log.new_data_subdir()
+        (
+            self._apply_physical(out, schema_json)
+            .repartition(parallelism, *[F.col(c) for c in self._layout_cols()])
+            .write.mode("append")
+            .options(**_BLOOM_OPTS)
+            .partitionBy(*self._layout_cols())
+            .parquet(absd)
+        )
+        new_files = _collect_file_entries(self.path, rel, spark=self.spark)
+        if whole_table or prev is None:
+            carry: list[FileEntry] = []
+        else:
+            replaced = {f.partition for f in new_files}
+            self._require_attributable(prev.files, operation)
+            carry = [f for f in prev.files if f.partition not in replaced]
+        self.log.commit(
+            operation,
+            carry + new_files,
+            batch_id=batch_id,
+            schema_json=schema_json,
+            buckets=self.buckets,
+            expected_version=next_ver,
+            partition_fields=self.partition_fields or None,
+        )
+
+    def delete_partitions(
+        self, partitions, batch_id: str | None = None
+    ) -> None:
+        """Hudi ``delete_partition``: drop every live file (base and
+        delta) of the named partitions in one METADATA-ONLY commit — no
+        data is read or written, so retiring a day from a 100-TB
+        time-partitioned table costs one manifest rewrite. The dropped
+        files stay on disk for time travel until vacuum reclaims them.
+        Partition values with no live files are a no-op; an
+        unpartitioned table errors."""
+        if not self.partition_fields:
+            raise ValueError(
+                f"table at {self.path} is not partitioned; "
+                "delete_partitions cannot target it"
+            )
+        drop = {str(p) for p in partitions}
+
+        def attempt() -> None:
+            if batch_id is not None and self.log.has_batch(batch_id):
+                return  # idempotent re-run (H5)
+            prev = self.log.latest()
+            if prev is None:
+                raise ValueError(
+                    f"lake table at {self.path} has no commits"
+                )
+            self._require_attributable(prev.files, "delete_partition")
+            carry = [f for f in prev.files if f.partition not in drop]
+            self.log.commit(
+                "delete_partition",
+                carry,
+                batch_id=batch_id,
+                buckets=self.buckets,
+                expected_version=prev.version + 1,
+                partition_fields=self.partition_fields,
+            )
+
+        self._with_commit_retries(attempt)
+
+    def _require_attributable(self, files, operation: str) -> None:
+        """Partition-replacing writes need every live file attributed to
+        a partition: a file with no recorded partition value could hold
+        rows of a replaced partition, and carrying it over would
+        resurrect them (reads keep such files CONSERVATIVELY — see
+        _prune_partitions — but for replace semantics conservative ==
+        wrong, so it's an error; writers on partitioned tables always
+        record the value, so this only trips on corrupted manifests)."""
+        n = sum(1 for f in files if f.partition is None)
+        if n:
+            raise ValueError(
+                f"{operation} on table at {self.path}: {n} live manifest "
+                "entries have no partition value; cannot attribute them "
+                "to a partition"
+            )
+
     def merge(
         self,
         batch: DataFrame,

@@ -368,6 +368,167 @@ class TestPartitionedMorAndMaintenance:
             ptable.drop_column("d")
 
 
+class TestReplaceCommits:
+    """Hudi's replacecommit write surface: insert_overwrite /
+    insert_overwrite_table / delete_partition."""
+
+    def _ow(self, spark, rows):
+        # overwrite batches carry no _op: replace semantics have no
+        # per-row upsert/delete split
+        return mkbatch(spark, rows).drop("_op")
+
+    def test_insert_overwrite_replaces_only_batch_partitions(
+        self, spark, ptable
+    ):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        untouched_before = {
+            f.path for f in ptable.log.live_files()
+            if f.partition != "2024-01-01"
+        }
+        ptable.insert_overwrite(
+            self._ow(spark, [
+                ("k9", 5, "x", "2024-01-01", "NEW"),
+                ("k1", 5, "x", "2024-01-01", "A5"),
+            ]),
+            "ow1",
+        )
+        assert snap_dict(ptable) == {
+            ("2024-01-01", "k1"): (5, "A5"),
+            ("2024-01-01", "k9"): (5, "NEW"),
+            ("2024-01-02", "k3"): (1, "c"),
+            ("2024-01-03", "k4"): (1, "d"),
+        }
+        # untouched partitions carried over by manifest entry, no rewrite
+        untouched_after = {
+            f.path for f in ptable.log.live_files()
+            if f.partition != "2024-01-01"
+        }
+        assert untouched_after == untouched_before
+        assert ptable.log.latest().operation == "insert_overwrite"
+        # time travel: pre-overwrite state intact
+        assert snap_dict(ptable, version=1)[("2024-01-01", "k1")] == (1, "a")
+
+    def test_insert_overwrite_drops_replaced_partition_deltas(
+        self, spark, ptable
+    ):
+        """A MOR delta inside a replaced partition must not survive the
+        replace — otherwise read-time resolution would merge a dead
+        update back in."""
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.merge(
+            mkbatch(spark, [("k1", 3, "upsert", "2024-01-01", "a3")]),
+            "b2", mode="mor",
+        )
+        ptable.insert_overwrite(
+            self._ow(spark, [("k1", 2, "x", "2024-01-01", "OW")]), "ow"
+        )
+        # _ts=2 < the dead delta's 3: if the delta survived, LWW would
+        # resurrect "a3"
+        assert snap_dict(ptable)[("2024-01-01", "k1")] == (2, "OW")
+        assert not any(
+            f.kind == "delta" for f in ptable.log.live_files()
+        )
+
+    def test_insert_overwrite_unpartitioned_rejected(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "u"), buckets=2)
+        t.merge(mkbatch(spark, B1), "b1")
+        with pytest.raises(ValueError, match="insert_overwrite_table"):
+            t.insert_overwrite(self._ow(spark, B1))
+
+    def test_insert_overwrite_table_replaces_everything(
+        self, spark, ptable, tmp_path
+    ):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.insert_overwrite_table(
+            self._ow(spark, [("z1", 9, "x", "2024-02-01", "zz")]), "owt"
+        )
+        assert snap_dict(ptable) == {("2024-02-01", "z1"): (9, "zz")}
+        assert ptable.partition_values() == ["2024-02-01"]
+        assert ptable.log.latest().operation == "insert_overwrite_table"
+        # also legal on an unpartitioned table
+        u = LakeTable(spark, str(tmp_path / "u2"), buckets=2)
+        u.merge(mkbatch(spark, B1), "b1")
+        u.insert_overwrite_table(
+            self._ow(spark, [("q", 1, "x", "2024-01-01", "only")])
+        )
+        assert snap_dict(u) == {("2024-01-01", "q"): (1, "only")}
+
+    def test_delete_partitions_metadata_only(self, spark, ptable):
+        import glob as _glob
+        import os as _os
+
+        ptable.merge(mkbatch(spark, B1), "b1")
+        n_parquet = len(_glob.glob(
+            _os.path.join(ptable.path, "data", "*", "_part=*", "_bucket=*",
+                          "*.parquet")
+        ))
+        ptable.delete_partitions(["2024-01-01", "2024-01-03"], "dp1")
+        # metadata-only: no data files written or removed
+        assert len(_glob.glob(
+            _os.path.join(ptable.path, "data", "*", "_part=*", "_bucket=*",
+                          "*.parquet")
+        )) == n_parquet
+        assert ptable.partition_values() == ["2024-01-02"]
+        assert snap_dict(ptable) == {("2024-01-02", "k3"): (1, "c")}
+        assert ptable.log.latest().operation == "delete_partition"
+        # dropped partitions stay time-travel readable
+        assert len(snap_dict(ptable, version=1)) == 4
+
+    def test_delete_partitions_vacuum_reclaims(self, spark, ptable):
+        import glob as _glob
+        import os as _os
+
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.delete_partitions(["2024-01-03"], "dp")
+        vacuum(ptable, keep_last=1, grace_seconds=0)
+        assert not _glob.glob(
+            _os.path.join(ptable.path, "data", "*", "_part=2024-01-03")
+        )
+        assert snap_dict(ptable) == {
+            ("2024-01-01", "k1"): (1, "a"),
+            ("2024-01-01", "k2"): (1, "b"),
+            ("2024-01-02", "k3"): (1, "c"),
+        }
+
+    def test_delete_partitions_unknown_value_noop(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        before = snap_dict(ptable)
+        ptable.delete_partitions(["2099-12-31"])
+        assert snap_dict(ptable) == before
+
+    def test_delete_partitions_unpartitioned_rejected(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "u3"), buckets=2)
+        t.merge(mkbatch(spark, B1), "b1")
+        with pytest.raises(ValueError, match="not partitioned"):
+            t.delete_partitions(["2024-01-01"])
+
+    def test_replace_commits_idempotent_by_batch_id(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.insert_overwrite(
+            self._ow(spark, [("k1", 5, "x", "2024-01-01", "A5")]), "ow"
+        )
+        v = ptable.log.latest().version
+        ptable.insert_overwrite(
+            self._ow(spark, [("k1", 6, "x", "2024-01-01", "A6")]), "ow"
+        )
+        ptable.delete_partitions(["2024-01-02"], "dp")
+        v2 = ptable.log.latest().version
+        ptable.delete_partitions(["2024-01-03"], "dp")
+        assert ptable.log.latest().version == v2 == v + 1
+        assert snap_dict(ptable)[("2024-01-01", "k1")] == (5, "A5")
+        assert "2024-01-03" in ptable.partition_values()
+
+    def test_incremental_sees_overwrite_rows(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.insert_overwrite(
+            self._ow(spark, [("k9", 5, "x", "2024-01-01", "NEW")]), "ow"
+        )
+        inc = {r["_key"] for r in ptable.incremental(1).collect()}
+        assert inc == {"k9"}
+
+
 class TestPartitionedZorder:
     def test_zorder_preserves_partition_layout(self, spark, tmp_path):
         """OPTIMIZE ZORDER on a partitioned table: the rewrite must keep
