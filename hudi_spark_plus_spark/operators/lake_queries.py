@@ -816,7 +816,56 @@ def q_lake_overwrite(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_timepart(spark, sf_dir):
+    """Time-partitioned lake table from an event-time column — the
+    ``col:epochmicros`` partition spec (Hudi TimestampBasedKeyGenerator /
+    CustomKeyGenerator ``field:type`` analogue, H4/H10 surface): the
+    canonical 100-TB CDC layout, where a "last N days" query prunes at
+    the directory level before any file or stats check. Loads ``events``
+    (ts normalized by loaders.epoch_us, layout-robust), partitions by
+    UTC day derived from epoch-micros, and snapshots the LAST TWO days
+    via partition_range. Structural assertion: the pruned read plans
+    strictly fewer files than the table holds. Hash-checked against a
+    DuckDB replay of the same day derivation + last-2-days filter."""
+    from hudi_spark_plus_spark.sources.loaders import epoch_us
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("event_id") < 2000
+        )
+        batch = ev.select(
+            F.col("event_id").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(ev, "ts").alias("ts_us"),
+        )
+        lake = LakeTable(
+            spark, work, buckets=4,
+            partition_fields=["ts_us:epochmicros"],
+        )
+        lake.merge(batch, "b1")
+        days = lake.partition_values()
+        assert len(days) >= 2, days
+        live = lake.log.live_files()
+        kept = lake._prune_partitions(live, partition_range=(days[-2], None))
+        assert kept and len(kept) < len(live)
+        out = (
+            lake.snapshot(partition_range=(days[-2], None))
+            .select("event_id", "user_id", "event_type", "ts_us")
+            .orderBy("event_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-timepart": q_lake_timepart,
     "q-lake-overwrite": q_lake_overwrite,
     "q-lake-partitioned": q_lake_partitioned,
     "q-lake-zorder": q_lake_zorder,
@@ -859,6 +908,24 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # UTC-day derivation replayed in DuckDB; "last 2 days" = the two
+    # greatest distinct day strings, matching partition_values()[-2:]
+    "q-lake-timepart": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d') AS day
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id, user_id, event_type, ts_us
+        FROM e
+        WHERE day >= (
+            SELECT MIN(day) FROM (
+                SELECT DISTINCT day FROM e ORDER BY day DESC LIMIT 2
+            )
+        )
+        ORDER BY event_id
+    """,
     # final state after the replacecommit timeline: partition 01
     # (custkey%3==0) untouched, partition 02 (custkey%3==1) replaced
     # with only its even custkeys at +500, partition 03 dropped

@@ -70,19 +70,113 @@ def record_key_expr(
     return (fn or composite_key)(db, table, key_fields)
 
 
+# Day-or-coarser date patterns only for the epoch transforms: rendering
+# goes through tz-free DATE arithmetic (UTC day index), so a pattern
+# with time-of-day fields would silently render 00:00 — reject it.
+_EPOCH_FMT_CHARS = set("yMd-/.")
+_US_PER_DAY = 86_400_000_000
+_MS_PER_DAY = 86_400_000
+
+
+def _epoch_day_date(col: Column, per_day: int) -> Column:
+    """UTC calendar date of an integer epoch value — exact integer
+    arithmetic (floor division via pmod, correct for pre-1970 too), then
+    DATE rendering, which is time-zone free. Deliberately NOT
+    ``timestamp_seconds``/``cast(timestamp)``: those render through the
+    session time zone, and a partition value that shifts with session
+    config would split one logical day across two directories."""
+    v = col.cast("long")
+    day = ((v - F.pmod(v, F.lit(per_day))) / F.lit(per_day)).cast("int")
+    return F.date_add(F.to_date(F.lit("1970-01-01")), day)
+
+
+def _partition_part(spec: str) -> Column:
+    """One partition-path component from a ``col[:transform[:fmt]]``
+    spec (Hudi CustomKeyGenerator's ``field:type`` grammar,
+    ``hoodie.datasource.write.partitionpath.field``; the timestamp
+    transform is the TimestampBasedKeyGenerator analogue):
+
+    - ``col`` — raw null-safe string render (dates/strings as-is);
+    - ``col:timestamp[:fmt]`` — ``date_format(col, fmt)`` for
+      timestamp/date columns, fmt default ``yyyy-MM-dd`` (plain
+      TIMESTAMP renders through the session time zone — engine sessions
+      pin UTC; DATE/TIMESTAMP_NTZ render tz-free);
+    - ``col:epochmillis[:fmt]`` / ``col:epochmicros[:fmt]`` — UTC day
+      from an integer epoch column via exact tz-free arithmetic; fmt
+      must be day-or-coarser (``yyyy-MM-dd``, ``yyyy/MM``, ...)."""
+    parts = spec.split(":", 2)
+    col, transform = parts[0], (parts[1] if len(parts) > 1 else None)
+    fmt = parts[2] if len(parts) > 2 else "yyyy-MM-dd"
+    if transform is None:
+        return F.coalesce(F.col(col).cast("string"), F.lit("default"))
+    if transform == "timestamp":
+        rendered = F.date_format(F.col(col), fmt)
+    elif transform in ("epochmillis", "epochmicros"):
+        bad = set(fmt) - _EPOCH_FMT_CHARS
+        if bad:
+            raise ValueError(
+                f"partition spec {spec!r}: epoch transforms render via "
+                f"tz-free day arithmetic; format must be day-or-coarser "
+                f"(offending chars: {sorted(bad)})"
+            )
+        per_day = _MS_PER_DAY if transform == "epochmillis" else _US_PER_DAY
+        rendered = F.date_format(_epoch_day_date(F.col(col), per_day), fmt)
+    else:
+        raise ValueError(
+            f"unknown partition-path transform {transform!r} in spec "
+            f"{spec!r}; supported: timestamp, epochmillis, epochmicros"
+        )
+    return F.coalesce(rendered, F.lit("default"))
+
+
 def partition_path_expr(fields: list[str]) -> Column:
     """Partition-path rendering — the OTHER half of Hudi's Simple/Complex
     key generators (paired with ``record_key_expr``, H4): each configured
-    partition column is string-rendered null-safely (nulls take Hudi's
+    partition component is string-rendered null-safely (nulls take Hudi's
     "default" partition name) and multi-field paths join with "/"
     (ComplexKeyGenerator's nested layout; the slash is directory-escaped
-    by the writer and unescaped when manifests are built). Dates and
-    strings render as themselves — the recommended partition types, since
-    partition values compare as strings for range pruning."""
-    parts = [
-        F.coalesce(F.col(f).cast("string"), F.lit("default")) for f in fields
-    ]
+    by the writer and unescaped when manifests are built). Components are
+    ``col[:transform[:fmt]]`` specs (see ``_partition_part``); plain
+    dates and strings render as themselves — partition values compare as
+    strings for range pruning, so pick render formats that sort
+    chronologically (the defaults do)."""
+    parts = [_partition_part(f) for f in fields]
     return parts[0] if len(parts) == 1 else F.concat_ws("/", *parts)
+
+
+def partition_source_cols(fields: list[str]) -> list[str]:
+    """Payload column names a partition-path spec list reads — what a
+    batch must carry, and what schema evolution must refuse to touch."""
+    return [f.split(":", 1)[0] for f in fields]
+
+
+def validate_partition_specs(fields: list[str]) -> None:
+    """Pure-string spec validation, for failing fast at table
+    construction instead of at the first write (a bad spec is caller
+    error, not data error)."""
+    for spec in fields:
+        parts = spec.split(":", 2)
+        if not parts[0]:
+            raise ValueError(f"partition spec {spec!r}: empty column name")
+        if len(parts) == 1:
+            continue
+        transform = parts[1]
+        fmt = parts[2] if len(parts) > 2 else "yyyy-MM-dd"
+        if transform == "timestamp":
+            continue
+        if transform in ("epochmillis", "epochmicros"):
+            bad = set(fmt) - _EPOCH_FMT_CHARS
+            if bad:
+                raise ValueError(
+                    f"partition spec {spec!r}: epoch transforms render "
+                    f"via tz-free day arithmetic; format must be "
+                    f"day-or-coarser (offending chars: {sorted(bad)})"
+                )
+            continue
+        raise ValueError(
+            f"unknown partition-path transform {transform!r} in spec "
+            f"{spec!r}; supported: timestamp, epochmillis, epochmicros"
+        )
 
 
 def bucket_expr(key: Column, buckets: int) -> Column:

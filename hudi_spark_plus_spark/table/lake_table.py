@@ -61,6 +61,8 @@ from hudi_spark_plus_spark.table.keygen import (
     TS_COL,
     bucket_expr,
     partition_path_expr,
+    partition_source_cols,
+    validate_partition_specs,
 )
 
 DELETE_OP = "delete"
@@ -346,6 +348,7 @@ class LakeTable:
             )
         else:
             self.partition_fields = list(partition_fields or [])
+        validate_partition_specs(self.partition_fields)
 
     # -- partition-path layout ----------------------------------------------
 
@@ -357,7 +360,11 @@ class LakeTable:
         payload partition fields — never stored in data files)."""
         if not self.partition_fields:
             return df
-        missing = [c for c in self.partition_fields if c not in df.columns]
+        missing = [
+            c
+            for c in partition_source_cols(self.partition_fields)
+            if c not in df.columns
+        ]
         if missing:
             raise ValueError(
                 f"table at {self.path} is partitioned by "
@@ -1434,7 +1441,7 @@ class LakeTable:
         }
         if a in self.RESERVED_COLS:
             raise ValueError(f"column {a!r} is reserved table metadata")
-        if a in self.partition_fields:
+        if a in partition_source_cols(self.partition_fields):
             raise ValueError(
                 f"column {a!r} is a partition field of the table at "
                 f"{self.path}; partition fields cannot be renamed/dropped "

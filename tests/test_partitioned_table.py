@@ -368,6 +368,119 @@ class TestPartitionedMorAndMaintenance:
             ptable.drop_column("d")
 
 
+class TestTimestampPartitionSpecs:
+    """``col:transform[:fmt]`` partition specs (Hudi CustomKeyGenerator /
+    TimestampBasedKeyGenerator analogues): time-partitioned layout
+    derived from an event-time column."""
+
+    DAY_US = 86_400_000_000
+
+    def mkts(self, spark, rows):
+        """rows: (key, ts_us) — ts_us is epoch-microseconds event time."""
+        return spark.createDataFrame(
+            [(k, 1, "upsert", t) for k, t in rows],
+            "_key string, _ts long, _op string, ev_us long",
+        )
+
+    def test_epochmicros_day_partitioning(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "tp"), buckets=2,
+            partition_fields=["ev_us:epochmicros"],
+        )
+        t.merge(self.mkts(spark, [
+            ("a", 0),                      # 1970-01-01
+            ("b", self.DAY_US - 1),        # still 1970-01-01
+            ("c", self.DAY_US),            # 1970-01-02
+            ("d", 5 * self.DAY_US + 123),  # 1970-01-06
+            ("e", -1),                     # 1969-12-31 (floor, not trunc)
+        ]), "b1")
+        assert t.partition_values() == [
+            "1969-12-31", "1970-01-01", "1970-01-02", "1970-01-06",
+        ]
+        got = {
+            r["_key"]
+            for r in t.snapshot(
+                partition_range=("1970-01-01", "1970-01-02")
+            ).collect()
+        }
+        assert got == {"a", "b", "c"}
+        # file-level structural pruning
+        live = t.log.live_files()
+        kept = t._prune_partitions(live, partitions=["1970-01-06"])
+        assert kept and all(f.partition == "1970-01-06" for f in kept)
+        # reopen with no args: the SPEC (not just the column) persists
+        re = LakeTable(spark, str(tmp_path / "tp"))
+        assert re.partition_fields == ["ev_us:epochmicros"]
+        assert re.partition_values()[0] == "1969-12-31"
+
+    def test_epochmillis_month_format(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "tm"), buckets=2,
+            partition_fields=["ev_us:epochmillis:yyyy-MM"],
+        )
+        ms = 40 * 86_400_000  # 1970-02-10
+        t.merge(self.mkts(spark, [("a", 0), ("b", ms)]), "b1")
+        assert t.partition_values() == ["1970-01", "1970-02"]
+
+    def test_timestamp_transform_and_merge_identity(self, spark, tmp_path):
+        """date col + :timestamp spec; same-key rows on different days are
+        DISTINCT records ((partition, key) identity), same-day upsert
+        merges."""
+        df = spark.createDataFrame(
+            [("k", 1, "upsert", "2024-03-01"), ("k", 1, "upsert", "2024-03-02")],
+            "_key string, _ts long, _op string, day string",
+        ).withColumn("day", F.to_date("day"))
+        t = LakeTable(
+            spark, str(tmp_path / "tt"), buckets=2,
+            partition_fields=["day:timestamp:yyyy/MM/dd"],
+        )
+        t.merge(df, "b1")
+        assert t.partition_values() == ["2024/03/01", "2024/03/02"]
+        assert t.snapshot().count() == 2  # per-partition identity
+        t.merge(
+            df.where(F.col("day") == "2024-03-02").withColumn(
+                "_ts", F.lit(2).cast("long")
+            ),
+            "b2",
+        )
+        assert t.snapshot().count() == 2  # merged, not duplicated
+
+    def test_null_epoch_renders_default_partition(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "tn"), buckets=2,
+            partition_fields=["ev_us:epochmicros"],
+        )
+        df = spark.createDataFrame(
+            [("a", 1, "upsert", None), ("b", 1, "upsert", 0)],
+            "_key string, _ts long, _op string, ev_us long",
+        )
+        t.merge(df, "b1")
+        assert t.partition_values() == ["1970-01-01", "default"]
+
+    def test_bad_specs_rejected_at_construction(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="day-or-coarser"):
+            LakeTable(
+                spark, str(tmp_path / "x1"), buckets=2,
+                partition_fields=["ev_us:epochmicros:yyyy-MM-dd-HH"],
+            )
+        with pytest.raises(ValueError, match="unknown partition-path"):
+            LakeTable(
+                spark, str(tmp_path / "x2"), buckets=2,
+                partition_fields=["ev_us:bogus"],
+            )
+
+    def test_spec_source_column_not_alterable(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "ta"), buckets=2,
+            partition_fields=["ev_us:epochmicros"],
+        )
+        t.merge(self.mkts(spark, [("a", 0)]), "b1")
+        with pytest.raises(ValueError, match="partition field"):
+            t.drop_column("ev_us")
+        with pytest.raises(ValueError, match="partition field"):
+            t.rename_column("ev_us", "event_us")
+
+
 class TestReplaceCommits:
     """Hudi's replacecommit write surface: insert_overwrite /
     insert_overwrite_table / delete_partition."""
