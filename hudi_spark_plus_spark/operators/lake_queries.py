@@ -864,7 +864,75 @@ def q_lake_timepart(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_global_index(spark, sf_dir):
+    """Global-index merge semantics (Hudi GLOBAL_BLOOM/GLOBAL_SIMPLE,
+    ``hoodie.index.type``) under oracle control: record identity is the
+    key ALONE on a partitioned table, so an upsert whose partition value
+    changed RELOCATES the record. Fixture: customers partitioned by
+    derived segment s = custkey % 3; batch 2 (at _ts=2) MOVES multiples
+    of 5 to segment 'moved' with acctbal+1000 — half COW, half MOR (both
+    write paths must relocate identically). Structural assertions: no
+    moved key survives in its old partition even under a pruned read of
+    that partition alone (the MOR relocation tombstone invariant), and
+    the non-moved state is untouched."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        seg = (F.col("c_custkey") % 3).cast("string").alias("s")
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            seg,
+        )
+        movers = c.where(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+            F.lit("moved").alias("s"),
+        )
+        lake = LakeTable(
+            spark, work, buckets=4, partition_fields=["s"],
+            global_index=True,
+        )
+        lake.merge(batch1, "b1")
+        # same relocation through BOTH write paths
+        lake.merge(movers.where(F.col("c_custkey") % 2 == 0), "b2")
+        lake.merge(
+            movers.where(F.col("c_custkey") % 2 != 0), "b3", mode="mor"
+        )
+        # pruned read of each old partition: no moved key resurrects
+        for p in ("0", "1", "2"):
+            stale = (
+                lake.snapshot(partitions=[p])
+                .where(F.col("c_custkey") % 5 == 0)
+                .count()
+            )
+            assert stale == 0, (p, stale)
+        out = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"), "s",
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-global-index": q_lake_global_index,
     "q-lake-timepart": q_lake_timepart,
     "q-lake-overwrite": q_lake_overwrite,
     "q-lake-partitioned": q_lake_partitioned,
@@ -908,6 +976,19 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # global-index relocation: multiples of 5 live ONLY in 'moved' (at
+    # +1000), everyone else keeps their original derived segment
+    "q-lake-global-index": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'moved'
+                    ELSE CAST(c_custkey % 3 AS VARCHAR) END AS s
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+        ORDER BY c_custkey
+    """,
     # UTC-day derivation replayed in DuckDB; "last 2 days" = the two
     # greatest distinct day strings, matching partition_values()[-2:]
     "q-lake-timepart": """

@@ -56,6 +56,7 @@ def _cached_lake(
     path: str,
     buckets: int | None,
     partition_fields: list[str] | None = None,
+    global_index: bool | None = None,
 ) -> LakeTable:
     key = (id(spark), path)
     with _LAKE_LOCK:
@@ -65,12 +66,14 @@ def _cached_lake(
             and (buckets is None or t.buckets == buckets)
             and (partition_fields is None
                  or t.partition_fields == list(partition_fields))
+            and (global_index is None or t.global_index == global_index)
         ):
             vs = t.log._versions
             if not vs or os.path.exists(t.log._commit_file(vs[-1])):
                 return t
         t = LakeTable(
-            spark, path, buckets=buckets, partition_fields=partition_fields
+            spark, path, buckets=buckets, partition_fields=partition_fields,
+            global_index=global_index,
         )
         _LAKE_CACHE[key] = t
         return t
@@ -289,7 +292,8 @@ def _sync_one_table(
         *[c for c in decoded.columns if c not in (cdc.DB_COL, cdc.TABLE_COL, cdc.SCHEMA_COL, "_pos")]
     )
     lake = _cached_lake(
-        spark, tc.path, tc.buckets, tc.partition_fields or None
+        spark, tc.path, tc.buckets, tc.partition_fields or None,
+        global_index=tc.global_index or None,
     )
     lake.merge(
         batch,
@@ -301,8 +305,12 @@ def _sync_one_table(
         # rewrite EVERY partition of an affected bucket (1000x write
         # amplification at 1000 partitions). Passing None lets the merge
         # derive exact (partition, bucket) units from the decoded batch
-        # — one extra bounded distinct per table per batch.
-        affected_buckets=None if tc.partition_fields else affected_buckets,
+        # — one extra bounded distinct per table per batch. GLOBAL-index
+        # tables are bucket-granular by design (key-only identity), so
+        # they keep the precomputed set and skip the extra job.
+        affected_buckets=affected_buckets
+        if (not tc.partition_fields or tc.global_index)
+        else None,
         mode=tc.write_mode,
     )
     if tc.write_mode == "mor" and tc.compact_max_deltas > 0:

@@ -46,6 +46,12 @@ PARTITIONPATH_FIELD = "hoodie.datasource.write.partitionpath.field"
 TABLE_NAME = "hoodie.table.name"
 BASE_PATH = "hoodie.base.path"
 KEYGENERATOR_CLASS = "hoodie.datasource.write.keygenerator.class"
+
+# Hudi index type (HoodieIndexConfig.INDEX_TYPE): the GLOBAL_* values
+# switch record identity from (partition, key) to key alone — an upsert
+# whose partition value changed relocates the record. Non-global values
+# (BLOOM, SIMPLE, BUCKET, ...) keep the default per-partition identity.
+INDEX_TYPE = "hoodie.index.type"
 TRANSFORMER_SQL = "hoodie.transformer.sql"
 
 # Engine extensions (documented defaults, not in the reference)
@@ -93,6 +99,7 @@ class TableConfig:
     buckets: int = BUCKETS_DEFAULT
     write_mode: str = WRITE_MODE_DEFAULT
     compact_max_deltas: int = COMPACT_MAX_DELTAS_DEFAULT
+    global_index: bool = False
 
 
 def table_options(options: dict[str, str], db: str, table: str) -> dict[str, str]:
@@ -165,6 +172,9 @@ def resolve_table_config(
                 options.get(COMPACT_MAX_DELTAS, COMPACT_MAX_DELTAS_DEFAULT),
             )
         ),
+        global_index=t.get(INDEX_TYPE, options.get(INDEX_TYPE, ""))
+        .upper()
+        .startswith("GLOBAL_"),
     )
 
 

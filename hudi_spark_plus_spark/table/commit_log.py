@@ -220,6 +220,12 @@ class Commit:
     # Table-level partition-path fields (H4). Persisted like ``buckets``
     # so every writer renders the same layout; None = unpartitioned.
     partition_fields: list[str] | None = None
+    # Table-level global-index flag (Hudi GLOBAL_* index types): record
+    # identity is the key ALONE even on a partitioned table, so an
+    # upsert whose partition value changed RELOCATES the record.
+    # Persisted like ``buckets`` — mixing global and non-global writers
+    # on one table would corrupt record identity. None/absent = False.
+    global_index: bool | None = None
 
     def to_json(self) -> str:
         d = {
@@ -232,6 +238,8 @@ class Commit:
         }
         if self.partition_fields is not None:
             d["partition_fields"] = self.partition_fields
+        if self.global_index:
+            d["global_index"] = True
         if self.segments is not None:
             d["segments"] = self.segments
         else:  # v1 inline form
@@ -251,6 +259,7 @@ class Commit:
             buckets=d.get("buckets"),
             segments=d.get("segments"),
             partition_fields=d.get("partition_fields"),
+            global_index=d.get("global_index"),
         )
 
 
@@ -484,6 +493,7 @@ class CommitLog:
         buckets: int | None = None,
         expected_version: int | None = None,
         partition_fields: list[str] | None = None,
+        global_index: bool | None = None,
     ) -> Commit:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
@@ -512,6 +522,9 @@ class CommitLog:
             partition_fields=partition_fields
             if partition_fields is not None
             else (latest.partition_fields if latest else None),
+            global_index=global_index
+            if global_index is not None
+            else (latest.global_index if latest else None),
         )
         # Atomic publish through the pluggable finalizer: create-or-fail
         # on the versioned commit path IS the optimistic-concurrency

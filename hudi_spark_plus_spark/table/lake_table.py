@@ -296,6 +296,7 @@ class LakeTable:
         buckets: int | None = None,
         partition_fields: list[str] | None = None,
         finalizer=None,
+        global_index: bool | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -349,6 +350,29 @@ class LakeTable:
         else:
             self.partition_fields = list(partition_fields or [])
         validate_partition_specs(self.partition_fields)
+        # Global-index mode (Hudi GLOBAL_BLOOM/GLOBAL_SIMPLE semantics):
+        # record identity is _key ALONE on a partitioned table, so an
+        # upsert with a changed partition value RELOCATES the record
+        # (old partition's copy is dropped/tombstoned). Table state like
+        # buckets: persisted value wins, a conflicting caller errors —
+        # mixing identities across writers would corrupt resolution.
+        persisted_gi = latest.global_index if latest else None
+        if persisted_gi is not None:
+            if global_index is not None and bool(global_index) != persisted_gi:
+                raise ValueError(
+                    f"table at {path} was created with "
+                    f"global_index={persisted_gi}; caller requested "
+                    f"{bool(global_index)}"
+                )
+            self.global_index = persisted_gi
+        elif latest is not None and global_index:
+            raise ValueError(
+                f"table at {path} was created without a global index; "
+                "switching identity on an existing table requires a "
+                "full rewrite"
+            )
+        else:
+            self.global_index = bool(global_index)
 
     # -- partition-path layout ----------------------------------------------
 
@@ -492,16 +516,29 @@ class LakeTable:
         later commit). One window shuffle: the read-time cost MOR trades
         for its O(batch) writes. On partitioned tables record identity is
         (partition, key) — Hudi's non-global-index semantics — with the
-        partition value derived from the payload fields (never stored)."""
+        partition value derived from the payload fields (never stored);
+        a ``global_index`` table resolves by key ALONE (Hudi GLOBAL_*),
+        so a relocated record's old-partition copies lose to the new
+        one. Tertiary tie-break: at identical (_ts, commit version) a
+        live row beats a tombstone — the only way that tie arises is a
+        relocation tombstone written in the same commit as the row's new
+        copy, and the record must survive its own move."""
         from pyspark.sql.window import Window
 
         ident = (
-            [self._partition_expr()] if self.partition_fields else []
+            [self._partition_expr()]
+            if self.partition_fields and not self.global_index
+            else []
         ) + [F.col(KEY_COL)]
-        w = Window.partitionBy(*ident).orderBy(
+        order = [
             F.col(TS_COL).desc(),
             F.coalesce(F.col(COMMIT_VER_COL), F.lit(0)).desc(),
-        )
+        ]
+        if DELETED_COL in df.columns:
+            order.append(
+                F.coalesce(F.col(DELETED_COL), F.lit(False)).asc()
+            )
+        w = Window.partitionBy(*ident).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -637,6 +674,7 @@ class LakeTable:
                 buckets=old.buckets or self.buckets,
                 expected_version=prev.version + 1,
                 partition_fields=self.partition_fields or None,
+                global_index=self.global_index or None,
             )
 
         self._with_commit_retries(attempt)
@@ -913,6 +951,7 @@ class LakeTable:
             buckets=self.buckets,
             expected_version=next_ver,
             partition_fields=self.partition_fields or None,
+            global_index=self.global_index or None,
         )
 
     def bulk_insert(
@@ -1020,6 +1059,7 @@ class LakeTable:
             buckets=self.buckets,
             expected_version=next_ver,
             partition_fields=self.partition_fields or None,
+            global_index=self.global_index or None,
         )
 
     def delete_partitions(
@@ -1056,6 +1096,7 @@ class LakeTable:
                 buckets=self.buckets,
                 expected_version=prev.version + 1,
                 partition_fields=self.partition_fields,
+                global_index=self.global_index or None,
             )
 
         self._with_commit_retries(attempt)
@@ -1140,7 +1181,7 @@ class LakeTable:
         units: set | None = None
         if affected_buckets is not None:
             affected = affected_buckets
-        elif self.partition_fields:
+        elif self.partition_fields and not self.global_index:
             # capped like every other driver collect: a batch touching
             # more than MERGE_UNITS_MAX (partition, bucket) units is no
             # longer a selective merge, so unit pruning degrades to
@@ -1200,9 +1241,13 @@ class LakeTable:
 
         if self.schema() is not None:
             snap = self._read_files(hit)  # logical view (column mapping)
-            if any(f.kind == "delta" for f in hit):
+            if any(f.kind == "delta" for f in hit) or self.global_index:
                 # COW over MOR deltas: collapse to latest-per-key before
-                # the merge join (deltas hold several versions per key)
+                # the merge join (deltas hold several versions per key).
+                # Global-index tables resolve even pure-base state: a
+                # relocated key may have copies in several partitions
+                # (stale + tombstone), and joining them unresolved would
+                # duplicate the batch row across partitions.
                 snap = self._resolve_latest(snap)
         else:
             snap = None
@@ -1254,7 +1299,12 @@ class LakeTable:
             b = b.alias("b")
             s = s.alias("s")
             join_cond = F.col(f"s.{KEY_COL}") == F.col(f"b.{KEY_COL}")
-            if self.partition_fields:
+            if self.partition_fields and not self.global_index:
+                # non-global: (partition, key) identity — the same key in
+                # two partitions is two records. Global-index tables join
+                # by key alone, so a batch row whose partition value
+                # changed consumes the old partition's copy (the rewrite
+                # drops it) and the winner lands in its new partition.
                 join_cond = join_cond & (
                     F.col(f"s.{PARTITION_COL}") == F.col(f"b.{PARTITION_COL}")
                 )
@@ -1317,6 +1367,7 @@ class LakeTable:
             buckets=self.buckets,
             expected_version=next_ver,
             partition_fields=self.partition_fields or None,
+            global_index=self.global_index or None,
         )
 
     def _reconcile_batch_types(
@@ -1474,6 +1525,7 @@ class LakeTable:
             buckets=self.buckets,
             expected_version=next_ver,
             partition_fields=self.partition_fields or None,
+            global_index=self.global_index or None,
         )
 
     def _merge_mor(
@@ -1486,7 +1538,18 @@ class LakeTable:
     ) -> None:
         """Merge-on-read write path: append the (pre-deduped) batch as
         delta files, touch NO existing data. Schema evolution follows the
-        same rules as COW (additive union + read-compatible widening)."""
+        same rules as COW (additive union + read-compatible widening).
+
+        On a GLOBAL-INDEX table the append is preceded by one bounded
+        read of the affected buckets' live copies (bloom-pruned — the
+        Hudi global-index-lookup cost): a batch row that LOSES cross-
+        batch LWW is dropped before the write (an appended loser would
+        win a partition-pruned read of its own partition, since the
+        stored winner lives elsewhere and could not shadow it), and a
+        winner whose partition value changed also appends a RELOCATION
+        TOMBSTONE into the old partition — carrying the old copy's own
+        payload and _ts — so partition-pruned reads of the old partition
+        stay correct without consulting any other partition."""
         next_ver = prev.version + 1
         stored = self.schema()
         b = batch
@@ -1499,6 +1562,49 @@ class LakeTable:
             .withColumn(COMMIT_VER_COL, F.lit(next_ver).cast("long"))
             .drop(OP_COL)
         )
+        if self.global_index and self.partition_fields:
+            hit = [f for f in prev.files if f.bucket in affected]
+            kept, _skipped = self._bloom_prune_hit_files(
+                batch, [f for f in hit if f.kind != "delta"]
+            )
+            read = kept + [f for f in hit if f.kind == "delta"]
+            if read:
+                old = self._with_part(self._read_files(read))
+                if COMMIT_VER_COL not in old.columns:
+                    old = old.withColumn(
+                        COMMIT_VER_COL, F.lit(0).cast("long")
+                    )
+                # single latest live copy per key (key-only identity)
+                old = self._resolve_latest(old).where(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+                old = old.withColumn(
+                    BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
+                )
+                o = old.select(
+                    [F.col(c).alias(f"_o_{c}") for c in old.columns]
+                )
+                j = delta.join(
+                    o, delta[KEY_COL] == F.col(f"_o_{KEY_COL}"), "left"
+                )
+                winners = j.where(
+                    F.col(f"_o_{KEY_COL}").isNull()
+                    | (F.col(TS_COL) >= F.col(f"_o_{TS_COL}"))
+                )
+                out = winners.select(*delta.columns)
+                tombs = winners.where(
+                    F.col(f"_o_{KEY_COL}").isNotNull()
+                    & (F.col(f"_o_{PARTITION_COL}") != F.col(PARTITION_COL))
+                ).select(
+                    *[
+                        F.col(f"_o_{c}").alias(c)
+                        for c in old.columns
+                        if c not in (DELETED_COL, COMMIT_VER_COL)
+                    ],
+                    F.lit(True).alias(DELETED_COL),
+                    F.lit(next_ver).cast("long").alias(COMMIT_VER_COL),
+                )
+                delta = out.unionByName(tombs, allowMissingColumns=True)
         schema_json = self._commit_schema_json(delta, next_ver)
         absd, rel = self.log.new_data_subdir()
         n = parallelism or max(1, len(affected))
@@ -1520,6 +1626,7 @@ class LakeTable:
             buckets=self.buckets,
             expected_version=next_ver,
             partition_fields=self.partition_fields or None,
+            global_index=self.global_index or None,
         )
 
     # Above this many distinct batch keys the per-merge bloom probe is

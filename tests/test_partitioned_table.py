@@ -368,6 +368,121 @@ class TestPartitionedMorAndMaintenance:
             ptable.drop_column("d")
 
 
+class TestGlobalIndex:
+    """Hudi GLOBAL_* index semantics: record identity is _key alone on a
+    partitioned table, so an upsert whose partition value changed
+    RELOCATES the record instead of creating a second one."""
+
+    @pytest.fixture()
+    def gtable(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "gt"), buckets=4,
+            partition_fields=["d"], global_index=True,
+        )
+        t.merge(mkbatch(spark, B1), "b1")
+        return t
+
+    MOVE = [("k1", 2, "upsert", "2024-01-03", "moved")]
+
+    def test_cow_relocation(self, spark, gtable):
+        gtable.merge(mkbatch(spark, self.MOVE), "b2")
+        snap = snap_dict(gtable)
+        assert snap[("2024-01-03", "k1")] == (2, "moved")
+        assert ("2024-01-01", "k1") not in snap
+        assert len(snap) == 4
+        # partition-pruned read of the OLD partition: no resurrection
+        assert ("2024-01-01", "k1") not in snap_dict(
+            gtable, partitions=["2024-01-01"]
+        )
+
+    def test_mor_relocation_with_tombstone(self, spark, gtable):
+        gtable.merge(mkbatch(spark, self.MOVE), "b2", mode="mor")
+        snap = snap_dict(gtable)
+        assert snap[("2024-01-03", "k1")] == (2, "moved")
+        assert ("2024-01-01", "k1") not in snap
+        # THE global-MOR invariant: a read pruned to the old partition
+        # alone must not resurrect the stale copy — the relocation
+        # tombstone lives in that partition's own delta
+        old_only = snap_dict(gtable, partitions=["2024-01-01"])
+        assert ("2024-01-01", "k1") not in old_only
+        assert old_only[("2024-01-01", "k2")] == (1, "b")
+        # and the new partition pruned alone sees the moved row
+        assert snap_dict(gtable, partitions=["2024-01-03"])[
+            ("2024-01-03", "k1")
+        ] == (2, "moved")
+
+    def test_mor_relocation_survives_compaction(self, spark, gtable):
+        gtable.merge(mkbatch(spark, self.MOVE), "b2", mode="mor")
+        compact(gtable)
+        assert not any(
+            f.kind == "delta" for f in gtable.log.live_files()
+        )
+        snap = snap_dict(gtable)
+        assert snap[("2024-01-03", "k1")] == (2, "moved")
+        assert ("2024-01-01", "k1") not in snap
+        assert ("2024-01-01", "k1") not in snap_dict(
+            gtable, partitions=["2024-01-01"]
+        )
+
+    def test_mor_out_of_order_loser_dropped(self, spark, gtable):
+        """A batch row older than the stored copy loses LWW and is NOT
+        appended: an appended loser would win a partition-pruned read of
+        its own partition."""
+        gtable.merge(
+            mkbatch(spark, [("k1", 0, "upsert", "2024-01-02", "stale")]),
+            "b2", mode="mor",
+        )
+        snap = snap_dict(gtable)
+        assert snap[("2024-01-01", "k1")] == (1, "a")
+        assert ("2024-01-02", "k1") not in snap
+        # pruned read of the loser's target partition sees nothing
+        assert ("2024-01-02", "k1") not in snap_dict(
+            gtable, partitions=["2024-01-02"]
+        )
+
+    def test_non_global_default_keeps_both(self, spark, ptable):
+        """Contrast: without the global index the same move produces two
+        records — Hudi non-global semantics (regression guard that the
+        default identity is unchanged)."""
+        ptable.merge(mkbatch(spark, B1), "b1")
+        ptable.merge(mkbatch(spark, self.MOVE), "b2")
+        snap = snap_dict(ptable)
+        assert snap[("2024-01-01", "k1")] == (1, "a")
+        assert snap[("2024-01-03", "k1")] == (2, "moved")
+
+    def test_global_delete_reaches_other_partition(self, spark, gtable):
+        """A delete routed with a DIFFERENT partition value still kills
+        the record (key-only identity), in both modes."""
+        gtable.merge(
+            mkbatch(spark, [("k1", 2, "delete", "2024-01-02", "x")]), "b2"
+        )
+        assert not any(k == "k1" for _, k in snap_dict(gtable))
+        gtable.merge(
+            mkbatch(spark, [("k3", 2, "delete", "2024-01-03", "x")]),
+            "b3", mode="mor",
+        )
+        snap = snap_dict(gtable)
+        assert not any(k in ("k1", "k3") for _, k in snap)
+        assert snap[("2024-01-03", "k4")] == (1, "d")
+
+    def test_persistence_and_conflicts(self, spark, gtable, tmp_path):
+        re = LakeTable(spark, gtable.path)
+        assert re.global_index is True
+        with pytest.raises(ValueError, match="global_index"):
+            LakeTable(spark, gtable.path, global_index=False)
+        u = LakeTable(spark, str(tmp_path / "ng"), buckets=2,
+                      partition_fields=["d"])
+        u.merge(mkbatch(spark, B1), "b1")
+        with pytest.raises(ValueError, match="without a global index"):
+            LakeTable(spark, u.path, global_index=True)
+
+    def test_incremental_reports_move_as_update(self, spark, gtable):
+        gtable.merge(mkbatch(spark, self.MOVE), "b2", mode="mor")
+        inc = gtable.incremental(1)
+        rows = {(r["d"], r["_key"]): r["_deleted"] for r in inc.collect()}
+        assert rows == {("2024-01-03", "k1"): False}
+
+
 class TestTimestampPartitionSpecs:
     """``col:transform[:fmt]`` partition specs (Hudi CustomKeyGenerator /
     TimestampBasedKeyGenerator analogues): time-partitioned layout
@@ -705,6 +820,26 @@ class TestConfigWiring:
         }
         tc = cfg.resolve_table_config(opts, "db1", "t1")
         assert tc.partition_fields == []
+
+    def test_index_type_global_resolves(self):
+        assert cfg.resolve_table_config(
+            self.OPTS, "db1", "t1"
+        ).global_index is False
+        opts = dict(self.OPTS)
+        opts["db1.t1.hoodie.index.type"] = "GLOBAL_BLOOM"
+        assert cfg.resolve_table_config(
+            opts, "db1", "t1"
+        ).global_index is True
+        opts["db1.t1.hoodie.index.type"] = "BLOOM"
+        assert cfg.resolve_table_config(
+            opts, "db1", "t1"
+        ).global_index is False
+        # top-level (all-tables) default also honored, same pattern as
+        # engine.table.buckets
+        opts2 = dict(self.OPTS)
+        opts2["hoodie.index.type"] = "GLOBAL_SIMPLE"
+        tc = cfg.resolve_table_config(opts2, "db1", "t1")
+        assert tc.global_index is True
 
 
 class TestDistributedFooterScan:
