@@ -931,7 +931,67 @@ def q_lake_global_index(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_savepoint(spark, sf_dir):
+    """Savepoint/restore service (Hudi savepoint — the version pin that
+    cleaning honors) under oracle control. Timeline: b1 inserts every
+    customer < SUBSET; savepoint 'rel'; b2 updates multiples of 3 and
+    deletes multiples of 7; vacuum keep_last=1 with zero grace — which
+    WOULD have dropped v1 were it not pinned. Assertions: v1 stays
+    readable post-vacuum (commit + segments + data files all retained),
+    then restore('rel') rewinds state. The returned final snapshot is
+    the pristine b1 state, hash-checked."""
+    from hudi_spark_plus_spark.table.maintenance import vacuum
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(batch1, "b1")
+        v = lake.savepoint("rel")
+        lake.merge(batch2, "b2")
+        st = vacuum(lake, keep_last=1, grace_seconds=0)
+        assert st["versions_dropped"] == 0  # v1 pinned, v2 latest
+        assert lake.log.versions() == [1, 2]
+        assert lake.snapshot(version=v).count() > 0  # pinned data readable
+        lake.restore("rel")
+        out = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-savepoint": q_lake_savepoint,
     "q-lake-global-index": q_lake_global_index,
     "q-lake-timepart": q_lake_timepart,
     "q-lake-overwrite": q_lake_overwrite,
@@ -985,6 +1045,13 @@ LAKE_ORACLES = {
                     ELSE ROUND(c_acctbal, 4) END AS acctbal,
                CASE WHEN c_custkey % 5 = 0 THEN 'moved'
                     ELSE CAST(c_custkey % 3 AS VARCHAR) END AS s
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+        ORDER BY c_custkey
+    """,
+    # savepoint + restore rewinds to the pristine batch-1 state
+    "q-lake-savepoint": f"""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
         FROM customer
         WHERE c_custkey < {SUBSET}
         ORDER BY c_custkey

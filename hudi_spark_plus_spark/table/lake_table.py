@@ -679,6 +679,97 @@ class LakeTable:
 
         self._with_commit_retries(attempt)
 
+    # -- savepoints ---------------------------------------------------------
+
+    SAVEPOINTS_DIR = "_savepoints"
+
+    def _savepoint_file(self, name: str) -> str:
+        if not name or not all(
+            c.isalnum() or c in "._-" for c in name
+        ):
+            raise ValueError(
+                f"savepoint name {name!r} must be non-empty and use only "
+                "letters, digits, '.', '_', '-'"
+            )
+        return os.path.join(self.path, self.SAVEPOINTS_DIR, f"{name}.json")
+
+    def savepoint(self, name: str, version: int | None = None) -> int:
+        """Hudi savepoint: pin a committed version under a name so
+        ``vacuum`` retains it — commit metadata, segment manifests, and
+        every data file it references — regardless of ``keep_last``,
+        until the savepoint is deleted. Metadata-only (one small JSON).
+        Published through the table's commit finalizer, so creation is
+        atomic on any store the commit log itself supports; a duplicate
+        name errors rather than silently repointing (repointing a name
+        another consumer relies on would yank their pinned state).
+        Returns the pinned version (default: latest)."""
+        import json as _json
+        import time as _time
+
+        latest = self.log.latest()
+        if latest is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
+        v = latest.version if version is None else version
+        if v not in self.log.versions():
+            raise ValueError(f"version {v} not in timeline (vacuumed?)")
+        target = self._savepoint_file(name)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        content = _json.dumps(
+            {
+                "name": name,
+                "version": v,
+                "ts_millis": int(_time.time() * 1000),
+            }
+        )
+        try:
+            self.log.finalizer.publish(content, target)
+        except CommitConflict:
+            raise ValueError(
+                f"savepoint {name!r} already exists on table at "
+                f"{self.path}; delete it first to repoint"
+            ) from None
+        return v
+
+    def savepoints(self) -> dict[str, int]:
+        """{name: pinned version} for every live savepoint."""
+        import json as _json
+
+        d = os.path.join(self.path, self.SAVEPOINTS_DIR)
+        out: dict[str, int] = {}
+        if not os.path.isdir(d):
+            return out
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as fh:
+                    m = _json.load(fh)
+                out[m["name"]] = int(m["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # half-written concurrent create: skip
+        return out
+
+    def delete_savepoint(self, name: str) -> bool:
+        """Unpin; the version becomes vacuumable again. Returns whether
+        the savepoint existed."""
+        try:
+            os.unlink(self._savepoint_file(name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def restore(self, name: str) -> None:
+        """Hudi restore: roll the table state back to the named
+        savepoint (a new rollback commit — history stays readable until
+        vacuumed; see ``rollback``)."""
+        sp = self.savepoints()
+        if name not in sp:
+            raise ValueError(
+                f"no savepoint {name!r} on table at {self.path}; "
+                f"have {sorted(sp)}"
+            )
+        self.rollback(sp[name])
+
     def incremental(
         self,
         begin: int,

@@ -211,7 +211,11 @@ def vacuum(
     import time as _time
 
     versions = lake.log.versions()
-    retained = versions[-keep_last:]
+    # savepointed versions are pinned OUTSIDE the keep_last window
+    # (Hudi savepoint contract): their commit metadata, segments, and
+    # data files all survive until the savepoint is deleted
+    pinned = set(lake.savepoints().values()) & set(versions)
+    retained = sorted(set(versions[-keep_last:]) | pinned)
     dropped = [v for v in versions if v not in retained]
     keep_paths = set()
     for v in retained:

@@ -1223,6 +1223,57 @@ class TestRollbackAndAsOf:
             t.snapshot_as_of(ts1 - 100_000)
 
 
+class TestSavepoints:
+    """Hudi savepoint/restore: named version pins that vacuum honors."""
+
+    def test_savepoint_restore_roundtrip(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "good")]), "b0")
+        v = t.savepoint("release-1")
+        assert v == 1 and t.savepoints() == {"release-1": 1}
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "bad")]), "b1")
+        t.restore("release-1")
+        assert snap_dict(t) == {"k1": (10, "good")}
+        with pytest.raises(ValueError, match="no savepoint"):
+            t.restore("nope")
+
+    def test_vacuum_honors_savepoint(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0")
+        t.savepoint("pin")
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "v2")]), "b1")
+        t.merge(mkbatch(spark, [("k1", 30, "upsert", "v3")]), "b2")
+        st = vacuum(t, keep_last=1, grace_seconds=0)
+        # v2 dropped; v1 (pinned) and v3 (latest) retained
+        assert st["versions_dropped"] == 1
+        assert t.log.versions() == [1, 3]
+        pinned = {
+            r["_key"]: r["val"] for r in t.snapshot(version=1).collect()
+        }
+        assert pinned == {"k1": "v1"}  # data files intact
+        # unpin: the next vacuum reclaims it
+        assert t.delete_savepoint("pin") is True
+        assert t.delete_savepoint("pin") is False
+        vacuum(t, keep_last=1, grace_seconds=0)
+        assert t.log.versions() == [3]
+        assert snap_dict(t) == {"k1": (30, "v3")}
+
+    def test_savepoint_guards(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        with pytest.raises(ValueError, match="no commits"):
+            t.savepoint("x")
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "a")]), "b0")
+        with pytest.raises(ValueError, match="not in timeline"):
+            t.savepoint("x", version=99)
+        t.savepoint("x")
+        with pytest.raises(ValueError, match="already exists"):
+            t.savepoint("x")
+        with pytest.raises(ValueError, match="name"):
+            t.savepoint("bad/name")
+
+
 class TestMetadataTablesAndIncrementalReader:
     def test_history_and_files_df(self, spark, tmp_path):
         from hudi_spark_plus_spark.table.maintenance import compact
