@@ -935,6 +935,58 @@ class TestSyncUnitScoped:
         assert got[("p0", 3)] == "v3b" and len(got) == 6
 
 
+class TestSyncGlobalIndex:
+    def test_sync_relocates_record_with_global_index_config(
+        self, spark, tmp_path
+    ):
+        """hoodie.index.type=GLOBAL_BLOOM through the full sync chain:
+        an update whose partition value changed must MOVE the record,
+        not duplicate it."""
+        from hudi_spark_plus_spark.operators.cdc_queries import (
+            build_part_envelopes,
+        )
+        from hudi_spark_plus_spark.operators.sync import sync_batch
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        opts = {
+            cfg.HOODIE_PATH: str(tmp_path / "tables") + "/{db}/{table}",
+            cfg.DEDUP_ORDER_FIELDS: "seq",
+            cfg.BUCKETS: "4",
+            "dbp.t_part." + cfg.RECORDKEY_FIELD: "key_id",
+            "dbp.t_part." + cfg.PRECOMBINE_FIELD: "seq",
+            "dbp.t_part." + cfg.TABLE_NAME: "t_part",
+            "dbp.t_part." + cfg.PARTITIONPATH_FIELD: "part_d",
+            "dbp.t_part." + cfg.INDEX_TYPE: "GLOBAL_BLOOM",
+        }
+
+        def env(rows):
+            df = spark.createDataFrame(
+                rows,
+                "seq long, op string, ts long, key_id long,"
+                " part_d string, col_a string",
+            )
+            return build_part_envelopes(df)
+
+        b1 = [(i, "update", 10, i, f"p{i % 3}", f"v{i}") for i in range(1, 7)]
+        assert sync_batch(spark, env(b1), opts, batch_id=0) == {
+            "dbp.t_part": "ok"
+        }
+        # key 3 (p0) moves to p9
+        b2 = [(100, "update", 20, 3, "p9", "v3moved")]
+        assert sync_batch(spark, env(b2), opts, batch_id=1) == {
+            "dbp.t_part": "ok"
+        }
+        lake = LakeTable(spark, str(tmp_path / "tables" / "dbp" / "t_part"))
+        assert lake.global_index is True
+        got = {
+            (r["part_d"], r["key_id"]): r["col_a"]
+            for r in lake.snapshot().collect()
+        }
+        assert got[("p9", 3)] == "v3moved"
+        assert ("p0", 3) not in got
+        assert len(got) == 6
+
+
 class TestMultiFieldPartition:
     def test_slash_joined_path_escaped_and_restored(self, spark, tmp_path):
         """ComplexKeyGenerator nested layout: two partition fields join
