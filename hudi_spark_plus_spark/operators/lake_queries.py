@@ -822,9 +822,11 @@ def q_lake_timepart(spark, sf_dir):
     CustomKeyGenerator ``field:type`` analogue, H4/H10 surface): the
     canonical 100-TB CDC layout, where a "last N days" query prunes at
     the directory level before any file or stats check. Loads ``events``
-    (ts normalized by loaders.epoch_us, layout-robust), partitions by
-    UTC day derived from epoch-micros, and snapshots the LAST TWO days
-    via partition_range. Structural assertion: the pruned read plans
+    (ts normalized by loaders.epoch_us, layout-robust; the
+    ``event_id % 47`` sample spans the full time range at EVERY scale
+    factor — a low-id prefix collapses to one day at sf0.1), partitions
+    by UTC day derived from epoch-micros, and snapshots the LAST TWO
+    days via partition_range. Structural assertion: the pruned read plans
     strictly fewer files than the table holds. Hash-checked against a
     DuckDB replay of the same day derivation + last-2-days filter."""
     from hudi_spark_plus_spark.sources.loaders import epoch_us
@@ -832,7 +834,7 @@ def q_lake_timepart(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")
     try:
         ev = load_table(spark, sf_dir, "events").where(
-            F.col("event_id") < 2000
+            F.col("event_id") % 47 == 0
         )
         batch = ev.select(
             F.col("event_id").cast("string").alias("_key"),
@@ -990,7 +992,71 @@ def q_lake_savepoint(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_cdc_feed(spark, sf_dir):
+    """CDC-format incremental read (Hudi 0.13's
+    ``hoodie.datasource.query.incremental.format=cdc`` analogue) under
+    oracle control: after the standard b1/b2 customer timeline PLUS a
+    b2 insert wave (custkey in [SUBSET, SUBSET+20)), the feed over
+    (1, 2] must classify every change — 'u' for updated multiples of 3,
+    'd' for deleted multiples of 7 (tombstone payload = the deleting
+    batch's row), 'i' for the new keys — with before-image acctbal for
+    u/d and NULL before-images for i."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        changes = load_table(spark, sf_dir, "customer").where(
+            (
+                (F.col("c_custkey") < SUBSET)
+                & ((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+            )
+            | (
+                (F.col("c_custkey") >= SUBSET)
+                & (F.col("c_custkey") < SUBSET + 20)
+            )
+        )
+        batch2 = changes.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(
+                (F.col("c_custkey") < SUBSET) & (F.col("c_custkey") % 7 == 0),
+                "delete",
+            )
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(batch1, "b1")
+        lake.merge(batch2, "b2")
+        out = (
+            lake.incremental_cdc(1)
+            .select(
+                "_change_op", "_change_ver", "c_custkey",
+                F.round("acctbal", 4).alias("acctbal"),
+                F.round("_before_acctbal", 4).alias("before_acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-cdc-feed": q_lake_cdc_feed,
     "q-lake-savepoint": q_lake_savepoint,
     "q-lake-global-index": q_lake_global_index,
     "q-lake-timepart": q_lake_timepart,
@@ -1049,6 +1115,25 @@ LAKE_ORACLES = {
         WHERE c_custkey < {SUBSET}
         ORDER BY c_custkey
     """,
+    # the CDC feed over (1, 2]: u/d for in-SUBSET changes with original
+    # acctbal as the before-image, i for the new key wave with NULL
+    "q-lake-cdc-feed": f"""
+        SELECT CASE
+                 WHEN c_custkey >= {SUBSET} THEN 'i'
+                 WHEN c_custkey % 7 = 0 THEN 'd'
+                 ELSE 'u'
+               END AS _change_op,
+               CAST(2 AS BIGINT) AS _change_ver,
+               c_custkey,
+               ROUND(c_acctbal + 1000.0, 4) AS acctbal,
+               CASE WHEN c_custkey < {SUBSET}
+                    THEN ROUND(c_acctbal, 4) END AS before_acctbal
+        FROM customer
+        WHERE (c_custkey < {SUBSET}
+               AND (c_custkey % 3 = 0 OR c_custkey % 7 = 0))
+           OR (c_custkey >= {SUBSET} AND c_custkey < {SUBSET} + 20)
+        ORDER BY c_custkey
+    """,
     # savepoint + restore rewinds to the pristine batch-1 state
     "q-lake-savepoint": f"""
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
@@ -1063,7 +1148,7 @@ LAKE_ORACLES = {
             SELECT event_id, user_id, event_type,
                    epoch_us(ts) AS ts_us,
                    strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d') AS day
-            FROM events WHERE event_id < 2000
+            FROM events WHERE event_id % 47 = 0
         )
         SELECT event_id, user_id, event_type, ts_us
         FROM e

@@ -1223,6 +1223,69 @@ class TestRollbackAndAsOf:
             t.snapshot_as_of(ts1 - 100_000)
 
 
+class TestIncrementalCdcFeed:
+    """CDC-format incremental read: op + after-image + _before_* cols."""
+
+    def _feed(self, t, begin, end=None):
+        return {
+            r["_key"]: (r["_change_op"], r["val"], r["_before_val"])
+            for r in t.incremental_cdc(begin, end).collect()
+        }
+
+    def test_ops_and_images(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(
+            mkbatch(spark, [("k1", 1, "upsert", "a"),
+                            ("k2", 1, "upsert", "b")]), "b1"
+        )
+        t.merge(
+            mkbatch(spark, [("k1", 2, "upsert", "a2"),
+                            ("k2", 2, "delete", "bx"),
+                            ("k3", 2, "upsert", "c")]), "b2"
+        )
+        assert self._feed(t, 1) == {
+            "k1": ("u", "a2", "a"),
+            "k2": ("d", "bx", "b"),
+            "k3": ("i", "c", None),
+        }
+        # begin=0: live records are inserts relative to nothing, and
+        # k2 (created AND deleted inside the range) is a net no-op
+        assert self._feed(t, 0) == {
+            "k1": ("i", "a2", None),
+            "k3": ("i", "c", None),
+        }
+
+    def test_net_noop_within_range_emits_nothing(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b1")
+        t.merge(mkbatch(spark, [("kx", 2, "upsert", "new")]), "b2")
+        t.merge(mkbatch(spark, [("kx", 3, "delete", "newx")]), "b3")
+        assert self._feed(t, 1) == {}  # kx: insert+delete = net no-op
+
+    def test_mor_feed_matches_cow(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b1")
+        t.merge(
+            mkbatch(spark, [("k1", 2, "upsert", "a2"),
+                            ("k4", 2, "upsert", "d")]), "b2", mode="mor"
+        )
+        assert self._feed(t, 1) == {
+            "k1": ("u", "a2", "a"),
+            "k4": ("i", "d", None),
+        }
+
+    def test_change_ver_stamped(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b1")
+        t.merge(mkbatch(spark, [("k2", 2, "upsert", "b")]), "b2")
+        t.merge(mkbatch(spark, [("k1", 3, "upsert", "a3")]), "b3")
+        vers = {
+            r["_key"]: r["_change_ver"]
+            for r in t.incremental_cdc(1).collect()
+        }
+        assert vers == {"k1": 3, "k2": 2}
+
+
 class TestSavepoints:
     """Hudi savepoint/restore: named version pins that vacuum honors."""
 

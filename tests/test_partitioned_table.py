@@ -935,6 +935,49 @@ class TestSyncUnitScoped:
         assert got[("p0", 3)] == "v3b" and len(got) == 6
 
 
+class TestIncrementalCdcPartitioned:
+    def _feed(self, t, begin):
+        return {
+            (r["d"], r["_key"]): (
+                r["_change_op"], r["val"], r["_before_val"], r["_before_d"]
+            )
+            for r in t.incremental_cdc(begin).collect()
+        }
+
+    def test_partition_scoped_identity_feed(self, spark, ptable):
+        ptable.merge(mkbatch(spark, B1), "b1")
+        # same key k1 "inserted" into ANOTHER partition: two records
+        ptable.merge(
+            mkbatch(spark, [("k1", 2, "upsert", "2024-01-02", "other"),
+                            ("k3", 2, "upsert", "2024-01-02", "c2")]),
+            "b2",
+        )
+        assert self._feed(ptable, 1) == {
+            ("2024-01-02", "k1"): ("i", "other", None, None),
+            ("2024-01-02", "k3"): ("u", "c2", "c", "2024-01-02"),
+        }
+
+    def test_global_relocation_feed(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "g"), buckets=4,
+            partition_fields=["d"], global_index=True,
+        )
+        t.merge(mkbatch(spark, B1), "b1")
+        t.merge(
+            mkbatch(spark, [("k1", 2, "upsert", "2024-01-03", "moved")]),
+            "b2", mode="mor",
+        )
+        feed = self._feed(t, 1)
+        # key-only identity: the move is an UPDATE whose before-image
+        # carries the old partition value
+        assert feed[("2024-01-03", "k1")] == (
+            "u", "moved", "a", "2024-01-01"
+        )
+        # the relocation tombstone in the old partition is internal
+        # bookkeeping, not a second change event for the key
+        assert ("2024-01-01", "k1") not in feed
+
+
 class TestSyncGlobalIndex:
     def test_sync_relocates_record_with_global_index_config(
         self, spark, tmp_path
