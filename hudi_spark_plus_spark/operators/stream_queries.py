@@ -23,6 +23,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.operators.lake_queries import SUBSET as LAKE_SUBSET
 from hudi_spark_plus_spark.sources.loaders import epoch_us, load_table
 from hudi_spark_plus_spark.streaming.stateful import (
     stateful_dedup_stream,
@@ -278,7 +279,59 @@ def q_stream_static_join(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_lake_source(spark, sf_dir):
+    """``readStream.format("lake-table")`` — the lake commit timeline
+    as a genuine Structured Streaming source (PySpark 4 Python Data
+    Source; Hudi incremental-streaming-read analogue) under oracle
+    control. Builds the standard two-batch customer table, streams ALL
+    versions with availableNow + foreachBatch, and returns the
+    collected change rows: one row per record at its final in-range
+    state with its commit version — updates carry +1000 acctbal,
+    deletes surface as tombstones (the deleting batch's payload),
+    untouched rows stream from version 1."""
+    from hudi_spark_plus_spark.operators.lake_queries import (
+        SUBSET, _build_lake,
+    )
+    from hudi_spark_plus_spark.streaming import stream_source
+
+    work = tempfile.mkdtemp(prefix="hsp_streamlake_")
+    try:
+        lake = _build_lake(spark, sf_dir, work + "/t", "cow")
+        stream_source.register(spark)
+        rows: list = []
+
+        def take(df, _bid):
+            rows.extend(
+                df.select(
+                    "c_custkey",
+                    F.col("_deleted").cast("int").alias("deleted"),
+                    F.round("acctbal", 4).alias("acctbal"),
+                    F.col("_commit_ver").alias("ver"),
+                ).collect()
+            )
+
+        q = (
+            spark.readStream.format("lake-table")
+            .option("path", lake.path)
+            .load()
+            .writeStream.foreachBatch(take)
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out_schema = (
+            "c_custkey bigint, deleted int, acctbal double, ver bigint"
+        )
+        return spark.createDataFrame(
+            sorted(tuple(r) for r in rows), out_schema
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_QUERIES = {
+    "q-stream-lake-source": q_stream_lake_source,
     "q-stream-static-join": q_stream_static_join,
     "q-stream-stateful-dedup": q_stream_stateful_dedup,
     "q-stream-stateful-agg": q_stream_stateful_agg,
@@ -286,6 +339,20 @@ STREAM_QUERIES = {
 }
 
 STREAM_ORACLES = {
+    # one change row per record at its final state: batch-2 winners
+    # (updates +1000, tombstoned deletes) at version 2, the rest at 1
+    "q-stream-lake-source": f"""
+        SELECT c_custkey,
+               CAST(c_custkey % 7 = 0 AS INT) AS deleted,
+               CASE WHEN c_custkey % 3 = 0 OR c_custkey % 7 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               CAST(CASE WHEN c_custkey % 3 = 0 OR c_custkey % 7 = 0
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM customer
+        WHERE c_custkey < {LAKE_SUBSET}
+        ORDER BY c_custkey
+    """,
     # the streamed two-batch complete-mode aggregate must converge to
     # the plain static join+aggregate over the same slice
     "q-stream-static-join": f"""

@@ -472,3 +472,127 @@ def test_cli_entrypoint_once_mode(spark, tmp_path):
         buckets=4,
     )
     assert t.snapshot().count() > 0
+
+
+class TestLakeTableStreamSource:
+    """spark.readStream.format('lake-table'): the commit timeline as a
+    Structured Streaming source (offsets = versions, Spark-checkpointed
+    exactly-once)."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "_key string, _ts long, _op string, val string"
+        )
+
+    def _drain(self, spark, table_path, ckpt, sink):
+        from hudi_spark_plus_spark.streaming import stream_source
+
+        stream_source.register(spark)
+        collected = []
+
+        def take(df, bid):
+            collected.extend(
+                (r["_key"], r["val"], r["_deleted"], r["_commit_ver"])
+                for r in df.collect()
+            )
+
+        q = (
+            spark.readStream.format("lake-table")
+            .option("path", table_path)
+            .load()
+            .writeStream.foreachBatch(take)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sink.extend(collected)
+
+    def test_versions_stream_and_restart_exactly_once(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(self._mk(spark, [("k1", 1, "upsert", "a"),
+                                 ("k2", 1, "upsert", "b")]), "b1")
+        t.merge(self._mk(spark, [("k1", 2, "upsert", "a2"),
+                                 ("k3", 2, "delete", "cx")]), "b2")
+        ckpt = str(tmp_path / "ckpt")
+        got: list = []
+        self._drain(spark, t.path, ckpt, got)
+        assert sorted(got) == [
+            ("k1", "a2", False, 2),   # final in-range state of k1
+            ("k2", "b", False, 1),
+            ("k3", "cx", True, 2),    # delete surfaces as tombstone
+        ]
+        # restart with the SAME checkpoint after a third commit: only
+        # the new version's rows arrive (exactly-once across restarts)
+        t.merge(self._mk(spark, [("k4", 3, "upsert", "d")]), "b3")
+        got2: list = []
+        self._drain(spark, t.path, ckpt, got2)
+        assert got2 == [("k4", "d", False, 3)]
+        # and a fresh checkpoint replays from version 0
+        got3: list = []
+        self._drain(spark, t.path, str(tmp_path / "ckpt2"), got3)
+        assert len(got3) == 4
+
+    def test_column_mapping_in_stream(self, spark, tmp_path):
+        """Renamed payload columns stream under their LOGICAL name;
+        files written before a column existed back-fill nulls."""
+        from hudi_spark_plus_spark.streaming import stream_source
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(self._mk(spark, [("k1", 1, "upsert", "a")]), "b1")
+        t.rename_column("val", "value")
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 2, "upsert", "b", 7)],
+                "_key string, _ts long, _op string, value string, extra long",
+            ),
+            "b2",
+        )
+        stream_source.register(spark)
+        rows = []
+
+        def take(df, bid):
+            rows.extend(
+                (r["_key"], r["value"], r["extra"]) for r in df.collect()
+            )
+
+        q = (
+            spark.readStream.format("lake-table")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(take)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(rows) == [("k1", "a", None), ("k2", "b", 7)]
+
+    def test_start_version_option(self, spark, tmp_path):
+        from hudi_spark_plus_spark.streaming import stream_source
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(self._mk(spark, [("k1", 1, "upsert", "a")]), "b1")
+        t.merge(self._mk(spark, [("k2", 2, "upsert", "b")]), "b2")
+        stream_source.register(spark)
+        rows = []
+
+        def take(df, bid):
+            rows.extend(r["_key"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("lake-table")
+            .option("path", t.path)
+            .option("engine.stream.start.version", "1")
+            .load()
+            .writeStream.foreachBatch(take)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert rows == ["k2"]
