@@ -1055,7 +1055,111 @@ def q_lake_cdc_feed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_batch_source(spark, sf_dir):
+    """``spark.read.format("lake-table")`` — the batch Python Data
+    Source (sources/lake_reader.py; downstream consumers read the
+    reference's tables through exactly this surface, README.md:21-27)
+    under oracle control. Fixture: the d-partitioned two-batch customer
+    table (custkey % 3 → 2024-01-01..03; batch 2 updates multiples of 3
+    by +1000 and deletes multiples of 7). One query checks, for the
+    d=2024-01-02 slice:
+
+    1. a format-level SNAPSHOT read with a plain ``df.filter`` on the
+       partition field — pushed filters must plan ONLY that partition's
+       files (asserted structurally against the reader's planner);
+    2. a format-level INCREMENTAL read (begin=1) of the same slice —
+       batch 2's deletes surface as tombstones with the deleting
+       batch's payload."""
+    from pyspark.sql.datasource import EqualTo
+
+    from hudi_spark_plus_spark.sources import lake_reader
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        d_col = F.concat(
+            F.lit("2024-01-0"), ((F.col("c_custkey") % 3) + 1).cast("string")
+        ).alias("d")
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            d_col,
+        )
+        batch2 = c.where(
+            (F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+            d_col,
+        )
+        lake = LakeTable(spark, work + "/t", buckets=4, partition_fields=["d"])
+        lake.merge(batch1, "b1")
+        lake.merge(batch2, "b2")
+
+        # structural pruning proof: the pushed partition filter plans
+        # exactly (and only) the d=2024-01-02 files
+        pruned = lake_reader.LakeBatchReader({"path": lake.path})
+        list(pruned.pushFilters([EqualTo(("d",), "2024-01-02")]))
+        planned = {p for s in pruned.partitions() for p in s.paths}
+        want = {
+            f.path
+            for f in lake.log.live_files()
+            if f.partition == "2024-01-02"
+        }
+        assert planned == want and planned, (
+            f"pushed partition filter planned {planned} != {want}"
+        )
+
+        lake_reader.register(spark)
+        snap = (
+            spark.read.format("lake-table")
+            .option("path", lake.path)
+            .load()
+            .where(F.col("d") == "2024-01-02")
+            .select(
+                F.lit("snap").alias("mode"),
+                "c_custkey",
+                "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+                F.lit(0).alias("deleted"),
+            )
+        )
+        incr = (
+            spark.read.format("lake-table")
+            .option("path", lake.path)
+            .option("engine.read.type", "incremental")
+            .option("engine.read.begin", "1")
+            .load()
+            .where(F.col("d") == "2024-01-02")
+            .select(
+                F.lit("incr").alias("mode"),
+                "c_custkey",
+                "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+                F.col("_deleted").cast("int").alias("deleted"),
+            )
+        )
+        out = snap.unionByName(incr).orderBy("mode", "c_custkey")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-batch-source": q_lake_batch_source,
     "q-lake-cdc-feed": q_lake_cdc_feed,
     "q-lake-savepoint": q_lake_savepoint,
     "q-lake-global-index": q_lake_global_index,
@@ -1102,6 +1206,24 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # d=2024-01-02 slice (custkey % 3 = 1): snapshot = live rows at
+    # base acctbal (+1000 updates hit % 3 = 0, a different partition);
+    # incremental(begin=1) = batch-2 tombstones at the deleting batch's
+    # +1000 payload
+    "q-lake-batch-source": f"""
+        SELECT 'snap' AS mode, c_custkey, c_name,
+               ROUND(c_acctbal, 4) AS acctbal, 0 AS deleted
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 3 = 1
+          AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT 'incr' AS mode, c_custkey, c_name,
+               ROUND(c_acctbal + 1000.0, 4) AS acctbal, 1 AS deleted
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 3 = 1
+          AND c_custkey % 7 = 0
+        ORDER BY mode, c_custkey
+    """,
     # global-index relocation: multiples of 5 live ONLY in 'moved' (at
     # +1000), everyone else keeps their original derived segment
     "q-lake-global-index": f"""

@@ -1,0 +1,537 @@
+"""``spark.read.format("lake-table")`` — batch read of a lake table
+through the standard DataFrameReader surface (the ``spark.read.format(
+"hudi")`` analogue; the reference's tables are consumed exactly this
+way downstream, README.md:21-27), via PySpark 4's Python Data Source
+API. Together with the streaming side (streaming/stream_source.py) and
+the foreachBatch write sink this completes the read/write matrix of the
+``lake-table`` format.
+
+Modes (``engine.read.type``):
+
+* ``snapshot`` (default) — current state, or time travel via
+  ``engine.read.version`` / ``engine.read.as.of.ts.millis`` (H6);
+* ``read_optimized`` — base files only, Hudi's ``_ro`` view;
+* ``incremental`` — records changed in versions
+  (``engine.read.begin``, ``engine.read.end``] at their final in-range
+  state, deletes as tombstones (H7, same contract as
+  ``LakeTable.incremental``).
+
+Pushed-filter pruning: with ``spark.sql.python.filterPushdown.enabled``
+(``register()`` turns it on) Spark hands ``pushFilters`` the query's
+conjunctive predicates during planning. Two families prune the planned
+file set STRUCTURALLY, before any scan:
+
+* equality / IN / range predicates on simple (transform-free)
+  partition-path source fields eliminate whole partitions via the
+  manifest's per-file partition values;
+* equality / IN on ``_key`` prunes per file through the manifest's
+  min/max key range and serialized Bloom filter (K1) — the point-lookup
+  path, no bucket math needed driver-side.
+
+ALL filters are handed back to Spark for re-evaluation, so pruning can
+only shrink I/O, never change answers — a false positive costs a file
+read, a false negative cannot occur (Bloom property). At 100 TB this is
+the difference between "scan 7 of 3650 day-partitions" and "scan the
+table": the same structural elimination ``snapshot(partitions=...)``
+does, but driven by ordinary ``df.filter`` predicates.
+
+Execution model: offset/version resolution and file planning run on the
+DRIVER as plain commit-log reads (no Spark jobs); ``read()`` runs in
+Python workers over pyarrow. COW / read-optimized reads plan one
+``InputPartition`` per data file. When merge-on-read deltas are live,
+the unit of planning becomes the FILE GROUP — (partition, bucket), or
+bucket alone on global-index tables — and the worker resolves
+latest-per-key inside the group (sort + group-take-first, the same
+(_ts desc, _commit_ver desc, live-beats-tombstone) rule as
+``LakeTable._resolve_latest``): buckets are hash(key)-assigned, so a
+record's every copy lives in one group by construction and resolution
+never needs a shuffle. Column mapping is honored — files store PHYSICAL
+names, the scan yields the logical schema, renames/widenings applied
+and pre-evolution files back-filled with nulls.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+PATH_OPT = "path"
+TYPE_OPT = "engine.read.type"
+VERSION_OPT = "engine.read.version"
+AS_OF_TS_OPT = "engine.read.as.of.ts.millis"
+BEGIN_OPT = "engine.read.begin"
+END_OPT = "engine.read.end"
+INCLUDE_DELETED_OPT = "engine.read.include.deleted"
+
+_KEY = "_key"
+_TS = "_ts"
+_DELETED = "_deleted"
+_COMMIT_VER = "_commit_ver"
+
+# Spark simple type -> pyarrow alias, for null back-fill of columns a
+# file predates and for widening casts (int file column under a long
+# schema after additive widening).
+_ARROW_TYPES = {
+    "string": "string",
+    "long": "int64",
+    "bigint": "int64",
+    "integer": "int32",
+    "int": "int32",
+    "short": "int16",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool",
+    "date": "date32",
+    "binary": "binary",
+}
+
+
+def active_fields(schema_json: str) -> list[tuple[str, str, str]]:
+    """[(logical name, physical name, spark simple type)] for active
+    (non-dropped) fields — the same column-mapping rules as
+    ``LakeTable.schema`` / ``_physical_of``, parsed without a session
+    (workers and the driver-side planner both use this)."""
+    full = StructType.fromJson(json.loads(schema_json))
+    out = []
+    for f in full.fields:
+        meta = f.metadata or {}
+        if meta.get("dropped"):
+            continue
+        out.append(
+            (f.name, meta.get("physical", f.name), f.dataType.simpleString())
+        )
+    return out
+
+
+def logical_struct(schema_json: str) -> StructType:
+    """Reader-facing schema: active fields under logical names, no
+    mapping metadata exposed."""
+    full = StructType.fromJson(json.loads(schema_json))
+    return StructType(
+        [
+            f.__class__(f.name, f.dataType, True)
+            for f in full.fields
+            if not (f.metadata or {}).get("dropped")
+        ]
+    )
+
+
+def project_logical(t, fields: list[tuple[str, str, str]], path: str):
+    """Physical pyarrow table -> logical columns in schema order:
+    renames applied, pre-evolution columns back-filled with typed
+    nulls, widened columns cast up to the declared type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols, names = [], []
+    for logical, physical, simple in fields:
+        at = _ARROW_TYPES.get(simple)
+        if physical in t.column_names:
+            col = t[physical]
+            if at is not None:
+                target = pa.type_for_alias(at)
+                if col.type != target:
+                    col = pc.cast(col, target)
+            cols.append(col)
+        else:
+            if at is None:
+                raise ValueError(
+                    f"lake-table scan cannot back-fill column "
+                    f"{logical!r} of type {simple!r} for pre-evolution "
+                    f"file {path}"
+                )
+            cols.append(pa.nulls(t.num_rows, pa.type_for_alias(at)))
+        names.append(logical)
+    return pa.table(cols, names=names)
+
+
+def resolve_latest_arrow(t):
+    """Worker-side merge-on-read resolution over ONE file group: keep
+    each key's winning row by (_ts desc, _commit_ver desc, live beats
+    tombstone) — ``LakeTable._resolve_latest`` in pyarrow. The caller
+    guarantees the group is a resolution unit (all copies of every key
+    it contains are present), so this is exact, and group sizes are
+    file-group-bounded — never table-bounded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if t.num_rows <= 1:
+        return t
+    ver = (
+        pc.fill_null(t[_COMMIT_VER], 0)
+        if _COMMIT_VER in t.column_names
+        else pa.array([0] * t.num_rows, pa.int64())
+    )
+    dead = (
+        pc.fill_null(t[_DELETED], False)
+        if _DELETED in t.column_names
+        else pa.array([False] * t.num_rows, pa.bool_())
+    )
+    work = t.append_column("__ver", ver).append_column("__dead", dead)
+    order = pc.sort_indices(
+        work,
+        sort_keys=[
+            (_KEY, "ascending"),
+            (_TS, "descending"),
+            ("__ver", "descending"),
+            ("__dead", "ascending"),
+        ],
+    )
+    work = work.take(order).append_column(
+        "__row", pa.array(range(t.num_rows), pa.int64())
+    )
+    first = work.group_by(_KEY).aggregate([("__row", "min")])
+    return work.take(first["__row_min"]).drop_columns(
+        ["__ver", "__dead", "__row"]
+    )
+
+
+def _render_prune_value(v) -> str | None:
+    """Partition-path rendering of a pushed filter literal — must match
+    ``keygen._partition_part``'s null-safe string cast for SIMPLE specs.
+    Returns None for types whose Spark string rendering we don't
+    reproduce exactly (then that predicate simply doesn't prune)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (str, int)):
+        return str(v)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return None
+
+
+# string/date partition values compare in rendered (string) order, so
+# range predicates can prune them; numeric renders do not ("10" < "2").
+_RANGE_SAFE = (str, datetime.date)
+
+
+class _Slice(InputPartition):
+    """One planned scan unit: a single file (no resolution) or a whole
+    file group (worker-side latest-per-key resolution)."""
+
+    def __init__(self, paths: list[str], resolve: bool):
+        self.paths = paths
+        self.resolve = resolve
+
+
+class LakeBatchReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get(PATH_OPT)
+        if not path:
+            raise ValueError(
+                "lake-table source requires .option('path', <table dir>) "
+                "or .load(<table dir>)"
+            )
+        from hudi_spark_plus_spark.table.commit_log import CommitLog
+
+        self.table_path = path
+        self.log = CommitLog(path)
+        latest = self.log.latest()
+        if latest is None or not latest.schema_json:
+            raise ValueError(f"lake table at {path} has no commits")
+        self.fields = active_fields(latest.schema_json)
+        self.partition_fields = latest.partition_fields or []
+        self.global_index = bool(latest.global_index)
+        self.mode = options.get(TYPE_OPT, "snapshot")
+        if self.mode not in ("snapshot", "read_optimized", "incremental"):
+            raise ValueError(
+                f"unknown {TYPE_OPT} {self.mode!r}; supported: snapshot, "
+                "read_optimized, incremental"
+            )
+        self.version = self._resolve_version(options)
+        self.begin = self.end = None
+        if self.mode == "incremental":
+            if BEGIN_OPT not in options:
+                raise ValueError(
+                    f"incremental read requires .option('{BEGIN_OPT}', "
+                    "<version>)"
+                )
+            self.begin = int(options.get(BEGIN_OPT))
+            e = options.get(END_OPT)
+            self.end = int(e) if e is not None else None
+        inc_del = options.get(INCLUDE_DELETED_OPT)
+        if inc_del is None:
+            # tombstones ARE the payload of an incremental (CDC) read;
+            # a snapshot hides them like LakeTable.snapshot does
+            self.include_deleted = self.mode == "incremental"
+        else:
+            self.include_deleted = str(inc_del).lower() in ("true", "1")
+        # pushed-filter prune state: field-component index -> values
+        self._part_eq: dict[int, set] = {}
+        self._part_lo: dict[int, tuple] = {}
+        self._part_hi: dict[int, tuple] = {}
+        self._key_eq: set | None = None
+        # which partition components are prunable: simple specs only
+        # (transformed components would need the transform re-applied)
+        self._simple_comp = {
+            spec: i
+            for i, spec in enumerate(self.partition_fields)
+            if ":" not in spec
+        }
+
+    def _resolve_version(self, options) -> int | None:
+        v = options.get(VERSION_OPT)
+        if v is not None:
+            return int(v)
+        ts = options.get(AS_OF_TS_OPT)
+        if ts is None:
+            return None
+        best = None
+        for ver in self.log.versions():
+            if self.log._read_meta(ver).ts_millis <= int(ts):
+                best = ver
+        if best is None:
+            raise ValueError(
+                f"table at {self.table_path} has no commit at or before "
+                f"ts_millis={ts}"
+            )
+        return best
+
+    # -- planning (driver-side) ---------------------------------------------
+
+    def pushFilters(self, filters):
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if not attr or len(attr) != 1:
+                yield flt
+                continue
+            col = attr[0]
+            comp = self._simple_comp.get(col)
+            if col == _KEY and isinstance(flt, (EqualTo, In)):
+                vals = (
+                    [flt.value] if isinstance(flt, EqualTo) else list(flt.value)
+                )
+                keys = {v for v in vals if isinstance(v, str)}
+                if len(keys) == len(vals):
+                    self._key_eq = (
+                        keys if self._key_eq is None else self._key_eq & keys
+                    )
+            elif comp is not None and isinstance(flt, (EqualTo, In)):
+                vals = (
+                    [flt.value] if isinstance(flt, EqualTo) else list(flt.value)
+                )
+                rendered = {_render_prune_value(v) for v in vals}
+                if None not in rendered:
+                    prev = self._part_eq.get(comp)
+                    self._part_eq[comp] = (
+                        rendered if prev is None else prev & rendered
+                    )
+            elif comp is not None and isinstance(
+                flt, (GreaterThan, GreaterThanOrEqual)
+            ):
+                if isinstance(flt.value, _RANGE_SAFE) and not isinstance(
+                    flt.value, bool
+                ):
+                    r = _render_prune_value(flt.value)
+                    incl = isinstance(flt, GreaterThanOrEqual)
+                    cur = self._part_lo.get(comp)
+                    # keep the larger bound; on ties inclusive wins —
+                    # conservative (extra kept file, never a wrong prune)
+                    if r is not None and (cur is None or (r, incl) > cur):
+                        self._part_lo[comp] = (r, incl)
+            elif comp is not None and isinstance(
+                flt, (LessThan, LessThanOrEqual)
+            ):
+                if isinstance(flt.value, _RANGE_SAFE) and not isinstance(
+                    flt.value, bool
+                ):
+                    r = _render_prune_value(flt.value)
+                    incl = isinstance(flt, LessThanOrEqual)
+                    cur = self._part_hi.get(comp)
+                    # keep the smaller bound (filters are a conjunction;
+                    # at equal value the exclusive form is the tighter
+                    # AND and still exact)
+                    if r is not None and (cur is None or (r, incl) < cur):
+                        self._part_hi[comp] = (r, incl)
+            # every filter is re-evaluated by Spark post-scan: pruning
+            # here only shrinks the file plan, never answers predicates
+            yield flt
+
+    def _partition_prunes(self, f) -> bool:
+        """True when the manifest entry's partition value proves the
+        file holds NO matching rows. Unknown partitions (None, or
+        unexpected component counts) are kept conservatively."""
+        if f.partition is None or not self.partition_fields:
+            return False
+        comps = (
+            f.partition.split("/")
+            if len(self.partition_fields) > 1
+            else [f.partition]
+        )
+        if len(comps) != len(self.partition_fields):
+            return False
+        for i, keep in self._part_eq.items():
+            if comps[i] not in keep:
+                return True
+        for i, (lo, incl) in self._part_lo.items():
+            if comps[i] < lo or (comps[i] == lo and not incl):
+                return True
+        for i, (hi, incl) in self._part_hi.items():
+            if comps[i] > hi or (comps[i] == hi and not incl):
+                return True
+        return False
+
+    def _key_prunes(self, f) -> bool:
+        """True when min/max key range + manifest Bloom prove the file
+        holds none of the equality-probed keys. No false negatives
+        (Bloom property), so pruning is exact for the probed keys."""
+        if not self._key_eq:
+            return False
+        keys = self._key_eq
+        if f.min_key is not None and f.max_key is not None:
+            keys = {k for k in keys if f.min_key <= k <= f.max_key}
+            if not keys:
+                return True
+        if f.bloom:
+            from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+
+            if not KeyBloom.from_b64(f.bloom).might_contain_any(
+                hash_key(k) for k in keys
+            ):
+                return True
+        return False
+
+    def _plan_files(self):
+        """(files to scan, resolution units or None). Mirrors
+        ``LakeTable.snapshot`` / ``.incremental`` planning exactly,
+        with pushed-filter pruning applied where each of those applies
+        ``partitions=`` pruning."""
+        if self.mode == "incremental":
+            live = self.log.live_files(self.end)
+            changed = {
+                f.path for f in self.log.changed_files(self.begin, self.end)
+            }
+            files = [f for f in live if f.path in changed]
+            files = [f for f in files if not self._partition_prunes(f)]
+            if any(f.kind == "delta" for f in live):
+                # stale in-range delta rows may have LOST last-write-wins
+                # to rows outside the range: resolve whole file groups
+                # first, range-filter after (LakeTable.incremental's MOR
+                # rule). Key pruning would not be wrong here, but groups
+                # are the unit — partition pruning already bounds them.
+                units = {self._unit_of(f) for f in files}
+                grouped: dict = {}
+                for f in live:
+                    if self._unit_of(f) in units:
+                        grouped.setdefault(self._unit_of(f), []).append(f)
+                return None, list(grouped.values())
+            return [f for f in files if not self._key_prunes(f)], None
+        files = self.log.live_files(self.version)
+        if self.mode == "read_optimized":
+            files = [f for f in files if f.kind != "delta"]
+        files = [
+            f
+            for f in files
+            if not self._partition_prunes(f) and not self._key_prunes(f)
+        ]
+        if self.mode == "snapshot" and any(f.kind == "delta" for f in files):
+            grouped = {}
+            for f in files:
+                grouped.setdefault(self._unit_of(f), []).append(f)
+            return None, list(grouped.values())
+        return files, None
+
+    def _unit_of(self, f) -> tuple:
+        # global-index identity is _key alone; bucket is hash(key)-
+        # derived, so one bucket holds every copy of its keys across
+        # partitions. Non-global identity is (partition, key).
+        return (f.bucket,) if self.global_index else (f.partition, f.bucket)
+
+    def partitions(self):
+        files, units = self._plan_files()
+        if units is not None:
+            return [
+                _Slice([f.path for f in grp], resolve=True) for grp in units
+            ]
+        return [_Slice([f.path], resolve=False) for f in files]
+
+    # -- scan (worker-side) ---------------------------------------------------
+
+    def read(self, partition: _Slice):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        parts = [
+            project_logical(
+                pq.read_table(os.path.join(self.table_path, rel)),
+                self.fields,
+                rel,
+            )
+            for rel in partition.paths
+        ]
+        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        if partition.resolve:
+            t = resolve_latest_arrow(t)
+        if self.mode == "incremental":
+            ver = (
+                pc.fill_null(t[_COMMIT_VER], 0)
+                if _COMMIT_VER in t.column_names
+                else pa.array([0] * t.num_rows, pa.int64())
+            )
+            mask = pc.greater(ver, self.begin)
+            if self.end is not None:
+                mask = pc.and_(mask, pc.less_equal(ver, self.end))
+            t = t.filter(mask)
+        if not self.include_deleted and _DELETED in t.column_names:
+            t = t.filter(
+                pc.invert(pc.fill_null(t[_DELETED], False))
+            )
+        yield from t.to_batches()
+
+
+class LakeTableDataSource(DataSource):
+    """The ``lake-table`` format: batch read (this module's
+    ``LakeBatchReader``) + streaming read (streaming/stream_source.py's
+    ``LakeStreamReader``); the write side is the foreachBatch sink /
+    ``binlog-hudi`` spool (streaming/sink.py, streaming/datasource.py)."""
+
+    @classmethod
+    def name(cls):
+        return "lake-table"
+
+    def schema(self):
+        path = self.options.get(PATH_OPT)
+        if not path:
+            raise ValueError(
+                "lake-table source requires .option('path', <table dir>)"
+            )
+        from hudi_spark_plus_spark.table.commit_log import CommitLog
+
+        latest = CommitLog(path).latest()
+        if latest is None or not latest.schema_json:
+            raise ValueError(f"lake table at {path} has no commits")
+        return logical_struct(latest.schema_json)
+
+    def reader(self, schema):
+        return LakeBatchReader(self.options)
+
+    def streamReader(self, schema):
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        return LakeStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Make ``format('lake-table')`` resolvable in this session, for
+    both ``spark.read`` and ``spark.readStream``, and enable Python
+    data source filter pushdown so batch predicates reach
+    ``pushFilters`` (off by default in Spark 4.1; runtime-settable)."""
+    spark.dataSource.register(LakeTableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
