@@ -80,17 +80,24 @@ class LakeStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get(START_VERSION_OPT, 0))
         mv = options.get(MAX_VERSIONS_OPT)
         self.max_versions = int(mv) if mv else None
-        # floor for the per-batch version cap: the newest end offset
-        # this reader has PLANNED. Set by initialOffset (fresh start)
-        # or partitions() (which sees the checkpointed start after a
-        # restart), consulted in latestOffset() — the only place a cap
-        # is sound, because Spark checkpoints whatever latestOffset
-        # returns. While the floor is UNKNOWN (first poll after a
-        # restart: the checkpoint lives in Spark, not here) the cap is
-        # skipped rather than guessed: a guess below the checkpoint
-        # would hand Spark an offset that regresses it. So the cap is
-        # exact within a run and best-effort on a restart's first
-        # micro-batch — never a correctness trade.
+        # floor for the per-batch version cap: the newest offset this
+        # reader has exchanged with Spark. latestOffset() is the only
+        # place a cap is sound (Spark checkpoints whatever it returns;
+        # capping in partitions() would skip versions forever), and the
+        # engine calls it BEFORE initialOffset() on a fresh start — so
+        # a floor of None there means FRESH START and the floor is
+        # start_version. That inference is safe because on a RESTART
+        # the engine always calls partitions() of the last offset-log
+        # batch before polling latestOffset — the same engine contract
+        # PySpark's own _SimpleStreamReaderWrapper depends on
+        # (pyspark/sql/datasource_internal.py:139-141: "This depends on
+        # the streaming engine calling planInputPartitions() of the
+        # last batch in offset log when query restart") — which
+        # restores the checkpointed floor first. partitions() and
+        # commit() both ratchet the floor, and latestOffset() never
+        # returns below it: an offset behind Spark's checkpoint makes
+        # the engine replay the gap (measured — duplicates), so the
+        # floor is a monotonic lower bound, never a guess.
         self._floor: int | None = None
         latest = self.log.latest()
         if latest is None or not latest.schema_json:
@@ -108,17 +115,27 @@ class LakeStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
+        if self._floor is None:
+            # First poll of a FRESH stream (the engine polls before it
+            # asks for initialOffset; a restart would have re-planned
+            # the last offset-log batch first, setting the floor — see
+            # __init__ note). Cap from the configured start.
+            self._floor = self.start_version
         self.log.invalidate()  # other writers publish out-of-band
         vs = self.log.versions()
         tip = vs[-1] if vs else self.start_version
         tip = max(tip, self.start_version)
-        if self.max_versions is not None and self._floor is not None:
+        if self.max_versions is not None:
             tip = min(tip, self._floor + self.max_versions)
-        return {"version": tip}
+        return {"version": max(tip, self._floor)}
 
     def partitions(self, start: dict, end: dict):
         b, e = int(start["version"]), int(end["version"])
-        self._floor = max(self._floor or 0, e)
+        # b ratchets too: on restart the engine re-plans the last
+        # offset-log batch (possibly with start == end) before any
+        # latestOffset poll — this is what restores the cap floor from
+        # the checkpoint.
+        self._floor = max(self._floor or 0, b, e)
         if e <= b:
             return []
         live = self.log.live_files(e)
@@ -149,7 +166,10 @@ class LakeStreamReader(DataSourceStreamReader):
         return [_FileSlice([f.path], b, e, resolve=False) for f in files]
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint holds the offset; nothing engine-side
+        # Spark's checkpoint holds the offset; engine-side we only
+        # ratchet the cap floor (restart defense in depth: the engine
+        # re-commits the last batch on recovery before new polls).
+        self._floor = max(self._floor or 0, int(end["version"]))
 
     # -- data (worker-side) -------------------------------------------------
 
