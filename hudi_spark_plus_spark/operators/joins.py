@@ -68,6 +68,12 @@ def asof_join(
     ``right_cols`` are the right-side payload columns to attach; their
     names must not collide with left's columns. ``how``: "inner" drops
     left rows with no earlier right row; "left" keeps them with nulls.
+
+    Timestamp columns: integral epoch columns are compared as-is (both
+    sides must share one unit); TIMESTAMP / TIMESTAMP_NTZ columns are
+    normalized to epoch MICROS (``unix_micros``, sub-second exact — a
+    plain long cast would truncate to whole seconds and silently
+    coarsen the match). Other types raise.
     """
     if how not in ("inner", "left"):
         raise ValueError("asof_join supports inner/left")
@@ -75,10 +81,23 @@ def asof_join(
         raise ValueError("left_on/right_on length mismatch")
     from pyspark.sql.window import Window
 
+    def _epoch(df: DataFrame, col: str):
+        dt = dict(df.dtypes).get(col)
+        if dt in ("bigint", "int", "long", "smallint", "tinyint"):
+            return F.col(col).cast("long")
+        if dt == "timestamp":
+            return F.unix_micros(F.col(col))
+        if dt == "timestamp_ntz":
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        raise ValueError(
+            f"asof_join ts column {col!r} has unsupported type {dt!r}; "
+            "use an integral epoch or a timestamp column"
+        )
+
     keys = [f"_asof_k{i}" for i in range(len(left_on))]
     r_sel = right.select(
         *[F.col(k).alias(a) for k, a in zip(right_on, keys)],
-        F.col(right_ts).cast("long").alias("_asof_ts"),
+        _epoch(right, right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
     )
@@ -86,7 +105,7 @@ def asof_join(
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     l_sel = left.select(
         *[F.col(k).alias(a) for k, a in zip(left_on, keys)],
-        F.col(left_ts).cast("long").alias("_asof_ts"),
+        _epoch(left, left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
         F.lit(None).cast(payload_t).alias("_asof_payload"),
         left_struct.alias("_asof_left"),

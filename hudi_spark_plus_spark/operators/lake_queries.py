@@ -1055,6 +1055,147 @@ def q_lake_cdc_feed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_cdc_source(spark, sf_dir):
+    """The format-read twin of q-lake-cdc-feed: the SAME b1/b2 customer
+    timeline consumed through ``spark.read.format("lake-table")`` with
+    ``engine.read.type=cdc`` (the Hudi
+    ``hoodie.datasource.query.incremental.format=cdc`` read-option
+    surface, SURVEY §2.3 H13) instead of the Python
+    ``LakeTable.incremental_cdc`` API — downstream consumers use the
+    format path (reference README.md:21-27). Every change over (1, 2]
+    must classify identically: 'u' with before-image acctbal for
+    updated multiples of 3, 'd' with the deleting batch's payload for
+    multiples of 7, 'i' with NULL before-images for the insert wave."""
+    from hudi_spark_plus_spark.sources import lake_reader
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        changes = load_table(spark, sf_dir, "customer").where(
+            (
+                (F.col("c_custkey") < SUBSET)
+                & ((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+            )
+            | (
+                (F.col("c_custkey") >= SUBSET)
+                & (F.col("c_custkey") < SUBSET + 20)
+            )
+        )
+        batch2 = changes.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(
+                (F.col("c_custkey") < SUBSET) & (F.col("c_custkey") % 7 == 0),
+                "delete",
+            )
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(batch1, "b1")
+        lake.merge(batch2, "b2")
+        lake_reader.register(spark)
+        out = (
+            spark.read.format("lake-table")
+            .option("path", lake.path)
+            .option("engine.read.type", "cdc")
+            .option("engine.read.begin", "1")
+            .load()
+            .select(
+                "_change_op", "_change_ver", "c_custkey",
+                F.round("acctbal", 4).alias("acctbal"),
+                F.round("_before_acctbal", 4).alias("before_acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_format_write(spark, sf_dir):
+    """``df.write.format("lake-table").mode("append").save(path)`` —
+    the batch Data Source WRITE path (sources/lake_writer.py; the
+    reference's entry point 2, BinlogHoodieDataSource.scala:19-22)
+    under oracle control. Two format-level appends build a partitioned
+    table from scratch (executor-side bucketing via the JVM-exact
+    Python xxhash64, partition-path rendering, manifest stats), the
+    second append REPLAYED with the same batch id to prove H5
+    idempotence holds through this surface, then the table is read
+    back through the format-level snapshot read."""
+    from hudi_spark_plus_spark.sources import lake_reader
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        path = work + "/t"
+        c = load_table(spark, sf_dir, "customer")
+        d_col = F.concat(
+            F.lit("2024-01-0"), ((F.col("c_custkey") % 3) + 1).cast("string")
+        ).alias("d")
+        batch1 = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            d_col,
+        )
+        batch2 = c.where(
+            (F.col("c_custkey") >= SUBSET)
+            & (F.col("c_custkey") < SUBSET + 20)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+            d_col,
+        )
+        lake_reader.register(spark)
+        (
+            batch1.write.format("lake-table")
+            .option("engine.write.buckets", "4")
+            .option("engine.write.partition.fields", "d")
+            .mode("append").save(path)
+        )
+        for _ in range(2):  # replay: same batch id commits exactly once
+            (
+                batch2.write.format("lake-table")
+                .option("engine.write.batch.id", "wave-2")
+                .mode("append").save(path)
+            )
+        out = (
+            spark.read.format("lake-table")
+            .option("path", path)
+            .load()
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+                "d",
+                F.col("_commit_ver").alias("ver"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_batch_source(spark, sf_dir):
     """``spark.read.format("lake-table")`` — the batch Python Data
     Source (sources/lake_reader.py; downstream consumers read the
@@ -1159,6 +1300,8 @@ def q_lake_batch_source(spark, sf_dir):
 
 
 LAKE_QUERIES = {
+    "q-lake-format-write": q_lake_format_write,
+    "q-lake-cdc-source": q_lake_cdc_source,
     "q-lake-batch-source": q_lake_batch_source,
     "q-lake-cdc-feed": q_lake_cdc_feed,
     "q-lake-savepoint": q_lake_savepoint,
@@ -1239,6 +1382,38 @@ LAKE_ORACLES = {
     """,
     # the CDC feed over (1, 2]: u/d for in-SUBSET changes with original
     # acctbal as the before-image, i for the new key wave with NULL
+    # two format appends (second idempotently replayed): batch-1 keys
+    # at ver 1, the insert wave at ver 2
+    "q-lake-format-write": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey < {SUBSET}
+                    THEN ROUND(c_acctbal, 4)
+                    ELSE ROUND(c_acctbal + 1000.0, 4) END AS acctbal,
+               '2024-01-0' || CAST(1 + c_custkey % 3 AS VARCHAR) AS d,
+               CAST(CASE WHEN c_custkey < {SUBSET} THEN 1 ELSE 2 END
+                    AS BIGINT) AS ver
+        FROM customer
+        WHERE c_custkey < {SUBSET} + 20
+        ORDER BY c_custkey
+    """,
+    # identical change classification through the format reader
+    "q-lake-cdc-source": f"""
+        SELECT CASE
+                 WHEN c_custkey >= {SUBSET} THEN 'i'
+                 WHEN c_custkey % 7 = 0 THEN 'd'
+                 ELSE 'u'
+               END AS _change_op,
+               CAST(2 AS BIGINT) AS _change_ver,
+               c_custkey,
+               ROUND(c_acctbal + 1000.0, 4) AS acctbal,
+               CASE WHEN c_custkey < {SUBSET}
+                    THEN ROUND(c_acctbal, 4) END AS before_acctbal
+        FROM customer
+        WHERE (c_custkey < {SUBSET}
+               AND (c_custkey % 3 = 0 OR c_custkey % 7 = 0))
+           OR (c_custkey >= {SUBSET} AND c_custkey < {SUBSET} + 20)
+        ORDER BY c_custkey
+    """,
     "q-lake-cdc-feed": f"""
         SELECT CASE
                  WHEN c_custkey >= {SUBSET} THEN 'i'

@@ -19,12 +19,17 @@ the query is in ``registry._PINNED``: changing a query forces you to pin
 it (so the next driver round re-greens it) and regenerate the baseline;
 removing the pin after the green requires the hash to be back in sync.
 
-Known granularity limit: changes to CLASS internals (``LakeTable``
-methods) are not hashed — function-level closure only — because pulling
-whole classes in would flag every lake query on any lake_table.py edit
-and eat the driver's ~50-row budget in pins. Table-format changes still
-need judgment; this lint mechanizes the function/oracle cases that were
-actually violated.
+Class internals are covered COARSELY (VERDICT r7 directive 4 — the
+function-level closure was blind to ``LakeTable`` method changes,
+exactly where round 7 made its biggest semantic edits): every
+``q-lake-*`` / ``q-cdc-*`` query hash additionally folds in the full
+source of the ``table/`` modules, and every ``*-source`` query (the
+Python Data Source read paths) folds in ``sources/lake_reader.py`` +
+``streaming/stream_source.py``. Any edit to those files therefore
+flags the whole family — by design: pin the flagged queries (the
+driver's rotation re-greens them next round; pins are removed as green
+rows land), don't silently regenerate the baseline over a semantic
+change.
 
 Regenerate the baseline with::
 
@@ -78,13 +83,37 @@ def _source_closure(fn, seen: set | None = None) -> str:
     return "\n".join(parts)
 
 
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def _files_blob(paths) -> str:
+    out = []
+    for p in sorted(paths):
+        try:
+            out.append(f"--{p.name}--\n" + p.read_text())
+        except OSError:
+            continue
+    return "\n".join(out)
+
+
 def compute_hashes() -> dict[str, str]:
     from hudi_spark_plus_spark.registry import all_oracles, all_queries
 
     oracles = all_oracles()
+    table_blob = _files_blob((_PKG_DIR / "table").glob("*.py"))
+    ds_blob = _files_blob(
+        [
+            _PKG_DIR / "sources" / "lake_reader.py",
+            _PKG_DIR / "streaming" / "stream_source.py",
+        ]
+    )
     out: dict[str, str] = {}
     for name, fn in all_queries().items():
         blob = _source_closure(fn) + "\n--oracle--\n" + oracles.get(name, "")
+        if name.startswith(("q-lake-", "q-cdc-")):
+            blob += "\n--table-modules--\n" + table_blob
+        if name.endswith("-source"):
+            blob += "\n--datasource-modules--\n" + ds_blob
         out[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
     return dict(sorted(out.items()))
 

@@ -73,34 +73,32 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r7: as-of join genuinely reformulated (union+window via
-    # operators.joins.asof_join, no expanding inner range-join) — the r6
-    # pin claimed this without the code change; now the change is real
+    # r8: asof_join ts normalization changed (micros-preserving
+    # timestamp handling instead of cast('long'); ADVICE r7) — q11's
+    # integral-epoch output is unchanged by design, re-green it
     "q11",
-    # r7: planted-copy offsets now corpus-derived (10^ceil(log10(max+2)))
-    # on BOTH engine and oracle sides — planted ids moved (the fixed
-    # 10^6/10^5 strides were the r6 bench-killer defect class)
-    "q-doc-minhash-lsh",
-    "q-doc-minhash-full",
-    "q-doc-simhash",
-    "q-doc-dedup-e2e",
-    "q-emb-neardup-lsh",
-    "q-emb-ann-lsh",
-    "q-emb-ann-ivf",
-    "q-emb-ann-pq",
-    "q-emb-ann-ivfpq",
-    "q-emb-dedup-e2e",  # engine-side offset change; output unchanged
-    # r6 engine change (NULL-histogram exclusion) never driver-verified —
-    # the pin r6 should have added (VERDICT r6 directive 8)
-    "q-doc-corpus-stats",
-    # r7: sync merge unit-scoping on partitioned tables touched the
-    # shared _sync_one_table path — re-green every sync-driven query on
-    # current code (outputs unchanged by design; pin-lint enforced)
-    "q-cdc-3",
-    "q-cdc-4",
+    # r8: stream_source.py per-batch cap rework (floor carried through
+    # the engine's restart re-plan; VERDICT r7 directive 1)
+    "q-stream-lake-source",
+    # r8: lake_reader.py gained the cdc mode + writer dispatch — the
+    # snapshot/incremental read paths moved around it
+    "q-lake-batch-source",
+    # r8: savepoint re-verify-after-publish + vacuum double pin read
+    # (ADVICE r7)
+    "q-lake-savepoint",
+    # r8: keygen epoch-day arithmetic went exact-decimal (ADVICE r7) —
+    # partition-path derivation for every partitioned fixture
+    "q-lake-timepart",
+    "q-lake-partitioned",
+    "q-lake-derived",
     "q-cdc-partitioned",
-    "q-cdc-retention",
-    "q-cdc-transformer",
+    # NOT pinned although the new coarse table-module hash flags them
+    # (pinlint.py, VERDICT r7 directive 4): the remaining q-lake-*/
+    # q-cdc-* family — this round's table/ changes there are additive
+    # (new finalizer class, new pyhash module) or in paths those
+    # queries don't execute; the rotation's stalest-first ordering
+    # re-greens the family without crowding out the 25 r5-stale
+    # queries directive 6 wants sampled (pins capped ~10).
 ]
 
 

@@ -14,7 +14,16 @@ Modes (``engine.read.type``):
 * ``incremental`` — records changed in versions
   (``engine.read.begin``, ``engine.read.end``] at their final in-range
   state, deletes as tombstones (H7, same contract as
-  ``LakeTable.incremental``).
+  ``LakeTable.incremental``);
+* ``cdc`` — the CDC-format incremental read (H13, the Hudi
+  ``hoodie.datasource.query.incremental.format=cdc`` read option;
+  same contract as ``LakeTable.incremental_cdc``): one row per changed
+  record with ``_change_op`` i/u/d, ``_change_ver``, after-image
+  payload and ``_before_<col>`` before-image columns. Computed with NO
+  shuffle: a record's before and after copies live in the same file
+  group by bucket-hash construction, so each planned unit joins its
+  begin-version image against its end-version image entirely inside
+  one worker.
 
 Pushed-filter pruning: with ``spark.sql.python.filterPushdown.enabled``
 (``register()`` turns it on) Spark hands ``pushFilters`` the query's
@@ -130,6 +139,32 @@ def logical_struct(schema_json: str) -> StructType:
     )
 
 
+def cdc_struct(schema_json: str) -> StructType:
+    """Reader-facing schema of a ``cdc`` read — mirrors
+    ``LakeTable.incremental_cdc`` exactly: ``_change_op``,
+    ``_change_ver``, the payload columns (logical schema minus
+    ``_deleted``/``_commit_ver``), then ``_before_<col>`` for every
+    payload column except ``_key``."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    logical = logical_struct(schema_json)
+    payload = [
+        f for f in logical.fields if f.name not in (_DELETED, _COMMIT_VER)
+    ]
+    return StructType(
+        [
+            StructField("_change_op", StringType(), True),
+            StructField("_change_ver", LongType(), True),
+            *payload,
+            *[
+                StructField(f"_before_{f.name}", f.dataType, True)
+                for f in payload
+                if f.name != _KEY
+            ],
+        ]
+    )
+
+
 def project_logical(t, fields: list[tuple[str, str, str]], path: str):
     """Physical pyarrow table -> logical columns in schema order:
     renames applied, pre-evolution columns back-filled with typed
@@ -228,6 +263,16 @@ class _Slice(InputPartition):
         self.resolve = resolve
 
 
+class _CdcSlice(InputPartition):
+    """One CDC scan unit: a changed file group's live files at the END
+    version (after-image side) and at the BEGIN version (before-image
+    side — empty when begin <= 0: everything classifies as insert)."""
+
+    def __init__(self, after_paths: list[str], before_paths: list[str]):
+        self.after_paths = after_paths
+        self.before_paths = before_paths
+
+
 class LakeBatchReader(DataSourceReader):
     def __init__(self, options):
         path = options.get(PATH_OPT)
@@ -247,17 +292,18 @@ class LakeBatchReader(DataSourceReader):
         self.partition_fields = latest.partition_fields or []
         self.global_index = bool(latest.global_index)
         self.mode = options.get(TYPE_OPT, "snapshot")
-        if self.mode not in ("snapshot", "read_optimized", "incremental"):
+        if self.mode not in ("snapshot", "read_optimized", "incremental",
+                             "cdc"):
             raise ValueError(
                 f"unknown {TYPE_OPT} {self.mode!r}; supported: snapshot, "
-                "read_optimized, incremental"
+                "read_optimized, incremental, cdc"
             )
         self.version = self._resolve_version(options)
         self.begin = self.end = None
-        if self.mode == "incremental":
+        if self.mode in ("incremental", "cdc"):
             if BEGIN_OPT not in options:
                 raise ValueError(
-                    f"incremental read requires .option('{BEGIN_OPT}', "
+                    f"{self.mode} read requires .option('{BEGIN_OPT}', "
                     "<version>)"
                 )
             self.begin = int(options.get(BEGIN_OPT))
@@ -267,7 +313,7 @@ class LakeBatchReader(DataSourceReader):
         if inc_del is None:
             # tombstones ARE the payload of an incremental (CDC) read;
             # a snapshot hides them like LakeTable.snapshot does
-            self.include_deleted = self.mode == "incremental"
+            self.include_deleted = self.mode in ("incremental", "cdc")
         else:
             self.include_deleted = str(inc_del).lower() in ("true", "1")
         # pushed-filter prune state: field-component index -> values
@@ -451,7 +497,42 @@ class LakeBatchReader(DataSourceReader):
         # partitions. Non-global identity is (partition, key).
         return (f.bucket,) if self.global_index else (f.partition, f.bucket)
 
+    def _plan_cdc(self):
+        """CDC plan: the changed file GROUPS at the end version, each
+        paired with the same group's live files at the begin version.
+        Partition pruning applies to the changed set (before-files
+        follow their group). Bounded by the range's touched units,
+        never table size — the same structural bound as
+        ``LakeTable.incremental_cdc``."""
+        live_end = self.log.live_files(self.end)
+        changed = {
+            f.path for f in self.log.changed_files(self.begin, self.end)
+        }
+        cfiles = [
+            f
+            for f in live_end
+            if f.path in changed and not self._partition_prunes(f)
+        ]
+        units = {self._unit_of(f) for f in cfiles}
+        after: dict = {u: [] for u in units}
+        for f in live_end:
+            if self._unit_of(f) in units:
+                after[self._unit_of(f)].append(f)
+        before: dict = {u: [] for u in units}
+        if self.begin > 0:
+            for f in self.log.live_files(self.begin):
+                if self._unit_of(f) in before:
+                    before[self._unit_of(f)].append(f)
+        return [
+            _CdcSlice(
+                [f.path for f in after[u]], [f.path for f in before[u]]
+            )
+            for u in sorted(units, key=str)
+        ]
+
     def partitions(self):
+        if self.mode == "cdc":
+            return self._plan_cdc()
         files, units = self._plan_files()
         if units is not None:
             return [
@@ -461,11 +542,109 @@ class LakeBatchReader(DataSourceReader):
 
     # -- scan (worker-side) ---------------------------------------------------
 
-    def read(self, partition: _Slice):
+    def _read_unit(self, paths: list[str], resolve: bool):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = [
+            project_logical(
+                pq.read_table(os.path.join(self.table_path, rel)),
+                self.fields,
+                rel,
+            )
+            for rel in paths
+        ]
+        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        return resolve_latest_arrow(t) if resolve else t
+
+    def _read_cdc(self, partition: _CdcSlice):
+        """Worker-side CDC of one file group: resolve the group's
+        end-version image, range-filter, left-join the group's resolved
+        begin-version image on ``_key`` (identity within a unit — the
+        unit already fixes the partition for non-global tables, the
+        bucket holds every copy of its keys for global ones), classify
+        i/u/d. Pure pyarrow; rows never touch the driver."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = self._read_unit(partition.after_paths, resolve=True)
+        ver = (
+            pc.fill_null(t[_COMMIT_VER], 0)
+            if _COMMIT_VER in t.column_names
+            else pa.array([0] * t.num_rows, pa.int64())
+        )
+        mask = pc.greater(ver, self.begin)
+        if self.end is not None:
+            mask = pc.and_(mask, pc.less_equal(ver, self.end))
+        t = t.filter(mask)
+        payload = [
+            name for name, _, _ in self.fields
+            if name not in (_DELETED, _COMMIT_VER)
+        ]
+        before_src = [c for c in payload if c != _KEY]
+        if partition.before_paths:
+            b = self._read_unit(partition.before_paths, resolve=True)
+            if _DELETED in b.column_names:
+                b = b.filter(
+                    pc.invert(pc.fill_null(b[_DELETED], False))
+                )
+            bsel = pa.table(
+                [b[_KEY], *[b[c] for c in before_src],
+                 pa.array([True] * b.num_rows, pa.bool_())],
+                names=[_KEY, *[f"_before_{c}" for c in before_src],
+                       "__b_present"],
+            )
+            j = t.join(bsel, keys=[_KEY], join_type="left outer")
+            # join scrambles order; only row pairing matters downstream
+        else:
+            j = t
+            for c in before_src:
+                j = j.append_column(
+                    f"_before_{c}", pa.nulls(t.num_rows, t[c].type)
+                )
+            j = j.append_column(
+                "__b_present", pa.nulls(t.num_rows, pa.bool_())
+            )
+        present = pc.fill_null(j["__b_present"], False)
+        dead = (
+            pc.fill_null(j[_DELETED], False)
+            if _DELETED in j.column_names
+            else pa.array([False] * j.num_rows, pa.bool_())
+        )
+        # insert-then-delete inside the range is a net no-op
+        j = j.filter(pc.invert(pc.and_(dead, pc.invert(present))))
+        present = pc.fill_null(j["__b_present"], False)
+        dead = (
+            pc.fill_null(j[_DELETED], False)
+            if _DELETED in j.column_names
+            else pa.array([False] * j.num_rows, pa.bool_())
+        )
+        op = pc.if_else(
+            dead,
+            pa.scalar("d"),
+            pc.if_else(present, pa.scalar("u"), pa.scalar("i")),
+        )
+        cver = (
+            pc.cast(pc.fill_null(j[_COMMIT_VER], 0), pa.int64())
+            if _COMMIT_VER in j.column_names
+            else pa.nulls(j.num_rows, pa.int64())
+        )
+        out = pa.table(
+            [op, cver, *[j[c] for c in payload],
+             *[j[f"_before_{c}"] for c in before_src]],
+            names=["_change_op", "_change_ver", *payload,
+                   *[f"_before_{c}" for c in before_src]],
+        )
+        yield from out.to_batches()
+
+    def read(self, partition):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _CdcSlice):
+            yield from self._read_cdc(partition)
+            return
         parts = [
             project_logical(
                 pq.read_table(os.path.join(self.table_path, rel)),
@@ -515,10 +694,19 @@ class LakeTableDataSource(DataSource):
         latest = CommitLog(path).latest()
         if latest is None or not latest.schema_json:
             raise ValueError(f"lake table at {path} has no commits")
+        if self.options.get(TYPE_OPT) == "cdc":
+            return cdc_struct(latest.schema_json)
         return logical_struct(latest.schema_json)
 
     def reader(self, schema):
         return LakeBatchReader(self.options)
+
+    def writer(self, schema, overwrite):
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableBatchWriter,
+        )
+
+        return LakeTableBatchWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema):
         from hudi_spark_plus_spark.streaming.stream_source import (

@@ -1,0 +1,496 @@
+"""``df.write.format("lake-table").mode("append").save(path)`` — the
+batch WRITE side of the ``lake-table`` Python Data Source (the
+reference's second entry point: ``df.write.format("binlog-hudi")
+.mode(Append).save(path)``, BinlogHoodieDataSource.scala:19-22), via
+PySpark 4's ``DataSourceArrowWriter``.
+
+Operations (``engine.write.operation``): ``insert`` (default) and
+``bulk_insert`` — the H3 append surface. Upserts/deletes are NOT this
+path: a Data Source writer's executors each see one slice of the batch,
+while a merge must read and rewrite whole buckets transactionally —
+route merges through ``LakeTable.merge`` or the foreachBatch sink
+(streaming/sink.py), exactly as the reference routes its CDC stream.
+``mode("overwrite")`` likewise raises toward
+``LakeTable.insert_overwrite_table`` (a replace commit is a planned
+table operation, not a blind re-save).
+
+Execution model (scale posture): executors do ALL data work — each
+Spark task assigns buckets with a JVM-exact Python xxhash64
+(table/pyhash.py), renders partition paths (the same ``col:transform``
+specs as ``keygen._partition_part``), writes final-layout parquet
+directly into the commit's data subdir, and computes its own manifest
+entries (rows, key min/max, Bloom, footer col-stats) from data it
+already holds in memory. ``commit()`` on the driver is METADATA-ONLY:
+it assembles the entries into one commit-log publish through the
+table's atomic finalizer. No staging rewrite, no driver data scan, no
+second pass — the only data rewrite is the rare commit-race re-stamp of
+the ``_commit_ver`` column (executors stamp the version planned at
+write start; a concurrent writer landing first moves the timeline, and
+the loser's files are column-rewritten driver-side before retrying —
+bounded by this batch's own size, and only on an actual race).
+
+Schema: the table's persisted config (buckets, partition fields,
+global index) wins and conflicting options error, as everywhere else.
+Schema EVOLUTION does not flow through this path — new or retyped
+columns raise toward the LakeTable API (widening needs the reconcile
+rules; a concurrent schema change during the write is detected at
+commit and raises rather than committing files under a stale mapping).
+Missing payload columns are fine (readers null-backfill). Renamed
+tables are honored: files store PHYSICAL names per the committed
+column mapping.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+PATH_OPT = "path"
+OPERATION_OPT = "engine.write.operation"
+BATCH_ID_OPT = "engine.write.batch.id"
+BUCKETS_OPT = "engine.write.buckets"
+PARTITION_FIELDS_OPT = "engine.write.partition.fields"
+GLOBAL_INDEX_OPT = "engine.write.global.index"
+
+_COMMIT_RETRIES = 5
+
+
+def _strftime_of(java_fmt: str) -> str:
+    """Map the day-or-coarser subset of Java date patterns the
+    partition specs allow (yyyy/MM/dd + separators) to strftime."""
+    out, i = [], 0
+    while i < len(java_fmt):
+        ch = java_fmt[i]
+        j = i
+        while j < len(java_fmt) and java_fmt[j] == ch:
+            j += 1
+        n = j - i
+        if ch == "y":
+            out.append("%Y" if n >= 4 else "%y")
+        elif ch == "M":
+            out.append("%m")
+        elif ch == "d":
+            out.append("%d")
+        elif ch in "-/. ":
+            out.append(ch * n)
+        else:
+            raise ValueError(
+                f"partition format {java_fmt!r}: unsupported pattern "
+                f"char {ch!r} in the format-writer path (day-or-coarser "
+                "y/M/d only)"
+            )
+        i = j
+    return "".join(out)
+
+
+class PartitionRenderer:
+    """Worker-side replay of ``keygen.partition_path_expr``: same
+    ``col[:transform[:fmt]]`` grammar, same null -> "default", same
+    "/"-joined multi-field paths. Sessions pin UTC, so tz-aware
+    timestamps render through UTC here too."""
+
+    def __init__(self, specs: list[str]):
+        from hudi_spark_plus_spark.table.keygen import (
+            _MS_PER_DAY,
+            _US_PER_DAY,
+            validate_partition_specs,
+        )
+
+        validate_partition_specs(specs)
+        self.parts = []
+        for spec in specs:
+            bits = spec.split(":", 2)
+            col = bits[0]
+            transform = bits[1] if len(bits) > 1 else None
+            fmt = _strftime_of(bits[2] if len(bits) > 2 else "yyyy-MM-dd")
+            per_day = None
+            if transform == "epochmillis":
+                per_day = _MS_PER_DAY
+            elif transform == "epochmicros":
+                per_day = _US_PER_DAY
+            self.parts.append((col, transform, fmt, per_day))
+
+    @property
+    def source_cols(self) -> list[str]:
+        return [c for c, _, _, _ in self.parts]
+
+    @staticmethod
+    def _simple(v) -> str:
+        import datetime
+
+        if v is None:
+            return "default"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (str, int)):
+            return str(v)
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            return v.isoformat()
+        raise ValueError(
+            f"unsupported simple partition value type {type(v).__name__} "
+            "in the format-writer path"
+        )
+
+    def _one(self, v, transform, fmt, per_day) -> str:
+        import datetime
+
+        if transform is None:
+            return self._simple(v)
+        if v is None:
+            return "default"
+        if per_day is not None:  # epochmillis / epochmicros
+            day = int(v) // per_day  # python floor div: exact, all longs
+            d = datetime.date(1970, 1, 1) + datetime.timedelta(days=day)
+            return d.strftime(fmt)
+        # col:timestamp — datetime/date rendered in UTC
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.strftime(fmt)
+        if isinstance(v, datetime.date):
+            return v.strftime(fmt)
+        raise ValueError(
+            f"col:timestamp partition source must be a timestamp/date, "
+            f"got {type(v).__name__}"
+        )
+
+    def render(self, arrow_table) -> list[str]:
+        cols = [
+            arrow_table[c].to_pylist() if c in arrow_table.column_names
+            else None
+            for c in self.source_cols
+        ]
+        missing = [
+            c for c, vals in zip(self.source_cols, cols) if vals is None
+        ]
+        if missing:
+            raise ValueError(
+                f"partitioned table write is missing partition "
+                f"column(s) {missing}"
+            )
+        n = arrow_table.num_rows
+        out = []
+        for i in range(n):
+            rendered = [
+                self._one(vals[i], t, fmt, per_day)
+                for vals, (_c, t, fmt, per_day) in zip(cols, self.parts)
+            ]
+            out.append("/".join(rendered))
+        return out
+
+
+@dataclass
+class LakeWriterMessage(WriterCommitMessage):
+    entries: list = field(default_factory=list)
+    rows: int = 0
+
+
+class LakeTableBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        from hudi_spark_plus_spark.table.commit_log import CommitLog
+        from hudi_spark_plus_spark.table.keygen import (
+            BUCKET_COL,
+            KEY_COL,
+            OP_COL,
+            PARTITION_COL,
+            TS_COL,
+        )
+        from hudi_spark_plus_spark.table.lake_table import (
+            COMMIT_VER_COL,
+            DEFAULT_BUCKETS,
+            DELETED_COL,
+        )
+        from pyspark.sql.types import LongType, BooleanType, StructField, StructType
+
+        if overwrite:
+            raise ValueError(
+                "lake-table format writes support mode('append') only; "
+                "overwriting is a replace commit — use "
+                "LakeTable.insert_overwrite / insert_overwrite_table"
+            )
+        path = options.get(PATH_OPT)
+        if not path:
+            raise ValueError(
+                "lake-table sink requires .option('path', <table dir>) "
+                "or .save(<table dir>)"
+            )
+        self.table_path = path
+        op = options.get(OPERATION_OPT, "insert")
+        if op not in ("insert", "bulk_insert"):
+            hint = (
+                "upserts/deletes need transactional bucket merges — use "
+                "LakeTable.merge or the foreachBatch sink"
+                if op == "upsert"
+                else "supported: insert, bulk_insert"
+            )
+            raise ValueError(
+                f"unsupported {OPERATION_OPT} {op!r} for the lake-table "
+                f"format writer; {hint}"
+            )
+        self.operation = op
+        self.batch_id = options.get(BATCH_ID_OPT)
+        names = {f.name for f in schema.fields}
+        if KEY_COL not in names or TS_COL not in names:
+            raise ValueError(
+                f"lake-table insert requires '{KEY_COL}' and '{TS_COL}' "
+                "columns (operators.cdc prepare helpers build them)"
+            )
+        forbidden = names & {OP_COL, BUCKET_COL, PARTITION_COL}
+        if forbidden:
+            raise ValueError(
+                f"columns {sorted(forbidden)} are engine layout/op "
+                "columns; inserts carry payload only (upserts go through "
+                "LakeTable.merge)"
+            )
+        log = CommitLog(path)
+        latest = log.latest()
+        self.version_guess = (latest.version + 1) if latest else 1
+
+        def _opt_conflict(kind, persisted, requested):
+            raise ValueError(
+                f"table at {path} was created with {kind}={persisted}; "
+                f"writer options requested {requested}"
+            )
+
+        o_buckets = options.get(BUCKETS_OPT)
+        o_pf = options.get(PARTITION_FIELDS_OPT)
+        o_pf = [s for s in (o_pf or "").split(",") if s] or None
+        o_gi = options.get(GLOBAL_INDEX_OPT)
+        o_gi = (
+            None if o_gi is None else str(o_gi).lower() in ("true", "1")
+        )
+        if latest is not None:
+            self.buckets = latest.buckets
+            if self.buckets is None:
+                raise ValueError(
+                    f"table at {path} has no persisted bucket count; "
+                    "write through LakeTable(buckets=...) once first"
+                )
+            if o_buckets is not None and int(o_buckets) != self.buckets:
+                _opt_conflict("buckets", self.buckets, o_buckets)
+            self.partition_fields = latest.partition_fields or []
+            if o_pf is not None and o_pf != self.partition_fields:
+                _opt_conflict(
+                    "partition_fields", self.partition_fields, o_pf
+                )
+            self.global_index = bool(latest.global_index)
+            if o_gi is not None and o_gi != self.global_index:
+                _opt_conflict("global_index", self.global_index, o_gi)
+        else:
+            self.buckets = (
+                int(o_buckets) if o_buckets is not None else DEFAULT_BUCKETS
+            )
+            self.partition_fields = o_pf or []
+            self.global_index = bool(o_gi)
+        # schema plan: existing stored schema wins; this path refuses
+        # evolution (new or retyped columns) — LakeTable applies the
+        # widening rules
+        if latest is not None and latest.schema_json:
+            import json as _json
+
+            stored = StructType.fromJson(_json.loads(latest.schema_json))
+            active = {
+                f.name: f
+                for f in stored.fields
+                if not (f.metadata or {}).get("dropped")
+            }
+            bad_new = [c for c in names if c not in active]
+            if bad_new:
+                raise ValueError(
+                    f"columns {sorted(bad_new)} are not in the table "
+                    "schema; schema evolution does not flow through the "
+                    "format writer — use LakeTable.insert/merge"
+                )
+            retyped = [
+                f.name
+                for f in schema.fields
+                if f.dataType.simpleString()
+                != active[f.name].dataType.simpleString()
+            ]
+            if retyped:
+                raise ValueError(
+                    f"columns {sorted(retyped)} change type; widening "
+                    "goes through LakeTable.insert/merge"
+                )
+            self.schema_json = latest.schema_json
+            self.physical = {
+                f.name: (f.metadata or {}).get("physical", f.name)
+                for f in stored.fields
+                if not (f.metadata or {}).get("dropped")
+            }
+        else:
+            fields = list(schema.fields)
+            if DELETED_COL not in names:
+                fields.append(StructField(DELETED_COL, BooleanType(), True))
+            if COMMIT_VER_COL not in names:
+                fields.append(StructField(COMMIT_VER_COL, LongType(), True))
+            self.schema_json = StructType(fields).json()
+            self.physical = {f.name: f.name for f in fields}
+        # one data subdir for the whole write, created driver-side
+        _absd, self.subdir_rel = log.new_data_subdir()
+
+    # -- executor side ------------------------------------------------------
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hudi_spark_plus_spark.table.bloom import KeyBloom
+        from hudi_spark_plus_spark.table.commit_log import FileEntry
+        from hudi_spark_plus_spark.table.keygen import KEY_COL
+        from hudi_spark_plus_spark.table.lake_table import (
+            COMMIT_VER_COL,
+            DELETED_COL,
+            _footer_stats,
+        )
+        from hudi_spark_plus_spark.table.pyhash import bucket_of
+        from urllib.parse import quote as _quote
+
+        batches = list(iterator)
+        if not batches:
+            return LakeWriterMessage([], 0)
+        t = pa.Table.from_batches(batches)
+        keys = t[KEY_COL].to_pylist()
+        if any(k is None for k in keys):
+            raise ValueError(f"{KEY_COL} must be non-null")
+        bucket_ids = [bucket_of(k, self.buckets) for k in keys]
+        parts = (
+            PartitionRenderer(self.partition_fields).render(t)
+            if self.partition_fields
+            else None
+        )
+        if DELETED_COL not in t.column_names:
+            t = t.append_column(
+                DELETED_COL, pa.array([False] * t.num_rows, pa.bool_())
+            )
+        if COMMIT_VER_COL not in t.column_names:
+            t = t.append_column(
+                COMMIT_VER_COL,
+                pa.array([self.version_guess] * t.num_rows, pa.int64()),
+            )
+        t = t.rename_columns(
+            [self.physical.get(c, c) for c in t.column_names]
+        )
+        groups: dict = {}
+        for i, b in enumerate(bucket_ids):
+            groups.setdefault(
+                (parts[i] if parts is not None else None, b), []
+            ).append(i)
+        key_phys = self.physical.get(KEY_COL, KEY_COL)
+        entries = []
+        for (part, b), idxs in sorted(
+            groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            sub = t.take(idxs)
+            d = os.path.join(self.table_path, self.subdir_rel)
+            if part is not None:
+                d = os.path.join(d, f"_part={_quote(part, safe='')}")
+            d = os.path.join(d, f"_bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            absf = os.path.join(d, fname)
+            pq.write_table(sub, absf)
+            ks = sub[key_phys].to_pylist()
+            bloom = KeyBloom.sized(len(ks))
+            for k in ks:
+                bloom.add(k)
+            _rows, _mn, _mx, col_stats, _hk = _footer_stats(absf)
+            entries.append(
+                FileEntry(
+                    path=os.path.relpath(absf, self.table_path),
+                    bucket=b,
+                    rows=sub.num_rows,
+                    min_key=min(ks),
+                    max_key=max(ks),
+                    bloom=bloom.to_b64(),
+                    kind="base",
+                    col_stats=col_stats or None,
+                    partition=part,
+                )
+            )
+        return LakeWriterMessage(entries, t.num_rows)
+
+    # -- driver side (metadata only) ----------------------------------------
+
+    def _restamp(self, entries, version: int) -> None:
+        """Commit-race loser: rewrite the staged files' _commit_ver
+        column to the new version (bounded by this batch's own
+        output; only runs on an actual race)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hudi_spark_plus_spark.table.lake_table import COMMIT_VER_COL
+
+        phys = self.physical.get(COMMIT_VER_COL, COMMIT_VER_COL)
+        for e in entries:
+            absf = os.path.join(self.table_path, e.path)
+            t = pq.read_table(absf)
+            i = t.column_names.index(phys)
+            t = t.set_column(
+                i, phys, pa.array([version] * t.num_rows, pa.int64())
+            )
+            pq.write_table(t, absf)
+
+    def commit(self, messages):
+        from hudi_spark_plus_spark.table.commit_log import (
+            CommitConflict,
+            CommitLog,
+        )
+
+        log = CommitLog(self.table_path)
+        if self.batch_id is not None and log.has_batch(self.batch_id):
+            shutil.rmtree(
+                os.path.join(self.table_path, self.subdir_rel),
+                ignore_errors=True,
+            )
+            return  # idempotent re-run (H5)
+        entries = [e for m in messages if m is not None for e in m.entries]
+        stamped = self.version_guess
+        for attempt in range(_COMMIT_RETRIES + 1):
+            latest = log.latest()
+            next_ver = (latest.version + 1) if latest else 1
+            if latest is not None and self._schema_conflicts(latest):
+                raise ValueError(
+                    f"table at {self.table_path} changed schema or was "
+                    "created concurrently with this write; the staged "
+                    "files follow a stale column mapping — re-run the "
+                    "write"
+                )
+            if next_ver != stamped:
+                self._restamp(entries, next_ver)
+                stamped = next_ver
+            carry = latest.files if latest else []
+            try:
+                log.commit(
+                    self.operation,
+                    carry + entries,
+                    batch_id=self.batch_id,
+                    schema_json=self.schema_json,
+                    buckets=self.buckets,
+                    expected_version=next_ver,
+                    partition_fields=self.partition_fields or None,
+                    global_index=self.global_index or None,
+                )
+                return
+            except CommitConflict:
+                if attempt == _COMMIT_RETRIES:
+                    raise
+                log.invalidate()
+
+    def _schema_conflicts(self, latest) -> bool:
+        """A concurrent commit may legitimately carry our exact planned
+        schema (another writer of the same shape); only a DIFFERENT
+        schema means our files' column mapping went stale."""
+        return latest.schema_json != self.schema_json
+
+    def abort(self, messages):
+        shutil.rmtree(
+            os.path.join(self.table_path, self.subdir_rel),
+            ignore_errors=True,
+        )

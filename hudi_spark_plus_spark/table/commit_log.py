@@ -133,6 +133,51 @@ class ConditionalPutFinalizer(CommitFinalizer):
             )
 
 
+class HttpConditionalPutFinalizer(ConditionalPutFinalizer):
+    """Reference CLOUD binding of the conditional put: publish the
+    commit file as one HTTP ``PUT`` carrying ``If-None-Match: *`` —
+    the exact precondition S3 (conditional writes, GA Nov 2024), GCS
+    (XML API; JSON API spells it ``ifGenerationMatch=0``) and Azure
+    Blob all accept for put-if-absent. A 2xx is "created"; HTTP 412
+    (``PreconditionFailed``) or 409 means the key exists — the put
+    MUST NOT have overwritten (that is the store's contract, and what
+    the race test drives end-to-end through a real HTTP round trip).
+
+    ``url_of`` maps the local commit-file path to the store's object
+    URL (e.g. ``lambda p: f"{endpoint}/{bucket}/{os.path.relpath(p,
+    root)}"``). A production S3/GCS binding is this class plus the
+    provider's request signing; stores without conditional writes need
+    an external lock service instead (see class docstring above).
+    Timeline READS stay on the table path — deploy with the store
+    mounted/synced there, or an emulating façade (the race tests run
+    one in-process)."""
+
+    def __init__(self, url_of, timeout: float = 10.0):
+        self.url_of = url_of
+        self.timeout = timeout
+
+    def put_if_absent(self, target: str, content: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url_of(target),
+            data=content.encode("utf-8"),
+            method="PUT",
+            headers={
+                "If-None-Match": "*",
+                "Content-Type": "application/json",
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return 200 <= resp.status < 300
+        except urllib.error.HTTPError as e:
+            if e.code in (409, 412):
+                return False
+            raise
+
+
 class ExclusiveCreateFinalizer(ConditionalPutFinalizer):
     """Local put-if-absent: ``open(O_CREAT|O_EXCL)`` — same observable
     semantics as a store's conditional PUT (atomic create-or-fail),

@@ -86,7 +86,15 @@ def _epoch_day_date(col: Column, per_day: int) -> Column:
     session time zone, and a partition value that shifts with session
     config would split one logical day across two directories."""
     v = col.cast("long")
-    day = ((v - F.pmod(v, F.lit(per_day))) / F.lit(per_day)).cast("int")
+    # decimal division keeps the quotient exact over the FULL long
+    # range: `/` on longs is double division, whose 2^53 mantissa would
+    # mis-bucket epochmicros values past ~year 2255 into an adjacent
+    # day; the numerator is an exact multiple of per_day, so the
+    # decimal quotient is integral by construction
+    day = (
+        (v - F.pmod(v, F.lit(per_day))).cast("decimal(38,0)")
+        / F.lit(per_day)
+    ).cast("int")
     return F.date_add(F.to_date(F.lit("1970-01-01")), day)
 
 

@@ -728,6 +728,19 @@ class LakeTable:
                 f"savepoint {name!r} already exists on table at "
                 f"{self.path}; delete it first to repoint"
             ) from None
+        # close the check-then-publish window: a vacuum running between
+        # the timeline check above and the pin landing can reclaim the
+        # version, leaving a pin on deleted data. Vacuum reads pins
+        # before deleting, so after the pin is VISIBLE one re-check
+        # decides it: still on the timeline -> the pin now protects it;
+        # gone -> undo the pin and fail loudly.
+        self.log.invalidate()
+        if v not in self.log.versions():
+            self.delete_savepoint(name)
+            raise ValueError(
+                f"version {v} was vacuumed while savepoint {name!r} was "
+                "being created; re-create from a live version"
+            )
         return v
 
     def savepoints(self) -> dict[str, int]:

@@ -213,7 +213,15 @@ def vacuum(
     versions = lake.log.versions()
     # savepointed versions are pinned OUTSIDE the keep_last window
     # (Hudi savepoint contract): their commit metadata, segments, and
-    # data files all survive until the savepoint is deleted
+    # data files all survive until the savepoint is deleted. Pins are
+    # read TWICE — here and once more just before anything is deleted —
+    # and savepoint() re-verifies its version after publishing the pin,
+    # so a savepoint racing this vacuum either lands visibly (second
+    # read retains it) or detects the reclaim and unwinds itself. The
+    # residual instant between the second read and the first unlink is
+    # only closed by serializing savepoint/vacuum like writers
+    # (single-writer assumption, commit_log.py) — run them under the
+    # same coordination.
     pinned = set(lake.savepoints().values()) & set(versions)
     retained = sorted(set(versions[-keep_last:]) | pinned)
     dropped = [v for v in versions if v not in retained]
@@ -224,6 +232,17 @@ def vacuum(
     for v in dropped:
         dropped_paths.update(f.path for f in lake.log.read(v).files)
     dropped_paths -= keep_paths
+    # second pin read (see note above): drop any version a concurrent
+    # savepoint pinned since the first read, before deleting anything
+    late_pins = (
+        set(lake.savepoints().values()) & set(dropped)
+    )
+    if late_pins:
+        for v in sorted(late_pins):
+            keep_paths.update(f.path for f in lake.log.read(v).files)
+        dropped = [v for v in dropped if v not in late_pins]
+        retained = sorted(set(retained) | late_pins)
+        dropped_paths -= keep_paths
     cutoff = _time.time() - grace_seconds
 
     def reclaimable(rel: str, absf: str) -> bool:

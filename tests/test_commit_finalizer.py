@@ -64,6 +64,157 @@ def test_unbound_conditional_put_is_loud(tmp_path):
     assert log.versions() == []
 
 
+class _InProcessObjectStore:
+    """Minimal object store implementing the conditional-PUT contract
+    (``If-None-Match: *`` -> 412 when the key exists) over a backing
+    directory, served over REAL HTTP in-process — the façade the
+    HttpConditionalPutFinalizer race tests publish through."""
+
+    def __init__(self, root: str):
+        import http.server
+        import threading
+
+        store = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_PUT(self):
+                import os
+
+                rel = self.path.lstrip("/")
+                target = os.path.join(store.root, rel)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                with store.lock:
+                    if (
+                        self.headers.get("If-None-Match") == "*"
+                        and os.path.exists(target)
+                    ):
+                        self.send_response(412)
+                        self.end_headers()
+                        return
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    with open(target, "wb") as fh:
+                        fh.write(body)
+                self.send_response(201)
+                self.end_headers()
+
+        self.root = root
+        self.lock = threading.Lock()
+        self.httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def finalizer(self):
+        import os
+
+        from hudi_spark_plus_spark.table.commit_log import (
+            HttpConditionalPutFinalizer,
+        )
+
+        root = self.root
+        port = self.port
+        return HttpConditionalPutFinalizer(
+            lambda p: f"http://127.0.0.1:{port}/"
+            f"{os.path.relpath(p, root)}"
+        )
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_conditional_put_binding(tmp_path):
+    """The cloud-shaped binding over a real HTTP round trip: first PUT
+    creates, the precondition rejects the second, an N-thread race on
+    one commit path has exactly one winner and the winner's bytes are
+    never overwritten."""
+    import threading
+
+    store = _InProcessObjectStore(str(tmp_path))
+    try:
+        fin = store.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin.publish('{"v": "winner"}', target)
+        with pytest.raises(CommitConflict):
+            fin.publish('{"v": "loser"}', target)
+        assert (
+            (tmp_path / "_commits" / "00000000000000000001.json").read_text()
+            == '{"v": "winner"}'
+        )
+        # N-way race on a fresh path: exactly one winner
+        target2 = str(tmp_path / "_commits" / "00000000000000000002.json")
+        wins, losses, errs = [], [], []
+        barrier = threading.Barrier(8)
+
+        def racer(i):
+            try:
+                barrier.wait()
+                fin.publish(f'{{"writer": {i}}}', target2)
+                wins.append(i)
+            except CommitConflict:
+                losses.append(i)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs and len(wins) == 1 and len(losses) == 7
+        body = (
+            tmp_path / "_commits" / "00000000000000000002.json"
+        ).read_text()
+        assert body == f'{{"writer": {wins[0]}}}'
+    finally:
+        store.close()
+
+
+def test_lake_table_writes_through_http_finalizer(spark, tmp_path):
+    """End-to-end: a LakeTable whose every commit publishes through the
+    HTTP conditional PUT — merges, the H5 idempotent replay, and an
+    explicit same-version race all behave exactly as with the POSIX
+    finalizer."""
+    path = str(tmp_path / "t")
+    store = _InProcessObjectStore(path)
+    try:
+        fin = store.finalizer()
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "_key string, _ts long, _op string, val string"
+            )
+
+        t = LakeTable(spark, path, buckets=2, finalizer=fin)
+        t.merge(mk([("k1", 1, "upsert", "a")]), "b1")
+        t.merge(mk([("k1", 2, "upsert", "a2"), ("k2", 2, "upsert", "b")]),
+                "b2")
+        t.merge(mk([("k1", 2, "upsert", "IGNORED")]), "b2")  # H5 replay
+        got = {r["_key"]: r["val"] for r in t.snapshot().collect()}
+        assert got == {"k1": "a2", "k2": "b"}
+        assert t.log.latest().version == 2
+        # same-version race through HTTP: explicit conflict, winner kept
+        a = CommitLog(path, finalizer=fin)
+        b = CommitLog(path, finalizer=fin)
+        a.commit("insert", [FileEntry("data/a.parquet", 0, 1)])
+        with pytest.raises(CommitConflict):
+            b.commit(
+                "insert",
+                [FileEntry("data/b.parquet", 0, 1)],
+                expected_version=3,
+            )
+    finally:
+        store.close()
+
+
 def test_two_writer_merge_race_through_conditional_put(spark, tmp_path):
     """The q-lake-concurrent scenario through the object-store publish
     path: two threads merge disjoint batches concurrently with the

@@ -227,6 +227,92 @@ class TestPrunedPlanning:
         assert _vals(df) == [("k2", "b")]
 
 
+class TestCdcRead:
+    """engine.read.type=cdc — the format surface of
+    LakeTable.incremental_cdc (H13): before/after images joined
+    worker-side per file group, no shuffle."""
+
+    @staticmethod
+    def _both(spark, t, begin, end=None):
+        lake_reader.register(spark)
+        api = t.incremental_cdc(begin, end)
+        r = (
+            spark.read.format("lake-table")
+            .option("path", t.path)
+            .option("engine.read.type", "cdc")
+            .option("engine.read.begin", str(begin))
+        )
+        if end is not None:
+            r = r.option("engine.read.end", str(end))
+        fmt = r.load()
+        assert sorted(api.columns) == sorted(fmt.columns)
+        cols = sorted(api.columns)
+        key = lambda tup: tuple(str(x) for x in tup)  # noqa: E731
+        return (
+            sorted(map(tuple, api.select(*cols).collect()), key=key),
+            sorted(map(tuple, fmt.select(*cols).collect()), key=key),
+        )
+
+    def test_cow_matches_api_incl_insert_delete_noop(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(_mk(spark, [("k1", 1, "upsert", "a", "p1"),
+                            ("k4", 1, "upsert", "z", "p2")]), "b1")
+        t.merge(_mk(spark, [("k1", 2, "upsert", "a2", "p1"),
+                            ("k2", 2, "upsert", "b", "p1"),
+                            ("k3", 2, "delete", "x", "p1"),
+                            ("k4", 2, "delete", "z", "p2")]), "b2")
+        a, f = self._both(spark, t, 1)
+        assert a == f and len(a) == 3  # k3 insert+delete = net no-op
+        # begin=0 classifies everything live as insert
+        a0, f0 = self._both(spark, t, 0)
+        assert a0 == f0 and len(a0) == 2
+
+    def test_mor_range_and_resolution(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(_mk(spark, [("k1", 1, "upsert", "a", "p1"),
+                            ("k2", 1, "upsert", "b", "p1")]), "b1",
+                mode="mor")
+        t.merge(_mk(spark, [("k1", 2, "upsert", "a2", "p1"),
+                            ("k3", 2, "upsert", "c", "p1")]), "b2",
+                mode="mor")
+        t.merge(_mk(spark, [("k2", 3, "delete", "b", "p1"),
+                            ("k3", 3, "upsert", "c2", "p1")]), "b3",
+                mode="mor")
+        a, f = self._both(spark, t, 1)
+        assert a == f and len(a) == 3
+        a2, f2 = self._both(spark, t, 1, 2)
+        assert a2 == f2 and len(a2) == 2
+
+    def test_partition_filter_prunes_cdc_plan(self, spark, tmp_path):
+        t = _build(spark, str(tmp_path / "t"))
+        lake_reader.register(spark)
+        # structural: pushed partition predicate shrinks the planned
+        # unit set to the one changed partition
+        rd = LakeBatchReader({
+            "path": t.path, "engine.read.type": "cdc",
+            "engine.read.begin": "1",
+        })
+        from pyspark.sql.datasource import EqualTo
+        list(rd.pushFilters([EqualTo(("d",), "2024-01-01")]))
+        planned = rd.partitions()
+        all_rd = LakeBatchReader({
+            "path": t.path, "engine.read.type": "cdc",
+            "engine.read.begin": "1",
+        })
+        assert len(planned) < len(all_rd.partitions())
+        df = (
+            spark.read.format("lake-table")
+            .option("path", t.path)
+            .option("engine.read.type", "cdc")
+            .option("engine.read.begin", "1")
+            .load()
+            .where(F.col("d") == "2024-01-01")
+        )
+        got = [(r["_change_op"], r["_key"], r["val"], r["_before_val"])
+               for r in df.collect()]
+        assert got == [("u", "k1", "a2", "a")]
+
+
 class TestColumnMapping:
     def test_rename_and_backfill(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "t"), buckets=2)

@@ -1323,6 +1323,69 @@ class TestSavepoints:
         assert t.log.versions() == [3]
         assert snap_dict(t) == {"k1": (30, "v3")}
 
+    def test_vacuum_retains_pin_landing_after_plan(self, spark, tmp_path):
+        """Savepoint/vacuum race, vacuum side: a pin that lands AFTER
+        vacuum computed its drop set (first savepoints() read) but
+        before deletion must still be honored — vacuum re-reads pins
+        just before deleting."""
+        from hudi_spark_plus_spark.table import maintenance
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0")
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "v2")]), "b1")
+        t.merge(mkbatch(spark, [("k1", 30, "upsert", "v3")]), "b2")
+        calls = {"n": 0}
+        real = LakeTable.savepoints
+
+        def racing(self_t):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # concurrent savepoint lands between the two reads
+                self_t.savepoint("late-pin", version=1)
+            return real(self_t)
+
+        try:
+            LakeTable.savepoints = racing
+            st = vacuum(t, keep_last=1, grace_seconds=0)
+        finally:
+            LakeTable.savepoints = real
+        assert calls["n"] >= 2, "vacuum must re-read pins before deleting"
+        assert st["versions_dropped"] == 1  # only v2
+        assert t.log.versions() == [1, 3]
+        assert {
+            r["_key"]: r["val"] for r in t.snapshot(version=1).collect()
+        } == {"k1": "v1"}
+
+    def test_savepoint_unwinds_when_version_vacuumed_mid_create(
+        self, spark, tmp_path
+    ):
+        """Savepoint/vacuum race, savepoint side: if the version
+        disappears from the timeline while the pin is being published,
+        savepoint() must delete its pin and raise instead of returning
+        a pin on reclaimed data."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 10, "upsert", "v1")]), "b0")
+        t.merge(mkbatch(spark, [("k1", 20, "upsert", "v2")]), "b1")
+        real_publish = type(t.log.finalizer).publish
+
+        def racing_publish(self_f, content, target):
+            real_publish(self_f, content, target)
+            # concurrent vacuum reclaims v1 right after the pin lands
+            # but before savepoint() re-checks (simulated: it missed
+            # the pin in both of its reads)
+            import os as _os
+
+            _os.unlink(t.log._commit_file(1))
+
+        try:
+            type(t.log.finalizer).publish = racing_publish
+            with pytest.raises(ValueError, match="vacuumed while"):
+                t.savepoint("doomed", version=1)
+        finally:
+            type(t.log.finalizer).publish = real_publish
+        assert t.savepoints() == {}  # pin unwound
+
     def test_savepoint_guards(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
         with pytest.raises(ValueError, match="no commits"):

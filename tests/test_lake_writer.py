@@ -1,0 +1,264 @@
+"""df.write.format('lake-table') — the batch Python Data Source write
+path (sources/lake_writer.py; the reference's second entry point,
+BinlogHoodieDataSource.scala:19-22 ``df.write.format("binlog-hudi")
+.mode(Append).save(path)``). Executors do layout + stats; commit is
+metadata-only."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_spark_plus_spark.sources import lake_reader
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "_key string, _ts long, val string, d string"
+    )
+
+
+def _write(df, path, **opts):
+    w = df.write.format("lake-table").mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+class TestPyHashParity:
+    def test_xxh64_matches_spark_xxhash64(self, spark):
+        """bucket_expr is pmod(xxhash64(key), buckets) JVM-side; the
+        executor-side Python port must agree bit-for-bit or format
+        writes would land keys in foreign buckets."""
+        import random
+        import string
+
+        from hudi_spark_plus_spark.table.pyhash import bucket_of, xxh64
+
+        random.seed(11)
+        vals = ["", "a", "x" * 31, "y" * 32, "z" * 33, "héllo ß漢字"]
+        vals += [
+            "".join(
+                random.choices(string.ascii_letters + string.digits, k=n)
+            )
+            for n in random.choices(range(1, 90), k=120)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            r["s"]: (r["h"], r["b"])
+            for r in df.select(
+                "s",
+                F.xxhash64("s").alias("h"),
+                F.pmod(F.xxhash64("s"), F.lit(8)).cast("int").alias("b"),
+            ).collect()
+        }
+        for v in vals:
+            h, b = got[v]
+            assert xxh64(v.encode()) == h, v
+            assert bucket_of(v, 8) == b, v
+
+
+class TestPartitionRendererParity:
+    def test_specs_match_keygen_exprs(self, spark):
+        """Python rendering must equal partition_path_expr for every
+        supported spec family (simple/null, timestamp, epochmillis,
+        epochmicros, multi-field)."""
+        import datetime
+
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            PartitionRenderer,
+        )
+        from hudi_spark_plus_spark.table.keygen import partition_path_expr
+
+        rows = [
+            ("a", None, datetime.datetime(2024, 3, 5, 23, 59, 59),
+             1709682000000, 86_400_000_000 * 19_800 - 1),
+            (None, 7, datetime.datetime(1969, 12, 31, 12, 0, 0),
+             -1, 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "s string, n int, t timestamp, ems long, eus long"
+        )
+        specs = [
+            ["s"], ["n"], ["t:timestamp"], ["t:timestamp:yyyy/MM"],
+            ["ems:epochmillis"], ["eus:epochmicros:yyyy-MM"],
+            ["s", "n"], ["s", "ems:epochmillis"],
+        ]
+        import pyarrow as pa
+
+        at = pa.Table.from_pylist(
+            [
+                {
+                    "s": r[0], "n": r[1],
+                    "t": r[2].replace(tzinfo=datetime.timezone.utc),
+                    "ems": r[3], "eus": r[4],
+                }
+                for r in rows
+            ]
+        )
+        for sp in specs:
+            want = [
+                r["p"]
+                for r in df.select(
+                    partition_path_expr(sp).alias("p")
+                ).collect()
+            ]
+            got = PartitionRenderer(sp).render(at)
+            assert got == want, (sp, got, want)
+
+    def test_unsupported_format_chars_raise(self):
+        from hudi_spark_plus_spark.sources.lake_writer import _strftime_of
+
+        assert _strftime_of("yyyy-MM-dd") == "%Y-%m-%d"
+        assert _strftime_of("yyyy/MM") == "%Y/%m"
+        with pytest.raises(ValueError, match="unsupported pattern"):
+            _strftime_of("yyyy-MM-dd HH")
+
+
+class TestFormatWriteRoundtrip:
+    def test_new_table_write_read_and_lake_interop(self, spark, tmp_path):
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        rows = [
+            (f"k{i}", 1, f"v{i}", f"2024-01-0{1 + i % 3}") for i in range(40)
+        ]
+        _write(
+            _df(spark, rows), path,
+            **{"engine.write.buckets": "4",
+               "engine.write.partition.fields": "d"},
+        )
+        back = spark.read.format("lake-table").option("path", path).load()
+        assert back.count() == 40
+        assert {r["_commit_ver"] for r in back.collect()} == {1}
+        # partition pruning through the format read works on
+        # format-written directories
+        assert back.where(F.col("d") == "2024-01-02").count() == len(
+            [r for r in rows if r[3] == "2024-01-02"]
+        )
+        # the table is a first-class LakeTable: config persisted,
+        # merge on top works, snapshot resolves
+        t = LakeTable(spark, path)
+        assert t.buckets == 4 and t.partition_fields == ["d"]
+        t.merge(
+            spark.createDataFrame(
+                [("k0", 9, "upsert", "V0", "2024-01-01")],
+                "_key string, _ts long, _op string, val string, d string",
+            ),
+            "m1",
+        )
+        snap = {r["_key"]: r["val"] for r in t.snapshot().collect()}
+        assert snap["k0"] == "V0" and len(snap) == 40
+        # manifest entries carry key ranges + blooms (point-lookup path)
+        fs = t.log.latest().files
+        assert all(f.min_key is not None and f.bloom for f in fs)
+
+    def test_append_and_batch_id_idempotence(self, spark, tmp_path):
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        _write(_df(spark, [("k1", 1, "a", "p")]), path)
+        add = _df(spark, [("k2", 2, "b", "p")])
+        _write(add, path, **{"engine.write.batch.id": "b2"})
+        _write(add, path, **{"engine.write.batch.id": "b2"})  # replay
+        back = spark.read.format("lake-table").option("path", path).load()
+        assert sorted(r["_key"] for r in back.collect()) == ["k1", "k2"]
+        t = LakeTable(spark, path)
+        assert [c.version for c in map(t.log.read, t.log.versions())] == [
+            1, 2,
+        ]
+
+    def test_commit_race_restamps_record_versions(self, spark, tmp_path):
+        """A writer that planned version N but lost the race must land
+        at N+1 with its files' _commit_ver re-stamped — incremental
+        reads key on the record-level stamp."""
+        import pyarrow as pa
+
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableBatchWriter,
+        )
+
+        path = str(tmp_path / "t")
+        base = _df(spark, [("k1", 1, "a", "p")])
+        _write(base, path)
+        w = LakeTableBatchWriter(
+            {"path": path}, base.schema, overwrite=False
+        )
+        assert w.version_guess == 2
+        msg = w.write(
+            iter(
+                pa.Table.from_pylist(
+                    [{"_key": "k9", "_ts": 5, "val": "late", "d": "p"}]
+                ).to_batches()
+            )
+        )
+        # another writer lands version 2 first
+        LakeTable(spark, path).merge(
+            spark.createDataFrame(
+                [("k2", 2, "upsert", "b", "p")],
+                "_key string, _ts long, _op string, val string, d string",
+            ),
+            "interloper",
+        )
+        w.commit([msg])
+        lake_reader.register(spark)
+        back = spark.read.format("lake-table").option("path", path).load()
+        got = {r["_key"]: r["_commit_ver"] for r in back.collect()}
+        assert got == {"k1": 1, "k2": 2, "k9": 3}
+        inc = (
+            spark.read.format("lake-table").option("path", path)
+            .option("engine.read.type", "incremental")
+            .option("engine.read.begin", "2")
+            .load()
+        )
+        assert [r["_key"] for r in inc.collect()] == ["k9"]
+
+    def test_renamed_table_writes_physical_names(self, spark, tmp_path):
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        _write(_df(spark, [("k1", 1, "a", "p")]), path)
+        t = LakeTable(spark, path)
+        t.rename_column("val", "value")
+        (
+            spark.createDataFrame(
+                [("k2", 2, "b", "p")],
+                "_key string, _ts long, value string, d string",
+            )
+            .write.format("lake-table").mode("append").save(path)
+        )
+        back = spark.read.format("lake-table").option("path", path).load()
+        got = sorted((r["_key"], r["value"]) for r in back.collect())
+        assert got == [("k1", "a"), ("k2", "b")]
+
+
+class TestFormatWriteGuards:
+    def test_overwrite_upsert_evolution_and_missing_key(
+        self, spark, tmp_path
+    ):
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        df = _df(spark, [("k1", 1, "a", "p")])
+        df.write.format("lake-table").mode("append").save(path)
+        with pytest.raises(Exception, match="replace commit"):
+            df.write.format("lake-table").mode("overwrite").save(path)
+        with pytest.raises(Exception, match="LakeTable.merge"):
+            (
+                df.write.format("lake-table")
+                .option("engine.write.operation", "upsert")
+                .mode("append").save(path)
+            )
+        with pytest.raises(Exception, match="schema evolution"):
+            (
+                df.withColumn("extra", F.lit(1))
+                .write.format("lake-table").mode("append").save(path)
+            )
+        with pytest.raises(Exception, match="_key"):
+            (
+                spark.range(1).write.format("lake-table")
+                .mode("append").save(str(tmp_path / "t2"))
+            )
+        with pytest.raises(Exception, match="buckets=16"):
+            (
+                df.write.format("lake-table")
+                .option("engine.write.buckets", "3")
+                .mode("append").save(path)
+            )

@@ -78,6 +78,37 @@ def test_asof_join_left_and_tie_semantics(spark):
     assert got == {(1, "r2"), (2, "r1"), (3, None), (4, None)}
 
 
+def test_asof_join_timestamp_columns_keep_subsecond_precision(spark):
+    """TIMESTAMP ts columns must match at micros precision — a plain
+    long cast would truncate to whole seconds and pick the WRONG right
+    row when candidates differ only sub-second. Unsupported ts types
+    raise instead of silently coarsening."""
+    import datetime
+
+    import pytest as _pytest
+
+    from hudi_spark_plus_spark.operators.joins import asof_join
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    us = lambda n: base + datetime.timedelta(microseconds=n)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", us(500_000), 1)], "k string, lts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", us(400_000), "early"), ("a", us(600_000), "late")],
+        "k string, rts timestamp, rv string",
+    )
+    got = asof_join(
+        left, right, ["k"], ["k"], "lts", "rts", ["rv"]
+    ).collect()
+    # whole-second truncation would see three equal ts=0 values and
+    # tie-break to "late" (0.6s) — the row AFTER the left event
+    assert [(r["lid"], r["rv"]) for r in got] == [(1, "early")]
+    bad = spark.createDataFrame([("a", "x", 1)], "k string, lts string, lid int")
+    with _pytest.raises(ValueError, match="unsupported type"):
+        asof_join(bad, right, ["k"], ["k"], "lts", "rts", ["rv"])
+
+
 def test_q17_dedup_is_single_shuffle(spark, sf_dir):
     """The LWW-dedup primitive: exactly one hash-partitioning exchange
     (the window), plus the final presentation sort."""
