@@ -1055,6 +1055,72 @@ def q_lake_cdc_feed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_stream_sink(spark, sf_dir):
+    """``df.writeStream.format("lake-table")`` — streaming writes
+    through the Data Source sink (sources/lake_writer.py
+    LakeTableStreamWriter) under oracle control: a two-file parquet
+    stream drains with availableNow + maxFilesPerTrigger=1, each
+    micro-batch landing as its own exactly-once insert commit
+    (batch id ``stream-<batchId>``); the table then reads back through
+    the format-level snapshot. The per-batch commit structure is
+    asserted engine-side (file order is not deterministic, so the
+    oracled output is the order-free final state)."""
+    from hudi_spark_plus_spark.sources import lake_reader
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        src, table, ck = work + "/src", work + "/t", work + "/ck"
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        sel = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        sel.where(F.col("c_custkey") % 2 == 0).repartition(1).write.parquet(
+            src
+        )
+        sel.where(F.col("c_custkey") % 2 == 1).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        lake_reader.register(spark)
+        q = (
+            spark.readStream.schema(sel.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("lake-table")
+            .option("path", table)
+            .option("engine.write.buckets", "4")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        lake = LakeTable(spark, table)
+        vs = lake.log.versions()
+        ids = [lake.log.read(v).batch_id for v in vs]
+        assert len(vs) == 2 and len(set(ids)) == 2 and all(
+            i and i.startswith("stream-") for i in ids
+        ), (vs, ids)
+        out = (
+            spark.read.format("lake-table")
+            .option("path", table)
+            .load()
+            .select(
+                "c_custkey", "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_cdc_source(spark, sf_dir):
     """The format-read twin of q-lake-cdc-feed: the SAME b1/b2 customer
     timeline consumed through ``spark.read.format("lake-table")`` with
@@ -1300,6 +1366,7 @@ def q_lake_batch_source(spark, sf_dir):
 
 
 LAKE_QUERIES = {
+    "q-lake-stream-sink": q_lake_stream_sink,
     "q-lake-format-write": q_lake_format_write,
     "q-lake-cdc-source": q_lake_cdc_source,
     "q-lake-batch-source": q_lake_batch_source,
@@ -1382,6 +1449,13 @@ LAKE_ORACLES = {
     """,
     # the CDC feed over (1, 2]: u/d for in-SUBSET changes with original
     # acctbal as the before-image, i for the new key wave with NULL
+    # the streamed-in customer subset, order-free final state
+    "q-lake-stream-sink": f"""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+        ORDER BY c_custkey
+    """,
     # two format appends (second idempotently replayed): batch-1 keys
     # at ver 1, the insert wave at ver 2
     "q-lake-format-write": f"""

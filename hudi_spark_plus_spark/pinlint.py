@@ -23,8 +23,9 @@ Class internals are covered COARSELY (VERDICT r7 directive 4 — the
 function-level closure was blind to ``LakeTable`` method changes,
 exactly where round 7 made its biggest semantic edits): every
 ``q-lake-*`` / ``q-cdc-*`` query hash additionally folds in the full
-source of the ``table/`` modules, and every ``*-source`` query (the
-Python Data Source read paths) folds in ``sources/lake_reader.py`` +
+source of the ``table/`` modules, and every ``*-source`` / ``*-sink``
+/ ``*-format-write`` query (the Python Data Source read/write paths)
+folds in ``sources/lake_reader.py`` + ``sources/lake_writer.py`` +
 ``streaming/stream_source.py``. Any edit to those files therefore
 flags the whole family — by design: pin the flagged queries (the
 driver's rotation re-greens them next round; pins are removed as green
@@ -104,6 +105,7 @@ def compute_hashes() -> dict[str, str]:
     ds_blob = _files_blob(
         [
             _PKG_DIR / "sources" / "lake_reader.py",
+            _PKG_DIR / "sources" / "lake_writer.py",
             _PKG_DIR / "streaming" / "stream_source.py",
         ]
     )
@@ -112,7 +114,7 @@ def compute_hashes() -> dict[str, str]:
         blob = _source_closure(fn) + "\n--oracle--\n" + oracles.get(name, "")
         if name.startswith(("q-lake-", "q-cdc-")):
             blob += "\n--table-modules--\n" + table_blob
-        if name.endswith("-source"):
+        if name.endswith(("-source", "-sink", "-format-write")):
             blob += "\n--datasource-modules--\n" + ds_blob
         out[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
     return dict(sorted(out.items()))

@@ -708,6 +708,13 @@ class LakeTableDataSource(DataSource):
 
         return LakeTableBatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite):
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableStreamWriter,
+        )
+
+        return LakeTableStreamWriter(self.options, schema, overwrite)
+
     def streamReader(self, schema):
         from hudi_spark_plus_spark.streaming.stream_source import (
             LakeStreamReader,

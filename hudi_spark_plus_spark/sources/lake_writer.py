@@ -189,6 +189,9 @@ class PartitionRenderer:
 class LakeWriterMessage(WriterCommitMessage):
     entries: list = field(default_factory=list)
     rows: int = 0
+    # the _commit_ver value this task stamped into its files; commit()
+    # re-stamps any message whose stamp lost the version race
+    stamped: int = 0
 
 
 class LakeTableBatchWriter(DataSourceArrowWriter):
@@ -332,12 +335,16 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 fields.append(StructField(COMMIT_VER_COL, LongType(), True))
             self.schema_json = StructType(fields).json()
             self.physical = {f.name: f.name for f in fields}
-        # one data subdir for the whole write, created driver-side
-        _absd, self.subdir_rel = log.new_data_subdir()
+        # one data subdir for the whole write (generated driver-side,
+        # materialized lazily by the first task that writes into it)
+        self.subdir_rel = os.path.join(log.DATA_DIR, uuid.uuid4().hex)
 
     # -- executor side ------------------------------------------------------
 
     def write(self, iterator):
+        return self._write_core(iterator, self.version_guess, self.subdir_rel)
+
+    def _write_core(self, iterator, version_guess: int, subdir_rel: str):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -354,7 +361,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
 
         batches = list(iterator)
         if not batches:
-            return LakeWriterMessage([], 0)
+            return LakeWriterMessage([], 0, version_guess)
         t = pa.Table.from_batches(batches)
         keys = t[KEY_COL].to_pylist()
         if any(k is None for k in keys):
@@ -372,7 +379,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
         if COMMIT_VER_COL not in t.column_names:
             t = t.append_column(
                 COMMIT_VER_COL,
-                pa.array([self.version_guess] * t.num_rows, pa.int64()),
+                pa.array([version_guess] * t.num_rows, pa.int64()),
             )
         t = t.rename_columns(
             [self.physical.get(c, c) for c in t.column_names]
@@ -388,7 +395,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
         ):
             sub = t.take(idxs)
-            d = os.path.join(self.table_path, self.subdir_rel)
+            d = os.path.join(self.table_path, subdir_rel)
             if part is not None:
                 d = os.path.join(d, f"_part={_quote(part, safe='')}")
             d = os.path.join(d, f"_bucket={b}")
@@ -414,7 +421,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     partition=part,
                 )
             )
-        return LakeWriterMessage(entries, t.num_rows)
+        return LakeWriterMessage(entries, t.num_rows, version_guess)
 
     # -- driver side (metadata only) ----------------------------------------
 
@@ -438,20 +445,26 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             pq.write_table(t, absf)
 
     def commit(self, messages):
+        self._commit_core(
+            messages,
+            self.batch_id,
+            discard=lambda: shutil.rmtree(
+                os.path.join(self.table_path, self.subdir_rel),
+                ignore_errors=True,
+            ),
+        )
+
+    def _commit_core(self, messages, batch_id, discard):
         from hudi_spark_plus_spark.table.commit_log import (
             CommitConflict,
             CommitLog,
         )
 
         log = CommitLog(self.table_path)
-        if self.batch_id is not None and log.has_batch(self.batch_id):
-            shutil.rmtree(
-                os.path.join(self.table_path, self.subdir_rel),
-                ignore_errors=True,
-            )
+        if batch_id is not None and log.has_batch(batch_id):
+            discard()
             return  # idempotent re-run (H5)
-        entries = [e for m in messages if m is not None for e in m.entries]
-        stamped = self.version_guess
+        msgs = [m for m in messages if m is not None and m.entries]
         for attempt in range(_COMMIT_RETRIES + 1):
             latest = log.latest()
             next_ver = (latest.version + 1) if latest else 1
@@ -462,15 +475,17 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     "files follow a stale column mapping — re-run the "
                     "write"
                 )
-            if next_ver != stamped:
-                self._restamp(entries, next_ver)
-                stamped = next_ver
+            for m in msgs:
+                if m.stamped != next_ver:
+                    self._restamp(m.entries, next_ver)
+                    m.stamped = next_ver
+            entries = [e for m in msgs for e in m.entries]
             carry = latest.files if latest else []
             try:
                 log.commit(
                     self.operation,
                     carry + entries,
-                    batch_id=self.batch_id,
+                    batch_id=batch_id,
                     schema_json=self.schema_json,
                     buckets=self.buckets,
                     expected_version=next_ver,
@@ -494,3 +509,63 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             os.path.join(self.table_path, self.subdir_rel),
             ignore_errors=True,
         )
+
+
+STREAM_ID_OPT = "engine.write.stream.id"
+
+try:  # PySpark >= 4.1
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+except ImportError:  # pragma: no cover - older API surface
+    DataSourceStreamArrowWriter = None
+
+
+if DataSourceStreamArrowWriter is not None:
+
+    class LakeTableStreamWriter(
+        LakeTableBatchWriter, DataSourceStreamArrowWriter
+    ):
+        """``df.writeStream.format("lake-table")`` — insert-only
+        micro-batch appends with exactly-once semantics: every
+        micro-batch commits under batch id
+        ``<engine.write.stream.id>-<batchId>`` (default stream id
+        "stream"; two concurrent streaming queries into one table must
+        set distinct ids), so a crash-replayed micro-batch is the H5
+        idempotent no-op. Upsert streams go through the foreachBatch
+        sink (streaming/sink.py) — same reasoning as the batch
+        writer's upsert guard. Unlike the batch writer, each task
+        re-reads the commit log for its version stamp and writes into
+        its own data subdir, because one writer instance serves every
+        micro-batch of the query."""
+
+        def __init__(self, options, schema, overwrite: bool = False):
+            super().__init__(options, schema, overwrite)
+            self.stream_id = options.get(STREAM_ID_OPT, "stream")
+
+        def write(self, iterator):
+            from hudi_spark_plus_spark.table.commit_log import CommitLog
+
+            log = CommitLog(self.table_path)
+            latest = log.latest()
+            guess = (latest.version + 1) if latest else 1
+            subdir = os.path.join(log.DATA_DIR, uuid.uuid4().hex)
+            return self._write_core(iterator, guess, subdir)
+
+        def commit(self, messages, batchId: int):
+            self._commit_core(
+                messages,
+                f"{self.stream_id}-{batchId}",
+                discard=lambda: self._discard(messages),
+            )
+
+        def _discard(self, messages):
+            for m in messages:
+                if m is None:
+                    continue
+                for e in m.entries:
+                    try:
+                        os.unlink(os.path.join(self.table_path, e.path))
+                    except FileNotFoundError:
+                        pass
+
+        def abort(self, messages, batchId: int):
+            self._discard(messages)

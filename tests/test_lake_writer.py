@@ -230,6 +230,76 @@ class TestFormatWriteRoundtrip:
         assert got == [("k1", "a"), ("k2", "b")]
 
 
+class TestStreamingFormatWrite:
+    def test_micro_batches_commit_exactly_once(self, spark, tmp_path):
+        """writeStream.format('lake-table'): each micro-batch is one
+        insert commit keyed by '<stream-id>-<batchId>' — restart from
+        the checkpoint replays nothing."""
+        import time
+
+        lake_reader.register(spark)
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "t")
+        ck = str(tmp_path / "ck")
+        import os
+
+        os.makedirs(src)
+        sch = "_key string, _ts long, val string, d string"
+
+        def drop(name, rows):
+            import json
+
+            with open(os.path.join(src, name), "w") as fh:
+                for k, ts, v, d in rows:
+                    fh.write(
+                        json.dumps(
+                            {"_key": k, "_ts": ts, "val": v, "d": d}
+                        )
+                        + "\n"
+                    )
+
+        drop("a.json", [("k1", 1, "a", "p"), ("k2", 1, "b", "p")])
+
+        def run(seconds):
+            q = (
+                spark.readStream.schema(sch).json(src)
+                .writeStream.format("lake-table")
+                .option("path", table)
+                .option("engine.write.buckets", "2")
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            time.sleep(seconds)
+            q.stop()
+
+        run(12)
+        drop("b.json", [("k3", 2, "c", "p")])
+        run(12)  # restart: replays nothing, picks up the new file
+        t = LakeTable(spark, table)
+        ids = [t.log.read(v).batch_id for v in t.log.versions()]
+        assert all(i and i.startswith("stream-") for i in ids)
+        assert len(ids) == len(set(ids))
+        back = spark.read.format("lake-table").option("path", table).load()
+        assert sorted(r["_key"] for r in back.collect()) == [
+            "k1", "k2", "k3",
+        ]
+
+    def test_upsert_stream_is_rejected(self, spark, tmp_path):
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableStreamWriter,
+        )
+
+        with pytest.raises(ValueError, match="LakeTable.merge"):
+            LakeTableStreamWriter(
+                {
+                    "path": str(tmp_path / "t"),
+                    "engine.write.operation": "upsert",
+                },
+                _df(spark, [("k", 1, "v", "p")]).schema,
+            )
+
+
 class TestFormatWriteGuards:
     def test_overwrite_upsert_evolution_and_missing_key(
         self, spark, tmp_path
