@@ -1201,8 +1201,13 @@ def q_lake_format_write(spark, sf_dir):
     table from scratch (executor-side bucketing via the JVM-exact
     Python xxhash64, partition-path rendering, manifest stats), the
     second append REPLAYED with the same batch id to prove H5
-    idempotence holds through this surface, then the table is read
-    back through the format-level snapshot read."""
+    idempotence holds through this surface; a third format write is a
+    MERGE-ON-READ UPSERT (``engine.write.operation=upsert`` — delta
+    appends + ``_op='delete'`` tombstones, the reference entry point's
+    actual Append semantics) updating multiples of 3 and deleting
+    multiples of 7; then the table is read back through the
+    format-level snapshot read, whose per-group resolution must apply
+    last-write-wins over the format-written deltas."""
     from hudi_spark_plus_spark.sources import lake_reader
 
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")
@@ -1244,6 +1249,25 @@ def q_lake_format_write(spark, sf_dir):
                 .option("engine.write.batch.id", "wave-2")
                 .mode("append").save(path)
             )
+        batch3 = c.where(
+            (F.col("c_custkey") < SUBSET)
+            & ((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(3).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 7 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 77.0, 4).alias("acctbal"),
+            d_col,
+        )
+        (
+            batch3.write.format("lake-table")
+            .option("engine.write.operation", "upsert")
+            .mode("append").save(path)
+        )
         out = (
             spark.read.format("lake-table")
             .option("path", path)
@@ -1456,18 +1480,24 @@ LAKE_ORACLES = {
         WHERE c_custkey < {SUBSET}
         ORDER BY c_custkey
     """,
-    # two format appends (second idempotently replayed): batch-1 keys
-    # at ver 1, the insert wave at ver 2
+    # two format appends (second idempotently replayed) then a format
+    # MOR upsert: wave keys at ver 2 (+1000), surviving updated
+    # multiples of 3 at ver 3 (+77), deleted multiples of 7 gone,
+    # untouched batch-1 keys at ver 1
     "q-lake-format-write": f"""
         SELECT c_custkey, c_name,
-               CASE WHEN c_custkey < {SUBSET}
-                    THEN ROUND(c_acctbal, 4)
-                    ELSE ROUND(c_acctbal + 1000.0, 4) END AS acctbal,
+               CASE WHEN c_custkey >= {SUBSET}
+                         THEN ROUND(c_acctbal + 1000.0, 4)
+                    WHEN c_custkey % 3 = 0
+                         THEN ROUND(c_acctbal + 77.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
                '2024-01-0' || CAST(1 + c_custkey % 3 AS VARCHAR) AS d,
-               CAST(CASE WHEN c_custkey < {SUBSET} THEN 1 ELSE 2 END
-                    AS BIGINT) AS ver
+               CAST(CASE WHEN c_custkey >= {SUBSET} THEN 2
+                         WHEN c_custkey % 3 = 0 THEN 3
+                         ELSE 1 END AS BIGINT) AS ver
         FROM customer
         WHERE c_custkey < {SUBSET} + 20
+          AND NOT (c_custkey < {SUBSET} AND c_custkey % 7 = 0)
         ORDER BY c_custkey
     """,
     # identical change classification through the format reader

@@ -4,13 +4,21 @@ reference's second entry point: ``df.write.format("binlog-hudi")
 .mode(Append).save(path)``, BinlogHoodieDataSource.scala:19-22), via
 PySpark 4's ``DataSourceArrowWriter``.
 
-Operations (``engine.write.operation``): ``insert`` (default) and
-``bulk_insert`` — the H3 append surface. Upserts/deletes are NOT this
-path: a Data Source writer's executors each see one slice of the batch,
-while a merge must read and rewrite whole buckets transactionally —
-route merges through ``LakeTable.merge`` or the foreachBatch sink
-(streaming/sink.py), exactly as the reference routes its CDC stream.
-``mode("overwrite")`` likewise raises toward
+Operations (``engine.write.operation``): ``insert`` (default),
+``bulk_insert`` — the H3 append surface — and ``upsert`` in
+MERGE-ON-READ mode (the reference entry point's actual semantics:
+``mode(Append)`` on a Hudi table upserts). A MOR upsert is a pure
+delta append — each executor writes its slice's rows as delta files
+and readers resolve latest-per-key per file group — so it needs no
+cross-slice coordination; deletes ride the batch as ``_op='delete'``
+tombstone rows, and the batch must be LWW-deduped to one row per key
+first (the same ``LakeTable.merge`` contract). COPY-ON-WRITE upserts
+are NOT this path: they read and rewrite whole buckets
+transactionally while a Data Source writer's executors each see one
+arbitrary slice — route those through ``LakeTable.merge`` or the
+foreachBatch sink (streaming/sink.py). Global-index tables likewise
+reject format upserts (relocation tombstones need the engine's
+bounded bucket read). ``mode("overwrite")`` raises toward
 ``LakeTable.insert_overwrite_table`` (a replace commit is a planned
 table operation, not a blind re-save).
 
@@ -51,6 +59,7 @@ from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
 
 PATH_OPT = "path"
 OPERATION_OPT = "engine.write.operation"
+MODE_OPT = "engine.write.mode"
 BATCH_ID_OPT = "engine.write.batch.id"
 BUCKETS_OPT = "engine.write.buckets"
 PARTITION_FIELDS_OPT = "engine.write.partition.fields"
@@ -225,32 +234,41 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             )
         self.table_path = path
         op = options.get(OPERATION_OPT, "insert")
-        if op not in ("insert", "bulk_insert"):
-            hint = (
-                "upserts/deletes need transactional bucket merges — use "
-                "LakeTable.merge or the foreachBatch sink"
-                if op == "upsert"
-                else "supported: insert, bulk_insert"
-            )
+        if op not in ("insert", "bulk_insert", "upsert"):
             raise ValueError(
                 f"unsupported {OPERATION_OPT} {op!r} for the lake-table "
-                f"format writer; {hint}"
+                "format writer; supported: insert, bulk_insert, upsert"
+            )
+        wmode = options.get(MODE_OPT, "mor" if op == "upsert" else "cow")
+        if op == "upsert" and wmode != "mor":
+            # a COW upsert reads and rewrites whole buckets
+            # transactionally; Data Source executors each hold one
+            # arbitrary slice of the batch. MERGE-ON-READ upserts are
+            # pure delta appends, so THOSE flow through this path;
+            # copy-on-write routes to the engine merge.
+            raise ValueError(
+                "format-level upserts are merge-on-read only "
+                f"({MODE_OPT}=mor); copy-on-write upserts go through "
+                "LakeTable.merge or the foreachBatch sink"
             )
         self.operation = op
         self.batch_id = options.get(BATCH_ID_OPT)
         names = {f.name for f in schema.fields}
         if KEY_COL not in names or TS_COL not in names:
             raise ValueError(
-                f"lake-table insert requires '{KEY_COL}' and '{TS_COL}' "
+                f"lake-table writes require '{KEY_COL}' and '{TS_COL}' "
                 "columns (operators.cdc prepare helpers build them)"
             )
-        forbidden = names & {OP_COL, BUCKET_COL, PARTITION_COL}
+        forbidden = names & {BUCKET_COL, PARTITION_COL}
+        if OP_COL in names and op != "upsert":
+            forbidden = forbidden | {OP_COL}
         if forbidden:
             raise ValueError(
                 f"columns {sorted(forbidden)} are engine layout/op "
-                "columns; inserts carry payload only (upserts go through "
-                "LakeTable.merge)"
+                "columns for this operation; deletes ride an upsert's "
+                f"'{OP_COL}' column (engine.write.operation=upsert)"
             )
+        names = names - {OP_COL}  # transient, never stored
         log = CommitLog(path)
         latest = log.latest()
         self.version_guess = (latest.version + 1) if latest else 1
@@ -313,7 +331,8 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             retyped = [
                 f.name
                 for f in schema.fields
-                if f.dataType.simpleString()
+                if f.name in active
+                and f.dataType.simpleString()
                 != active[f.name].dataType.simpleString()
             ]
             if retyped:
@@ -328,13 +347,19 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 if not (f.metadata or {}).get("dropped")
             }
         else:
-            fields = list(schema.fields)
+            fields = [f for f in schema.fields if f.name != OP_COL]
             if DELETED_COL not in names:
                 fields.append(StructField(DELETED_COL, BooleanType(), True))
             if COMMIT_VER_COL not in names:
                 fields.append(StructField(COMMIT_VER_COL, LongType(), True))
             self.schema_json = StructType(fields).json()
             self.physical = {f.name: f.name for f in fields}
+        if self.operation == "upsert" and self.global_index:
+            raise ValueError(
+                "format-level upserts are not supported on global-index "
+                "tables (relocation tombstones need the engine's bounded "
+                "bucket read) — use LakeTable.merge"
+            )
         # one data subdir for the whole write (generated driver-side,
         # materialized lazily by the first task that writes into it)
         self.subdir_rel = os.path.join(log.DATA_DIR, uuid.uuid4().hex)
@@ -350,7 +375,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
 
         from hudi_spark_plus_spark.table.bloom import KeyBloom
         from hudi_spark_plus_spark.table.commit_log import FileEntry
-        from hudi_spark_plus_spark.table.keygen import KEY_COL
+        from hudi_spark_plus_spark.table.keygen import KEY_COL, OP_COL
         from hudi_spark_plus_spark.table.lake_table import (
             COMMIT_VER_COL,
             DELETED_COL,
@@ -372,6 +397,18 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             if self.partition_fields
             else None
         )
+        if self.operation == "upsert" and OP_COL in t.column_names:
+            # deletes ride the batch as _op='delete' -> tombstone rows
+            # (the merge envelope contract); _op itself is transient
+            import pyarrow.compute as pc
+
+            dead = pc.equal(
+                pc.fill_null(t[OP_COL], "upsert"), pa.scalar("delete")
+            )
+            t = t.drop_columns([OP_COL])
+            if DELETED_COL in t.column_names:
+                t = t.drop_columns([DELETED_COL])
+            t = t.append_column(DELETED_COL, dead)
         if DELETED_COL not in t.column_names:
             t = t.append_column(
                 DELETED_COL, pa.array([False] * t.num_rows, pa.bool_())
@@ -416,7 +453,10 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     min_key=min(ks),
                     max_key=max(ks),
                     bloom=bloom.to_b64(),
-                    kind="base",
+                    # merge-on-read upserts append DELTA files: readers
+                    # resolve latest-per-key per file group, exactly as
+                    # after LakeTable.merge(mode="mor")
+                    kind="delta" if self.operation == "upsert" else "base",
                     col_stats=col_stats or None,
                     partition=part,
                 )
@@ -483,7 +523,10 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             carry = latest.files if latest else []
             try:
                 log.commit(
-                    self.operation,
+                    # "merge" is the timeline name for upsert+delete
+                    # commits (matches LakeTable.merge history rows)
+                    "merge" if self.operation == "upsert"
+                    else self.operation,
                     carry + entries,
                     batch_id=batch_id,
                     schema_json=self.schema_json,

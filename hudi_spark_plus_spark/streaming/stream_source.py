@@ -18,6 +18,10 @@ never leaks). A consumer that needs strict per-commit granularity sets
 ``engine.stream.max.versions.per.batch`` — enforced where it is safe,
 in ``latestOffset`` (capping inside ``partitions()`` would silently
 skip the capped-off versions: Spark checkpoints the UNCAPPED offset).
+Use the cap with processingTime/continuous triggers: Python sources
+do not implement Trigger.AvailableNow, so Spark falls back to
+single-batch execution — a capped availableNow run would process ONE
+capped batch and terminate with the backlog tail unread.
 Downstream LWW is by (_ts, _commit_ver) — or feed ``foreachBatch``
 into another ``LakeTable.merge``, which applies exactly that rule.
 

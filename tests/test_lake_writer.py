@@ -59,6 +59,41 @@ class TestPyHashParity:
             assert bucket_of(v, 8) == b, v
 
 
+class TestPyHashProperties:
+    def test_xxh64_reference_vectors(self):
+        """Published xxHash64 reference vectors (seed 0; xxHash
+        repository README/spec) — guards the algorithm itself
+        independently of Spark."""
+        from hudi_spark_plus_spark.table.pyhash import xxh64
+
+        def u(v):  # unsigned view for vector comparison
+            return v & ((1 << 64) - 1)
+
+        assert u(xxh64(b"", 0)) == 0xEF46DB3751D8E999
+        assert u(xxh64(b"a", 0)) == 0xD24EC4F1A98C6E5B
+        assert u(xxh64(b"abc", 0)) == 0x44BC2CF5AD770999
+
+    def test_xxh64_hypothesis_bytes_roundtrip_stability(self):
+        """Property: pure function of bytes+seed, covers every length
+        class (0, <4, <8, <32, >=32 with tail) via hypothesis."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hudi_spark_plus_spark.table.pyhash import xxh64
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(min_size=0, max_size=100),
+               st.integers(min_value=0, max_value=2**31))
+        def prop(data, seed):
+            h1, h2 = xxh64(data, seed), xxh64(data, seed)
+            assert h1 == h2
+            assert -(2**63) <= h1 < 2**63
+            if data:
+                assert xxh64(data[:-1] + bytes([data[-1] ^ 1]), seed) != h1
+
+        prop()
+
+
 class TestPartitionRendererParity:
     def test_specs_match_keygen_exprs(self, spark):
         """Python rendering must equal partition_path_expr for every
@@ -212,6 +247,71 @@ class TestFormatWriteRoundtrip:
         )
         assert [r["_key"] for r in inc.collect()] == ["k9"]
 
+    def test_mor_upsert_through_format(self, spark, tmp_path):
+        """engine.write.operation=upsert: delta-append upserts +
+        _op='delete' tombstones land through the format; snapshot
+        resolves LWW; compact() folds the deltas like any MOR table."""
+        from hudi_spark_plus_spark.table.maintenance import compact
+
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        _write(
+            _df(spark, [("k1", 1, "a", "p"), ("k2", 1, "b", "p")]),
+            path, **{"engine.write.buckets": "2"},
+        )
+        up = spark.createDataFrame(
+            [("k1", 2, "upsert", "a2", "p"),
+             ("k2", 2, "delete", "b", "p"),
+             ("k3", 2, "upsert", "c", "p")],
+            "_key string, _ts long, _op string, val string, d string",
+        )
+        (
+            up.write.format("lake-table")
+            .option("engine.write.operation", "upsert")
+            .mode("append").save(path)
+        )
+        t = LakeTable(spark, path)
+        assert t.log.latest().operation == "merge"
+        assert any(f.kind == "delta" for f in t.log.latest().files)
+        snap = {r["_key"]: r["val"] for r in t.snapshot().collect()}
+        assert snap == {"k1": "a2", "k3": "c"}
+        # format read resolves the same way
+        back = spark.read.format("lake-table").option("path", path).load()
+        got = {r["_key"]: r["val"] for r in back.collect()}
+        assert got == {"k1": "a2", "k3": "c"}
+        # and the table compacts like any MOR table
+        compact(t)
+        assert all(f.kind == "base" for f in t.log.latest().files)
+        assert {
+            r["_key"]: r["val"] for r in t.snapshot().collect()
+        } == {"k1": "a2", "k3": "c"}
+        # incremental read sees the merge commit's final states
+        inc = t.incremental(1, 2)
+        rows = {(r["_key"], bool(r["_deleted"])) for r in inc.collect()}
+        assert rows == {("k1", False), ("k2", True), ("k3", False)}
+
+    def test_upsert_rejected_on_global_index_table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        t = LakeTable(spark, path, buckets=2, global_index=True)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", "a", "p")],
+                "_key string, _ts long, _op string, val string, d string",
+            ),
+            "b1",
+        )
+        lake_reader.register(spark)
+        up = spark.createDataFrame(
+            [("k1", 2, "upsert", "a2", "p")],
+            "_key string, _ts long, _op string, val string, d string",
+        )
+        with pytest.raises(Exception, match="global-index"):
+            (
+                up.write.format("lake-table")
+                .option("engine.write.operation", "upsert")
+                .mode("append").save(path)
+            )
+
     def test_renamed_table_writes_physical_names(self, spark, tmp_path):
         lake_reader.register(spark)
         path = str(tmp_path / "t")
@@ -285,16 +385,17 @@ class TestStreamingFormatWrite:
             "k1", "k2", "k3",
         ]
 
-    def test_upsert_stream_is_rejected(self, spark, tmp_path):
+    def test_cow_upsert_stream_is_rejected(self, spark, tmp_path):
         from hudi_spark_plus_spark.sources.lake_writer import (
             LakeTableStreamWriter,
         )
 
-        with pytest.raises(ValueError, match="LakeTable.merge"):
+        with pytest.raises(ValueError, match="merge-on-read only"):
             LakeTableStreamWriter(
                 {
                     "path": str(tmp_path / "t"),
                     "engine.write.operation": "upsert",
+                    "engine.write.mode": "cow",
                 },
                 _df(spark, [("k", 1, "v", "p")]).schema,
             )
@@ -310,10 +411,11 @@ class TestFormatWriteGuards:
         df.write.format("lake-table").mode("append").save(path)
         with pytest.raises(Exception, match="replace commit"):
             df.write.format("lake-table").mode("overwrite").save(path)
-        with pytest.raises(Exception, match="LakeTable.merge"):
+        with pytest.raises(Exception, match="merge-on-read only"):
             (
                 df.write.format("lake-table")
                 .option("engine.write.operation", "upsert")
+                .option("engine.write.mode", "cow")
                 .mode("append").save(path)
             )
         with pytest.raises(Exception, match="schema evolution"):
