@@ -84,6 +84,13 @@ VERSION_OPT = "engine.read.version"
 AS_OF_TS_OPT = "engine.read.as.of.ts.millis"
 BEGIN_OPT = "engine.read.begin"
 END_OPT = "engine.read.end"
+# Hudi-parity instant-based ranges (hoodie.datasource.read.begin/
+# end.instanttime): resolved against commit ts_millis — begin maps to
+# the newest version AT OR BEFORE the instant (so the read streams
+# everything after it), end to the newest version at or before its
+# instant. Version options win when both are given.
+BEGIN_TS_OPT = "engine.read.begin.ts.millis"
+END_TS_OPT = "engine.read.end.ts.millis"
 INCLUDE_DELETED_OPT = "engine.read.include.deleted"
 
 _KEY = "_key"
@@ -301,14 +308,24 @@ class LakeBatchReader(DataSourceReader):
         self.version = self._resolve_version(options)
         self.begin = self.end = None
         if self.mode in ("incremental", "cdc"):
-            if BEGIN_OPT not in options:
+            if BEGIN_OPT in options:
+                self.begin = int(options.get(BEGIN_OPT))
+            elif BEGIN_TS_OPT in options:
+                self.begin = self._version_at_or_before(
+                    int(options.get(BEGIN_TS_OPT))
+                )
+            else:
                 raise ValueError(
                     f"{self.mode} read requires .option('{BEGIN_OPT}', "
-                    "<version>)"
+                    f"<version>) or .option('{BEGIN_TS_OPT}', <epoch ms>)"
                 )
-            self.begin = int(options.get(BEGIN_OPT))
             e = options.get(END_OPT)
-            self.end = int(e) if e is not None else None
+            if e is not None:
+                self.end = int(e)
+            elif END_TS_OPT in options:
+                self.end = self._version_at_or_before(
+                    int(options.get(END_TS_OPT))
+                )
         inc_del = options.get(INCLUDE_DELETED_OPT)
         if inc_del is None:
             # tombstones ARE the payload of an incremental (CDC) read;
@@ -328,6 +345,17 @@ class LakeBatchReader(DataSourceReader):
             for i, spec in enumerate(self.partition_fields)
             if ":" not in spec
         }
+
+    def _version_at_or_before(self, ts_millis: int) -> int:
+        """Newest version whose commit instant is <= the given epoch
+        millis; 0 when the instant predates the whole timeline (an
+        incremental begin of 0 = everything, the right reading of
+        "changes since before the table existed")."""
+        best = 0
+        for ver in self.log.versions():
+            if self.log._read_meta(ver).ts_millis <= ts_millis:
+                best = ver
+        return best
 
     def _resolve_version(self, options) -> int | None:
         v = options.get(VERSION_OPT)

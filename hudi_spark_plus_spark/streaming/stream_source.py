@@ -56,6 +56,10 @@ from hudi_spark_plus_spark.sources.lake_reader import (
 )
 
 START_VERSION_OPT = "engine.stream.start.version"
+# Hudi-parity instant start: newest version at or before the epoch-ms
+# instant becomes the stream's floor (versions after it stream).
+# The version option wins when both are given.
+START_TS_OPT = "engine.stream.start.ts.millis"
 MAX_VERSIONS_OPT = "engine.stream.max.versions.per.batch"
 
 _COMMIT_VER = "_commit_ver"
@@ -81,7 +85,16 @@ class LakeStreamReader(DataSourceStreamReader):
 
         self.table_path = path
         self.log = CommitLog(path)
-        self.start_version = int(options.get(START_VERSION_OPT, 0))
+        if START_VERSION_OPT in options:
+            self.start_version = int(options.get(START_VERSION_OPT))
+        elif START_TS_OPT in options:
+            ts = int(options.get(START_TS_OPT))
+            self.start_version = 0
+            for ver in self.log.versions():
+                if self.log._read_meta(ver).ts_millis <= ts:
+                    self.start_version = ver
+        else:
+            self.start_version = 0
         mv = options.get(MAX_VERSIONS_OPT)
         self.max_versions = int(mv) if mv else None
         # floor for the per-batch version cap: the newest offset this

@@ -227,6 +227,72 @@ class TestPrunedPlanning:
         assert _vals(df) == [("k2", "b")]
 
 
+class TestInstantRanges:
+    """Hudi-parity instant-based ranges: begin/end/start given as epoch
+    millis resolve to the newest version at or before the instant."""
+
+    def test_incremental_and_cdc_by_ts(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(_mk(spark, [("k1", 1, "upsert", "a", "p")]), "b1")
+        t.merge(_mk(spark, [("k2", 2, "upsert", "b", "p")]), "b2")
+        t.merge(_mk(spark, [("k3", 3, "upsert", "c", "p")]), "b3")
+        ts = {v: t.log._read_meta(v).ts_millis for v in t.log.versions()}
+        lake_reader.register(spark)
+
+        def inc(**opts):
+            r = (
+                spark.read.format("lake-table")
+                .option("path", t.path)
+                .option("engine.read.type", "incremental")
+            )
+            for k, v in opts.items():
+                r = r.option(k.replace("_", "."), str(v))
+            return sorted(x["_key"] for x in r.load().collect())
+
+        # begin at v1's instant -> changes after v1
+        assert inc(**{"engine_read_begin_ts_millis": ts[1]}) == ["k2", "k3"]
+        # begin before the table existed -> everything
+        assert inc(**{"engine_read_begin_ts_millis": ts[1] - 10_000}) == [
+            "k1", "k2", "k3",
+        ]
+        # begin v1 instant, end v2 instant -> exactly v2
+        assert inc(**{
+            "engine_read_begin_ts_millis": ts[1],
+            "engine_read_end_ts_millis": ts[2],
+        }) == ["k2"]
+        # explicit version option wins over the instant option
+        assert inc(**{
+            "engine_read_begin": 2,
+            "engine_read_begin_ts_millis": ts[1] - 10_000,
+        }) == ["k3"]
+        cdc = (
+            spark.read.format("lake-table")
+            .option("path", t.path)
+            .option("engine.read.type", "cdc")
+            .option("engine.read.begin.ts.millis", str(ts[1]))
+            .load()
+        )
+        assert sorted(
+            (r["_change_op"], r["_key"]) for r in cdc.collect()
+        ) == [("i", "k2"), ("i", "k3")]
+
+    def test_stream_start_by_ts(self, spark, tmp_path):
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(_mk(spark, [("k1", 1, "upsert", "a", "p")]), "b1")
+        t.merge(_mk(spark, [("k2", 2, "upsert", "b", "p")]), "b2")
+        ts1 = t.log._read_meta(1).ts_millis
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.start.ts.millis": str(ts1),
+        })
+        assert rd.start_version == 1
+        assert rd.initialOffset() == {"version": 1}
+
+
 class TestCdcRead:
     """engine.read.type=cdc — the format surface of
     LakeTable.incremental_cdc (H13): before/after images joined
