@@ -259,7 +259,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 f"lake-table writes require '{KEY_COL}' and '{TS_COL}' "
                 "columns (operators.cdc prepare helpers build them)"
             )
-        forbidden = names & {BUCKET_COL, PARTITION_COL}
+        forbidden = names & {PARTITION_COL}
         if OP_COL in names and op != "upsert":
             forbidden = forbidden | {OP_COL}
         if forbidden:
@@ -268,7 +268,14 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 "columns for this operation; deletes ride an upsert's "
                 f"'{OP_COL}' column (engine.write.operation=upsert)"
             )
-        names = names - {OP_COL}  # transient, never stored
+        # JVM-speed bucketing fast path: a batch may carry a
+        # precomputed `_bucket` column (keygen.bucket_expr, computed
+        # JVM-side before the write) — the executor then skips the
+        # per-key Python hash. Values are range-checked in full and
+        # hash-verified on a per-file sample; a wrong assignment would
+        # break bucket-pruned merges, so trust is spot-checked.
+        self.accept_bucket = BUCKET_COL in names
+        names = names - {OP_COL, BUCKET_COL}  # transient, never stored
         log = CommitLog(path)
         latest = log.latest()
         self.version_guess = (latest.version + 1) if latest else 1
@@ -347,7 +354,10 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 if not (f.metadata or {}).get("dropped")
             }
         else:
-            fields = [f for f in schema.fields if f.name != OP_COL]
+            fields = [
+                f for f in schema.fields
+                if f.name not in (OP_COL, BUCKET_COL)
+            ]
             if DELETED_COL not in names:
                 fields.append(StructField(DELETED_COL, BooleanType(), True))
             if COMMIT_VER_COL not in names:
@@ -387,11 +397,34 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
         batches = list(iterator)
         if not batches:
             return LakeWriterMessage([], 0, version_guess)
+        from hudi_spark_plus_spark.table.keygen import BUCKET_COL
+
         t = pa.Table.from_batches(batches)
         keys = t[KEY_COL].to_pylist()
         if any(k is None for k in keys):
             raise ValueError(f"{KEY_COL} must be non-null")
-        bucket_ids = [bucket_of(k, self.buckets) for k in keys]
+        if BUCKET_COL in t.column_names:
+            # precomputed JVM-side bucketing (see __init__ note):
+            # full range check, per-slice sample hash verification
+            bucket_ids = t[BUCKET_COL].to_pylist()
+            if any(
+                b is None or not (0 <= b < self.buckets)
+                for b in bucket_ids
+            ):
+                raise ValueError(
+                    f"precomputed {BUCKET_COL} values must be in "
+                    f"[0, {self.buckets})"
+                )
+            for k, b in list(zip(keys, bucket_ids))[:64]:
+                if bucket_of(k, self.buckets) != b:
+                    raise ValueError(
+                        f"precomputed {BUCKET_COL} disagrees with "
+                        f"pmod(xxhash64({KEY_COL}), {self.buckets}) at "
+                        f"key {k!r} — compute it with keygen.bucket_expr"
+                    )
+            t = t.drop_columns([BUCKET_COL])
+        else:
+            bucket_ids = [bucket_of(k, self.buckets) for k in keys]
         parts = (
             PartitionRenderer(self.partition_fields).render(t)
             if self.partition_fields

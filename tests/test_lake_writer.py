@@ -312,6 +312,78 @@ class TestFormatWriteRoundtrip:
                 .mode("append").save(path)
             )
 
+    def test_precomputed_bucket_column_fast_path(self, spark, tmp_path):
+        """A batch carrying `_bucket` (keygen.bucket_expr, JVM-side)
+        skips the Python hash; wrong assignments are caught — sampled
+        hash check and full range check."""
+        from hudi_spark_plus_spark.table.keygen import bucket_expr
+
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        df = _df(spark, [(f"k{i}", 1, f"v{i}", "p") for i in range(20)])
+        pre = df.withColumn("_bucket", bucket_expr(F.col("_key"), 4))
+        _write(pre, path, **{"engine.write.buckets": "4"})
+        t = LakeTable(spark, path)
+        snap = {r["_key"] for r in t.snapshot().collect()}
+        assert len(snap) == 20
+        # the table merges correctly on top (buckets agree with engine)
+        t.merge(
+            spark.createDataFrame(
+                [("k0", 9, "upsert", "V0", "p")],
+                "_key string, _ts long, _op string, val string, d string",
+            ),
+            "m1",
+        )
+        assert {
+            r["_key"]: r["val"] for r in t.snapshot().collect()
+        }["k0"] == "V0"
+        with pytest.raises(Exception, match="disagrees"):
+            _write(
+                _df(spark, [("kx", 1, "v", "p")]).withColumn(
+                    "_bucket", F.lit(0)
+                ).withColumn(
+                    "_key", F.lit("definitely-not-bucket-0-key-1")
+                ),
+                path,
+            )
+        with pytest.raises(Exception, match="range|\\[0"):
+            _write(
+                _df(spark, [("ky", 1, "v", "p")]).withColumn(
+                    "_bucket", F.lit(99)
+                ),
+                path,
+            )
+
+    def test_concurrent_format_writers_race(self, spark, tmp_path):
+        """Two format writes racing the same table: the commit-race
+        loser re-stamps and both batches land."""
+        import threading
+
+        lake_reader.register(spark)
+        path = str(tmp_path / "t")
+        _write(_df(spark, [("seed", 1, "s", "p")]), path)
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def go(i):
+            try:
+                barrier.wait()
+                _write(_df(spark, [(f"w{i}", 2, f"v{i}", "p")]), path)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=go, args=(i,)) for i in (0, 1)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        assert not errs, errs
+        t = LakeTable(spark, path)
+        assert t.log.versions() == [1, 2, 3]
+        back = spark.read.format("lake-table").option("path", path).load()
+        got = {r["_key"]: r["_commit_ver"] for r in back.collect()}
+        assert got["seed"] == 1 and {got["w0"], got["w1"]} == {2, 3}
+
     def test_renamed_table_writes_physical_names(self, spark, tmp_path):
         lake_reader.register(spark)
         path = str(tmp_path / "t")
