@@ -16,9 +16,13 @@ first (the same ``LakeTable.merge`` contract). COPY-ON-WRITE upserts
 are NOT this path: they read and rewrite whole buckets
 transactionally while a Data Source writer's executors each see one
 arbitrary slice — route those through ``LakeTable.merge`` or the
-foreachBatch sink (streaming/sink.py). Global-index tables likewise
-reject format upserts (relocation tombstones need the engine's
-bounded bucket read). ``mode("overwrite")`` raises toward
+foreachBatch sink (streaming/sink.py). Global-index tables DO flow
+through: each executor replays the engine's bounded relocation read
+for its own (disjoint) keys (``_global_relocation``), dropping LWW
+losers and writing old-partition tombstones — but a commit race
+aborts instead of re-stamping, because the loser's relocation plan
+was computed against a timeline the winner moved.
+``mode("overwrite")`` raises toward
 ``LakeTable.insert_overwrite_table`` (a replace commit is a planned
 table operation, not a blind re-save).
 
@@ -253,6 +257,8 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             )
         self.operation = op
         self.batch_id = options.get(BATCH_ID_OPT)
+        from hudi_spark_plus_spark.sources.lake_reader import active_fields
+
         names = {f.name for f in schema.fields}
         if KEY_COL not in names or TS_COL not in names:
             raise ValueError(
@@ -364,12 +370,20 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 fields.append(StructField(COMMIT_VER_COL, LongType(), True))
             self.schema_json = StructType(fields).json()
             self.physical = {f.name: f.name for f in fields}
-        if self.operation == "upsert" and self.global_index:
-            raise ValueError(
-                "format-level upserts are not supported on global-index "
-                "tables (relocation tombstones need the engine's bounded "
-                "bucket read) — use LakeTable.merge"
-            )
+        # Global-index upserts (key-only identity): each executor runs
+        # the engine's bounded relocation read for ITS slice — the
+        # batch is one-row-per-key, so slices own disjoint keys and the
+        # per-bucket reads compose without coordination. The read pins
+        # the version planned here; a commit race ABORTS (no restamp):
+        # the loser's drop/tombstone decisions were made against a
+        # timeline the winner moved, and only the engine merge can
+        # recompute them.
+        self.plan_version = self.version_guess - 1
+        self.active_fields = (
+            active_fields(latest.schema_json)
+            if latest is not None and latest.schema_json
+            else None
+        )
         # one data subdir for the whole write (generated driver-side,
         # materialized lazily by the first task that writes into it)
         self.subdir_rel = os.path.join(log.DATA_DIR, uuid.uuid4().hex)
@@ -451,6 +465,24 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 COMMIT_VER_COL,
                 pa.array([version_guess] * t.num_rows, pa.int64()),
             )
+        tombs: dict = {}
+        if (
+            self.operation == "upsert"
+            and self.global_index
+            and self.partition_fields
+            and self.active_fields
+        ):
+            from hudi_spark_plus_spark.table.keygen import TS_COL
+
+            keep, tombs = self._global_relocation(
+                keys, t[TS_COL].to_pylist(), bucket_ids, parts,
+                version_guess,
+            )
+            if not all(keep):
+                t = t.filter(pa.array(keep, pa.bool_()))
+                keys = [k for k, m in zip(keys, keep) if m]
+                bucket_ids = [b for b, m in zip(bucket_ids, keep) if m]
+                parts = [p for p, m in zip(parts, keep) if m]
         t = t.rename_columns(
             [self.physical.get(c, c) for c in t.column_names]
         )
@@ -461,17 +493,17 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             ).append(i)
         key_phys = self.physical.get(KEY_COL, KEY_COL)
         entries = []
-        for (part, b), idxs in sorted(
-            groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
-        ):
-            sub = t.take(idxs)
+        kind = "delta" if self.operation == "upsert" else "base"
+
+        def emit(sub, part, b):
+            # one final-layout file + its manifest entry (rows, key
+            # range, Bloom, footer col-stats) from data in hand
             d = os.path.join(self.table_path, subdir_rel)
             if part is not None:
                 d = os.path.join(d, f"_part={_quote(part, safe='')}")
             d = os.path.join(d, f"_bucket={b}")
             os.makedirs(d, exist_ok=True)
-            fname = f"part-{uuid.uuid4().hex}.parquet"
-            absf = os.path.join(d, fname)
+            absf = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(sub, absf)
             ks = sub[key_phys].to_pylist()
             bloom = KeyBloom.sized(len(ks))
@@ -489,12 +521,137 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     # merge-on-read upserts append DELTA files: readers
                     # resolve latest-per-key per file group, exactly as
                     # after LakeTable.merge(mode="mor")
-                    kind="delta" if self.operation == "upsert" else "base",
+                    kind=kind,
                     col_stats=col_stats or None,
                     partition=part,
                 )
             )
+
+        for (part, b), idxs in sorted(
+            groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            emit(t.take(idxs), part, b)
+        for (part, b), sub in sorted(
+            tombs.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            emit(
+                sub.rename_columns(
+                    [self.physical.get(c, c) for c in sub.column_names]
+                ),
+                part,
+                b,
+            )
         return LakeWriterMessage(entries, t.num_rows, version_guess)
+
+    def _global_relocation(
+        self, keys, ts_list, bucket_ids, parts, version_guess
+    ):
+        """The engine's global-index (key-only identity) MOR merge rule,
+        per executor slice: read the slice's buckets' live state at the
+        PLANNED version (bloom/min-max pruned by the slice's own keys),
+        resolve latest-per-key, then (a) DROP batch rows that lose
+        last-write-wins to the stored copy — an appended loser would win
+        a partition-pruned read of its own partition — and (b) emit a
+        relocation tombstone into the OLD partition for every winner
+        whose stored copy lives elsewhere (what keeps partition-pruned
+        reads correct without cross-partition resolution;
+        lake_table.py's `if self.global_index and self.partition_fields`
+        branch, same rule: batch wins iff _ts >= stored). Slices own
+        disjoint keys (one-row-per-key batch contract), so per-slice
+        decisions compose. Returns (keep mask, {(old partition, bucket)
+        -> tombstone table})."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from hudi_spark_plus_spark.sources.lake_reader import (
+            project_logical,
+            resolve_latest_arrow,
+        )
+        from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+        from hudi_spark_plus_spark.table.commit_log import CommitLog
+        from hudi_spark_plus_spark.table.keygen import KEY_COL, TS_COL
+        from hudi_spark_plus_spark.table.lake_table import (
+            COMMIT_VER_COL,
+            DELETED_COL,
+        )
+
+        keyset = set(keys)
+        sbuckets = set(bucket_ids)
+        log = CommitLog(self.table_path)
+        cand = [
+            f
+            for f in log.live_files(self.plan_version)
+            if f.bucket in sbuckets
+        ]
+
+        def may_hit(f):
+            if f.kind == "delta":
+                return True  # delta rows need resolution context
+            ks = keyset
+            if f.min_key is not None and f.max_key is not None:
+                ks = {k for k in ks if f.min_key <= k <= f.max_key}
+                if not ks:
+                    return False
+            if f.bloom:
+                return KeyBloom.from_b64(f.bloom).might_contain_any(
+                    hash_key(k) for k in ks
+                )
+            return True
+
+        read = [f for f in cand if may_hit(f)]
+        if not read:
+            return [True] * len(keys), {}
+        tables = [
+            project_logical(
+                pq.read_table(os.path.join(self.table_path, f.path)),
+                self.active_fields,
+                f.path,
+            )
+            for f in read
+        ]
+        old = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        old = resolve_latest_arrow(old)
+        if DELETED_COL in old.column_names:
+            old = old.filter(
+                pc.invert(pc.fill_null(old[DELETED_COL], False))
+            )
+        okeys = old[KEY_COL].to_pylist()
+        oidx = {k: i for i, k in enumerate(okeys) if k in keyset}
+        old_ts = old[TS_COL].to_pylist()
+        old_parts = PartitionRenderer(self.partition_fields).render(old)
+        keep: list[bool] = []
+        tomb_rows: dict = {}
+        for i, k in enumerate(keys):
+            j = oidx.get(k)
+            if j is None:
+                keep.append(True)
+                continue
+            if ts_list[i] < old_ts[j]:  # stored copy is newer: loser
+                keep.append(False)
+                continue
+            keep.append(True)
+            if parts[i] != old_parts[j]:
+                tomb_rows.setdefault(
+                    (old_parts[j], bucket_ids[i]), []
+                ).append(j)
+        payload = [
+            n
+            for n, _p, _t in self.active_fields
+            if n not in (DELETED_COL, COMMIT_VER_COL)
+        ]
+        tombs = {}
+        for grp, idxs in tomb_rows.items():
+            sub = old.take(idxs).select(payload)
+            sub = sub.append_column(
+                DELETED_COL, pa.array([True] * len(idxs), pa.bool_())
+            )
+            sub = sub.append_column(
+                COMMIT_VER_COL,
+                pa.array([version_guess] * len(idxs), pa.int64()),
+            )
+            tombs[grp] = sub
+        return keep, tombs
 
     # -- driver side (metadata only) ----------------------------------------
 
@@ -516,6 +673,14 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 i, phys, pa.array([version] * t.num_rows, pa.int64())
             )
             pq.write_table(t, absf)
+
+    def _discard_entries(self, msgs) -> None:
+        for m in msgs:
+            for e in m.entries:
+                try:
+                    os.unlink(os.path.join(self.table_path, e.path))
+                except FileNotFoundError:
+                    pass
 
     def commit(self, messages):
         self._commit_core(
@@ -548,10 +713,25 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     "files follow a stale column mapping — re-run the "
                     "write"
                 )
-            for m in msgs:
-                if m.stamped != next_ver:
-                    self._restamp(m.entries, next_ver)
-                    m.stamped = next_ver
+            stale = [m for m in msgs if m.stamped != next_ver]
+            if stale and (
+                self.operation == "upsert"
+                and self.global_index
+                and self.partition_fields
+            ):
+                # the loser's per-slice drop/tombstone decisions were
+                # computed against a timeline the winner moved; only
+                # the engine merge can recompute them — abort loudly
+                self._discard_entries(msgs)
+                raise ValueError(
+                    f"global-index upsert on {self.table_path} lost a "
+                    "commit race; its relocation plan is stale — re-run "
+                    "the write (or route concurrent global upserts "
+                    "through LakeTable.merge)"
+                )
+            for m in stale:
+                self._restamp(m.entries, next_ver)
+                m.stamped = next_ver
             entries = [e for m in msgs for e in m.entries]
             carry = latest.files if latest else []
             try:

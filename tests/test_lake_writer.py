@@ -290,27 +290,110 @@ class TestFormatWriteRoundtrip:
         rows = {(r["_key"], bool(r["_deleted"])) for r in inc.collect()}
         assert rows == {("k1", False), ("k2", True), ("k3", False)}
 
-    def test_upsert_rejected_on_global_index_table(self, spark, tmp_path):
-        path = str(tmp_path / "t")
-        t = LakeTable(spark, path, buckets=2, global_index=True)
-        t.merge(
-            spark.createDataFrame(
-                [("k1", 1, "upsert", "a", "p")],
+    def test_global_index_upsert_relocates_like_engine(
+        self, spark, tmp_path
+    ):
+        """Format upsert on a global-index partitioned table must match
+        LakeTable.merge exactly: key-only identity, LWW loser dropped,
+        old-partition relocation tombstone so partition-pruned reads
+        stay correct."""
+
+        def mk3(rows):
+            return spark.createDataFrame(
+                rows,
                 "_key string, _ts long, _op string, val string, d string",
-            ),
-            "b1",
-        )
-        lake_reader.register(spark)
-        up = spark.createDataFrame(
-            [("k1", 2, "upsert", "a2", "p")],
-            "_key string, _ts long, _op string, val string, d string",
-        )
-        with pytest.raises(Exception, match="global-index"):
-            (
-                up.write.format("lake-table")
-                .option("engine.write.operation", "upsert")
-                .mode("append").save(path)
             )
+
+        seed = [
+            ("move", 5, "upsert", "old-part", "p1"),
+            ("stay", 5, "upsert", "same", "p1"),
+            ("newer", 9, "upsert", "stored-wins", "p2"),
+        ]
+        batch = [
+            ("move", 6, "upsert", "moved", "p2"),   # relocates p1 -> p2
+            ("stay", 6, "upsert", "updated", "p1"),  # in place
+            ("newer", 6, "upsert", "LOSER", "p1"),   # older than stored
+            ("fresh", 6, "upsert", "new", "p3"),     # plain insert
+        ]
+        # engine twin
+        e = LakeTable(
+            spark, str(tmp_path / "e"), buckets=2,
+            partition_fields=["d"], global_index=True,
+        )
+        e.merge(mk3(seed), "b1")
+        e.merge(mk3(batch), "b2", mode="mor")
+        # format path
+        path = str(tmp_path / "t")
+        f = LakeTable(
+            spark, path, buckets=2, partition_fields=["d"],
+            global_index=True,
+        )
+        f.merge(mk3(seed), "b1")
+        lake_reader.register(spark)
+        (
+            mk3(batch).write.format("lake-table")
+            .option("engine.write.operation", "upsert")
+            .mode("append").save(path)
+        )
+
+        def snap(t, **kw):
+            return sorted(
+                (r["_key"], r["val"], r["d"])
+                for r in t.snapshot(**kw).collect()
+            )
+
+        assert snap(f) == snap(e)
+        assert snap(f) == [
+            ("fresh", "new", "p3"), ("move", "moved", "p2"),
+            ("newer", "stored-wins", "p2"), ("stay", "updated", "p1"),
+        ]
+        # the relocation tombstone keeps the PRUNED read correct: p1
+        # no longer shows "move", and the dropped LWW loser never
+        # shadows p2's stored copy
+        assert snap(f, partitions=["p1"]) == snap(e, partitions=["p1"])
+        assert snap(f, partitions=["p1"]) == [("stay", "updated", "p1")]
+        assert snap(f, partitions=["p2"]) == [
+            ("move", "moved", "p2"), ("newer", "stored-wins", "p2"),
+        ]
+
+    def test_global_index_upsert_race_aborts(self, spark, tmp_path):
+        """A commit race against a global-index format upsert must
+        abort (its relocation plan is stale), never restamp-and-land."""
+        import pyarrow as pa
+
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableBatchWriter,
+        )
+
+        def mk3(rows):
+            return spark.createDataFrame(
+                rows,
+                "_key string, _ts long, _op string, val string, d string",
+            )
+
+        path = str(tmp_path / "t")
+        t = LakeTable(
+            spark, path, buckets=2, partition_fields=["d"],
+            global_index=True,
+        )
+        t.merge(mk3([("k1", 1, "upsert", "a", "p1")]), "b1")
+        w = LakeTableBatchWriter(
+            {"path": path, "engine.write.operation": "upsert"},
+            mk3([]).schema, overwrite=False,
+        )
+        msg = w.write(
+            iter(
+                pa.Table.from_pylist(
+                    [{"_key": "k1", "_ts": 2, "_op": "upsert",
+                      "val": "a2", "d": "p2"}]
+                ).to_batches()
+            )
+        )
+        t.merge(mk3([("k9", 2, "upsert", "x", "p1")]), "interloper")
+        with pytest.raises(ValueError, match="relocation plan is stale"):
+            w.commit([msg])
+        t.log.invalidate()
+        assert t.log.latest().batch_id == "interloper"
 
     def test_precomputed_bucket_column_fast_path(self, spark, tmp_path):
         """A batch carrying `_bucket` (keygen.bucket_expr, JVM-side)
