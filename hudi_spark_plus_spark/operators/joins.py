@@ -84,20 +84,33 @@ def asof_join(
     def _epoch(df: DataFrame, col: str):
         dt = dict(df.dtypes).get(col)
         if dt in ("bigint", "int", "long", "smallint", "tinyint"):
-            return F.col(col).cast("long")
+            return "int", F.col(col).cast("long")
         if dt == "timestamp":
-            return F.unix_micros(F.col(col))
+            return "ts", F.unix_micros(F.col(col))
         if dt == "timestamp_ntz":
-            return F.unix_micros(F.col(col).cast("timestamp"))
+            return "ts", F.unix_micros(F.col(col).cast("timestamp"))
         raise ValueError(
             f"asof_join ts column {col!r} has unsupported type {dt!r}; "
             "use an integral epoch or a timestamp column"
         )
 
+    l_kind, l_epoch = _epoch(left, left_ts)
+    r_kind, r_epoch = _epoch(right, right_ts)
+    if l_kind != r_kind:
+        # an integral side keeps its caller-chosen unit while a
+        # timestamp side becomes micros — comparing them silently
+        # mis-joins (one side ~10^6 off); make the caller pick one
+        raise ValueError(
+            f"asof_join ts columns mix an integral epoch ({left_ts!r} "
+            f"vs {right_ts!r}) with a timestamp type; convert one side "
+            "so both share a unit (e.g. unix_micros the integral side "
+            "or cast the timestamp side)"
+        )
+
     keys = [f"_asof_k{i}" for i in range(len(left_on))]
     r_sel = right.select(
         *[F.col(k).alias(a) for k, a in zip(right_on, keys)],
-        _epoch(right, right_ts).alias("_asof_ts"),
+        r_epoch.alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
     )
@@ -105,7 +118,7 @@ def asof_join(
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     l_sel = left.select(
         *[F.col(k).alias(a) for k, a in zip(left_on, keys)],
-        _epoch(left, left_ts).alias("_asof_ts"),
+        l_epoch.alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
         F.lit(None).cast(payload_t).alias("_asof_payload"),
         left_struct.alias("_asof_left"),

@@ -146,6 +146,19 @@ def logical_struct(schema_json: str) -> StructType:
     )
 
 
+def version_at_or_before(log, ts_millis: int) -> int:
+    """Newest version whose commit instant is <= the given epoch
+    millis; 0 when the instant predates the whole timeline (an
+    incremental begin of 0 = everything, the right reading of "changes
+    since before the table existed"). THE instant-resolution rule — the
+    batch reader, as-of resolution, and the stream source all share it."""
+    best = 0
+    for ver in log.versions():
+        if log._read_meta(ver).ts_millis <= ts_millis:
+            best = ver
+    return best
+
+
 def cdc_struct(schema_json: str) -> StructType:
     """Reader-facing schema of a ``cdc`` read — mirrors
     ``LakeTable.incremental_cdc`` exactly: ``_change_op``,
@@ -347,15 +360,7 @@ class LakeBatchReader(DataSourceReader):
         }
 
     def _version_at_or_before(self, ts_millis: int) -> int:
-        """Newest version whose commit instant is <= the given epoch
-        millis; 0 when the instant predates the whole timeline (an
-        incremental begin of 0 = everything, the right reading of
-        "changes since before the table existed")."""
-        best = 0
-        for ver in self.log.versions():
-            if self.log._read_meta(ver).ts_millis <= ts_millis:
-                best = ver
-        return best
+        return version_at_or_before(self.log, ts_millis)
 
     def _resolve_version(self, options) -> int | None:
         v = options.get(VERSION_OPT)
@@ -364,11 +369,8 @@ class LakeBatchReader(DataSourceReader):
         ts = options.get(AS_OF_TS_OPT)
         if ts is None:
             return None
-        best = None
-        for ver in self.log.versions():
-            if self.log._read_meta(ver).ts_millis <= int(ts):
-                best = ver
-        if best is None:
+        best = version_at_or_before(self.log, int(ts))
+        if best == 0:
             raise ValueError(
                 f"table at {self.table_path} has no commit at or before "
                 f"ts_millis={ts}"

@@ -74,20 +74,32 @@ _COMMIT_RETRIES = 5
 
 def _strftime_of(java_fmt: str) -> str:
     """Map the day-or-coarser subset of Java date patterns the
-    partition specs allow (yyyy/MM/dd + separators) to strftime."""
+    partition specs allow to strftime. STRICT: only the pattern widths
+    whose strftime rendering is byte-identical to the JVM's are
+    accepted (yyyy→%Y, yy→%y, MM→%m, dd→%d + separators); unpadded
+    widths like ``M``/``d``/``y`` render differently ("3" vs "03") and
+    would split one logical partition across two differently-named
+    directories between the engine and format write paths — refuse
+    them here rather than diverge silently."""
     out, i = [], 0
+    exact = {("y", 4): "%Y", ("y", 2): "%y", ("M", 2): "%m",
+             ("d", 2): "%d"}
     while i < len(java_fmt):
         ch = java_fmt[i]
         j = i
         while j < len(java_fmt) and java_fmt[j] == ch:
             j += 1
         n = j - i
-        if ch == "y":
-            out.append("%Y" if n >= 4 else "%y")
-        elif ch == "M":
-            out.append("%m")
-        elif ch == "d":
-            out.append("%d")
+        if ch in "yMd":
+            code = exact.get((ch, n))
+            if code is None:
+                raise ValueError(
+                    f"partition format {java_fmt!r}: pattern {ch * n!r} "
+                    "has no strftime rendering identical to the JVM's "
+                    "— the format-writer path supports yyyy/yy/MM/dd "
+                    "only (use the LakeTable API for other widths)"
+                )
+            out.append(code)
         elif ch in "-/. ":
             out.append(ch * n)
         else:
@@ -616,6 +628,13 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             old = old.filter(
                 pc.invert(pc.fill_null(old[DELETED_COL], False))
             )
+        # resolution needed the whole group; everything after only
+        # needs the slice's own keys — filter FIRST so the Python
+        # render/pylist loops below are bounded by the batch, not by
+        # bucket size
+        old = old.filter(
+            pc.is_in(old[KEY_COL], pa.array(sorted(keyset), pa.string()))
+        )
         okeys = old[KEY_COL].to_pylist()
         oidx = {k: i for i, k in enumerate(okeys) if k in keyset}
         old_ts = old[TS_COL].to_pylist()
@@ -699,11 +718,15 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
         )
 
         log = CommitLog(self.table_path)
-        if batch_id is not None and log.has_batch(batch_id):
-            discard()
-            return  # idempotent re-run (H5)
         msgs = [m for m in messages if m is not None and m.entries]
         for attempt in range(_COMMIT_RETRIES + 1):
+            # re-checked on EVERY retry, not just up front: a
+            # concurrent replay of the same batch id that wins the
+            # version race must turn the loser's retry into the H5
+            # no-op, never a second commit of the same batch id
+            if batch_id is not None and log.has_batch(batch_id):
+                discard()
+                return  # idempotent re-run (H5)
             latest = log.latest()
             next_ver = (latest.version + 1) if latest else 1
             if latest is not None and self._schema_conflicts(latest):
@@ -780,17 +803,19 @@ if DataSourceStreamArrowWriter is not None:
     class LakeTableStreamWriter(
         LakeTableBatchWriter, DataSourceStreamArrowWriter
     ):
-        """``df.writeStream.format("lake-table")`` — insert-only
-        micro-batch appends with exactly-once semantics: every
+        """``df.writeStream.format("lake-table")`` — micro-batch
+        appends (insert / bulk_insert / MOR upsert, same operation
+        rules as the batch writer) with exactly-once semantics: every
         micro-batch commits under batch id
         ``<engine.write.stream.id>-<batchId>`` (default stream id
         "stream"; two concurrent streaming queries into one table must
         set distinct ids), so a crash-replayed micro-batch is the H5
-        idempotent no-op. Upsert streams go through the foreachBatch
-        sink (streaming/sink.py) — same reasoning as the batch
-        writer's upsert guard. Unlike the batch writer, each task
-        re-reads the commit log for its version stamp and writes into
-        its own data subdir, because one writer instance serves every
+        idempotent no-op. COW upsert streams go through the
+        foreachBatch sink (streaming/sink.py) — same reasoning as the
+        batch writer's guard. Unlike the batch writer, each task
+        re-reads the commit log for its version stamp AND re-pins the
+        relocation plan (version + field mapping), and writes into its
+        own data subdir, because one writer instance serves every
         micro-batch of the query."""
 
         def __init__(self, options, schema, overwrite: bool = False):
@@ -798,11 +823,24 @@ if DataSourceStreamArrowWriter is not None:
             self.stream_id = options.get(STREAM_ID_OPT, "stream")
 
         def write(self, iterator):
+            from hudi_spark_plus_spark.sources.lake_reader import (
+                active_fields,
+            )
             from hudi_spark_plus_spark.table.commit_log import CommitLog
 
             log = CommitLog(self.table_path)
             latest = log.latest()
             guess = (latest.version + 1) if latest else 1
+            # ONE writer instance serves every micro-batch: the
+            # relocation plan (version + active field mapping) frozen
+            # at query start would go stale from batch 1 on — re-pin
+            # both to the timeline this batch is actually written
+            # against (global-index upserts abort on a commit race, so
+            # a plan raced stale between here and commit still cannot
+            # land)
+            self.plan_version = guess - 1
+            if latest is not None and latest.schema_json:
+                self.active_fields = active_fields(latest.schema_json)
             subdir = os.path.join(log.DATA_DIR, uuid.uuid4().hex)
             return self._write_core(iterator, guess, subdir)
 

@@ -88,11 +88,13 @@ class LakeStreamReader(DataSourceStreamReader):
         if START_VERSION_OPT in options:
             self.start_version = int(options.get(START_VERSION_OPT))
         elif START_TS_OPT in options:
-            ts = int(options.get(START_TS_OPT))
-            self.start_version = 0
-            for ver in self.log.versions():
-                if self.log._read_meta(ver).ts_millis <= ts:
-                    self.start_version = ver
+            from hudi_spark_plus_spark.sources.lake_reader import (
+                version_at_or_before,
+            )
+
+            self.start_version = version_at_or_before(
+                self.log, int(options.get(START_TS_OPT))
+            )
         else:
             self.start_version = 0
         mv = options.get(MAX_VERSIONS_OPT)
@@ -116,6 +118,10 @@ class LakeStreamReader(DataSourceStreamReader):
         # the engine replay the gap (measured — duplicates), so the
         # floor is a monotonic lower bound, never a guess.
         self._floor: int | None = None
+        # set ONLY by witnessing partitions(start > end) — the one call
+        # shape that proves a REGRESSED offset (a capped first poll
+        # below Spark's checkpoint); ordinary replays have start <= end
+        self._regress_floor = 0
         latest = self.log.latest()
         if latest is None or not latest.schema_json:
             raise ValueError(
@@ -149,14 +155,34 @@ class LakeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         b, e = int(start["version"]), int(end["version"])
         # b ratchets too: on restart the engine re-plans the last
-        # offset-log batch (possibly with start == end) before any
-        # latestOffset poll — this is what restores the cap floor from
-        # the checkpoint.
+        # offset-log batch (possibly with start == end, and possibly a
+        # trailing no-data entry BEFORE the real uncommitted replay —
+        # so replay ranges below the floor are NORMAL and must plan
+        # fully) before any latestOffset poll — probe-verified on
+        # Spark 4.1 for both the uncommitted-replay and the
+        # fully-committed quiescent restart; this restores the cap
+        # floor from the checkpoint.
+        #
+        # Defense in depth for engine drift: if a future engine version
+        # polled latestOffset FIRST after a committed restart, the
+        # capped first poll would sit below the checkpoint and Spark
+        # would plan start > end — a call shape nothing else produces
+        # (replay starts come from delivered batch ends, so start <=
+        # end always). Witnessing it proves versions <= start were
+        # already delivered: remember that bound and clamp later
+        # batches to it, so the regression wobbles offsets but never
+        # re-delivers — and, because the clamp keys on the b>e
+        # evidence alone, genuine replays (start <= end) are never
+        # eviscerated.
         self._floor = max(self._floor or 0, b, e)
-        if e <= b:
+        if e < b:
+            self._regress_floor = max(self._regress_floor, b)
+            return []
+        lo = max(b, self._regress_floor)
+        if e <= lo:
             return []
         live = self.log.live_files(e)
-        changed = {f.path for f in self.log.changed_files(b, e)}
+        changed = {f.path for f in self.log.changed_files(lo, e)}
         files = [f for f in live if f.path in changed]
         if any(f.kind == "delta" for f in live):
             # merge-on-read: a stale in-range delta row may have lost
@@ -177,10 +203,10 @@ class LakeStreamReader(DataSourceStreamReader):
                 if unit(f) in units:
                     grouped.setdefault(unit(f), []).append(f)
             return [
-                _FileSlice([f.path for f in grp], b, e, resolve=True)
+                _FileSlice([f.path for f in grp], lo, e, resolve=True)
                 for grp in grouped.values()
             ]
-        return [_FileSlice([f.path], b, e, resolve=False) for f in files]
+        return [_FileSlice([f.path], lo, e, resolve=False) for f in files]
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint holds the offset; engine-side we only

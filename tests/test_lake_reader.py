@@ -506,6 +506,64 @@ class TestStreamMaxVersionsPerBatch:
         assert len(got) <= len(keys) + 1, got
 
 
+    def test_regressed_offsets_never_redeliver(self, spark, tmp_path):
+        """Defense in depth for engine drift: if a future engine polled
+        latestOffset before re-planning the last offset-log batch on a
+        committed restart, the capped first poll would regress below
+        the checkpoint. Planning must then yield EMPTY ranges for the
+        already-processed versions (floor evidence from Spark-provided
+        offsets) — offsets may wobble, data must never duplicate or
+        skip."""
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for v in range(1, 7):
+            t.merge(_mk(spark, [(f"k{v}", v, "upsert", "x", "p")]),
+                    f"b{v}")
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.max.versions.per.batch": "1",
+        })
+        # simulated drifted-engine restart: checkpoint at 5, but the
+        # first poll (floor unknown) regressed to 1 and Spark logged it
+        assert rd.latestOffset() == {"version": 1}
+        assert rd.partitions({"version": 5}, {"version": 1}) == []
+        # regression evidence remembered: the poisoned follow-up batch
+        # (1, 6] must re-deliver NOTHING below 5
+        slices = rd.partitions({"version": 1}, {"version": 6})
+        assert slices, "versions past the floor must still flow"
+        assert all(s.begin == 5 and s.end == 6 for s in slices)
+        # and the next poll caps from the restored floor
+        assert rd.latestOffset() == {"version": 6}
+
+    def test_nodata_entry_before_replay_does_not_swallow_it(
+        self, spark, tmp_path
+    ):
+        """The observed Spark 4.1 restart shape that LOST data under an
+        over-eager floor clamp: the engine re-plans a trailing no-data
+        offset entry (3,3) BEFORE replaying the real uncommitted batch
+        (2,3). The floor from the first call must not empty the
+        replay — only genuine regression evidence (start > end) may
+        clamp."""
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for v in range(1, 4):
+            t.merge(_mk(spark, [(f"k{v}", v, "upsert", "x", "p")]),
+                    f"b{v}")
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.max.versions.per.batch": "1",
+        })
+        assert rd.partitions({"version": 3}, {"version": 3}) == []
+        slices = rd.partitions({"version": 2}, {"version": 3})
+        assert slices and all(s.begin == 2 and s.end == 3 for s in slices)
+
+
 class TestStreamMorResolution:
     def test_multi_version_mor_batch_resolves_once(self, spark, tmp_path):
         """Two MOR commits drained in ONE micro-batch: each record must

@@ -147,8 +147,15 @@ class TestPartitionRendererParity:
 
         assert _strftime_of("yyyy-MM-dd") == "%Y-%m-%d"
         assert _strftime_of("yyyy/MM") == "%Y/%m"
+        assert _strftime_of("yy-MM") == "%y-%m"
         with pytest.raises(ValueError, match="unsupported pattern"):
             _strftime_of("yyyy-MM-dd HH")
+        # unpadded Java widths render differently from strftime ("3"
+        # vs "03") and would split one logical partition across two
+        # directory names between the write paths — must refuse
+        for bad in ("yyyy-M-d", "y-MM", "yyy-MM", "MM-ddd"):
+            with pytest.raises(ValueError, match="strftime|unsupported"):
+                _strftime_of(bad)
 
 
 class TestFormatWriteRoundtrip:
@@ -355,6 +362,108 @@ class TestFormatWriteRoundtrip:
         assert snap(f, partitions=["p2"]) == [
             ("move", "moved", "p2"), ("newer", "stored-wins", "p2"),
         ]
+
+    def test_streaming_global_upsert_refreshes_relocation_plan(
+        self, spark, tmp_path
+    ):
+        """One stream-writer instance serves every micro-batch: the
+        relocation plan must re-pin per batch, or batch 1's move would
+        consult batch 0's timeline and leave a stale copy in the old
+        partition."""
+        import pyarrow as pa
+
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableStreamWriter,
+        )
+
+        def mk3(rows):
+            return spark.createDataFrame(
+                rows,
+                "_key string, _ts long, _op string, val string, d string",
+            )
+
+        path = str(tmp_path / "t")
+        LakeTable(
+            spark, path, buckets=2, partition_fields=["d"],
+            global_index=True,
+        ).merge(mk3([("seed", 0, "upsert", "s", "p0")]), "b0")
+        w = LakeTableStreamWriter(
+            {"path": path, "engine.write.operation": "upsert"},
+            mk3([]).schema,
+        )
+
+        def micro(rows, batch_id):
+            msg = w.write(
+                iter(pa.Table.from_pylist(rows).to_batches())
+            )
+            w.commit([msg], batch_id)
+
+        micro([{"_key": "k", "_ts": 1, "_op": "upsert",
+                "val": "v1", "d": "p1"}], 0)
+        micro([{"_key": "k", "_ts": 2, "_op": "upsert",
+                "val": "v2", "d": "p2"}], 1)  # relocates p1 -> p2
+        t = LakeTable(spark, path)
+        snap = sorted(
+            (r["_key"], r["val"], r["d"]) for r in t.snapshot().collect()
+        )
+        assert snap == [("k", "v2", "p2"), ("seed", "s", "p0")]
+        # the stale-plan bug left k visible in a p1-pruned read
+        assert [
+            r["_key"] for r in t.snapshot(partitions=["p1"]).collect()
+        ] == []
+
+    def test_same_batch_id_race_stays_exactly_once(self, spark, tmp_path):
+        """A replayed writer with the same batch id that loses the
+        version race must become the H5 no-op on retry — the has_batch
+        check re-runs inside the retry loop."""
+        import pyarrow as pa
+
+        from hudi_spark_plus_spark.sources.lake_writer import (
+            LakeTableBatchWriter,
+        )
+
+        path = str(tmp_path / "t")
+        base = _df(spark, [("k1", 1, "a", "p")])
+        _write(base, path)
+        # two writers carrying the SAME batch id (orchestrator replay)
+        wa = LakeTableBatchWriter(
+            {"path": path, "engine.write.batch.id": "dup"},
+            base.schema, overwrite=False,
+        )
+        wb = LakeTableBatchWriter(
+            {"path": path, "engine.write.batch.id": "dup"},
+            base.schema, overwrite=False,
+        )
+        row = [{"_key": "k2", "_ts": 2, "val": "b", "d": "p"}]
+        ma = wa.write(iter(pa.Table.from_pylist(row).to_batches()))
+        mb = wb.write(iter(pa.Table.from_pylist(row).to_batches()))
+        # interleave: wa lands AFTER wb passed its first has_batch
+        # check but BEFORE wb publishes — wb must detect the duplicate
+        # on its conflict retry, not commit 'dup' a second time
+        from hudi_spark_plus_spark.table import commit_log as cl
+
+        real_commit = cl.CommitLog.commit
+        state = {"fired": False}
+
+        def racing(self_log, operation, files, batch_id=None, **kw):
+            if batch_id == "dup" and not state["fired"]:
+                state["fired"] = True
+                wa.commit([ma])  # the replay twin wins the version
+            return real_commit(
+                self_log, operation, files, batch_id=batch_id, **kw
+            )
+
+        try:
+            cl.CommitLog.commit = racing
+            wb.commit([mb])
+        finally:
+            cl.CommitLog.commit = real_commit
+        t = LakeTable(spark, path)
+        assert t.log.versions() == [1, 2]
+        ids = [t.log.read(v).batch_id for v in t.log.versions()]
+        assert ids.count("dup") == 1
+        rows = [r["_key"] for r in t.snapshot().collect()]
+        assert sorted(rows) == ["k1", "k2"]
 
     def test_global_index_upsert_race_aborts(self, spark, tmp_path):
         """A commit race against a global-index format upsert must

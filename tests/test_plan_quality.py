@@ -107,6 +107,11 @@ def test_asof_join_timestamp_columns_keep_subsecond_precision(spark):
     bad = spark.createDataFrame([("a", "x", 1)], "k string, lts string, lid int")
     with _pytest.raises(ValueError, match="unsupported type"):
         asof_join(bad, right, ["k"], ["k"], "lts", "rts", ["rv"])
+    # mixed integral/timestamp pairs silently mis-join (one side keeps
+    # its caller unit, the other becomes micros) — must raise instead
+    mixed = spark.createDataFrame([("a", 5, 1)], "k string, lts long, lid int")
+    with _pytest.raises(ValueError, match="mix"):
+        asof_join(mixed, right, ["k"], ["k"], "lts", "rts", ["rv"])
 
 
 def test_q17_dedup_is_single_shuffle(spark, sf_dir):
