@@ -696,3 +696,121 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim_raw", 4).alias("sim"), "rank")
     )
+
+
+# -- SemDeDup (semantic deduplication) ---------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold_centi: int = 90,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space, then pruning
+    within-cluster cosine pairs above a threshold. The all-pairs
+    matrix never materializes — work is O(sum over clusters of
+    cluster_size^2), and at scale ``n_clusters`` grows with the corpus
+    so cluster sizes stay bounded (the paper's own scaling rule).
+
+    Exactness device (cross-engine determinism, the property every
+    oracled query in this repo needs): every comparison runs in INTEGER
+    arithmetic over the int8-quantized vectors (``quantize_embeddings``
+    — itself bit-reproducible in ANSI SQL):
+
+    * cluster seeds = the ``n_clusters`` lowest-id vectors with a
+      non-zero quantized norm (deterministic; a bounded K-row collect,
+      broadcast into the assignment kernel);
+    * assignment key against centroid c: ``sign(dot) * (dot^2 * 10^6
+      div |c|^2)`` — monotone in cos(v, c) up to the shared |v| factor
+      and the floor's micro-resolution; ties break on the LOWEST
+      centroid index in both engines (numpy argmax-first == SQL
+      row_number over (key DESC, cid ASC));
+    * duplicate test at centi-threshold t: ``dot > 0 AND dot^2 * 10^4
+      >= t^2 * |a|^2 * |b|^2`` — the exact integer form of
+      ``cos(a, b) >= t / 100``.
+
+    A vector is REMOVED when any LOWER-id vector in its cluster is
+    within the threshold (the greedy keep-lowest-id variant of the
+    paper's keep-one-per-group rule) — order-free, partitioning-free,
+    and replayable as one SQL EXISTS.
+
+    Bounds: |dot| <= 127^2 * dim, so dim <= 78 keeps every intermediate
+    (dot^2 * 10^6) inside int64/BIGINT; larger dims need a smaller key
+    scale — refused here rather than silently overflowed.
+
+    Returns (id_col, cluster_id int, is_kept boolean).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    if not 0 < threshold_centi <= 100:
+        raise ValueError(
+            f"threshold_centi must be in (0, 100], got {threshold_centi}"
+        )
+
+    q = quantize_embeddings(df, vec_col).select(id_col, "qvec")
+
+    @F.pandas_udf("bigint")
+    def _norm2(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int64")
+        m = np.array(qv.tolist(), dtype=np.int64)
+        return pd.Series((m * m).sum(axis=1))
+
+    qn = q.withColumn("n2", _norm2("qvec"))
+
+    seeds = (
+        qn.where(F.col("n2") > 0).orderBy(id_col).limit(n_clusters).collect()
+    )
+    if not seeds:
+        raise ValueError("semdedup: no non-zero vectors to seed clusters")
+    cmat = np.array([r["qvec"] for r in seeds], dtype=np.int64)
+    if cmat.shape[1] > 78:
+        raise ValueError(
+            f"semdedup supports dim <= 78 (got {cmat.shape[1]}): the "
+            "integer assignment key dot^2 * 10^6 would overflow int64"
+        )
+    cn2 = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int32")
+        m = np.array(qv.tolist(), dtype=np.int64)
+        dots = m @ cmat.T  # exact int64
+        mag = (dots * dots * 1_000_000) // cn2
+        keys = np.where(dots >= 0, mag, -mag)
+        # argmax returns the FIRST maximum: ties resolve to the lowest
+        # centroid index, matching the oracle's (key DESC, cid ASC)
+        return pd.Series(np.argmax(keys, axis=1).astype("int32"))
+
+    assigned = qn.withColumn("cluster_id", _assign("qvec"))
+
+    t2 = threshold_centi * threshold_centi  # centi^2 vs dot^2 * 10^4
+    out_schema = f"{id_col} long, cluster_id int, is_kept boolean"
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        g = m @ m.T
+        sim = (g > 0) & ((g * g) * 10_000 >= t2 * (n2[:, None] * n2[None, :]))
+        # removed[i] = exists j < i (lower id, rows are id-sorted) with
+        # sim — the strictly-lower triangle
+        lower = np.tril(np.ones(sim.shape, dtype=bool), k=-1)
+        removed = (sim & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster_id": pdf["cluster_id"],
+                "is_kept": ~removed,
+            }
+        )
+
+    # one task per cluster: the within-cluster gram matrix is the
+    # paper's own unit of work, bounded by scaling n_clusters with n
+    return assigned.groupBy("cluster_id").applyInPandas(_prune, out_schema)

@@ -963,8 +963,60 @@ def q_doc_dedup_incremental(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+SEMDEDUP_CLUSTERS, SEMDEDUP_THRESHOLD_CENTI = 8, 90
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    cluster the embedding space, prune within-cluster cosine pairs >=
+    0.9 keeping the lowest id (functions/similarity.py:semdedup). The
+    pipeline runs in EXACT integer arithmetic over int8-quantized
+    vectors, so the oracle replays the WHOLE thing — seeding, cluster
+    assignment, pair pruning — not just a planted outcome. Planted
+    exact copies (vec_id % 10 == 0, re-keyed +off) are the recall
+    check on top: an identical vector quantizes identically, lands in
+    the same cluster at sim 1.0, and natural max cosine ~0.6 << 0.9,
+    so exactly the planted ids must be the removals."""
+    from hudi_spark_plus_spark.functions.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
+    planted = e.where((F.col("vec_id") % 10) == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(off)
+    )
+    corpus = e.unionByName(planted).select("vec_id", "embedding")
+    return semdedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        SEMDEDUP_CLUSTERS,
+        SEMDEDUP_THRESHOLD_CENTI,
+    ).orderBy("vec_id")
+
+
+DSIR_TOP_N, DSIR_BUCKETS = 100, 64
+
+
+def q_doc_dsir(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed-token importance reweighting of the raw corpus toward a
+    target distribution (here: the English documents), then top-n by
+    per-token importance. Exact-integer milli-ratio weights
+    (functions/selection.py) make the full two-distribution
+    derivation, per-document integration, and top-n cut replayable in
+    ANSI SQL with zero float drift."""
+    from hudi_spark_plus_spark.functions.selection import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        d, F.col("lang") == "en", DSIR_TOP_N, n_buckets=DSIR_BUCKETS
+    ).orderBy(F.col("per_token_milli").desc(), "doc_id")
+
+
 LLM_QUERIES = {
     "q-doc-corpus-stats": q_doc_corpus_stats,
+    "q-doc-dsir": q_doc_dsir,
+    "q-emb-semdedup": q_emb_semdedup,
     "q-emb-ann-ivfpq": q_emb_ann_ivfpq,
     "q-emb-ann-pq": q_emb_ann_pq,
     "q-doc-source-cap": q_doc_source_cap,
@@ -1885,5 +1937,123 @@ LLM_ORACLES = {
           AND doc_id % 5 <> 0 AND doc_id % 7 <> 3
           AND doc_id % 11 <> 5 AND doc_id % 13 = 7
         ORDER BY media_id
+    """,
+    # FULL replay of the exact-integer SemDeDup pipeline: int8
+    # quantization (the q-emb-quantize parity device), lowest-8-id
+    # non-zero seeds, sign-aware integer assignment key
+    # (dot^2 * 10^6 // |c|^2, ties to the lowest centroid), and the
+    # integer-form cosine >= 0.90 pair test (dot^2 * 10^4 >= 8100 *
+    # |a|^2 * |b|^2) with greedy keep-lowest-id
+    "q-emb-semdedup": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT)
+                 AS o
+          FROM embeddings
+        ), base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + (SELECT o FROM off), embedding
+          FROM embeddings WHERE vec_id % 10 = 0
+        ), c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM base
+        ), s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS sc
+          FROM c
+        ), q AS (
+          SELECT vec_id,
+                 CASE WHEN sc = 0
+                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v,
+                        x -> CAST(round(127.0 * x / sc) AS BIGINT))
+                 END AS qv
+          FROM s
+        ), qn AS (
+          SELECT vec_id, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+          FROM q
+        ), cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 qv AS cv, n2 AS cn2
+          FROM (SELECT * FROM qn WHERE n2 > 0 ORDER BY vec_id LIMIT 8)
+        ), dots AS (
+          SELECT qn.vec_id, cents.cid, cents.cn2,
+                 CAST(list_dot_product(qn.qv, cents.cv) AS BIGINT) AS dot
+          FROM qn, cents
+        ), keyed AS (
+          SELECT vec_id, cid,
+                 CASE WHEN dot >= 0
+                      THEN (dot * dot * 1000000) // cn2
+                      ELSE -((dot * dot * 1000000) // cn2)
+                 END AS k
+          FROM dots
+        ), assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY k DESC, cid) AS rn
+            FROM keyed) WHERE rn = 1
+        ), m AS (
+          SELECT a.vec_id, a.cid, qn.qv, qn.n2
+          FROM assign a JOIN qn USING (vec_id)
+        )
+        SELECT m.vec_id, CAST(m.cid AS INT) AS cluster_id,
+               NOT EXISTS (
+                 SELECT 1 FROM m b
+                 WHERE b.cid = m.cid AND b.vec_id < m.vec_id
+                   AND CAST(list_dot_product(b.qv, m.qv) AS BIGINT) > 0
+                   AND CAST(list_dot_product(b.qv, m.qv) AS BIGINT)
+                       * CAST(list_dot_product(b.qv, m.qv) AS BIGINT)
+                       * 10000
+                       >= 8100 * b.n2 * m.n2
+               ) AS is_kept
+        FROM m ORDER BY vec_id
+    """,
+    # exact-integer DSIR replay: same md5 bucketing as q-doc-hash-embed,
+    # add-one-smoothed milli-ratio weights, integer per-document
+    # integration, per-token milli-average ranking
+    "q-doc-dsir": r"""
+        WITH w AS (
+          SELECT doc_id, lang = 'en' AS tgt,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, tgt,
+                 CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT)
+                      % 64 AS BIGINT) AS bucket
+          FROM w WHERE w <> ''
+        ), dc AS (
+          SELECT doc_id, bucket, COUNT(*) AS cnt
+          FROM tok GROUP BY doc_id, bucket
+        ), raw AS (
+          SELECT bucket, COUNT(*) AS rb FROM tok GROUP BY bucket
+        ), tg AS (
+          SELECT bucket, COUNT(*) AS tb FROM tok WHERE tgt GROUP BY bucket
+        ), jt AS (
+          SELECT raw.bucket, raw.rb, COALESCE(tg.tb, 0) AS tb
+          FROM raw LEFT JOIN tg USING (bucket)
+        ), tot AS (
+          SELECT CAST(SUM(rb) AS BIGINT) AS rtot,
+                 CAST(SUM(tb) AS BIGINT) AS ttot
+          FROM jt
+        ), wt AS (
+          SELECT bucket,
+                 CAST(((tb + 1) * (rtot + 64) * 1000)
+                      // ((rb + 1) * (ttot + 64)) AS BIGINT) AS w_milli
+          FROM jt, tot
+        ), sc AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(cnt * w_milli) AS BIGINT) AS dsir_score
+          FROM dc JOIN wt USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, dsir_score,
+               CAST((dsir_score * 1000) // n_tokens AS BIGINT)
+               AS per_token_milli
+        FROM sc WHERE n_tokens > 0
+        ORDER BY per_token_milli DESC, doc_id
+        LIMIT 100
     """,
 }

@@ -946,3 +946,104 @@ def test_ivfpq_topk_recall_vs_exact(spark, sf_dir):
     assert len(hits) / len(exact) >= 0.5, (len(hits), len(exact))
     for key in hits:
         assert abs(got[key] - exact[key]) < 1e-9
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup semantics on a hand-built corpus: exact copies prune to
+    the lowest id, near-but-below-threshold pairs survive, clusters
+    follow the nearest seed, zero vectors are kept, and a higher
+    threshold never removes more."""
+    from hudi_spark_plus_spark.functions.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed B
+        (2, [1.0, 0.05, 0.0, 0.0]),  # ~copy of A (cos ~0.9989) -> removed
+        (3, [0.0, 1.0, 0.0, 0.0]),   # exact copy of B -> removed
+        (4, [0.7, 0.7, 0.0, 0.0]),   # diagonal: cos 0.707 < 0.9 both
+        (5, [0.0, 0.0, 0.0, 0.0]),   # zero vector: kept, never a dup
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_kept"])
+        for r in semdedup(df, n_clusters=2, threshold_centi=90).collect()
+    }
+    assert got[0] == (0, True) and got[1] == (1, True)
+    assert got[2][0] == 0 and got[2][1] is False
+    assert got[3][0] == 1 and got[3][1] is False
+    assert got[4][1] is True       # below threshold survives
+    assert got[5][1] is True       # zero vector kept
+    # threshold monotonicity: at 100 (exact copies only), vec 2's
+    # quantized form differs from vec 0's -> only vec 3 is removed
+    got100 = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup(df, n_clusters=2, threshold_centi=100).collect()
+    }
+    removed90 = {k for k, v in got.items() if not v[1]}
+    removed100 = {k for k, v in got100.items() if not v}
+    assert removed100 <= removed90
+    assert removed100 == {3}
+
+
+def test_semdedup_exact_copies_prune_across_partitionings(spark, sf_dir):
+    """The removal set is a pure function of the data: repartitioning
+    must not change it (integer arithmetic everywhere — no float
+    summation-order dependence)."""
+    from hudi_spark_plus_spark.functions.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    planted = e.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000)
+    )
+    corpus = e.unionByName(planted).select("vec_id", "embedding")
+    a = {
+        (r["vec_id"], r["cluster_id"], r["is_kept"])
+        for r in semdedup(corpus, n_clusters=4).collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster_id"], r["is_kept"])
+        for r in semdedup(corpus.repartition(13), n_clusters=4).collect()
+    }
+    assert a == b
+    removed = {v for v, _, kept in a if not kept}
+    assert removed == {v + 1000 for v in range(0, 100, 10)}
+
+
+def test_dsir_scores_semantics(spark):
+    """DSIR weighting on a hand-built corpus: a document made of
+    target-corpus tokens must out-rank (per token) one made of tokens
+    the target never uses; empty documents score 0 but stay in the
+    scores output; scores are partitioning-independent."""
+    from hudi_spark_plus_spark.functions.selection import (
+        dsir_scores,
+        dsir_select,
+    )
+
+    rows = [
+        (0, "alpha beta alpha beta", "tgt"),
+        (1, "alpha beta gamma", "tgt"),
+        (2, "alpha beta alpha", "raw"),       # target-like
+        (3, "zulu yankee xray whiskey", "raw"),  # target-absent
+        (4, "   ", "raw"),                     # empty after trim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    s = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_scores(df, F.col("kind") == "tgt").collect()
+    }
+    assert len(s) == 5 and s[4] == (0, 0)
+    per_tok = {k: v[1] / max(v[0], 1) for k, v in s.items()}
+    assert per_tok[2] > per_tok[3]
+    sel = dsir_select(df, F.col("kind") == "tgt", 2).collect()
+    picked = [r["doc_id"] for r in sel]
+    assert 3 not in picked  # target-absent never beats target-like
+    assert all(r["n_tokens"] > 0 for r in sel)
+    s2 = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_scores(
+            df.repartition(7), F.col("kind") == "tgt"
+        ).collect()
+    }
+    assert s == s2
