@@ -45,6 +45,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if "q-stream-stateful-agg" in qs and os.path.isdir(tiny):
         qs["q-stream-stateful-agg"](spark, tiny).count()
+    # ... and the Python Data Source bring-up (format registration +
+    # worker-side pyarrow imports, ~4-6s once per session), same
+    # reasoning: otherwise the alphabetically-first lake-format read
+    # and the first format write each absorb it and read as per-query
+    # regressions (the r8 q-lake-format-write 5.5s->9.8s artifact —
+    # warm steady-state is ~3.6s)
+    if os.path.isdir(tiny):
+        for wname in ("q-lake-batch-source", "q-lake-format-write"):
+            if wname in qs:
+                qs[wname](spark, tiny).count()
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
