@@ -701,11 +701,20 @@ def ivfpq_topk(
 # -- SemDeDup (semantic deduplication) ---------------------------------------
 
 
+#: auto-K sizing: target within-cluster population (the gram matrix is
+#: target^2 int64s — 1024^2 * 8B = 8 MiB per task) and the seed-table
+#: ceiling (seeds are collected + broadcast: 4096 * 78 dims * 8B ~ 2.5
+#: MiB; past this, exact seeding stops scaling — use the IVF/KMeans
+#: path where approximate clustering is acceptable)
+SEMDEDUP_TARGET_CLUSTER_ROWS = 1024
+SEMDEDUP_MAX_AUTO_CLUSTERS = 4096
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     threshold_centi: int = 90,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -737,6 +746,15 @@ def semdedup(
     paper's keep-one-per-group rule) — order-free, partitioning-free,
     and replayable as one SQL EXISTS.
 
+    ``n_clusters=None`` auto-sizes K to the corpus (the paper's own
+    scaling rule — cluster population, and with it the per-cluster
+    gram matrix, stays bounded as n grows): K = clamp(8, n /
+    SEMDEDUP_TARGET_CLUSTER_ROWS, SEMDEDUP_MAX_AUTO_CLUSTERS). One
+    bounded count() pays for it. Oracled queries pass an EXPLICIT K so
+    the SQL replay needs no count; past the auto ceiling (~4M rows),
+    exact lowest-id seeding stops being the right tool — cluster with
+    the IVF/KMeans path instead and keep the integer pair test.
+
     Bounds: |dot| <= 127^2 * dim, so dim <= 78 keeps every intermediate
     (dot^2 * 10^6) inside int64/BIGINT; larger dims need a smaller key
     scale — refused here rather than silently overflowed.
@@ -753,6 +771,12 @@ def semdedup(
         )
 
     q = quantize_embeddings(df, vec_col).select(id_col, "qvec")
+    if n_clusters is None:
+        n = q.count()
+        n_clusters = min(
+            max(8, n // SEMDEDUP_TARGET_CLUSTER_ROWS),
+            SEMDEDUP_MAX_AUTO_CLUSTERS,
+        )
 
     @F.pandas_udf("bigint")
     def _norm2(qv: pd.Series) -> pd.Series:

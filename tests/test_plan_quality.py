@@ -294,3 +294,70 @@ def test_dedup_lines_uses_no_window(spark, sf_dir):
     plan = plan_of(dedup_lines(seg, "doc_id", "_l"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_takeordered_and_broadcast(spark, sf_dir):
+    """DSIR selection must plan as TakeOrderedAndProject (no full sort
+    materializes for a top-n) with BROADCAST weight joins (the bucket
+    tables are n_buckets rows), and no cartesian/NL joins anywhere."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.selection import dsir_select
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dsir_select(d, F.col("lang") == "en", 100))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the standing 1-row
+    # broadcast-totals crossJoin idiom (same adjudication as
+    # relational_ext.py:54 / ngrams.py:275)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan, "weight join must broadcast"
+
+
+def test_semdedup_plan_no_allpairs_join(spark, sf_dir):
+    """SemDeDup's pair stage is per-cluster applyInPandas — the plan
+    must contain the grouped-map node and NO join at all (an engine
+    regression to a self-join would be the quadratic shape the operator
+    exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.similarity import semdedup
+    from hudi_spark_plus_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    plan = plan_of(semdedup(e.select("vec_id", "embedding")))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """n_clusters=None sizes K to the corpus: big synthetic id range ->
+    more clusters -> bounded cluster populations (the paper's scaling
+    rule), floored at 8 and capped at the seed-table ceiling."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.similarity import (
+        SEMDEDUP_TARGET_CLUSTER_ROWS,
+        semdedup,
+    )
+
+    n = 4 * SEMDEDUP_TARGET_CLUSTER_ROWS
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97 + 1).cast("float"),
+            (F.col("id") * 7 % 89 + 1).cast("float"),
+            (F.col("id") * 13 % 83 + 1).cast("float"),
+            (F.col("id") * 29 % 79 + 1).cast("float"),
+        ).alias("embedding"),
+    )
+    out = semdedup(df, n_clusters=None, threshold_centi=100)
+    k = out.select("cluster_id").distinct().count()
+    # auto K = n // target = 4; floor lifts it to 8 -> more than the
+    # fixed-8 default would give a 10x corpus, and every row clusters
+    assert k >= 4
+    assert out.count() == n
+    small = semdedup(df.limit(100), n_clusters=None, threshold_centi=100)
+    assert small.select("cluster_id").distinct().count() <= 8
