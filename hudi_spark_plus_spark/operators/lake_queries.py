@@ -1352,6 +1352,24 @@ def q_lake_batch_source(spark, sf_dir):
         assert planned == want and planned, (
             f"pushed partition filter planned {planned} != {want}"
         )
+        # col_stats data skipping: a payload-column range beyond every
+        # file's recorded max must plan NOTHING; the complementary
+        # full-range probe must not false-prune a single file
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        skipped = lake_reader.LakeBatchReader({"path": lake.path})
+        list(skipped.pushFilters(
+            [GreaterThanOrEqual(("c_custkey",), SUBSET * 1000)]
+        ))
+        assert list(skipped.partitions()) == [], (
+            "col_stats skipping must drop every file for an "
+            "out-of-range payload probe"
+        )
+        full = lake_reader.LakeBatchReader({"path": lake.path})
+        list(full.pushFilters([GreaterThanOrEqual(("c_custkey",), 0)]))
+        assert {p for s in full.partitions() for p in s.paths} == {
+            f.path for f in lake.log.live_files()
+        }, "an always-true payload probe must not prune"
 
         lake_reader.register(spark)
         snap = (

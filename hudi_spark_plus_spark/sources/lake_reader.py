@@ -273,6 +273,11 @@ def _render_prune_value(v) -> str | None:
 # range predicates can prune them; numeric renders do not ("10" < "2").
 _RANGE_SAFE = (str, datetime.date)
 
+# manifest col_stats hold JSON-stable int/float/str; a pushed literal of
+# the same kind compares natively (bool excluded — it's an int subclass
+# whose parquet stats semantics we don't rely on)
+_STATS_SAFE = (int, float, str)
+
 
 class _Slice(InputPartition):
     """One planned scan unit: a single file (no resolution) or a whole
@@ -358,6 +363,11 @@ class LakeBatchReader(DataSourceReader):
             for i, spec in enumerate(self.partition_fields)
             if ":" not in spec
         }
+        # value-stats prune state (Hudi metadata-table col_stats data
+        # skipping, the format-read twin of LakeTable.scan_range):
+        # logical column -> pushed conjuncts [(op, literal(s))]
+        self._val_preds: dict[str, list] = {}
+        self._phys_of = {name: phys for name, phys, _ in self.fields}
 
     def _version_at_or_before(self, ts_millis: int) -> int:
         return version_at_or_before(self.log, ts_millis)
@@ -433,6 +443,48 @@ class LakeBatchReader(DataSourceReader):
                     # AND and still exact)
                     if r is not None and (cur is None or (r, incl) < cur):
                         self._part_hi[comp] = (r, incl)
+            elif (
+                col in self._phys_of
+                and not col.startswith("_")
+                and self.mode != "cdc"
+                # CDC output rows pair a begin-version before-image with
+                # an end-version after-image; neither side's file stats
+                # bound the OUTPUT columns, so value skipping is off
+            ):
+                if isinstance(flt, (EqualTo, In)):
+                    vals = (
+                        [flt.value]
+                        if isinstance(flt, EqualTo)
+                        else list(flt.value)
+                    )
+                    if (
+                        vals
+                        and all(
+                            isinstance(v, _STATS_SAFE)
+                            and not isinstance(v, bool)
+                            for v in vals
+                        )
+                        and len({isinstance(v, str) for v in vals}) == 1
+                    ):
+                        self._val_preds.setdefault(col, []).append(
+                            ("in", vals)
+                        )
+                elif isinstance(
+                    flt,
+                    (GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual),
+                ):
+                    v = flt.value
+                    if isinstance(v, _STATS_SAFE) and not isinstance(
+                        v, bool
+                    ):
+                        op = {
+                            GreaterThan: "gt",
+                            GreaterThanOrEqual: "ge",
+                            LessThan: "lt",
+                            LessThanOrEqual: "le",
+                        }[type(flt)]
+                        self._val_preds.setdefault(col, []).append((op, v))
             # every filter is re-evaluated by Spark post-scan: pruning
             # here only shrinks the file plan, never answers predicates
             yield flt
@@ -481,11 +533,61 @@ class LakeBatchReader(DataSourceReader):
                 return True
         return False
 
+    def _stats_prunes(self, f) -> bool:
+        """True when the file's manifest col_stats prove NO row can
+        satisfy some pushed value conjunct (Hudi col_stats data
+        skipping). Missing stats, unknown columns, or cross-type
+        literals keep the file — pruning is I/O-only and conservative,
+        and Spark re-evaluates every predicate post-scan."""
+        if not self._val_preds:
+            return False
+        cs = f.col_stats or {}
+        for col, preds in self._val_preds.items():
+            st = cs.get(self._phys_of[col])
+            if st is None:
+                continue
+            lo, hi = st
+            if not isinstance(lo, _STATS_SAFE):
+                continue
+            for op, val in preds:
+                probe = val[0] if op == "in" else val
+                if isinstance(probe, str) != isinstance(lo, str):
+                    continue  # numeric-vs-string proves nothing
+                if op == "in":
+                    if all(v < lo or v > hi for v in val):
+                        return True
+                elif op == "gt":
+                    if hi <= val:
+                        return True
+                elif op == "ge":
+                    if hi < val:
+                        return True
+                elif op == "lt":
+                    if lo >= val:
+                        return True
+                elif op == "le":
+                    if lo > val:
+                        return True
+        return False
+
+    def _stats_keep_units(self, grouped: dict) -> list:
+        """Unit-granular data skipping for merge-on-read plans: a
+        resolution unit is droppable only when EVERY file in it proves
+        disjoint — per-file pruning inside a unit could delete the
+        delta that supersedes an in-range base row and resurrect it."""
+        return [
+            grp
+            for grp in grouped.values()
+            if not all(self._stats_prunes(f) for f in grp)
+        ]
+
     def _plan_files(self):
         """(files to scan, resolution units or None). Mirrors
         ``LakeTable.snapshot`` / ``.incremental`` planning exactly,
         with pushed-filter pruning applied where each of those applies
-        ``partitions=`` pruning."""
+        ``partitions=`` pruning, plus col_stats value skipping (file-
+        granular on copy-on-write plans, unit-granular on merge-on-read
+        — the same conservatism as ``LakeTable.scan_range``)."""
         if self.mode == "incremental":
             live = self.log.live_files(self.end)
             changed = {
@@ -504,8 +606,12 @@ class LakeBatchReader(DataSourceReader):
                 for f in live:
                     if self._unit_of(f) in units:
                         grouped.setdefault(self._unit_of(f), []).append(f)
-                return None, list(grouped.values())
-            return [f for f in files if not self._key_prunes(f)], None
+                return None, self._stats_keep_units(grouped)
+            return [
+                f
+                for f in files
+                if not self._key_prunes(f) and not self._stats_prunes(f)
+            ], None
         files = self.log.live_files(self.version)
         if self.mode == "read_optimized":
             files = [f for f in files if f.kind != "delta"]
@@ -518,8 +624,8 @@ class LakeBatchReader(DataSourceReader):
             grouped = {}
             for f in files:
                 grouped.setdefault(self._unit_of(f), []).append(f)
-            return None, list(grouped.values())
-        return files, None
+            return None, self._stats_keep_units(grouped)
+        return [f for f in files if not self._stats_prunes(f)], None
 
     def _unit_of(self, f) -> tuple:
         # global-index identity is _key alone; bucket is hash(key)-

@@ -204,14 +204,116 @@ class TestPrunedPlanning:
         t = _build(spark, str(tmp_path / "t"))
         r_all = LakeBatchReader({"path": t.path})
         r = LakeBatchReader({"path": t.path})
-        # value column, multi-part attribute, non-string key probe:
-        # none may prune
+        # bool value probe (stats-unsafe type), multi-part attribute,
+        # non-string key probe, engine meta column: none may prune
         list(r.pushFilters([
-            EqualTo(("val",), "a2"),
+            EqualTo(("val",), True),
             EqualTo(("d", "nested"), "x"),
             EqualTo(("_key",), 7),
+            EqualTo(("_ts",), 1),
         ]))
         assert self._planned(r) == self._planned(r_all)
+
+    def test_value_stats_prune_cow_files(self, spark, tmp_path):
+        """Hudi col_stats data skipping through the format read: an
+        equality/range probe on a PAYLOAD column plans only files whose
+        recorded min/max range intersects — and results stay exact."""
+        t = LakeTable(
+            spark, str(tmp_path / "t"), buckets=1, partition_fields=["d"]
+        )
+        # three partitions -> three files with disjoint VAL ranges; the
+        # probes below filter on val, so only stats can prune
+        t.merge(
+            _mk(spark, [
+                (f"k{lo}{i}", 1, "upsert", f"{lo}{i}", f"p{lo}")
+                for lo in ("a", "m", "x")
+                for i in range(4)
+            ]),
+            "b1",
+        )
+        r_all = LakeBatchReader({"path": t.path})
+        n_all = len(self._planned(r_all))
+        assert n_all == 3
+        r_eq = LakeBatchReader({"path": t.path})
+        list(r_eq.pushFilters([EqualTo(("val",), "m2")]))
+        assert len(self._planned(r_eq)) == 1
+        r_rng = LakeBatchReader({"path": t.path})
+        list(r_rng.pushFilters([GreaterThanOrEqual(("val",), "x0")]))
+        assert len(self._planned(r_rng)) == 1
+        r_out = LakeBatchReader({"path": t.path})
+        list(r_out.pushFilters([In(("val",), ("zzz", "zz9"))]))
+        assert self._planned(r_out) == []
+        # end-to-end exactness through Spark
+        lake_reader.register(spark)
+        got = _read(spark, t.path).where(F.col("val") >= "x0")
+        assert _vals(got) == [(f"kx{i}", f"x{i}") for i in range(4)]
+
+    def test_value_stats_numeric_and_cross_type(self, spark, tmp_path):
+        """Numeric col_stats prune numeric probes; a literal whose type
+        class differs from the recorded stats (int probe on a string
+        column) must never prune."""
+        t = LakeTable(
+            spark, str(tmp_path / "t"), buckets=1, partition_fields=["d"]
+        )
+        df = spark.createDataFrame(
+            [(f"k{p}{i}", 1, "upsert", p * 100 + i, f"p{p}")
+             for p in (1, 2, 3) for i in range(4)],
+            "_key string, _ts long, _op string, amount long, d string",
+        )
+        t.merge(df, "b1")
+        r_all = LakeBatchReader({"path": t.path})
+        assert len(self._planned(r_all)) == 3
+        r_rng = LakeBatchReader({"path": t.path})
+        list(r_rng.pushFilters([
+            GreaterThanOrEqual(("amount",), 200),
+            LessThan(("amount",), 300),
+        ]))
+        assert len(self._planned(r_rng)) == 1
+        r_cross = LakeBatchReader({"path": t.path})
+        # string probe on an int-stats column + int probe on the meta
+        # key column: cross-type comparisons prove nothing, no pruning
+        list(r_cross.pushFilters([EqualTo(("amount",), "200"),
+                                  EqualTo(("_key",), 7)]))
+        assert len(self._planned(r_cross)) == 3
+        lake_reader.register(spark)
+        got = _read(spark, t.path).where(
+            (F.col("amount") >= 200) & (F.col("amount") < 300)
+        )
+        assert sorted(r["amount"] for r in got.collect()) == [
+            200, 201, 202, 203
+        ]
+
+    def test_value_stats_mor_unit_granular_never_resurrects(
+        self, spark, tmp_path
+    ):
+        """MOR: per-file stats pruning could drop the delta that
+        supersedes an in-range base row and resurrect it. Skipping must
+        be unit-granular: the unit stays whole while ANY of its files
+        intersects, and the superseded row never reappears."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(
+            _mk(spark, [("k1", 1, "upsert", "b-old", "p"),
+                        ("k2", 1, "upsert", "keep", "p")]),
+            "b1",
+        )
+        # delta moves k1 OUT of the probed range (val -> "zz")
+        t.merge(
+            _mk(spark, [("k1", 2, "upsert", "zz", "p")]),
+            "b2", mode="mor",
+        )
+        r = LakeBatchReader({"path": t.path})
+        list(r.pushFilters([LessThan(("val",), "c")]))
+        planned = self._planned(r)
+        # the base file's range ["b-old","keep"] intersects, so the
+        # whole unit (base + delta) must be planned
+        assert len(planned) == 2
+        lake_reader.register(spark)
+        got = _read(spark, t.path).where(F.col("val") < "c")
+        assert _vals(got) == []  # k1 superseded; k2="keep" >= "c"
+        # a probe disjoint from EVERY file of the unit drops the unit
+        r2 = LakeBatchReader({"path": t.path})
+        list(r2.pushFilters([GreaterThanOrEqual(("val",), "zzz")]))
+        assert self._planned(r2) == []
 
     def test_pushdown_reaches_reader_through_spark(self, spark, tmp_path):
         """End-to-end: register() enables the pushdown conf and a plain
