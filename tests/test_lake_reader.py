@@ -696,3 +696,40 @@ class TestStreamMorResolution:
         )
         q.awaitTermination(120)
         assert sorted(rows) == [("k1", "a2"), ("k2", "b")]
+
+
+class TestZorderFormatSkipping:
+    def test_cluster_then_format_range_read_skips_files(
+        self, spark, tmp_path
+    ):
+        """The clustering payoff on the FORMAT surface: after z-order
+        clustering on (x, y), per-file col_stats ranges tighten on both
+        dimensions, so a pushed range on either column plans a strict
+        subset of files — and the read stays exact."""
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+        df = spark.createDataFrame(
+            [
+                (f"k{i}", 1, "upsert", i % 64, (i * 37) % 64)
+                for i in range(512)
+            ],
+            "_key string, _ts long, _op string, x long, y long",
+        )
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.merge(df, "b1")
+        zorder_cluster_table(t, "x", "y", files_per_bucket=8)
+        live = [f for f in t.log.live_files()]
+        assert len(live) == 8
+        r = LakeBatchReader({"path": t.path})
+        list(r.pushFilters([GreaterThanOrEqual(("x",), 56)]))
+        planned = sorted(p for s in r.partitions() for p in s.paths)
+        assert planned and len(planned) < len(live), (
+            f"z-ordered range read must skip files: planned "
+            f"{len(planned)} of {len(live)}"
+        )
+        lake_reader.register(spark)
+        got = _read(spark, t.path).where(F.col("x") >= 56)
+        assert got.count() == 8 * 8  # 8 x-values, 8 keys each
+        assert all(r["x"] >= 56 for r in got.collect())
