@@ -1407,7 +1407,95 @@ def q_lake_batch_source(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_bootstrap(spark, sf_dir):
+    """Metadata-only bootstrap (table/bootstrap.py, the Hudi
+    METADATA_ONLY bootstrap analogue) under oracle control: existing
+    plain parquet (3 fixed-range files of ``customer``) is registered
+    without rewriting — asserted: zero files under the table's data dir
+    — then one COW merge updates/deletes keys < 34 only, converting
+    exactly the one Bloom-hit source file while the other two are
+    carried as bootstrap entries untouched (asserted). The returned
+    frame is the snapshot (synthesized ``_key`` included — the
+    null-safe string cast the oracle replays with CAST) plus the
+    record-level incremental read of the merge."""
+    import glob as _glob
+    import os as _os
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        src = _os.path.join(work, "src")
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        payload = c.select(
+            "c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal")
+        )
+        # three fixed-range files: deterministic per-file key sets so
+        # the Bloom-carry assertion is stable across scale factors
+        for lo, hi in ((0, 34), (34, 67), (67, SUBSET)):
+            (
+                payload.where(
+                    (F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi)
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        lake = LakeTable(spark, _os.path.join(work, "t"), buckets=4)
+        lake.bootstrap(src, key_fields=["c_custkey"])
+        assert not _glob.glob(
+            _os.path.join(work, "t", "data", "**", "*.parquet"),
+            recursive=True,
+        ), "metadata-only bootstrap wrote data files"
+        batch = (
+            c.where(
+                (F.col("c_custkey") < 34)
+                & ((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+            )
+            .select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.when(F.col("c_custkey") % 7 == 0, "delete")
+                .otherwise("upsert")
+                .alias("_op"),
+                "c_custkey",
+                "c_name",
+                F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+            )
+        )
+        lake.merge(batch, "b1")
+        from hudi_spark_plus_spark.table.bootstrap import BOOTSTRAP_KIND
+
+        kinds = [f.kind for f in lake.log.live_files()]
+        assert kinds.count(BOOTSTRAP_KIND) == 2, (
+            f"progressive conversion must Bloom-carry the two source "
+            f"files the batch cannot touch: {kinds}"
+        )
+        snap = lake.snapshot().select(
+            F.lit("snap").alias("mode"),
+            "c_custkey",
+            F.col("_key").alias("key"),
+            "c_name",
+            F.round("acctbal", 4).alias("acctbal"),
+            F.lit(0).alias("deleted"),
+        )
+        incr = lake.incremental(1).select(
+            F.lit("incr").alias("mode"),
+            "c_custkey",
+            F.col("_key").alias("key"),
+            "c_name",
+            F.round("acctbal", 4).alias("acctbal"),
+            F.col("_deleted").cast("int").alias("deleted"),
+        )
+        out = snap.unionByName(incr).orderBy("mode", "c_custkey")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-bootstrap": q_lake_bootstrap,
     "q-lake-stream-sink": q_lake_stream_sink,
     "q-lake-format-write": q_lake_format_write,
     "q-lake-cdc-source": q_lake_cdc_source,
@@ -1458,6 +1546,31 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # bootstrap fixture: snapshot = LWW over bootstrap + one merge that
+    # only touches keys < 34 (updates %3 at +1000, deletes %7); the
+    # synthesized record key is the plain string cast of c_custkey;
+    # incremental(1) = the merge's winners (tombstones at the deleting
+    # batch's +1000 payload)
+    "q-lake-bootstrap": f"""
+        SELECT 'snap' AS mode, c_custkey,
+               CAST(c_custkey AS VARCHAR) AS key, c_name,
+               CASE WHEN c_custkey < 34 AND c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               0 AS deleted
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+          AND NOT (c_custkey < 34 AND c_custkey % 7 = 0)
+        UNION ALL
+        SELECT 'incr' AS mode, c_custkey,
+               CAST(c_custkey AS VARCHAR) AS key, c_name,
+               ROUND(c_acctbal + 1000.0, 4) AS acctbal,
+               CAST(c_custkey % 7 = 0 AS INT) AS deleted
+        FROM customer
+        WHERE c_custkey < 34
+          AND (c_custkey % 3 = 0 OR c_custkey % 7 = 0)
+        ORDER BY mode, c_custkey
+    """,
     # d=2024-01-02 slice (custkey % 3 = 1): snapshot = live rows at
     # base acctbal (+1000 updates hit % 3 = 0, a different partition);
     # incremental(begin=1) = batch-2 tombstones at the deleting batch's

@@ -81,8 +81,13 @@ _PINNED = [
     # the engine's restart re-plan; VERDICT r7 directive 1)
     "q-stream-lake-source",
     # r8: lake_reader.py gained the cdc mode + writer dispatch — the
-    # snapshot/incremental read paths moved around it
+    # snapshot/incremental read paths moved around it; later in r8 the
+    # pushed-filter prune state went per-query (eager pushFilters +
+    # reset after partitions(); the Spark 4.1 shared-DataFrame plan
+    # cache SHARP EDGE) and CDC slices gained bootstrap before-image
+    # candidates — re-green the format-read family
     "q-lake-batch-source",
+    "q-lake-cdc-source",
     # r8: savepoint re-verify-after-publish + vacuum double pin read
     # (ADVICE r7)
     "q-lake-savepoint",

@@ -44,6 +44,26 @@ the difference between "scan 7 of 3650 day-partitions" and "scan the
 table": the same structural elimination ``snapshot(partitions=...)``
 does, but driven by ordinary ``df.filter`` predicates.
 
+SHARP EDGE (Spark 4.1 framework behavior, measured — not this
+reader's state): the engine plans a Python Data Source read once per
+FILTERED query (a fresh reader instance in a fresh planning worker
+each time — filtered results are always correct), but an UNFILTERED
+action on the SAME loaded DataFrame object does not re-plan: it reuses
+the most recent planning's InputPartitions. So
+``df = spark.read.format("lake-table").load(p);
+df.filter(...).count(); df.count()`` returns the FILTERED subset for
+the second count. The ``pushFilters`` API is documented as
+"called once during query planning" with mutations visible to
+``partitions()`` — the contract assumes one planning per query, and
+the filterless re-use path violates it outside this reader's control
+(instance-level state hygiene cannot help: the stale partitions are
+cached JVM-side). Until Spark re-plans filterless scans: either call
+``load()`` per query when mixing filtered and unfiltered actions on
+one table (each load is independently planned — measured), or set
+``engine.read.pushdown=false`` on a relation you intend to reuse —
+pruning is then skipped entirely and every action scans the full
+plan with Spark-side filter evaluation (correct, just unpruned).
+
 Execution model: offset/version resolution and file planning run on the
 DRIVER as plain commit-log reads (no Spark jobs); ``read()`` runs in
 Python workers over pyarrow. COW / read-optimized reads plan one
@@ -92,6 +112,9 @@ END_OPT = "engine.read.end"
 BEGIN_TS_OPT = "engine.read.begin.ts.millis"
 END_TS_OPT = "engine.read.end.ts.millis"
 INCLUDE_DELETED_OPT = "engine.read.include.deleted"
+# disable pushed-filter file pruning for a relation that will be
+# REUSED across filtered and unfiltered actions (see SHARP EDGE above)
+PUSHDOWN_OPT = "engine.read.pushdown"
 
 _KEY = "_key"
 _TS = "_ts"
@@ -281,21 +304,34 @@ _STATS_SAFE = (int, float, str)
 
 class _Slice(InputPartition):
     """One planned scan unit: a single file (no resolution) or a whole
-    file group (worker-side latest-per-key resolution)."""
+    file group (worker-side latest-per-key resolution). ``boot`` names
+    the subset of ``paths`` that are metadata-only bootstrap files —
+    the worker synthesizes their engine meta columns from the table's
+    persisted bootstrap spec (table/bootstrap.py)."""
 
-    def __init__(self, paths: list[str], resolve: bool):
+    def __init__(self, paths: list[str], resolve: bool, boot=()):
         self.paths = paths
         self.resolve = resolve
+        self.boot = frozenset(boot)
 
 
 class _CdcSlice(InputPartition):
     """One CDC scan unit: a changed file group's live files at the END
     version (after-image side) and at the BEGIN version (before-image
-    side — empty when begin <= 0: everything classifies as insert)."""
+    side — empty when begin <= 0: everything classifies as insert).
+    ``boot_candidates`` are begin-version bootstrap files the range
+    CONSUMED (converted) — a changed record's before image may sit in
+    one (they are not bucket-attributable), so the worker probes each
+    candidate's key Bloom with its own changed keys and reads only the
+    hits: per-slice relevance is exact up to Bloom false positives."""
 
-    def __init__(self, after_paths: list[str], before_paths: list[str]):
+    def __init__(self, after_paths: list[str], before_paths: list[str],
+                 boot=(), boot_candidates=()):
         self.after_paths = after_paths
         self.before_paths = before_paths
+        self.boot = frozenset(boot)
+        # [(path, bloom_b64, min_key, max_key)]
+        self.boot_candidates = list(boot_candidates)
 
 
 class LakeBatchReader(DataSourceReader):
@@ -316,6 +352,7 @@ class LakeBatchReader(DataSourceReader):
         self.fields = active_fields(latest.schema_json)
         self.partition_fields = latest.partition_fields or []
         self.global_index = bool(latest.global_index)
+        self.bootstrap_spec = latest.bootstrap_spec
         self.mode = options.get(TYPE_OPT, "snapshot")
         if self.mode not in ("snapshot", "read_optimized", "incremental",
                              "cdc"):
@@ -351,7 +388,17 @@ class LakeBatchReader(DataSourceReader):
             self.include_deleted = self.mode in ("incremental", "cdc")
         else:
             self.include_deleted = str(inc_del).lower() in ("true", "1")
-        # pushed-filter prune state: field-component index -> values
+        self.pushdown = str(
+            options.get(PUSHDOWN_OPT, "true")
+        ).lower() in ("true", "1")
+        # pushed-filter prune state: field-component index -> values.
+        # PER-QUERY lifecycle: Spark's planning worker keeps ONE reader
+        # instance per loaded relation and re-plans every action on it,
+        # so state must be re-armed by pushFilters (start of a filtered
+        # plan) and cleared after partitions() (end of any plan) — a
+        # later action on the same DataFrame without filters would
+        # otherwise inherit the previous action's pruning and silently
+        # drop files (wrong results, not just a missed optimization).
         self._part_eq: dict[int, set] = {}
         self._part_lo: dict[int, tuple] = {}
         self._part_hi: dict[int, tuple] = {}
@@ -389,7 +436,26 @@ class LakeBatchReader(DataSourceReader):
 
     # -- planning (driver-side) ---------------------------------------------
 
+    def _reset_prune_state(self) -> None:
+        self._part_eq = {}
+        self._part_lo = {}
+        self._part_hi = {}
+        self._key_eq = None
+        self._val_preds = {}
+
     def pushFilters(self, filters):
+        # EAGER, not a generator: the reset and the state building must
+        # run at call time — Spark materializes the returned iterator,
+        # but a lazily-evaluated reset would leave a window where stale
+        # state survives into this query's planning
+        self._reset_prune_state()
+        if not self.pushdown:
+            # relation opted out (reuse-safe mode): no prune state is
+            # ever built, so a cached re-plan can never drop files
+            return list(filters)
+        return list(self._consume_filters(filters))
+
+    def _consume_filters(self, filters):
         for flt in filters:
             attr = getattr(flt, "attribute", None)
             if not attr or len(attr) != 1:
@@ -655,41 +721,80 @@ class LakeBatchReader(DataSourceReader):
             if self._unit_of(f) in units:
                 after[self._unit_of(f)].append(f)
         before: dict = {u: [] for u in units}
+        boot_candidates: list = []
         if self.begin > 0:
+            end_paths = {f.path for f in live_end}
             for f in self.log.live_files(self.begin):
                 if self._unit_of(f) in before:
                     before[self._unit_of(f)].append(f)
+                elif f.kind == "bootstrap" and f.path not in end_paths:
+                    # consumed (converted) in-range: may hold a changed
+                    # record's before image; the worker Bloom-probes it
+                    boot_candidates.append(
+                        (f.path, f.bloom, f.min_key, f.max_key)
+                    )
         return [
             _CdcSlice(
-                [f.path for f in after[u]], [f.path for f in before[u]]
+                [f.path for f in after[u]],
+                [f.path for f in before[u]],
+                boot=[
+                    f.path
+                    for f in after[u] + before[u]
+                    if f.kind == "bootstrap"
+                ],
+                boot_candidates=boot_candidates,
             )
             for u in sorted(units, key=str)
         ]
 
     def partitions(self):
-        if self.mode == "cdc":
-            return self._plan_cdc()
-        files, units = self._plan_files()
-        if units is not None:
+        # clear the pushed-filter state once this query's plan is
+        # built: the NEXT action on the same loaded DataFrame may carry
+        # different (or no) filters, and pushFilters is only invoked
+        # when there is something to push — without the clear it would
+        # inherit this query's pruning and silently drop files
+        try:
+            if self.mode == "cdc":
+                return self._plan_cdc()
+            files, units = self._plan_files()
+            if units is not None:
+                return [
+                    _Slice(
+                        [f.path for f in grp],
+                        resolve=True,
+                        boot=[
+                            f.path for f in grp if f.kind == "bootstrap"
+                        ],
+                    )
+                    for grp in units
+                ]
             return [
-                _Slice([f.path for f in grp], resolve=True) for grp in units
+                _Slice(
+                    [f.path],
+                    resolve=False,
+                    boot=[f.path] if f.kind == "bootstrap" else (),
+                )
+                for f in files
             ]
-        return [_Slice([f.path], resolve=False) for f in files]
+        finally:
+            self._reset_prune_state()
 
     # -- scan (worker-side) ---------------------------------------------------
 
-    def _read_unit(self, paths: list[str], resolve: bool):
-        import pyarrow as pa
+    def _load_logical(self, rel: str, boot):
         import pyarrow.parquet as pq
 
-        parts = [
-            project_logical(
-                pq.read_table(os.path.join(self.table_path, rel)),
-                self.fields,
-                rel,
-            )
-            for rel in paths
-        ]
+        raw = pq.read_table(os.path.join(self.table_path, rel))
+        if rel in boot:
+            from hudi_spark_plus_spark.table.bootstrap import synthesize_arrow
+
+            raw = synthesize_arrow(raw, self.bootstrap_spec)
+        return project_logical(raw, self.fields, rel)
+
+    def _read_unit(self, paths: list[str], resolve: bool, boot=frozenset()):
+        import pyarrow as pa
+
+        parts = [self._load_logical(rel, boot) for rel in paths]
         t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         return resolve_latest_arrow(t) if resolve else t
 
@@ -703,7 +808,9 @@ class LakeBatchReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        t = self._read_unit(partition.after_paths, resolve=True)
+        t = self._read_unit(
+            partition.after_paths, resolve=True, boot=partition.boot
+        )
         ver = (
             pc.fill_null(t[_COMMIT_VER], 0)
             if _COMMIT_VER in t.column_names
@@ -718,8 +825,32 @@ class LakeBatchReader(DataSourceReader):
             if name not in (_DELETED, _COMMIT_VER)
         ]
         before_src = [c for c in payload if c != _KEY]
-        if partition.before_paths:
-            b = self._read_unit(partition.before_paths, resolve=True)
+        boot_hits: list[str] = []
+        if partition.boot_candidates and t.num_rows:
+            # probe consumed bootstrap files with THIS slice's changed
+            # keys: min/max prefilter, then the manifest key Bloom —
+            # only hits are read (false positives cost a file read)
+            from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+
+            keys = [k for k in t[_KEY].to_pylist() if k is not None]
+            lo, hi = (min(keys), max(keys)) if keys else (None, None)
+            hashes = [hash_key(k) for k in keys]
+            for path, bloom, mn, mx in partition.boot_candidates:
+                if mn is not None and hi is not None and mn > hi:
+                    continue
+                if mx is not None and lo is not None and mx < lo:
+                    continue
+                if bloom and not KeyBloom.from_b64(bloom).might_contain_any(
+                    hashes
+                ):
+                    continue
+                boot_hits.append(path)
+        if partition.before_paths or boot_hits:
+            b = self._read_unit(
+                partition.before_paths + boot_hits,
+                resolve=True,
+                boot=partition.boot | frozenset(boot_hits),
+            )
             if _DELETED in b.column_names:
                 b = b.filter(
                     pc.invert(pc.fill_null(b[_DELETED], False))
@@ -782,11 +913,7 @@ class LakeBatchReader(DataSourceReader):
             yield from self._read_cdc(partition)
             return
         parts = [
-            project_logical(
-                pq.read_table(os.path.join(self.table_path, rel)),
-                self.fields,
-                rel,
-            )
+            self._load_logical(rel, partition.boot)
             for rel in partition.paths
         ]
         t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)

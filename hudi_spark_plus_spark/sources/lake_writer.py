@@ -318,6 +318,19 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     f"table at {path} has no persisted bucket count; "
                     "write through LakeTable(buckets=...) once first"
                 )
+            if op == "upsert" and any(
+                f.kind == "bootstrap" for f in latest.files
+            ):
+                # format upserts append hash-bucket deltas, but a stale
+                # bootstrap copy sits in a bucket=-1 file — read-time
+                # resolution could never pair them (same restriction as
+                # LakeTable.merge(mode='mor'); see table/bootstrap.py)
+                raise ValueError(
+                    f"table at {path} still has live metadata-only "
+                    "bootstrap files; format upserts require "
+                    "hash-bucketed state — LakeTable.merge(mode='cow') "
+                    "or compact() first"
+                )
             if o_buckets is not None and int(o_buckets) != self.buckets:
                 _opt_conflict("buckets", self.buckets, o_buckets)
             self.partition_fields = latest.partition_fields or []

@@ -66,11 +66,15 @@ _COMMIT_VER = "_commit_ver"
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, paths: list[str], begin: int, end: int, resolve: bool):
+    def __init__(self, paths: list[str], begin: int, end: int, resolve: bool,
+                 boot=()):
         self.paths = paths
         self.begin = begin
         self.end = end
         self.resolve = resolve
+        # metadata-only bootstrap files in ``paths``: the worker
+        # synthesizes their engine meta columns (table/bootstrap.py)
+        self.boot = frozenset(boot)
 
 
 class LakeStreamReader(DataSourceStreamReader):
@@ -130,6 +134,7 @@ class LakeStreamReader(DataSourceStreamReader):
             )
         self.fields = active_fields(latest.schema_json)
         self.global_index = bool(latest.global_index)
+        self.bootstrap_spec = latest.bootstrap_spec
 
     # -- offsets (driver-side) ----------------------------------------------
 
@@ -203,10 +208,19 @@ class LakeStreamReader(DataSourceStreamReader):
                 if unit(f) in units:
                     grouped.setdefault(unit(f), []).append(f)
             return [
-                _FileSlice([f.path for f in grp], lo, e, resolve=True)
+                _FileSlice(
+                    [f.path for f in grp], lo, e, resolve=True,
+                    boot=[f.path for f in grp if f.kind == "bootstrap"],
+                )
                 for grp in grouped.values()
             ]
-        return [_FileSlice([f.path], lo, e, resolve=False) for f in files]
+        return [
+            _FileSlice(
+                [f.path], lo, e, resolve=False,
+                boot=[f.path] if f.kind == "bootstrap" else (),
+            )
+            for f in files
+        ]
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint holds the offset; engine-side we only
@@ -221,14 +235,17 @@ class LakeStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        parts = [
-            project_logical(
-                pq.read_table(os.path.join(self.table_path, rel)),
-                self.fields,
-                rel,
-            )
-            for rel in partition.paths
-        ]
+        def load(rel):
+            raw = pq.read_table(os.path.join(self.table_path, rel))
+            if rel in partition.boot:
+                from hudi_spark_plus_spark.table.bootstrap import (
+                    synthesize_arrow,
+                )
+
+                raw = synthesize_arrow(raw, self.bootstrap_spec)
+            return project_logical(raw, self.fields, rel)
+
+        parts = [load(rel) for rel in partition.paths]
         t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         if partition.resolve:
             t = resolve_latest_arrow(t)

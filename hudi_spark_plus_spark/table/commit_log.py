@@ -271,6 +271,14 @@ class Commit:
     # Persisted like ``buckets`` — mixing global and non-global writers
     # on one table would corrupt record identity. None/absent = False.
     global_index: bool | None = None
+    # Metadata-only bootstrap (Hudi METADATA_ONLY bootstrap analogue):
+    # when the table was created by registering EXISTING parquet files
+    # without rewriting them, those files carry no engine meta columns;
+    # readers synthesize them from this spec:
+    # {"key_fields": [...], "ts_field": str|None, "commit_ver": int}.
+    # Persisted like ``buckets`` (the spec is fixed at bootstrap and
+    # carried forward forever — synthesized keys must never change).
+    bootstrap_spec: dict | None = None
 
     def to_json(self) -> str:
         d = {
@@ -285,6 +293,8 @@ class Commit:
             d["partition_fields"] = self.partition_fields
         if self.global_index:
             d["global_index"] = True
+        if self.bootstrap_spec is not None:
+            d["bootstrap_spec"] = self.bootstrap_spec
         if self.segments is not None:
             d["segments"] = self.segments
         else:  # v1 inline form
@@ -305,6 +315,7 @@ class Commit:
             segments=d.get("segments"),
             partition_fields=d.get("partition_fields"),
             global_index=d.get("global_index"),
+            bootstrap_spec=d.get("bootstrap_spec"),
         )
 
 
@@ -539,6 +550,7 @@ class CommitLog:
         expected_version: int | None = None,
         partition_fields: list[str] | None = None,
         global_index: bool | None = None,
+        bootstrap_spec: dict | None = None,
     ) -> Commit:
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
@@ -570,6 +582,9 @@ class CommitLog:
             global_index=global_index
             if global_index is not None
             else (latest.global_index if latest else None),
+            bootstrap_spec=bootstrap_spec
+            if bootstrap_spec is not None
+            else (latest.bootstrap_spec if latest else None),
         )
         # Atomic publish through the pluggable finalizer: create-or-fail
         # on the versioned commit path IS the optimistic-concurrency

@@ -37,17 +37,27 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     ByteType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
     ShortType,
+    StringType,
     StructField,
     StructType,
 )
 
 from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+from hudi_spark_plus_spark.table.bootstrap import (
+    BOOTSTRAP_KIND,
+    collect_bootstrap_entries,
+    key_expr as _boot_key_expr,
+    resolve_source_files,
+    ts_expr as _boot_ts_expr,
+    validate_source_schemas,
+)
 from hudi_spark_plus_spark.table.commit_log import (
     CommitConflict,
     CommitLog,
@@ -895,6 +905,23 @@ class LakeTable:
                     f for f in self.log.live_files(begin)
                     if f.bucket in bkts
                 ]
+            # A changed record's begin-version copy may live in a
+            # metadata-only bootstrap file (bucket=-1 — bucket matching
+            # can't find it). Only bootstrap files the range CONSUMED
+            # (live at begin, rewritten away by end) can hold a changed
+            # record's before image — a bootstrap file still live at
+            # end holds only unchanged records — so the extra read is
+            # bounded by the range's own conversion work, never the
+            # table.
+            end_paths = {f.path for f in live_end}
+            have = {f.path for f in bfiles}
+            bfiles += [
+                f
+                for f in self.log.live_files(begin)
+                if f.kind == BOOTSTRAP_KIND
+                and f.path not in end_paths
+                and f.path not in have
+            ]
             bdf = self._read_files(bfiles)
             if COMMIT_VER_COL not in bdf.columns:
                 bdf = bdf.withColumn(
@@ -971,7 +998,11 @@ class LakeTable:
             buckets = {
                 r[0] for r in key_set.select("_b").distinct().collect()
             }
-            files = [f for f in live if f.bucket in buckets]
+            files = [
+                f
+                for f in live
+                if f.bucket in buckets or f.kind == BOOTSTRAP_KIND
+            ]
             df = self._read_files(files)
             if any(f.kind == "delta" for f in files):
                 df = self._resolve_latest(df)
@@ -981,18 +1012,29 @@ class LakeTable:
         keys = [r[0] for r in rows]
         lo, hi = (min(keys), max(keys)) if keys else (None, None)
         hashes_by_bucket: dict[int, list] = {}
+        all_hashes: list = []
         for k, b in rows:
-            hashes_by_bucket.setdefault(b, []).append(hash_key(k))
+            h = hash_key(k)
+            hashes_by_bucket.setdefault(b, []).append(h)
+            all_hashes.append(h)
+
+        def _probe_hashes(f: FileEntry) -> list:
+            # bootstrap files (bucket=-1, unrouted rows) may hold any
+            # key: probe with the full set, min/max + Bloom still prune
+            if f.kind == BOOTSTRAP_KIND:
+                return all_hashes
+            return hashes_by_bucket.get(f.bucket, [])
+
         files = [
             f
             for f in live
-            if f.bucket in hashes_by_bucket
+            if _probe_hashes(f)
             and (f.min_key is None or hi is None or f.min_key <= hi)
             and (f.max_key is None or lo is None or f.max_key >= lo)
             and (
                 f.bloom is None
                 or KeyBloom.from_b64(f.bloom).might_contain_any(
-                    hashes_by_bucket[f.bucket]
+                    _probe_hashes(f)
                 )
             )
         ]
@@ -1059,11 +1101,95 @@ class LakeTable:
             df = df.where(~F.col(DELETED_COL))
         return df.where(F.col(col).between(lo, hi))
 
+    def bootstrap(
+        self,
+        source,
+        key_fields: list[str],
+        ts_field: str | None = None,
+    ) -> None:
+        """Metadata-only bootstrap (the Hudi METADATA_ONLY bootstrap
+        analogue — see table/bootstrap.py for the full design): register
+        EXISTING parquet files as this table's first commit without
+        rewriting, copying, or moving them. One distributed metadata
+        pass reads only the key (+ts) columns to build per-file
+        synthesized-key min/max + Bloom; payload col_stats come from the
+        footers. Queries work immediately; upserts convert files
+        progressively (Bloom-pruned); ``compact()`` converts everything
+        left in one pass.
+
+        ``source``: a directory (recursive ``*.parquet``) or explicit
+        file list. ``key_fields``: string/integer columns whose
+        null-safe ``:``-joined string rendering is the record key.
+        ``ts_field``: optional integer precombine column (missing/null
+        → 0, so any later upsert wins LWW)."""
+        if self.log.latest() is not None:
+            raise ValueError(
+                f"table at {self.path} already has commits; bootstrap "
+                "only creates tables"
+            )
+        if self.partition_fields:
+            raise ValueError(
+                "bootstrap onto a partition-path table is not supported: "
+                "source files are not partition-attributable without a "
+                "data pass; bootstrap unpartitioned, then cluster/rewrite"
+            )
+        key_fields = list(key_fields)
+        if not key_fields:
+            raise ValueError("bootstrap requires at least one key field")
+        files = resolve_source_files(source)
+        validate_source_schemas(files, key_fields, ts_field)
+        spec = {
+            "key_fields": key_fields,
+            "ts_field": ts_field,
+            "commit_ver": 1,
+        }
+        entries = collect_bootstrap_entries(self.spark, files, spec)
+        payload = self.spark.read.parquet(*files).schema
+        full = StructType(
+            list(payload.fields)
+            + [
+                StructField(KEY_COL, StringType(), True),
+                StructField(TS_COL, LongType(), True),
+                StructField(DELETED_COL, BooleanType(), True),
+                StructField(COMMIT_VER_COL, LongType(), True),
+            ]
+        )
+        self.log.commit(
+            "bootstrap",
+            entries,
+            schema_json=full.json(),
+            buckets=self.buckets,
+            global_index=self.global_index or None,
+            bootstrap_spec=spec,
+        )
+
+    def _bootstrap_spec(self) -> dict | None:
+        latest = self.log.latest()
+        return latest.bootstrap_spec if latest else None
+
+    def _synthesize_bootstrap(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Spark-side meta-column synthesis for bootstrap files (the
+        pyarrow twin lives in table/bootstrap.py): operates on the
+        PHYSICAL frame — the spec's field names are physical by
+        construction (fixed at column birth = the source files' own
+        names)."""
+        return (
+            df.withColumn(KEY_COL, _boot_key_expr(spec["key_fields"]))
+            .withColumn(TS_COL, _boot_ts_expr(spec.get("ts_field")))
+            .withColumn(DELETED_COL, F.lit(False))
+            .withColumn(
+                COMMIT_VER_COL,
+                F.lit(int(spec["commit_ver"])).cast("long"),
+            )
+        )
+
     def _read_files(self, files: list[FileEntry]) -> DataFrame:
         """Read data files into the LOGICAL schema: scan with physical
         names (what the parquet actually stores — a logical name absent
         from the files would silently read as all-null), then alias back
-        to logical. Dropped columns are simply not projected."""
+        to logical. Dropped columns are simply not projected. Bootstrap
+        files (kind="bootstrap") are read separately and their engine
+        meta columns synthesized from the persisted spec."""
         sch = self.schema()
         if sch is None:
             raise ValueError(f"lake table at {self.path} has no commits")
@@ -1075,17 +1201,43 @@ class LakeTable:
                 for f in sch.fields
             ]
         )
-        df = self.spark.read.schema(phys).parquet(
-            *[self.log.abs_path(f.path) for f in files]
-        )
-        if any(self._physical_of(f) != f.name for f in sch.fields):
-            df = df.select(
-                *[
-                    F.col(self._physical_of(f)).alias(f.name)
-                    for f in sch.fields
-                ]
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            if any(self._physical_of(f) != f.name for f in sch.fields):
+                return df.select(
+                    *[
+                        F.col(self._physical_of(f)).alias(f.name)
+                        for f in sch.fields
+                    ]
+                )
+            return df
+
+        boot = [f for f in files if f.kind == BOOTSTRAP_KIND]
+        rest = [f for f in files if f.kind != BOOTSTRAP_KIND]
+        out: DataFrame | None = None
+        if rest:
+            out = to_logical(
+                self.spark.read.schema(phys).parquet(
+                    *[self.log.abs_path(f.path) for f in rest]
+                )
             )
-        return df
+        if boot:
+            spec = self._bootstrap_spec()
+            if spec is None:
+                raise ValueError(
+                    f"table at {self.path} has bootstrap files but no "
+                    "bootstrap spec in the commit log (corrupted manifest)"
+                )
+            bdf = to_logical(
+                self._synthesize_bootstrap(
+                    self.spark.read.schema(phys).parquet(
+                        *[self.log.abs_path(f.path) for f in boot]
+                    ),
+                    spec,
+                )
+            )
+            out = bdf if out is None else out.unionByName(bdf)
+        return out
 
     # -- writes ------------------------------------------------------------
 
@@ -1418,6 +1570,16 @@ class LakeTable:
             }
         prev = self.log.latest()
         if mode == "mor" and prev is not None:
+            if any(f.kind == BOOTSTRAP_KIND for f in prev.files):
+                # a delta lands in its key's hash bucket, but a stale
+                # bootstrap copy sits in a bucket=-1 file — per-unit
+                # read-time resolution could never pair them. COW merges
+                # consume the stale copy; compact() converts everything.
+                raise ValueError(
+                    f"table at {self.path} still has live bootstrap "
+                    "files; merge-on-read requires hash-bucketed state — "
+                    "use mode='cow' or compact() first"
+                )
             self._merge_mor(batch, batch_id, parallelism, affected, prev)
             return
         live = prev.files if prev else []
@@ -1430,7 +1592,9 @@ class LakeTable:
                 )
         else:
             def _is_hit(f: FileEntry) -> bool:
-                return f.bucket in affected
+                # bootstrap files hold unrouted rows — candidates for
+                # ANY key; the Bloom probe below prunes them per file
+                return f.bucket in affected or f.kind == BOOTSTRAP_KIND
         hit = [f for f in live if _is_hit(f)]
         carry = [f for f in live if not _is_hit(f)]
         # Bloom probe (K1/H8 read-amplification fix): within an affected
@@ -1869,10 +2033,11 @@ class LakeTable:
         fix."""
         if not any(f.bloom for f in hit):
             return hit, []
+        has_boot = any(f.kind == BOOTSTRAP_KIND for f in hit)
         per_bucket: dict[int, int] = {}
         for f in hit:
             per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-        if all(n <= 1 for n in per_bucket.values()):
+        if not has_boot and all(n <= 1 for n in per_bucket.values()):
             return hit, []
         rows = (
             batch.select(KEY_COL, BUCKET_COL)
@@ -1883,12 +2048,21 @@ class LakeTable:
         if len(rows) > self.MERGE_PROBE_MAX_KEYS:
             return hit, []
         hashes_by_bucket: dict[int, list] = {}
+        all_hashes: list = []
         for k, b in rows:
-            hashes_by_bucket.setdefault(b, []).append(hash_key(k))
+            h = hash_key(k)
+            hashes_by_bucket.setdefault(b, []).append(h)
+            all_hashes.append(h)
         keep: list[FileEntry] = []
         skipped: list[FileEntry] = []
         for f in hit:
-            pairs = hashes_by_bucket.get(f.bucket, [])
+            # bootstrap files hold unrouted rows: probe against EVERY
+            # batch key, not one bucket's slice
+            pairs = (
+                all_hashes
+                if f.kind == BOOTSTRAP_KIND
+                else hashes_by_bucket.get(f.bucket, [])
+            )
             if f.bloom is None:
                 keep.append(f)
             elif pairs and KeyBloom.from_b64(f.bloom).might_contain_any(pairs):

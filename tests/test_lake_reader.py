@@ -733,3 +733,49 @@ class TestZorderFormatSkipping:
         got = _read(spark, t.path).where(F.col("x") >= 56)
         assert got.count() == 8 * 8  # 8 x-values, 8 keys each
         assert all(r["x"] >= 56 for r in got.collect())
+
+
+class TestPushdownPlanReuse:
+    """Spark 4.1 Python DS planning cache (the SHARP EDGE note in
+    lake_reader.py): filtered actions re-plan with a fresh reader every
+    time, but an unfiltered action on the SAME loaded DataFrame reuses
+    the most recent (possibly pruned) plan. These tests pin the safe
+    usage patterns the engine documents."""
+
+    def _table(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "t"), buckets=1, partition_fields=["d"]
+        )
+        rows = [
+            (f"k{p}{i}", 1, "upsert", f"{p}{i}", f"p{p}")
+            for p in (1, 2, 3)
+            for i in range(4)
+        ]
+        t.merge(_mk(spark, rows), "b1")
+        return t
+
+    def test_fresh_load_per_query_is_always_correct(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        lake_reader.register(spark)
+        assert _read(spark, t.path).count() == 12
+        assert _read(spark, t.path).where(F.col("d") == "p3").count() == 4
+        # a fresh load after a filtered query plans independently
+        assert _read(spark, t.path).count() == 12
+
+    def test_filtered_requeries_on_shared_df_replan(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        lake_reader.register(spark)
+        df = _read(spark, t.path)
+        assert df.where(F.col("d") == "p3").count() == 4
+        # every FILTERED action re-plans with its own filters — correct
+        assert df.where(F.col("d") < "p3").count() == 8
+        assert df.where(F.col("val") == "21").count() == 1
+
+    def test_pushdown_off_makes_shared_df_reuse_safe(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        lake_reader.register(spark)
+        df = _read(spark, t.path, **{"engine.read.pushdown": "false"})
+        assert df.where(F.col("d") == "p3").count() == 4
+        # without pruning there is no stale pruned plan to reuse: the
+        # unfiltered action on the shared DataFrame stays correct
+        assert df.count() == 12
