@@ -280,3 +280,134 @@ def unigram_familiarity_buckets(
         .otherwise("head")
         .alias("bucket"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Character-window substring dedup — the practical approximation of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    slide a ``window``-char window at ``stride`` over every document,
+    find windows whose text occurs at >= 2 sites corpus-wide, keep the
+    FIRST occurrence (by (id, pos) — the canonical survivor, as the
+    paper keeps one copy) and remove every other occurrence's span from
+    its document. Overlapping/adjacent removed spans merge before
+    excision, so the surviving text is the complement of their union.
+
+    Returns one row per input document:
+    (id, n_windows, dup_windows, removed_chars, clean_len, clean_md5) —
+    the cleaned text itself is reduced to length + md5 so the result
+    stays hash-comparable at any document size.
+
+    Scale shape — a SINGLE chain, no recomputed subtrees (Spark does not
+    dedupe common subplans, so every branch point would re-run the wide
+    shuffle): ``n_windows`` is the closed form ``(len - W) div S + 1``
+    (no data pass), the one content-keyed shuffle is the window-text
+    group (the paper's suffix-array step re-expressed as a group-by; at
+    very large corpora group on ``xxhash64(window)`` instead — same
+    spans, 1/5th the shuffle width, collision odds ~n^2/2^64), span
+    merging + per-island counts ride one doc-id-partitioned window
+    pass, and the cleaned text is rebuilt by a codegen ``aggregate``
+    lambda over each doc's sorted island array — no further shuffle.
+    Every step is whole-stage-codegen Spark SQL, no UDFs, and the whole
+    pipeline replays in ANSI SQL (the oracle's gaps-and-islands form —
+    same semantics, engine-appropriate shape).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    wins = (
+        base.where(F.length("txt") >= window)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("txt") - window + 1,
+                    F.lit(stride),
+                )
+            ).alias("pos"),
+            F.col("txt"),
+        )
+        .select(
+            "id", "pos", F.expr(f"substring(txt, pos, {window})").alias("sub")
+        )
+    )
+    w_sub = Window.partitionBy("sub")
+    dup = (
+        wins.withColumn("cnt", F.count("*").over(w_sub))
+        .withColumn("rn", F.row_number().over(w_sub.orderBy("id", "pos")))
+        .where((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+        .select(
+            "id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + window - 1).alias("e"),
+        )
+    )
+    w_id = Window.partitionBy("id").orderBy("s")
+    islands = (
+        dup.withColumn(
+            "pme",
+            F.max("e").over(
+                w_id.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum(
+                F.when(
+                    F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+                ).otherwise(0)
+            ).over(w_id.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "isl")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+            F.count("*").alias("n_in_isl"),
+        )
+    )
+    # one row per doc WITH dups: sorted island array + the two counters
+    # (groupBy(id) reuses the id partitioning of the window pass above)
+    per_doc = islands.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("isl_arr"),
+        F.sum("n_in_isl").alias("dup_windows"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_chars"),
+    )
+    # rebuild the cleaned text as the complement of the island union —
+    # a codegen fold over the (few) islands of each doc, no shuffle
+    clean_expr = F.expr(
+        "aggregate(isl_arr, "
+        "struct(cast(1 as int) as cur, cast('' as string) as acc), "
+        "(st, x) -> struct(cast(x.e + 1 as int) as cur, "
+        "concat(st.acc, substring(txt, st.cur, x.s - st.cur)) as acc), "
+        "st -> concat(st.acc, "
+        "substring(txt, st.cur, length(txt) - st.cur + 1)))"
+    )
+    n_windows = F.when(
+        F.length("txt") >= window,
+        F.expr(f"(length(txt) - {window}) div {stride} + 1").cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        n_windows.alias("n_windows"),
+        F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+        F.length(
+            F.when(F.col("isl_arr").isNotNull(), clean_expr).otherwise(
+                F.col("txt")
+            )
+        ).alias("clean_len"),
+        F.md5(
+            F.when(F.col("isl_arr").isNotNull(), clean_expr).otherwise(
+                F.col("txt")
+            )
+        ).alias("clean_md5"),
+    )

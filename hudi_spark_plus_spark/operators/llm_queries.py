@@ -595,6 +595,44 @@ def q_doc_dupfrac(spark, sf_dir):
     )
 
 
+SUBSTR_WINDOW = 40
+SUBSTR_STRIDE = 20
+
+BM25_TERMS = ["table", "join", "query", "window"]
+BM25_K = 10
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 top-k lexical retrieval (functions/retrieval.py bm25_topk):
+    integer-milli scoring — the one transcendental (idf) is floored to
+    milli-units per DISTINCT term, everything after is exact integer
+    arithmetic, so the ranking is a pure function of the data and the
+    DuckDB oracle replays score values bit-for-bit."""
+    from hudi_spark_plus_spark.functions.retrieval import bm25_topk
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return bm25_topk(d, "doc_id", "text", BM25_TERMS, k=BM25_K).orderBy(
+        "rank"
+    )
+
+
+def q_doc_substr_dedup(spark, sf_dir):
+    """Character-window substring dedup (functions/ngrams.py
+    substring_dedup — the ExactSubstr training-data dedup of Lee et al.
+    2022 re-expressed as sliding windows + one group-by): windows whose
+    text occurs at >= 2 sites corpus-wide keep their first occurrence
+    and every other occurrence's span is excised from its document
+    (overlapping spans merged first). The oracle replays the full
+    pipeline — windows, global counts, survivor rank, interval merge,
+    complement extraction, md5 of the cleaned text — in ANSI SQL."""
+    from hudi_spark_plus_spark.functions.ngrams import substring_dedup
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return substring_dedup(
+        d, "doc_id", "text", window=SUBSTR_WINDOW, stride=SUBSTR_STRIDE
+    ).orderBy("id")
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-doc Gopher repetition signals: duplicate-word fraction and
     the char fraction covered by the most frequent word 2-gram."""
@@ -1014,6 +1052,8 @@ def q_doc_dsir(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-doc-bm25": q_doc_bm25,
+    "q-doc-substr-dedup": q_doc_substr_dedup,
     "q-doc-corpus-stats": q_doc_corpus_stats,
     "q-doc-dsir": q_doc_dsir,
     "q-emb-semdedup": q_emb_semdedup,
@@ -1078,6 +1118,126 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    # integer-milli BM25 replay: idf floored to milli-units per distinct
+    # term (same rational ln input both engines), avgdl in milli-tokens
+    # by integer division, term scores by integer division, integer sum
+    "q-doc-bm25": f"""
+        WITH words AS (
+          SELECT doc_id AS id, unnest(
+            regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+          FROM documents
+        ), w2 AS (
+          SELECT id, word FROM words WHERE word <> ''
+        ), dl AS (
+          SELECT id, count(*) AS dl FROM w2 GROUP BY id
+        ), corpus AS (
+          SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+        ), terms AS (
+          SELECT id, word FROM w2
+          WHERE word IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+        ), tf AS (
+          SELECT id, word, count(*) AS tf FROM terms GROUP BY id, word
+        ), dfreq AS (
+          SELECT word, count(DISTINCT id) AS df_cnt FROM terms
+          GROUP BY word
+        ), idf AS (
+          SELECT word,
+                 CAST(floor(1000.0 * ln(
+                   (c.n_docs - df_cnt + 0.5) / (df_cnt + 0.5) + 1.0
+                 )) AS BIGINT) AS idf_milli,
+                 (1000 * c.total_tokens) // c.n_docs AS avgdl_milli
+          FROM dfreq, corpus c
+        ), scored AS (
+          SELECT t.id,
+                 CAST(sum((i.idf_milli * 22000 * t.tf) //
+                     (10000 * t.tf + 3000 +
+                      (9000000 * d.dl) // i.avgdl_milli)) AS BIGINT)
+                   AS score_milli
+          FROM tf t JOIN idf i USING (word) JOIN dl d ON d.id = t.id
+          GROUP BY t.id
+        )
+        SELECT row_number() OVER (ORDER BY score_milli DESC, id ASC)
+                 AS rank,
+               id, score_milli
+        FROM scored
+        ORDER BY score_milli DESC, id ASC
+        LIMIT {BM25_K}
+    """,
+    # full replay of substring_dedup: sliding windows, global duplicate
+    # counts with first-occurrence survivors, merged removal intervals
+    # (gaps-and-islands), complement segments, ordered concat, md5.
+    # Interval arithmetic guarantees every segment length >= 0, so the
+    # engines' differing negative-length substr semantics never engage.
+    "q-doc-substr-dedup": f"""
+        WITH wins AS (
+          SELECT d.doc_id AS id, g.pos AS pos,
+                 substr(d.text, g.pos, {SUBSTR_WINDOW}) AS sub
+          FROM documents d,
+               UNNEST(generate_series(
+                 1, greatest(length(d.text) - {SUBSTR_WINDOW} + 1, 0),
+                 {SUBSTR_STRIDE})) AS g(pos)
+        ), occ AS (
+          SELECT id, pos,
+                 count(*) OVER (PARTITION BY sub) AS cnt,
+                 row_number() OVER (PARTITION BY sub ORDER BY id, pos)
+                   AS rn
+          FROM wins
+        ), dup AS (
+          SELECT id, pos AS s, pos + {SUBSTR_WINDOW} - 1 AS e
+          FROM occ WHERE cnt >= 2 AND rn >= 2
+        ), marked AS (
+          SELECT id, s, e,
+                 max(e) OVER (PARTITION BY id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM dup
+        ), isl_id AS (
+          SELECT id, s, e,
+                 sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked
+        ), islands AS (
+          SELECT id, isl, min(s) AS s, max(e) AS e
+          FROM isl_id GROUP BY id, isl
+        ), gaps AS (
+          SELECT id,
+                 coalesce(lag(e) OVER (PARTITION BY id ORDER BY s) + 1,
+                          1) AS a,
+                 s - 1 AS b
+          FROM islands
+          UNION ALL
+          SELECT i.id, max(i.e) + 1 AS a,
+                 any_value(length(d.text)) AS b
+          FROM islands i JOIN documents d ON d.doc_id = i.id
+          GROUP BY i.id
+        ), segs AS (
+          SELECT g.id, g.a, substr(d.text, g.a, g.b - g.a + 1) AS seg
+          FROM gaps g JOIN documents d ON d.doc_id = g.id
+        ), clean AS (
+          SELECT id, string_agg(seg, '' ORDER BY a) AS ctext
+          FROM segs GROUP BY id
+        ), nw AS (
+          SELECT id, count(*) AS n_windows FROM wins GROUP BY id
+        ), nd AS (
+          SELECT id, count(*) AS dup_windows FROM dup GROUP BY id
+        ), rm AS (
+          SELECT id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+          FROM islands GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(nw.n_windows, 0) AS n_windows,
+               coalesce(nd.dup_windows, 0) AS dup_windows,
+               coalesce(rm.removed_chars, 0) AS removed_chars,
+               length(coalesce(c.ctext, d.text)) AS clean_len,
+               md5(coalesce(c.ctext, d.text)) AS clean_md5
+        FROM documents d
+        LEFT JOIN nw ON nw.id = d.doc_id
+        LEFT JOIN nd ON nd.id = d.doc_id
+        LEFT JOIN rm ON rm.id = d.doc_id
+        LEFT JOIN clean c ON c.id = d.doc_id
+        ORDER BY id
+    """,
     # exact aggregates; both engines linear-interpolate the exact median
     "q-doc-corpus-stats": r"""
         SELECT lang, substr(source, 1, 3) AS src_class,

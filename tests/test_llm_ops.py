@@ -1047,3 +1047,86 @@ def test_dsir_scores_semantics(spark):
         ).collect()
     }
     assert s == s2
+
+
+def test_substring_dedup_semantics(spark):
+    from hudi_spark_plus_spark.functions.ngrams import substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "AAAA " + shared + " unique suffix zero 0123456789 padding"),
+        (1, "BBBB " + shared + " other unique suffix one 9876543210 pad"),
+        (2, "totally unique document with no duplicated windows at all"),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in substring_dedup(
+            df, "doc_id", "text", window=20, stride=10
+        ).collect()
+    }
+    # doc 0 holds the canonical (first-occurrence) copies: untouched
+    assert out[0]["dup_windows"] == 0 and out[0]["removed_chars"] == 0
+    assert out[0]["clean_len"] == len(rows[0][1])
+    # doc 1's duplicated windows merge into one excised span
+    assert out[1]["dup_windows"] > 0
+    assert out[1]["removed_chars"] >= 20
+    assert (
+        out[1]["clean_len"]
+        == len(rows[1][1]) - out[1]["removed_chars"]
+    )
+    # unique and sub-window docs are untouched, md5 = original
+    import hashlib
+
+    for i in (2, 3):
+        assert out[i]["dup_windows"] == 0
+        assert out[i]["clean_len"] == len(rows[i][1])
+        assert (
+            out[i]["clean_md5"]
+            == hashlib.md5(rows[i][1].encode()).hexdigest()
+        )
+
+
+def test_substring_dedup_partitioning_independent(spark):
+    from hudi_spark_plus_spark.functions.ngrams import substring_dedup
+
+    base = "word%d " * 30
+    rows = [(i, (base % tuple(range(i, i + 30))) + "shared tail block "
+             "that is long enough to duplicate across docs")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        tuple(r)
+        for r in substring_dedup(df, "doc_id", "text", 20, 10).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in substring_dedup(
+            df.repartition(7), "doc_id", "text", 20, 10
+        ).collect()
+    )
+    assert a == b
+
+
+def test_bm25_planted_relevance_and_partitioning(spark):
+    from hudi_spark_plus_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (0, "table join query window table join query window table"),
+        (1, "table join filler filler filler filler filler filler"),
+        (2, "nothing relevant here at all just plain words padding"),
+        (3, "query " + "filler " * 40),  # one hit, long doc: low score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["table", "join", "query", "window"]
+    got = bm25_topk(df, "doc_id", "text", terms, k=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["id"] == 0          # stuffed doc wins
+    assert got[1]["id"] == 1          # two terms beats one diluted term
+    assert all(r["id"] != 2 for r in got)  # no-hit doc never scored
+    # integer scoring: identical output under any partitioning
+    got2 = bm25_topk(
+        df.repartition(5), "doc_id", "text", terms, k=3
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in got2]

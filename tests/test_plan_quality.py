@@ -361,3 +361,31 @@ def test_semdedup_auto_k_scales_with_corpus(spark):
     assert out.count() == n
     small = semdedup(df.limit(100), n_clusters=None, threshold_centi=100)
     assert small.select("cluster_id").distinct().count() <= 8
+
+
+def test_bm25_plans_topk_and_broadcast_constants(spark, sf_dir):
+    """BM25 must take its top-k with TakeOrderedAndProject (per-partition
+    heap + k-row driver merge — never a global sort) and join the
+    terms-row idf/corpus constants by broadcast, not shuffle."""
+    from hudi_spark_plus_spark.operators.llm_queries import q_doc_bm25
+
+    plan = plan_of(q_doc_bm25(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_no_cartesian_single_wide_shuffle(spark, sf_dir):
+    """Substring dedup's only content-keyed shuffle is the window-text
+    group (the 'suffix array' step); everything else partitions by doc
+    id. No cartesian products, no nested-loop joins on data."""
+    from hudi_spark_plus_spark.operators.llm_queries import (
+        q_doc_substr_dedup,
+    )
+
+    plan = plan_of(q_doc_substr_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the wide shuffle on the window text appears exactly once as a
+    # hashpartitioning on the substring column
+    assert len(re.findall(r"hashpartitioning\(sub", plan)) <= 2
