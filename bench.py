@@ -194,6 +194,11 @@ SPOT10X_QUERIES = [
     "q-doc-minhash-full",
     "q-emb-ann-ivf",
     "q-emb-dedup-e2e",
+    # r8: the substring-dedup wide shuffle (windows keyed by text) is
+    # the newest content-keyed exchange — probe that it scales with
+    # rows, not pairs (replicas are alphabet-rotated, so cross-replica
+    # windows cannot collide and dup spans grow linearly)
+    "q-doc-substr-dedup",
 ]
 
 

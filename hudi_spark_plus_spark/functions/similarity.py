@@ -838,3 +838,83 @@ def semdedup(
     # one task per cluster: the within-cluster gram matrix is the
     # paper's own unit of work, bounded by scaling n_clusters with n
     return assigned.groupBy("cluster_id").applyInPandas(_prune, out_schema)
+
+
+DECONTAM_EVAL_MAX = 65536
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_centi: int = 90,
+) -> DataFrame:
+    """Semantic test-set decontamination: flag every corpus vector whose
+    cosine against ANY benchmark/eval vector reaches ``threshold_centi
+    / 100`` — the embedding-space complement of the word-n-gram
+    decontamination in functions/ngrams.py (paraphrased leakage has no
+    shared n-grams but high embedding cosine).
+
+    Exactness device (same as ``semdedup``): comparisons run in INTEGER
+    arithmetic over int8-quantized vectors — contaminated iff some eval
+    vector e has ``dot(q, e) > 0 AND dot^2 * 10^4 >= t^2 * |q|^2 *
+    |e|^2`` (the exact integer form of ``cos >= t/100``), so the
+    verdict is a pure function of the data at any partitioning and
+    replays bit-for-bit in ANSI SQL.
+
+    Scale shape: the eval set is bounded-collected (eval benchmarks are
+    small; refused past ``DECONTAM_EVAL_MAX`` — use the LSH-bucketed
+    pair path for corpus-vs-corpus jobs) and broadcast into one Arrow
+    kernel — a single int64 matrix multiply per batch, ZERO corpus
+    shuffle, cost O(N * E * dim) exactly like the production
+    brute-force decontamination sweeps run on GPU clusters.
+
+    Returns (id_col, n_hits, contaminated) for every corpus row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < threshold_centi <= 100:
+        raise ValueError(
+            f"threshold_centi must be in (0, 100], got {threshold_centi}"
+        )
+    qc = quantize_embeddings(corpus, vec_col).select(id_col, "qvec")
+    qe = quantize_embeddings(eval_df, vec_col).select("qvec")
+    rows = qe.limit(DECONTAM_EVAL_MAX + 1).collect()
+    if len(rows) > DECONTAM_EVAL_MAX:
+        raise ValueError(
+            f"semantic_decontaminate supports eval sets up to "
+            f"{DECONTAM_EVAL_MAX} vectors (got more); for corpus-scale "
+            "right sides use lsh_neardup_pairs"
+        )
+    if not rows:
+        return qc.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(False).alias("contaminated"),
+        )
+    emat = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    if emat.shape[1] > 78:
+        raise ValueError(
+            f"semantic_decontaminate supports dim <= 78 (got "
+            f"{emat.shape[1]}): dot^2 * 10^4 would overflow int64"
+        )
+    en2 = (emat * emat).sum(axis=1)
+    t2 = threshold_centi * threshold_centi
+
+    @F.pandas_udf("long")
+    def _hits(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int64")
+        m = np.array(qv.tolist(), dtype=np.int64)
+        n2 = (m * m).sum(axis=1)
+        dots = m @ emat.T
+        hit = (dots > 0) & (
+            dots * dots * 10000 >= t2 * n2[:, None] * en2[None, :]
+        )
+        return pd.Series(hit.sum(axis=1).astype("int64"))
+
+    return qc.withColumn("n_hits", _hits("qvec")).select(
+        id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+    )

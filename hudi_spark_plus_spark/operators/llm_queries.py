@@ -601,6 +601,27 @@ SUBSTR_STRIDE = 20
 BM25_TERMS = ["table", "join", "query", "window"]
 BM25_K = 10
 
+SEMDECON_EVAL_MOD = 10
+SEMDECON_T_CENTI = 90
+
+
+def q_emb_decontaminate(spark, sf_dir):
+    """Semantic test-set decontamination (functions/similarity.py
+    semantic_decontaminate): eval set = every MODth vector, corpus = the
+    whole table, so each eval vector's corpus copy is a guaranteed
+    cosine-1.0 hit — the planted-oracle device. Integer-exact over
+    int8-quantized vectors; the DuckDB oracle replays the quantization
+    and the dot^2*10^4 >= t^2*|q|^2*|e|^2 test bit-for-bit."""
+    from hudi_spark_plus_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % SEMDECON_EVAL_MOD == 0)
+    return semantic_decontaminate(
+        e, ev, "vec_id", "embedding", SEMDECON_T_CENTI
+    ).orderBy("vec_id")
+
 
 def q_doc_bm25(spark, sf_dir):
     """BM25 top-k lexical retrieval (functions/retrieval.py bm25_topk):
@@ -1052,6 +1073,7 @@ def q_doc_dsir(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "q-emb-decontaminate": q_emb_decontaminate,
     "q-doc-bm25": q_doc_bm25,
     "q-doc-substr-dedup": q_doc_substr_dedup,
     "q-doc-corpus-stats": q_doc_corpus_stats,
@@ -1118,6 +1140,50 @@ def _ratio(words: str) -> str:
 
 
 LLM_ORACLES = {
+    # integer-exact semantic decontamination replay: int8 quantization,
+    # then per corpus vector the count of eval vectors (every MODth)
+    # passing dot > 0 AND dot^2*10^4 >= t^2*|q|^2*|e|^2
+    "q-emb-decontaminate": f"""
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS sc
+          FROM c
+        ), q AS (
+          SELECT vec_id,
+                 CASE WHEN sc = 0
+                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v,
+                        x -> CAST(round(127.0 * x / sc) AS BIGINT))
+                 END AS qv
+          FROM s
+        ), qn AS (
+          SELECT vec_id, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+          FROM q
+        ), ev AS (
+          SELECT qv AS eqv, n2 AS en2 FROM qn
+          WHERE vec_id % {SEMDECON_EVAL_MOD} = 0
+        ), hits AS (
+          SELECT qn.vec_id,
+                 CAST(count(*) FILTER (
+                   WHERE CAST(list_dot_product(qn.qv, ev.eqv) AS BIGINT)
+                           > 0
+                     AND CAST(list_dot_product(qn.qv, ev.eqv) AS BIGINT)
+                         * CAST(list_dot_product(qn.qv, ev.eqv) AS BIGINT)
+                         * 10000
+                         >= {SEMDECON_T_CENTI * SEMDECON_T_CENTI}
+                            * qn.n2 * ev.en2
+                 ) AS BIGINT) AS n_hits
+          FROM qn, ev
+          GROUP BY qn.vec_id
+        )
+        SELECT vec_id, n_hits, n_hits > 0 AS contaminated
+        FROM hits ORDER BY vec_id
+    """,
     # integer-milli BM25 replay: idf floored to milli-units per distinct
     # term (same rational ln input both engines), avgdl in milli-tokens
     # by integer division, term scores by integer division, integer sum

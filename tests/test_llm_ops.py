@@ -1130,3 +1130,70 @@ def test_bm25_planted_relevance_and_partitioning(spark):
         df.repartition(5), "doc_id", "text", terms, k=3
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in got2]
+
+
+def test_semantic_decontaminate_semantics(spark):
+    from hudi_spark_plus_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # exact eval copy -> hit
+        (1, [0.99, 0.14, 0.0, 0.0]),  # near-copy (cos ~0.99) -> hit
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> clean
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # antipodal: dot < 0 -> clean
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> clean
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["n_hits"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus, ev, threshold_centi=90
+        ).collect()
+    }
+    assert got[0] == (1, True)
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    # integer test: identical verdicts under any partitioning
+    got2 = {
+        r["vec_id"]: (r["n_hits"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus.repartition(5), ev, threshold_centi=90
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_semantic_decontaminate_bounds(spark):
+    import pytest as _pytest
+
+    from hudi_spark_plus_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    wide = spark.createDataFrame(
+        [(0, [1.0] * 80)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="dim <= 78"):
+        semantic_decontaminate(
+            spark.createDataFrame(
+                [(1, [1.0] * 80)], "vec_id long, embedding array<float>"
+            ),
+            wide,
+        ).collect()
+    with _pytest.raises(ValueError, match="threshold_centi"):
+        semantic_decontaminate(corpus, corpus, threshold_centi=0)
+    # empty eval set: everything clean, no kernel invoked
+    empty = corpus.where("vec_id < 0")
+    out = semantic_decontaminate(corpus, empty).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
