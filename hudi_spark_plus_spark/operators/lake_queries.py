@@ -1407,6 +1407,111 @@ def q_lake_batch_source(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_merge_into(spark, sf_dir):
+    """MERGE INTO (Spark SQL surface) under oracle control: seed
+    customers < SUBSET at ts=1; MERGE a source of customers
+    [SUBSET/2, SUBSET*1.5) at ts=2 with +500 balances — matched rows
+    update, unmatched insert; then MERGE a delete-only source (every
+    10th key, ts=3, unmatched dropped). Membership probes ride
+    scan_for_keys (Bloom-pruned), actions ride the LWW merge."""
+    half, top = SUBSET // 2, SUBSET + SUBSET // 2
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        seed = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(seed, "b1")
+        src = c.where(
+            (F.col("c_custkey") >= half) & (F.col("c_custkey") < top)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 500.0, 4).alias("acctbal"),
+        )
+        lake.merge_into(src, "update", "insert", "b2")
+        dels = c.where(
+            (F.col("c_custkey") < top) & (F.col("c_custkey") % 10 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(3).cast("long").alias("_ts"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        lake.merge_into(dels, "delete", None, "b3")
+        out = (
+            lake.snapshot()
+            .select(
+                "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_dml(spark, sf_dir):
+    """Predicate DML (Spark SQL DELETE/UPDATE parity on the lake
+    table) under oracle control: insert every customer < SUBSET, then
+    ``update_where(custkey % 3 == 0, acctbal += 1000)`` and
+    ``delete_where(custkey % 7 == 0)`` — both composed onto the LWW
+    merge, so tombstones carry the matched rows' payload (a %21 key is
+    updated THEN deleted, and its tombstone shows the updated balance).
+    Returns the final snapshot plus the record-level incremental read
+    of both DML commits."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        batch1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(batch1, "b1")
+        lake.update_where(
+            F.col("c_custkey") % 3 == 0,
+            {"acctbal": F.round(F.col("acctbal") + 1000.0, 4)},
+            "b2",
+        )
+        lake.delete_where(F.col("c_custkey") % 7 == 0, "b3")
+        snap = lake.snapshot().select(
+            F.lit("snap").alias("mode"),
+            "c_custkey",
+            "c_name",
+            F.round("acctbal", 4).alias("acctbal"),
+            F.lit(0).alias("deleted"),
+        )
+        incr = lake.incremental(1).select(
+            F.lit("incr").alias("mode"),
+            "c_custkey",
+            "c_name",
+            F.round("acctbal", 4).alias("acctbal"),
+            F.col("_deleted").cast("int").alias("deleted"),
+        )
+        out = snap.unionByName(incr).orderBy("mode", "c_custkey")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_bootstrap(spark, sf_dir):
     """Metadata-only bootstrap (table/bootstrap.py, the Hudi
     METADATA_ONLY bootstrap analogue) under oracle control: existing
@@ -1494,7 +1599,167 @@ def q_lake_bootstrap(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+SIDX_PROBE_KEYS = [5, 17, 42, 77]
+SIDX_LATE_KEY = 107  # SUBSET + 7: lands after the index build
+SIDX_MOVED_KEY = 3
+
+
+def _tpch_name(k: int) -> str:
+    return f"Customer#{k:09d}"
+
+
+def q_lake_secondary_index(spark, sf_dir):
+    """Secondary index (table/lake_table.py create_secondary_index —
+    the Hudi 1.0 secondary-index / async-indexer analogue) under oracle
+    control: seed customers < SUBSET, index c_name (a column the table
+    is neither keyed nor clustered by), then exercise all three
+    contract legs — (p1) indexed equality probes prune to Bloom-hit
+    files (structurally asserted: a probe must keep FEWER than all
+    files); (p2) a batch committed AFTER the build is unindexed and
+    conservatively scanned, so its rows are found by a stale index;
+    (p3) after refresh + a MOR delta renaming one customer, the OLD
+    name returns nothing (bucket-granular resolution, no superseded
+    row) and the NEW name finds exactly the renamed row."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        seed = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(seed, "b1")
+        lake.create_secondary_index("c_name")
+        late = c.where(
+            (F.col("c_custkey") >= SUBSET)
+            & (F.col("c_custkey") < SUBSET + 20)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+        )
+        lake.merge(late, "b2")
+        p2_names = [_tpch_name(SIDX_LATE_KEY)]
+        p2 = lake.scan_for_values("c_name", p2_names)
+        lake.refresh_secondary_index("c_name")
+        moved = seed.where(F.col("c_custkey") == SIDX_MOVED_KEY).select(
+            "_key",
+            F.lit(3).cast("long").alias("_ts"),
+            "_op",
+            "c_custkey",
+            F.lit(f"RENAMED#{SIDX_MOVED_KEY}").alias("c_name"),
+            "c_mktsegment",
+        )
+        lake.merge(moved, "b3", mode="mor")
+        p1_names = [_tpch_name(k) for k in SIDX_PROBE_KEYS]
+        kept, live = lake.files_for_values("c_name", p1_names)
+        if not kept or len(kept) >= len(live):
+            raise AssertionError(
+                f"secondary index failed to prune: kept {len(kept)} of "
+                f"{len(live)} files for a {len(p1_names)}-name probe"
+            )
+        p1 = lake.scan_for_values("c_name", p1_names)
+        p3 = lake.scan_for_values(
+            "c_name",
+            [_tpch_name(SIDX_MOVED_KEY), f"RENAMED#{SIDX_MOVED_KEY}"],
+        )
+        out = (
+            p1.select(F.lit("p1").alias("mode"), "c_custkey", "c_name",
+                      "c_mktsegment")
+            .unionByName(
+                p2.select(F.lit("p2").alias("mode"), "c_custkey",
+                          "c_name", "c_mktsegment")
+            )
+            .unionByName(
+                p3.select(F.lit("p3").alias("mode"), "c_custkey",
+                          "c_name", "c_mktsegment")
+            )
+            .orderBy("mode", "c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_partial_update(spark, sf_dir):
+    """Partial-update upsert (table/lake_table.py merge_partial — the
+    Hudi PartialUpdateAvroPayload surface) under oracle control: seed
+    customers < SUBSET at ts=1; partial batch 1 (ts=2, keys %4==0)
+    carries ONLY acctbal (+100) with c_name NULL — names must survive;
+    partial batch 2 (ts=3, keys %6==0 plus inserts [SUBSET,SUBSET+10))
+    carries ONLY c_name ('VIP#k', acctbal column absent) — balances as
+    left by batch 1 must survive, inserted keys land with NULL
+    balances. A %12 key crosses both batches, proving the updates
+    compose column-wise."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        seed = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        lake.merge(seed, "b1")
+        p1 = c.where(
+            (F.col("c_custkey") < SUBSET) & (F.col("c_custkey") % 4 == 0)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.round(F.col("c_acctbal") + 100.0, 4).alias("acctbal"),
+        )
+        lake.merge_partial(p1, "b2")
+        p2 = c.where(
+            (
+                (F.col("c_custkey") < SUBSET)
+                & (F.col("c_custkey") % 6 == 0)
+            )
+            | (
+                (F.col("c_custkey") >= SUBSET)
+                & (F.col("c_custkey") < SUBSET + 10)
+            )
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(3).cast("long").alias("_ts"),
+            "c_custkey",
+            F.concat(
+                F.lit("VIP#"), F.col("c_custkey").cast("string")
+            ).alias("c_name"),
+        )
+        lake.merge_partial(p2, "b3")
+        out = (
+            lake.snapshot()
+            .select(
+                "c_custkey",
+                "c_name",
+                F.round("acctbal", 4).alias("acctbal"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-partial-update": q_lake_partial_update,
+    "q-lake-secondary-index": q_lake_secondary_index,
+    "q-lake-merge-into": q_lake_merge_into,
+    "q-lake-dml": q_lake_dml,
     "q-lake-bootstrap": q_lake_bootstrap,
     "q-lake-stream-sink": q_lake_stream_sink,
     "q-lake-format-write": q_lake_format_write,
@@ -1546,6 +1811,77 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # MERGE INTO: [half, top) updated/inserted at +500, then every 10th
+    # key under top deleted; keys < half keep base balances
+    "q-lake-merge-into": f"""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey >= {SUBSET // 2}
+                    THEN ROUND(c_acctbal + 500.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal
+        FROM customer
+        WHERE c_custkey < {SUBSET + SUBSET // 2}
+          AND c_custkey % 10 <> 0
+        ORDER BY c_custkey
+    """,
+    # predicate DML: snapshot = non-%7 keys with +1000 on %3; the
+    # incremental slice shows updates (%3) and tombstones (%7) — a %21
+    # key was updated BEFORE its delete, so its tombstone carries the
+    # updated balance (tombstone payload = matched row, delete_where)
+    # partial-update replay: %4 keys got +100 balances (names kept by
+    # the NULL sentinel), %6 keys then got VIP names (balances kept by
+    # column absence), [SUBSET, SUBSET+10) inserted with NULL balances
+    "q-lake-partial-update": f"""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0
+                    THEN 'VIP#' || c_custkey
+                    ELSE c_name END AS c_name,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN ROUND(c_acctbal + 100.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal
+        FROM customer WHERE c_custkey < {SUBSET}
+        UNION ALL
+        SELECT c_custkey, 'VIP#' || c_custkey AS c_name,
+               CAST(NULL AS DOUBLE) AS acctbal
+        FROM customer
+        WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 10}
+        ORDER BY c_custkey
+    """,
+    # secondary-index probes over deterministic TPC-H names: p1 = the
+    # four indexed probe keys; p2 = the late (post-index) key, found
+    # via the stale-index conservative scan; p3 = only the RENAMED row
+    # (the old name was superseded by the MOR delta)
+    "q-lake-secondary-index": f"""
+        SELECT 'p1' AS mode, c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN ({", ".join(str(k) for k in SIDX_PROBE_KEYS)})
+        UNION ALL
+        SELECT 'p2' AS mode, c_custkey, c_name, c_mktsegment
+        FROM customer WHERE c_custkey = {SIDX_LATE_KEY}
+        UNION ALL
+        SELECT 'p3' AS mode, c_custkey,
+               'RENAMED#{SIDX_MOVED_KEY}' AS c_name, c_mktsegment
+        FROM customer WHERE c_custkey = {SIDX_MOVED_KEY}
+        ORDER BY mode, c_custkey
+    """,
+    "q-lake-dml": f"""
+        SELECT 'snap' AS mode, c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               0 AS deleted
+        FROM customer
+        WHERE c_custkey < {SUBSET} AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT 'incr' AS mode, c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ROUND(c_acctbal + 1000.0, 4)
+                    ELSE ROUND(c_acctbal, 4) END AS acctbal,
+               CAST(c_custkey % 7 = 0 AS INT) AS deleted
+        FROM customer
+        WHERE c_custkey < {SUBSET}
+          AND (c_custkey % 3 = 0 OR c_custkey % 7 = 0)
+        ORDER BY mode, c_custkey
+    """,
     # bootstrap fixture: snapshot = LWW over bootstrap + one merge that
     # only touches keys < 34 (updates %3 at +1000, deletes %7); the
     # synthesized record key is the plain string cast of c_custkey;

@@ -1101,6 +1101,301 @@ class LakeTable:
             df = df.where(~F.col(DELETED_COL))
         return df.where(F.col(col).between(lo, hi))
 
+    # -- secondary index (Hudi 1.0 secondary-index analogue) ---------------
+    #
+    # Per-file Bloom filters over a PAYLOAD column — the record-key Bloom
+    # (K1/H8) generalized to non-key columns, the Hudi 1.0 secondary
+    # index's job (HoodieIndexDefinition / the async indexer): equality
+    # lookups on a column the table is neither keyed nor clustered by
+    # prune files exactly, where col_stats min/max ranges (wide on
+    # unclustered data) prune nothing. The index lives OUTSIDE the commit
+    # timeline as `_index/<col>/index-<n>.json` sidecars (finalizer-
+    # published, so creation is atomic + race-safe): a STALE index is
+    # always CORRECT — files committed after the indexed version simply
+    # have no entry and are conservatively scanned — which is exactly
+    # Hudi's async-indexer contract (index up to instant t; later files
+    # are unindexed until catch-up). `refresh_secondary_index` is the
+    # catch-up: it blooms only the unindexed live files and carries
+    # still-live entries forward, dropping dead ones.
+
+    SECONDARY_INDEX_DIR = "_index"
+    # "indexed, column all-null in this file": probe always misses
+    _EMPTY_BLOOM = ""
+    _INDEXABLE_TYPES = (
+        "string", "boolean", "tinyint", "smallint", "int", "bigint",
+    )
+
+    def _index_col_field(self, col: str) -> StructField:
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
+        for fld in sch.fields:
+            if fld.name == col:
+                if col in self.RESERVED_COLS or col == DELETED_COL:
+                    raise ValueError(
+                        f"column {col!r} is an engine meta column; the "
+                        "record-key Bloom already indexes keys"
+                    )
+                t = fld.dataType.simpleString()
+                if t not in self._INDEXABLE_TYPES:
+                    raise ValueError(
+                        f"secondary index supports {self._INDEXABLE_TYPES} "
+                        f"columns; {col!r} is {t!r} (float equality is not "
+                        "a sane index probe; use scan_range for ranges)"
+                    )
+                return fld
+        raise ValueError(f"column {col!r} not in table schema")
+
+    def _index_dir(self, col: str) -> str:
+        if not col.replace("_", "").isalnum():
+            raise ValueError(
+                f"column name {col!r} is not filesystem-safe for an index "
+                "directory"
+            )
+        return os.path.join(self.path, self.SECONDARY_INDEX_DIR, col)
+
+    @staticmethod
+    def _index_probe_str(value) -> str:
+        """The probe-side twin of the build's ``cast('string')``: Spark
+        renders bigint as the plain digits and boolean as true/false, so
+        the driver-side rendering must match bit-for-bit."""
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, str):
+            return value
+        if isinstance(value, int):
+            return str(value)
+        raise TypeError(
+            f"secondary-index probe values must be str/int/bool, got "
+            f"{type(value).__name__}"
+        )
+
+    def _build_index_entries(
+        self, files: list[FileEntry], col: str
+    ) -> dict[str, str]:
+        """One distributed job: shuffle ONLY the indexed column grouped
+        by source file (column-pruned at the parquet footer), build each
+        file's Bloom executor-side — memory bounded by one file's values,
+        the same bound the record-key bloom build has. Returns
+        {manifest-relative path: bloom_b64}, with the empty-string
+        sentinel for files where the column is entirely null."""
+        import pandas as pd  # noqa: F401
+        from urllib.parse import unquote, urlparse
+
+        if not files:
+            return {}
+        fld = self._index_col_field(col)
+        phys = self._physical_of(fld)
+        abs_to_rel = {
+            os.path.normpath(self.log.abs_path(f.path)): f.path
+            for f in files
+        }
+
+        def build(pdf):
+            import pandas as _pd
+
+            vs = [v for v in pdf["_v"] if v is not None]
+            b = KeyBloom.from_keys(vs).to_b64() if vs else ""
+            return _pd.DataFrame(
+                {"_f": [pdf["_f"].iloc[0]], "bloom": [b]}
+            )
+
+        rows = (
+            self.spark.read.schema(
+                StructType([StructField(phys, fld.dataType, True)])
+            )
+            .parquet(*[self.log.abs_path(f.path) for f in files])
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(phys).cast("string").alias("_v"),
+            )
+            .groupBy("_f")
+            .applyInPandas(build, "_f string, bloom string")
+            .collect()
+        )
+        out: dict[str, str] = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            rel = abs_to_rel.get(os.path.normpath(p))
+            if rel is not None:
+                out[rel] = r["bloom"]
+        # a file can legitimately produce no group ONLY if it has zero
+        # rows; mark it indexed-empty rather than leaving it unindexed
+        for f in files:
+            out.setdefault(f.path, self._EMPTY_BLOOM)
+        return out
+
+    def _publish_index(self, col: str, entries: dict, version: int) -> str:
+        import json as _json
+
+        d = self._index_dir(col)
+        os.makedirs(d, exist_ok=True)
+        content = _json.dumps(
+            {"col": col, "version": version, "entries": entries}
+        )
+        n = self._latest_index_n(col) + 1
+        for _ in range(self.COMMIT_RETRIES + 1):
+            target = os.path.join(d, f"index-{n:06d}.json")
+            try:
+                self.log.finalizer.publish(content, target)
+                return target
+            except CommitConflict:
+                n += 1  # concurrent indexer landed; next slot
+        raise CommitConflict(
+            f"could not publish secondary index for {col!r} after "
+            f"{self.COMMIT_RETRIES + 1} attempts"
+        )
+
+    def _latest_index_n(self, col: str) -> int:
+        d = self._index_dir(col)
+        if not os.path.isdir(d):
+            return 0
+        ns = [
+            int(fn[6:-5])
+            for fn in os.listdir(d)
+            if fn.startswith("index-") and fn.endswith(".json")
+        ]
+        return max(ns, default=0)
+
+    def secondary_index(self, col: str) -> dict | None:
+        """Latest published index manifest for ``col`` (None if never
+        indexed): {"col", "version", "entries": {relpath: bloom_b64}}."""
+        import json as _json
+
+        n = self._latest_index_n(col)
+        if n == 0:
+            return None
+        with open(
+            os.path.join(self._index_dir(col), f"index-{n:06d}.json")
+        ) as fh:
+            return _json.load(fh)
+
+    def secondary_indexes(self) -> list[str]:
+        """Columns with a live secondary index."""
+        d = os.path.join(self.path, self.SECONDARY_INDEX_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            c for c in os.listdir(d) if self._latest_index_n(c) > 0
+        )
+
+    def create_secondary_index(self, col: str) -> dict:
+        """Build (or fully rebuild) the secondary index on ``col`` over
+        every live file of the current snapshot. Returns
+        {col, version, files_indexed}."""
+        self._index_col_field(col)
+        latest = self.log.latest()
+        if latest is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
+        files = self.log.live_files()
+        entries = self._build_index_entries(files, col)
+        self._publish_index(col, entries, latest.version)
+        return {
+            "col": col,
+            "version": latest.version,
+            "files_indexed": len(entries),
+        }
+
+    def refresh_secondary_index(self, col: str) -> dict:
+        """Async-indexer catch-up: bloom ONLY the live files with no
+        entry, carry still-live entries forward, drop dead ones. Cost is
+        proportional to data written since the last (re)build, not to
+        the table."""
+        idx = self.secondary_index(col)
+        if idx is None:
+            return self.create_secondary_index(col)
+        latest = self.log.latest()
+        live = self.log.live_files()
+        old = idx["entries"]
+        carried = {
+            f.path: old[f.path] for f in live if f.path in old
+        }
+        new_files = [f for f in live if f.path not in old]
+        carried.update(self._build_index_entries(new_files, col))
+        self._publish_index(col, carried, latest.version)
+        return {
+            "col": col,
+            "version": latest.version,
+            "files_indexed": len(carried),
+            "files_built": len(new_files),
+        }
+
+    def files_for_values(
+        self, col: str, values, partitions=None
+    ) -> tuple[list, list]:
+        """(kept, live): the file-pruning decision behind
+        ``scan_for_values``, exposed for plan inspection. Unindexed
+        files are conservatively kept (stale index = less pruning,
+        never wrong rows). When MOR deltas are live, pruning widens to
+        bucket granularity: a kept base file pulls in its bucket's
+        delta files (they may supersede its rows), and a kept
+        bootstrap file pulls in ALL deltas (bootstrap rows' buckets
+        are unknown until conversion) — equality results must reflect
+        the RESOLVED row, not a superseded one."""
+        idx = self.secondary_index(col)
+        if idx is None:
+            raise ValueError(
+                f"no secondary index on {col!r}; call "
+                f"create_secondary_index({col!r}) first"
+            )
+        probes = [self._index_probe_str(v) for v in values]
+        if not probes:
+            return [], self.log.live_files()
+        entries = idx["entries"]
+        live = self._prune_partitions(self.log.live_files(), partitions)
+
+        def might_hit(f: FileEntry) -> bool:
+            b = entries.get(f.path)
+            if b is None:
+                return True  # unindexed: conservatively scan
+            if b == self._EMPTY_BLOOM:
+                return False
+            bloom = KeyBloom.from_b64(b)
+            return any(bloom.might_contain(p) for p in probes)
+
+        hits = [f for f in live if might_hit(f)]
+        if not any(f.kind == "delta" for f in live):
+            return hits, live
+        # MOR: per-key resolution needs every live file of a hit row's
+        # bucket — a non-hit file can hold the NEWER version of a hit
+        # file's key (base-over-delta after a COW merge, delta-over-
+        # anything after a MOR merge) and dropping it would surface the
+        # superseded row. Bucket granularity, not file granularity.
+        hit_buckets = {
+            f.bucket for f in hits if f.kind != BOOTSTRAP_KIND
+        }
+        boot_hit = any(f.kind == BOOTSTRAP_KIND for f in hits)
+        kept = [
+            f
+            for f in live
+            if f in hits
+            or f.bucket in hit_buckets
+            or (boot_hit and f.kind == "delta")
+        ]
+        return kept, live
+
+    def scan_for_values(
+        self, col: str, values, partitions=None
+    ) -> DataFrame:
+        """Equality point lookup by a NON-KEY column through the
+        secondary index (the Hudi 1.0 secondary-index read path):
+        current-snapshot rows with ``col`` in ``values``, reading only
+        Bloom-hit files. Pruning is I/O-only — the equality predicate
+        is re-applied by Spark, so Bloom false positives and stale
+        entries cost reads, never wrong rows."""
+        kept, _ = self.files_for_values(col, values, partitions)
+        if not kept:
+            sch = self.schema()
+            return self.spark.createDataFrame([], sch)
+        df = self._read_files(kept)
+        if any(f.kind == "delta" for f in kept):
+            df = self._resolve_latest(df)
+        if DELETED_COL in df.columns:
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return df.where(F.col(col).isin(list(values)))
+
     def bootstrap(
         self,
         source,
@@ -1479,6 +1774,256 @@ class LakeTable:
                 "entries have no partition value; cannot attribute them "
                 "to a partition"
             )
+
+    def delete_where(
+        self,
+        condition,
+        batch_id: str | None = None,
+        mode: str = "cow",
+    ) -> None:
+        """Predicate delete — the Spark SQL ``DELETE FROM t WHERE …``
+        surface on the lake table. The matched snapshot slice becomes a
+        delete batch through the SAME LWW merge as keyed deletes:
+        tombstones at each matched row's own ``_ts`` (ties go to the
+        batch, so the delete wins its own row; a LATER upsert still
+        beats it — DELETE is not a key ban). Planning cost is the
+        pruned scan: the predicate reaches the parquet scan via
+        Catalyst pushdown, and the merge's bucket/Bloom pruning comes
+        from the derived key set as usual. On partitioned tables a
+        partition-field predicate prunes structurally — prefer
+        ``delete_partitions`` when the predicate IS a whole partition
+        (that one is metadata-only)."""
+        self._dml_merge(condition, None, batch_id, mode)
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        batch_id: str | None = None,
+        mode: str = "cow",
+    ) -> None:
+        """Predicate update — the Spark SQL ``UPDATE t SET … WHERE …``
+        surface: matched rows re-enter the LWW merge as upserts at
+        their own ``_ts`` (ties to the batch, so the update lands;
+        concurrent newer writes still win). ``assignments``: column
+        name -> Column expression, evaluated over the matched rows —
+        expressions may reference any payload column. Assigning key,
+        partition, or engine meta columns is refused (that is a
+        delete + insert, not an update)."""
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        bad = set(assignments) & (
+            set(self.RESERVED_COLS)
+            | {DELETED_COL}
+            | set(partition_source_cols(self.partition_fields))
+        )
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign {sorted(bad)}: key, "
+                "partition-source, and engine meta columns are record "
+                "identity — delete and re-insert instead"
+            )
+        self._dml_merge(condition, assignments, batch_id, mode)
+
+    def _dml_merge(self, condition, assignments, batch_id, mode) -> None:
+        snap = self.snapshot().where(condition)
+        payload = [
+            c for c in snap.columns
+            if c not in (DELETED_COL, COMMIT_VER_COL)
+        ]
+        if assignments is None:
+            batch = snap.select(
+                *payload, F.lit(DELETE_OP).alias(OP_COL)
+            )
+        else:
+            from pyspark.sql import Column
+
+            def value_of(v):
+                return v if isinstance(v, Column) else F.lit(v)
+
+            cols = [
+                value_of(assignments[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in payload
+            ]
+            batch = snap.select(*cols, F.lit("upsert").alias(OP_COL))
+        self.merge(batch, batch_id=batch_id, mode=mode)
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str | dict = "update",
+        when_not_matched: str | None = "insert",
+        batch_id: str | None = None,
+        mode: str = "cow",
+    ) -> None:
+        """The Spark SQL ``MERGE INTO target USING source ON key``
+        surface, composed onto the LWW merge. ``source`` carries
+        ``_key`` + ``_ts`` + payload (like a merge batch, but no
+        ``_op`` — the actions decide ops):
+
+        * ``when_matched="update"`` — matched source rows upsert;
+          a dict of column->Column assignments updates ONLY those
+          columns, keeping the target row's other payload (evaluated
+          over the matched pair: source columns win name lookups,
+          target columns are reachable as ``t.<col>``);
+        * ``when_matched="delete"`` — matched source rows delete;
+        * ``when_not_matched="insert"`` (default) inserts unmatched
+          source rows; ``None`` drops them.
+
+        Matching is against the CURRENT snapshot of the source's keys —
+        resolved through ``scan_for_keys``, so the membership probe
+        reads only bucket/Bloom-pruned files, never the table. LWW
+        still applies: a matched action only lands if ``source._ts >=``
+        the stored row's ``_ts`` (the merge's precombine — MERGE INTO
+        does not bypass conflict semantics)."""
+        if isinstance(when_matched, str) and when_matched not in (
+            "update", "delete",
+        ):
+            raise ValueError(
+                f"when_matched must be 'update', 'delete', or an "
+                f"assignment dict; got {when_matched!r}"
+            )
+        if when_not_matched not in ("insert", None):
+            raise ValueError(
+                f"when_not_matched must be 'insert' or None; got "
+                f"{when_not_matched!r}"
+            )
+        if KEY_COL not in source.columns or TS_COL not in source.columns:
+            raise ValueError(
+                f"merge_into source requires {KEY_COL} and {TS_COL} "
+                "columns"
+            )
+        if self.log.latest() is None:
+            # empty target: everything is unmatched
+            if when_not_matched == "insert":
+                self.merge(
+                    source.withColumn(OP_COL, F.lit("upsert")),
+                    batch_id=batch_id,
+                    mode=mode,
+                )
+            return
+        # record identity: (partition, key) on partitioned non-global
+        # tables — a source row only "matches" its OWN partition's copy
+        ident = [KEY_COL]
+        part_ident = bool(self.partition_fields) and not self.global_index
+        if part_ident:
+            source = self._with_part(source)
+            ident = [KEY_COL, PARTITION_COL]
+        probe = self.scan_for_keys(
+            source.select(KEY_COL).distinct()
+        ).where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if part_ident:
+            probe = self._with_part(probe)
+        if isinstance(when_matched, dict):
+            if not when_matched:
+                raise ValueError(
+                    "merge_into: empty assignment dict — use "
+                    "when_matched='update' for full-row upserts"
+                )
+            bad = set(when_matched) & (
+                set(self.RESERVED_COLS) | {DELETED_COL}
+            )
+            if bad:
+                raise ValueError(
+                    f"merge_into cannot assign {sorted(bad)}: record "
+                    "identity / engine meta columns"
+                )
+            from pyspark.sql import Column
+
+            def value_of(v):
+                return v if isinstance(v, Column) else F.lit(v)
+
+            t = probe.alias("t")
+            s = source.alias("s")
+            t_payload = [
+                c for c in probe.columns
+                if c not in (
+                    KEY_COL, TS_COL, DELETED_COL, COMMIT_VER_COL,
+                    PARTITION_COL,
+                )
+            ]
+            matched = t.join(s, ident).select(
+                F.col(KEY_COL),
+                F.col(f"s.{TS_COL}").alias(TS_COL),
+                *[
+                    value_of(when_matched[c]).alias(c)
+                    if c in when_matched
+                    else F.col(f"t.{c}")
+                    for c in t_payload
+                ],
+                F.lit("upsert").alias(OP_COL),
+            )
+        else:
+            op = "delete" if when_matched == "delete" else "upsert"
+            matched = source.join(
+                probe.select(*ident), ident, "semi"
+            ).withColumn(OP_COL, F.lit(op))
+        batch = matched
+        if when_not_matched == "insert":
+            unmatched = source.join(
+                probe.select(*ident), ident, "anti"
+            ).withColumn(OP_COL, F.lit("upsert"))
+            batch = (
+                batch.unionByName(unmatched, allowMissingColumns=True)
+                if isinstance(when_matched, dict)
+                else batch.unionByName(unmatched)
+            )
+        if PARTITION_COL in batch.columns:
+            batch = batch.drop(PARTITION_COL)  # merge re-derives it
+        self.merge(batch, batch_id=batch_id, mode=mode)
+
+    def merge_partial(
+        self,
+        source: DataFrame,
+        batch_id: str | None = None,
+        mode: str = "cow",
+    ) -> None:
+        """Partial-update upsert — the Hudi ``PartialUpdateAvroPayload``
+        / ``OverwriteNonDefaultsWithLatestAvroPayload`` surface: for
+        MATCHED keys, a NULL (or absent) payload column in ``source``
+        keeps the stored row's value instead of overwriting it with
+        null; non-null columns overwrite. Unmatched keys insert as-is
+        (absent columns null). The documented Hudi caveat carries over
+        verbatim: NULL is the "keep" sentinel, so a partial update
+        cannot set a column TO null — use ``merge_into`` with an
+        explicit assignment for that. Composes onto ``merge_into``, so
+        the membership probe is a Bloom-pruned point lookup and the LWW
+        precombine still gates every action."""
+        sch = self.schema()
+        if sch is None:
+            self.merge(
+                source.withColumn(OP_COL, F.lit("upsert")),
+                batch_id=batch_id,
+                mode=mode,
+            )
+            return
+        target_cols = {f.name for f in sch.fields}
+        src_payload = [
+            c
+            for c in source.columns
+            if c not in self.RESERVED_COLS and c != DELETED_COL
+        ]
+        extra = sorted(c for c in src_payload if c not in target_cols)
+        if extra:
+            raise ValueError(
+                f"merge_partial source has columns not in the table "
+                f"schema: {extra}; a partial update cannot evolve the "
+                "schema — add columns with a full merge first"
+            )
+        if not src_payload:
+            raise ValueError("merge_partial source has no payload columns")
+        self.merge_into(
+            source,
+            {
+                c: F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                for c in src_payload
+            },
+            "insert",
+            batch_id,
+            mode,
+        )
 
     def merge(
         self,

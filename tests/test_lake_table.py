@@ -1627,3 +1627,471 @@ class TestRound4AdvisorFindings:
         assert len(kept) < len(all_files), (len(kept), len(all_files))
         got = {r["_key"] for r in t.scan_range("metric", 5, 20).collect()}
         assert got == {f"k{i:03d}" for i in range(5, 21)}
+
+
+class TestPredicateDml:
+    """delete_where / update_where — the Spark SQL DELETE/UPDATE
+    surface, composed onto the same LWW merge as keyed writes."""
+
+    def _seed(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "dml"), buckets=4)
+        t.merge(
+            mkbatch(spark, [
+                ("k1", 5, "upsert", "aa"),
+                ("k2", 5, "upsert", "bb"),
+                ("k3", 5, "upsert", "cc"),
+                ("k4", 5, "upsert", "dd"),
+            ]),
+            "b1",
+        )
+        return t
+
+    def test_delete_where(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = self._seed(spark, tmp_path)
+        t.delete_where(F.col("val") < "cc", "b2")
+        assert snap_dict(t) == {"k3": (5, "cc"), "k4": (5, "dd")}
+        # tombstones carry the matched rows' own _ts: a LATER upsert
+        # still beats the delete (DELETE is not a key ban) ...
+        t.merge(mkbatch(spark, [("k1", 6, "upsert", "back")]), "b3")
+        assert snap_dict(t)["k1"] == (6, "back")
+        # ... while an OLDER event cannot resurrect the other key
+        t.merge(mkbatch(spark, [("k2", 4, "upsert", "stale")]), "b4")
+        assert "k2" not in snap_dict(t)
+
+    def test_update_where_expressions_and_literals(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = self._seed(spark, tmp_path)
+        t.update_where(
+            F.col("val") >= "cc",
+            {"val": F.concat(F.col("val"), F.lit("!"))},
+            "b2",
+        )
+        assert snap_dict(t) == {
+            "k1": (5, "aa"), "k2": (5, "bb"),
+            "k3": (5, "cc!"), "k4": (5, "dd!"),
+        }
+        t.update_where(F.col("_key") == "k1", {"val": "LIT"}, "b3")
+        assert snap_dict(t)["k1"] == (5, "LIT")
+        # update keeps _ts: a concurrent newer write still wins
+        t.merge(mkbatch(spark, [("k3", 9, "upsert", "newer")]), "b4")
+        t.update_where(F.col("_key") == "k3", {"val": "old"}, "b5")
+        # the update re-read the snapshot, so it applies at ts=9 — and
+        # a ts=8 stale write cannot undo it
+        t.merge(mkbatch(spark, [("k3", 8, "upsert", "stale")]), "b6")
+        assert snap_dict(t)["k3"] == (9, "old")
+
+    def test_update_refuses_identity_columns(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._seed(spark, tmp_path)
+        for col in ("_key", "_ts", "_deleted"):
+            with _pytest.raises(ValueError, match="identity"):
+                t.update_where("val = 'aa'", {col: "x"})
+        with _pytest.raises(ValueError, match="assignment"):
+            t.update_where("val = 'aa'", {})
+
+    def test_dml_mor_mode_and_idempotence(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = self._seed(spark, tmp_path)
+        t.delete_where(F.col("_key") == "k4", "b2", mode="mor")
+        assert "k4" not in snap_dict(t)
+        # batch-id idempotence rides the underlying merge (H5)
+        t.delete_where(F.col("_key") == "k3", "b2", mode="mor")
+        assert "k3" in snap_dict(t)  # replayed id: no-op
+
+    def test_update_where_partitioned_prunes_and_preserves(
+        self, spark, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        t = LakeTable(
+            spark, str(tmp_path / "p"), buckets=2, partition_fields=["d"]
+        )
+        df = spark.createDataFrame(
+            [("k1", 1, "upsert", "a", "p1"), ("k2", 1, "upsert", "b", "p2")],
+            "_key string, _ts long, _op string, val string, d string",
+        )
+        t.merge(df, "b1")
+        with pytest.raises(ValueError, match="identity"):
+            t.update_where("val = 'a'", {"d": "p9"})
+        t.update_where(F.col("d") == "p2", {"val": "B2"}, "b2")
+        got = {
+            r["_key"]: (r["val"], r["d"])
+            for r in t.snapshot().collect()
+        }
+        assert got == {"k1": ("a", "p1"), "k2": ("B2", "p2")}
+
+
+class TestMergeInto:
+    """merge_into — the Spark SQL MERGE INTO surface: conditional
+    matched/unmatched actions composed onto the LWW merge, with the
+    membership probe going through scan_for_keys (bucket/Bloom-pruned,
+    never a table scan)."""
+
+    def _seed(self, spark, tmp_path, name="mi"):
+        t = LakeTable(spark, str(tmp_path / name), buckets=4)
+        t.merge(
+            mkbatch(spark, [
+                ("k1", 5, "upsert", "aa"),
+                ("k2", 5, "upsert", "bb"),
+                ("k3", 5, "delete", "xx"),   # tombstone: NOT matched
+            ]),
+            "b1",
+        )
+        return t
+
+    def test_update_insert_default(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        src = mkbatch(spark, [
+            ("k1", 6, "-", "A2"),    # matched -> update
+            ("k3", 6, "-", "C2"),    # tombstoned -> unmatched -> insert
+            ("k9", 6, "-", "NEW"),   # unmatched -> insert
+        ]).drop("_op")
+        t.merge_into(src, "update", "insert", "b2")
+        assert snap_dict(t) == {
+            "k1": (6, "A2"), "k2": (5, "bb"),
+            "k3": (6, "C2"), "k9": (6, "NEW"),
+        }
+
+    def test_matched_delete_and_drop_unmatched(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        src = mkbatch(spark, [
+            ("k2", 6, "-", "-"),
+            ("k9", 6, "-", "-"),     # unmatched: dropped, NOT inserted
+        ]).drop("_op")
+        t.merge_into(src, "delete", None, "b2")
+        assert snap_dict(t) == {"k1": (5, "aa")}
+
+    def test_assignment_dict_keeps_target_payload(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = LakeTable(spark, str(tmp_path / "mi2"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 5, "upsert", "aa", 10), ("k2", 5, "upsert", "bb", 20)],
+                "_key string, _ts long, _op string, val string, n long",
+            ),
+            "b1",
+        )
+        src = spark.createDataFrame(
+            [("k1", 6, 100), ("k9", 6, 900)], "_key string, _ts long, n long"
+        )
+        t.merge_into(src, {"n": F.col("s.n") * 2}, "insert", "b2")
+        got = {
+            r["_key"]: (r["val"], r["n"]) for r in t.snapshot().collect()
+        }
+        # k1: n updated from source expr, val KEPT from target;
+        # k9: inserted as-is (no val column -> null)
+        assert got == {
+            "k1": ("aa", 200), "k2": ("bb", 20), "k9": (None, 900),
+        }
+
+    def test_lww_still_applies(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        src = mkbatch(spark, [("k1", 4, "-", "STALE")]).drop("_op")
+        t.merge_into(src, "update", None, "b2")
+        assert snap_dict(t)["k1"] == (5, "aa")  # older source loses
+
+    def test_empty_target_inserts(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "mi3"), buckets=2)
+        src = mkbatch(spark, [("k1", 1, "-", "a")]).drop("_op")
+        t.merge_into(src, "update", "insert", "b1")
+        assert snap_dict(t) == {"k1": (1, "a")}
+        t2 = LakeTable(spark, str(tmp_path / "mi4"), buckets=2)
+        t2.merge_into(src, "update", None, "b1")
+        assert t2.log.latest() is None  # nothing to do, no commit
+
+    def test_partitioned_identity(self, spark, tmp_path):
+        t = LakeTable(
+            spark, str(tmp_path / "mi5"), buckets=2, partition_fields=["d"]
+        )
+        df = spark.createDataFrame(
+            [("k1", 1, "upsert", "a", "p1")],
+            "_key string, _ts long, _op string, val string, d string",
+        )
+        t.merge(df, "b1")
+        # same key, DIFFERENT partition: identity is (partition, key),
+        # so this is UNMATCHED -> insert into p2 (k1 now in both)
+        src = spark.createDataFrame(
+            [("k1", 2, "S", "p2")],
+            "_key string, _ts long, val string, d string",
+        )
+        t.merge_into(src, "delete", "insert", "b2")
+        got = {
+            (r["_key"], r["d"]): r["val"] for r in t.snapshot().collect()
+        }
+        assert got == {("k1", "p1"): "a", ("k1", "p2"): "S"}
+
+    def test_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._seed(spark, tmp_path, "mi6")
+        src = mkbatch(spark, [("k1", 6, "-", "x")]).drop("_op")
+        with _pytest.raises(ValueError, match="when_matched"):
+            t.merge_into(src, "upsert")
+        with _pytest.raises(ValueError, match="when_not_matched"):
+            t.merge_into(src, "update", "drop")
+        with _pytest.raises(ValueError, match="identity"):
+            t.merge_into(src, {"_key": "z"})
+        with _pytest.raises(ValueError, match="_key"):
+            t.merge_into(src.drop("_key"))
+
+
+class TestSecondaryIndex:
+    """Secondary index (Hudi 1.0 HoodieIndexDefinition analogue):
+    per-file Bloom filters over a payload column, published as
+    finalizer-atomic `_index/<col>/` sidecars OUTSIDE the timeline —
+    stale is always correct (unindexed files are scanned)."""
+
+    def _seed(self, spark, tmp_path, name="si", buckets=4, n=100):
+        t = LakeTable(spark, str(tmp_path / name), buckets=buckets)
+        df = spark.createDataFrame(
+            [
+                (f"k{i:03d}", 1, "upsert", f"cat{i % 7}", i)
+                for i in range(n)
+            ],
+            "_key string, _ts long, _op string, cat string, n long",
+        )
+        t.merge(df, "b1")
+        return t, df
+
+    def test_probe_prunes_files_and_returns_exact_rows(
+        self, spark, tmp_path
+    ):
+        t, df = self._seed(spark, tmp_path)
+        st = t.create_secondary_index("cat")
+        assert st["files_indexed"] == len(t.log.live_files())
+        # plant a value confined to one key (-> one bucket/file):
+        # pruning must actually engage, not just stay correct
+        t.merge(
+            spark.createDataFrame(
+                [("k000", 2, "upsert", "UNIQUE", 0)], df.schema
+            ),
+            "b2",
+        )
+        t.refresh_secondary_index("cat")
+        kept, live = t.files_for_values("cat", ["UNIQUE"])
+        assert len(kept) < len(live), (len(kept), len(live))
+        got = [
+            (r["_key"], r["cat"])
+            for r in t.scan_for_values("cat", ["UNIQUE"]).collect()
+        ]
+        assert got == [("k000", "UNIQUE")]
+        # multi-value probe
+        got2 = sorted(
+            r["_key"]
+            for r in t.scan_for_values("cat", ["cat3", "cat5"]).collect()
+        )
+        exp = sorted(
+            f"k{i:03d}" for i in range(1, 100) if i % 7 in (3, 5)
+        )
+        assert got2 == exp
+
+    def test_stale_index_is_correct_and_refresh_catches_up(
+        self, spark, tmp_path
+    ):
+        t, df = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+        t.merge(
+            spark.createDataFrame(
+                [("zz1", 2, "upsert", "LATE", 999)], df.schema
+            ),
+            "b2",
+        )
+        # unindexed new file: conservatively scanned -> row FOUND
+        got = {r["_key"] for r in t.scan_for_values("cat", ["LATE"]).collect()}
+        assert got == {"zz1"}
+        # and a miss-probe still keeps the unindexed file (no pruning)
+        kept_stale, live = t.files_for_values("cat", ["NOPE"])
+        st = t.refresh_secondary_index("cat")
+        assert st["files_built"] >= 1
+        kept_fresh, _ = t.files_for_values("cat", ["NOPE"])
+        # NOPE is nowhere: fully indexed probe prunes (modulo the 1%
+        # per-file Bloom false-positive budget — assert strictly fewer,
+        # not zero, to stay deterministic)
+        assert len(kept_fresh) < len(kept_stale)
+
+    def test_mor_resolution_never_surfaces_superseded_rows(
+        self, spark, tmp_path
+    ):
+        t, df = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+        # delta moves k003 out of cat3: probing the OLD value must not
+        # return the stale base row; probing the NEW value finds it
+        t.merge(
+            spark.createDataFrame(
+                [("k003", 3, "upsert", "MOVED", 3)], df.schema
+            ),
+            "b2",
+            mode="mor",
+        )
+        old = {r["_key"] for r in t.scan_for_values("cat", ["cat3"]).collect()}
+        assert "k003" not in old
+        new = {
+            r["_key"] for r in t.scan_for_values("cat", ["MOVED"]).collect()
+        }
+        assert new == {"k003"}
+        # MOR delete via delta: tombstoned row disappears from probes
+        t.merge(
+            spark.createDataFrame(
+                [("k010", 4, "delete", "cat3", 10)], df.schema
+            ),
+            "b3",
+            mode="mor",
+        )
+        got = {r["_key"] for r in t.scan_for_values("cat", ["cat3"]).collect()}
+        assert "k010" not in got
+
+    def test_int_bool_probes_and_empty_values(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "si2"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("a", 1, "upsert", 42, True), ("b", 1, "upsert", 7, False)],
+                "_key string, _ts long, _op string, n long, flag boolean",
+            ),
+            "b1",
+        )
+        t.create_secondary_index("n")
+        t.create_secondary_index("flag")
+        assert sorted(t.secondary_indexes()) == ["flag", "n"]
+        assert [
+            r["_key"] for r in t.scan_for_values("n", [42]).collect()
+        ] == ["a"]
+        assert [
+            r["_key"] for r in t.scan_for_values("flag", [False]).collect()
+        ] == ["b"]
+        kept, _ = t.files_for_values("n", [])
+        assert kept == []
+
+    def test_validation_and_errors(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        with pytest.raises(ValueError, match="meta"):
+            t.create_secondary_index("_key")
+        with pytest.raises(ValueError, match="not in table schema"):
+            t.create_secondary_index("nope")
+        with pytest.raises(ValueError, match="no secondary index"):
+            t.files_for_values("cat", ["x"])
+        t.create_secondary_index("cat")
+        with pytest.raises(TypeError, match="probe values"):
+            t.files_for_values("cat", [3.14])
+
+    def test_vacuum_then_refresh_drops_dead_entries(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.maintenance import vacuum
+
+        t, df = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+        t.merge(
+            spark.createDataFrame(
+                [("k001", 2, "upsert", "cat1", 1)], df.schema
+            ),
+            "b2",
+        )
+        vacuum(t, keep_last=1, grace_seconds=0)
+        st = t.refresh_secondary_index("cat")
+        live_paths = {f.path for f in t.log.live_files()}
+        idx = t.secondary_index("cat")
+        assert set(idx["entries"]) == live_paths
+        assert st["files_indexed"] == len(live_paths)
+        got = sorted(
+            r["_key"] for r in t.scan_for_values("cat", ["cat1"]).collect()
+        )
+        assert got == sorted(f"k{i:03d}" for i in range(100) if i % 7 == 1)
+
+
+class TestMergePartial:
+    """merge_partial — PartialUpdateAvroPayload semantics: NULL source
+    payload keeps the stored value; non-null overwrites; unmatched
+    inserts. Composes onto merge_into (probe pruning + LWW gate)."""
+
+    def _seed(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "mp"), buckets=4)
+        t.merge(
+            spark.createDataFrame(
+                [
+                    ("k1", 5, "upsert", "aa", 10),
+                    ("k2", 5, "upsert", "bb", 20),
+                ],
+                "_key string, _ts long, _op string, val string, n long",
+            ),
+            "b1",
+        )
+        return t
+
+    def _snap(self, t):
+        return {
+            r["_key"]: (r["val"], r["n"]) for r in t.snapshot().collect()
+        }
+
+    def test_null_keeps_nonnull_overwrites_unmatched_inserts(
+        self, spark, tmp_path
+    ):
+        t = self._seed(spark, tmp_path)
+        src = spark.createDataFrame(
+            [
+                ("k1", 6, None, 100),     # n overwritten, val KEPT
+                ("k2", 6, "B2", None),    # val overwritten, n KEPT
+                ("k9", 6, "new", None),   # unmatched: insert as-is
+            ],
+            "_key string, _ts long, val string, n long",
+        )
+        t.merge_partial(src, "b2")
+        assert self._snap(t) == {
+            "k1": ("aa", 100),
+            "k2": ("B2", 20),
+            "k9": ("new", None),
+        }
+
+    def test_absent_columns_kept_and_lww_gate(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        # source carries ONLY n: val never touched for matched rows
+        src = spark.createDataFrame(
+            [("k1", 6, 111)], "_key string, _ts long, n long"
+        )
+        t.merge_partial(src, "b2")
+        assert self._snap(t)["k1"] == ("aa", 111)
+        # stale partial (older _ts) cannot undo a newer write
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 9, "upsert", "newer", 99)],
+                "_key string, _ts long, _op string, val string, n long",
+            ),
+            "b3",
+        )
+        t.merge_partial(
+            spark.createDataFrame(
+                [("k2", 7, 7)], "_key string, _ts long, n long"
+            ),
+            "b4",
+        )
+        assert self._snap(t)["k2"] == ("newer", 99)
+
+    def test_validation_and_empty_table(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._seed(spark, tmp_path)
+        with _pytest.raises(ValueError, match="not in the table schema"):
+            t.merge_partial(
+                spark.createDataFrame(
+                    [("k1", 6, 1)], "_key string, _ts long, zz long"
+                )
+            )
+        with _pytest.raises(ValueError, match="no payload"):
+            t.merge_partial(
+                spark.createDataFrame([("k1", 6)], "_key string, _ts long")
+            )
+        # empty table: everything inserts (no probe to run)
+        t2 = LakeTable(spark, str(tmp_path / "mp2"), buckets=2)
+        t2.merge_partial(
+            spark.createDataFrame(
+                [("a", 1, "x", None)],
+                "_key string, _ts long, val string, n long",
+            ),
+            "b1",
+        )
+        assert {
+            r["_key"]: (r["val"], r["n"]) for r in t2.snapshot().collect()
+        } == {"a": ("x", None)}
