@@ -1755,7 +1755,68 @@ def q_lake_partial_update(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+FNIDX_ORDER_BOUND = 2000
+
+
+def q_lake_functional_index(spark, sf_dir):
+    """Functional index (table/lake_table.py create_functional_index —
+    the Hudi 1.0 expression-index analogue) under oracle control:
+    orders with o_orderkey < BOUND land in THREE time-ordered insert
+    batches (pre-1997 / 1997-98 / 1999), so files correlate with order
+    date — the layout the expression index exists for. Index
+    `substring(od, 1, 7)` (order month, a DERIVED value raw col_stats
+    can't see), then: (p1) a 1999 month-range probe must prune files
+    (structurally asserted) and return exactly the 1999 orders; (p2) a
+    fourth batch (2000+) inserted AFTER the build is unindexed and
+    conservatively scanned — found by a stale index."""
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < FNIDX_ORDER_BOUND
+        )
+        base = o.select(
+            F.col("o_orderkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        lake = LakeTable(spark, work, buckets=4)
+        yr = F.substring("od", 1, 4)
+        lake.insert(base.where(yr < "1997"), "b1")
+        lake.insert(base.where((yr >= "1997") & (yr <= "1998")), "b2")
+        lake.insert(base.where(yr == "1999"), "b3")
+        lake.create_functional_index("month", "substring(od, 1, 7)")
+        lake.insert(base.where(yr >= "2000"), "b4")
+        kept, live = lake.files_for_expr_range(
+            "month", "1999-01", "1999-12"
+        )
+        # b4's unindexed files are conservatively kept; the three
+        # INDEXED batches must still prune (b1/b2 files out)
+        if not kept or len(kept) >= len(live):
+            raise AssertionError(
+                f"functional index failed to prune: kept {len(kept)} "
+                f"of {len(live)} files for a one-year month range"
+            )
+        p1 = lake.scan_expr_range("month", "1999-01", "1999-12")
+        p2 = lake.scan_expr_range("month", "2000-01", "2001-12")
+        out = (
+            p1.select(F.lit("p1").alias("mode"), "o_orderkey", "od",
+                      "price")
+            .unionByName(
+                p2.select(F.lit("p2").alias("mode"), "o_orderkey", "od",
+                          "price")
+            )
+            .orderBy("mode", "o_orderkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-functional-index": q_lake_functional_index,
     "q-lake-partial-update": q_lake_partial_update,
     "q-lake-secondary-index": q_lake_secondary_index,
     "q-lake-merge-into": q_lake_merge_into,
@@ -1827,6 +1888,25 @@ LAKE_ORACLES = {
     # incremental slice shows updates (%3) and tombstones (%7) — a %21
     # key was updated BEFORE its delete, so its tombstone carries the
     # updated balance (tombstone payload = matched row, delete_where)
+    # functional-index probes: p1 = 1999 orders (pruned through the
+    # month expression index), p2 = 2000+ orders (stale-index
+    # conservative scan of the post-build batch)
+    "q-lake-functional-index": f"""
+        SELECT 'p1' AS mode, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS od,
+               ROUND(o_totalprice, 4) AS price
+        FROM orders
+        WHERE o_orderkey < {FNIDX_ORDER_BOUND}
+          AND strftime(o_orderdate, '%Y') = '1999'
+        UNION ALL
+        SELECT 'p2' AS mode, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS od,
+               ROUND(o_totalprice, 4) AS price
+        FROM orders
+        WHERE o_orderkey < {FNIDX_ORDER_BOUND}
+          AND strftime(o_orderdate, '%Y') IN ('2000', '2001')
+        ORDER BY mode, o_orderkey
+    """,
     # partial-update replay: %4 keys got +100 balances (names kept by
     # the NULL sentinel), %6 keys then got VIP names (balances kept by
     # column absence), [SUBSET, SUBSET+10) inserted with NULL balances

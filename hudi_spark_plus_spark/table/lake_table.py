@@ -1356,25 +1356,32 @@ class LakeTable:
             return any(bloom.might_contain(p) for p in probes)
 
         hits = [f for f in live if might_hit(f)]
+        return self._widen_hits_for_mor(hits, live), live
+
+    @staticmethod
+    def _widen_hits_for_mor(
+        hits: list, live: list
+    ) -> list:
+        """When MOR deltas are live, per-key resolution needs every
+        live file of a hit row's bucket — a non-hit file can hold the
+        NEWER version of a hit file's key (base-over-delta after a COW
+        merge, delta-over-anything after a MOR merge) and dropping it
+        would surface the superseded row. Bucket granularity, not file
+        granularity; a hit bootstrap file pulls in ALL deltas (its
+        rows' buckets are unknown until conversion)."""
         if not any(f.kind == "delta" for f in live):
-            return hits, live
-        # MOR: per-key resolution needs every live file of a hit row's
-        # bucket — a non-hit file can hold the NEWER version of a hit
-        # file's key (base-over-delta after a COW merge, delta-over-
-        # anything after a MOR merge) and dropping it would surface the
-        # superseded row. Bucket granularity, not file granularity.
+            return hits
         hit_buckets = {
             f.bucket for f in hits if f.kind != BOOTSTRAP_KIND
         }
         boot_hit = any(f.kind == BOOTSTRAP_KIND for f in hits)
-        kept = [
+        return [
             f
             for f in live
             if f in hits
             or f.bucket in hit_buckets
             or (boot_hit and f.kind == "delta")
         ]
-        return kept, live
 
     def scan_for_values(
         self, col: str, values, partitions=None
@@ -1395,6 +1402,216 @@ class LakeTable:
         if DELETED_COL in df.columns:
             df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.where(F.col(col).isin(list(values)))
+
+    # -- functional index (Hudi 1.0 expression-index analogue) -------------
+    #
+    # Per-file [min, max] of an ARBITRARY Spark SQL expression over
+    # payload columns — Hudi 1.0's functional/expression index
+    # (column_stats on a function of a column): range predicates on a
+    # DERIVED value (`substr(dt,1,7)`, `x div 100`, `length(text)`)
+    # prune files with no per-row evaluation, where the raw col_stats
+    # can't see the expression at all. Same sidecar lifecycle as the
+    # secondary index: finalizer-atomic `_index/fn_<name>/` manifests
+    # outside the timeline, stale-is-correct, incremental refresh.
+
+    _FN_PREFIX = "fn_"
+    _FN_TYPES = (
+        "string", "boolean", "tinyint", "smallint", "int", "bigint",
+        "float", "double",
+    )
+
+    def _fn_validate(self, expr_sql: str) -> None:
+        """Resolve the expression against a zero-row snapshot frame:
+        analysis errors (bad column, bad function) and unsupported
+        result types fail at CREATE time, not probe time."""
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(f"lake table at {self.path} has no commits")
+        probe = self.spark.createDataFrame([], sch).select(
+            F.expr(expr_sql).alias("_v")
+        )
+        t = probe.schema["_v"].dataType.simpleString()
+        if t not in self._FN_TYPES:
+            raise ValueError(
+                f"functional index expressions must produce one of "
+                f"{self._FN_TYPES}; {expr_sql!r} produces {t!r} — cast "
+                "dates/timestamps to string (ISO orders lexically) or "
+                "to epoch numbers in the expression"
+            )
+
+    def _fn_build_entries(
+        self, files: list[FileEntry], expr_sql: str
+    ) -> dict:
+        """One JVM-only job: per-file min/max of the expression —
+        `groupBy(input_file_name)` over a scan Catalyst column-prunes
+        to exactly the columns the expression references. No Python in
+        the hot path; the collect is one row per file (bounded
+        metadata)."""
+        if not files:
+            return {}
+        abs_to_rel = {
+            os.path.normpath(self.log.abs_path(f.path)): f.path
+            for f in files
+        }
+        from urllib.parse import unquote, urlparse
+
+        rows = (
+            self._read_files(files)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.expr(expr_sql).alias("_v"),
+            )
+            .groupBy("_f")
+            .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            rel = abs_to_rel.get(os.path.normpath(p))
+            if rel is not None:
+                # mn/mx both None <=> expr NULL for every row: store
+                # null sentinel (range probes always miss NULL)
+                out[rel] = (
+                    None if r["mn"] is None else [r["mn"], r["mx"]]
+                )
+        for f in files:
+            out.setdefault(f.path, None)  # zero-row file
+        return out
+
+    def create_functional_index(self, name: str, expr_sql: str) -> dict:
+        """Build (or rebuild) the functional index ``name`` = per-file
+        [min, max] of ``expr_sql`` over every live file."""
+        self._fn_validate(expr_sql)
+        latest = self.log.latest()
+        files = self.log.live_files()
+        entries = self._fn_build_entries(files, expr_sql)
+        self._publish_fn_index(name, expr_sql, entries, latest.version)
+        return {
+            "name": name,
+            "expr": expr_sql,
+            "version": latest.version,
+            "files_indexed": len(entries),
+        }
+
+    def refresh_functional_index(self, name: str) -> dict:
+        """Catch-up: evaluate the stored expression over ONLY the live
+        files with no entry; carry still-live entries, drop dead."""
+        idx = self.functional_index(name)
+        if idx is None:
+            raise ValueError(
+                f"no functional index {name!r}; create it first "
+                "(the expression lives in the index, so refresh "
+                "cannot invent one)"
+            )
+        latest = self.log.latest()
+        live = self.log.live_files()
+        old = idx["entries"]
+        carried = {f.path: old[f.path] for f in live if f.path in old}
+        new_files = [f for f in live if f.path not in old]
+        carried.update(self._fn_build_entries(new_files, idx["expr"]))
+        self._publish_fn_index(name, idx["expr"], carried, latest.version)
+        return {
+            "name": name,
+            "expr": idx["expr"],
+            "version": latest.version,
+            "files_indexed": len(carried),
+            "files_built": len(new_files),
+        }
+
+    def _publish_fn_index(
+        self, name: str, expr_sql: str, entries: dict, version: int
+    ) -> None:
+        import json as _json
+
+        dirname = self._FN_PREFIX + name
+        d = self._index_dir(dirname)
+        os.makedirs(d, exist_ok=True)
+        content = _json.dumps(
+            {
+                "kind": "functional",
+                "name": name,
+                "expr": expr_sql,
+                "version": version,
+                "entries": entries,
+            }
+        )
+        n = self._latest_index_n(dirname) + 1
+        for _ in range(self.COMMIT_RETRIES + 1):
+            target = os.path.join(d, f"index-{n:06d}.json")
+            try:
+                self.log.finalizer.publish(content, target)
+                return
+            except CommitConflict:
+                n += 1
+        raise CommitConflict(
+            f"could not publish functional index {name!r} after "
+            f"{self.COMMIT_RETRIES + 1} attempts"
+        )
+
+    def functional_index(self, name: str) -> dict | None:
+        """Latest manifest for functional index ``name`` (None if never
+        created): {"kind","name","expr","version","entries"}."""
+        import json as _json
+
+        dirname = self._FN_PREFIX + name
+        n = self._latest_index_n(dirname)
+        if n == 0:
+            return None
+        with open(
+            os.path.join(self._index_dir(dirname), f"index-{n:06d}.json")
+        ) as fh:
+            return _json.load(fh)
+
+    def files_for_expr_range(
+        self, name: str, lo, hi, partitions=None
+    ) -> tuple[list, list]:
+        """(kept, live) for ``lo <= expr <= hi``: live files whose
+        recorded expression range intersects; unindexed files kept
+        conservatively; all-null entries pruned (NULL never satisfies
+        a range). MOR widens to bucket granularity (see
+        files_for_values)."""
+        idx = self.functional_index(name)
+        if idx is None:
+            raise ValueError(
+                f"no functional index {name!r}; call "
+                "create_functional_index first"
+            )
+        entries = idx["entries"]
+        live = self._prune_partitions(self.log.live_files(), partitions)
+
+        def might_hit(f: FileEntry) -> bool:
+            if f.path not in entries:
+                return True  # unindexed: conservatively scan
+            rng = entries[f.path]
+            if rng is None:
+                return False  # expr all-NULL (or zero rows)
+            try:
+                return not (hi < rng[0] or lo > rng[1])
+            except TypeError:
+                return True  # probe/stat type mismatch: stay correct
+
+        hits = [f for f in live if might_hit(f)]
+        return self._widen_hits_for_mor(hits, live), live
+
+    def scan_expr_range(self, name: str, lo, hi, partitions=None):
+        """Derived-value range scan through the functional index (the
+        Hudi 1.0 expression-index read path): current-snapshot rows
+        with ``lo <= expr <= hi``, reading only range-hit files. The
+        predicate is re-applied by Spark over the stored expression, so
+        pruning is I/O-only — stale entries cost reads, never rows."""
+        idx = self.functional_index(name)
+        kept, _ = self.files_for_expr_range(name, lo, hi, partitions)
+        if not kept:
+            return self.spark.createDataFrame([], self.schema())
+        df = self._read_files(kept)
+        if any(f.kind == "delta" for f in kept):
+            df = self._resolve_latest(df)
+        if DELETED_COL in df.columns:
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return df.where(F.expr(idx["expr"]).between(lo, hi))
 
     def bootstrap(
         self,

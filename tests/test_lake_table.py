@@ -2095,3 +2095,124 @@ class TestMergePartial:
         assert {
             r["_key"]: (r["val"], r["n"]) for r in t2.snapshot().collect()
         } == {"a": ("x", None)}
+
+
+class TestFunctionalIndex:
+    """Functional index (Hudi 1.0 expression-index analogue): per-file
+    [min, max] of a Spark SQL expression, stale-is-correct sidecars,
+    range-probe pruning."""
+
+    def _seed(self, spark, tmp_path, name="fi"):
+        """Three time-ordered insert batches — files correlate with
+        dt, the real-world layout the expression index exists for."""
+        t = LakeTable(spark, str(tmp_path / name), buckets=2)
+        for b, month in enumerate(["2024-01", "2024-02", "2024-03"]):
+            rows = [
+                (f"k{b}_{i}", b + 1, f"{month}-{i % 28 + 1:02d}", i)
+                for i in range(40)
+            ]
+            t.insert(
+                spark.createDataFrame(
+                    rows, "_key string, _ts long, dt string, n long"
+                ),
+                f"b{b}",
+            )
+        return t
+
+    def test_range_probe_prunes_and_returns_exact_rows(
+        self, spark, tmp_path
+    ):
+        t = self._seed(spark, tmp_path)
+        st = t.create_functional_index("month", "substring(dt, 1, 7)")
+        assert st["files_indexed"] == len(t.log.live_files())
+        kept, live = t.files_for_expr_range("month", "2024-03", "2024-03")
+        assert 0 < len(kept) < len(live), (len(kept), len(live))
+        got = {
+            r["_key"]
+            for r in t.scan_expr_range(
+                "month", "2024-03", "2024-03"
+            ).collect()
+        }
+        assert got == {f"k2_{i}" for i in range(40)}
+        # miss probe: every indexed file pruned
+        kept0, _ = t.files_for_expr_range("month", "2030-01", "2030-12")
+        assert kept0 == []
+        # numeric expression on a second index
+        t.create_functional_index("nband", "n div 10")
+        got2 = {
+            r["_key"]
+            for r in t.scan_expr_range("nband", 3, 3).collect()
+        }
+        assert got2 == {
+            f"k{b}_{i}" for b in range(3) for i in range(30, 40)
+        }
+
+    def test_stale_found_then_refresh_prunes(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        t.create_functional_index("month", "substring(dt, 1, 7)")
+        t.insert(
+            spark.createDataFrame(
+                [("zz", 9, "2030-06-15", 1)],
+                "_key string, _ts long, dt string, n long",
+            ),
+            "b9",
+        )
+        got = {
+            r["_key"]
+            for r in t.scan_expr_range(
+                "month", "2030-01", "2030-12"
+            ).collect()
+        }
+        assert got == {"zz"}  # unindexed file conservatively scanned
+        st = t.refresh_functional_index("month")
+        assert st["files_built"] >= 1
+        kept, live = t.files_for_expr_range("month", "2030-01", "2030-12")
+        assert {f.path for f in kept} < {f.path for f in live}
+        got2 = {
+            r["_key"]
+            for r in t.scan_expr_range(
+                "month", "2030-01", "2030-12"
+            ).collect()
+        }
+        assert got2 == {"zz"}
+
+    def test_mor_widening_never_surfaces_superseded(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        t.create_functional_index("month", "substring(dt, 1, 7)")
+        # delta moves k2_0 out of 2024-03
+        t.merge(
+            spark.createDataFrame(
+                [("k2_0", 9, "upsert", "2025-12-01", 0)],
+                "_key string, _ts long, _op string, dt string, n long",
+            ),
+            "bm",
+            mode="mor",
+        )
+        got = {
+            r["_key"]
+            for r in t.scan_expr_range(
+                "month", "2024-03", "2024-03"
+            ).collect()
+        }
+        assert "k2_0" not in got
+        assert got == {f"k2_{i}" for i in range(1, 40)}
+        got2 = {
+            r["_key"]
+            for r in t.scan_expr_range(
+                "month", "2025-01", "2025-12"
+            ).collect()
+        }
+        assert got2 == {"k2_0"}
+
+    def test_validation(self, spark, tmp_path):
+        from pyspark.errors import AnalysisException
+
+        t = self._seed(spark, tmp_path)
+        with pytest.raises(AnalysisException):
+            t.create_functional_index("bad", "no_such + 1")
+        with pytest.raises(ValueError, match="cast"):
+            t.create_functional_index("bad2", "to_date(dt)")
+        with pytest.raises(ValueError, match="no functional index"):
+            t.files_for_expr_range("never", 0, 1)
+        with pytest.raises(ValueError, match="no functional index"):
+            t.refresh_functional_index("never")
