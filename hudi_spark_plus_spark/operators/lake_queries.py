@@ -1815,7 +1815,86 @@ def q_lake_functional_index(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview(spark, sf_dir):
+    """Incrementally-maintained aggregate view (table/matview.py
+    AggregateView — the CDC-consumer pattern the reference's sink
+    exists to feed, packaged as incremental view maintenance) under
+    oracle control: source = customers < SUBSET keyed by custkey,
+    view = count + sum(c_nationkey) per market segment. Seed,
+    refresh; then one churn slice — %5 keys MOVE to segment 'MOVED'
+    (cross-group update), %9 keys delete, [SUBSET, SUBSET+15) insert
+    as 'NEW' — refresh again. The result must equal a from-scratch
+    GROUP BY of the final state, while each refresh only read the CDC
+    slice and Bloom-probed the touched groups."""
+    from hudi_spark_plus_spark.table.matview import AggregateView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        seed = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        src = LakeTable(spark, work + "/src", buckets=4)
+        src.merge(seed, "b1")
+        mv = AggregateView(
+            spark, work + "/mv", src, ["c_mktsegment"], ["c_nationkey"]
+        )
+        mv.refresh()
+        churn = c.where(
+            (
+                (F.col("c_custkey") < SUBSET)
+                & (
+                    (F.col("c_custkey") % 9 == 0)
+                    | (F.col("c_custkey") % 5 == 0)
+                )
+            )
+            | (
+                (F.col("c_custkey") >= SUBSET)
+                & (F.col("c_custkey") < SUBSET + 15)
+            )
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(
+                (F.col("c_custkey") % 9 == 0)
+                & (F.col("c_custkey") < SUBSET),
+                "delete",
+            )
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            F.when(F.col("c_custkey") >= SUBSET, "NEW")
+            .when(F.col("c_custkey") % 5 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_nationkey",
+        )
+        src.merge(churn, "b2")
+        st = mv.refresh()
+        if st["groups_touched"] == 0:
+            raise AssertionError("matview refresh saw no CDC deltas")
+        out = (
+            mv.df()
+            .select(
+                "c_mktsegment",
+                "cnt",
+                F.col("sum_c_nationkey").alias("sum_nk"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
+    "q-lake-matview": q_lake_matview,
     "q-lake-functional-index": q_lake_functional_index,
     "q-lake-partial-update": q_lake_partial_update,
     "q-lake-secondary-index": q_lake_secondary_index,
@@ -1888,6 +1967,26 @@ LAKE_ORACLES = {
     # incremental slice shows updates (%3) and tombstones (%7) — a %21
     # key was updated BEFORE its delete, so its tombstone carries the
     # updated balance (tombstone payload = matched row, delete_where)
+    # matview replay: from-scratch GROUP BY of the final source state
+    # (%9 deleted — taking precedence over %5 — %5 moved to 'MOVED',
+    # [SUBSET, SUBSET+15) inserted as 'NEW')
+    "q-lake-matview": f"""
+        WITH final AS (
+          SELECT CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_nationkey
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, c_nationkey
+          FROM customer
+          WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 15}
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     # functional-index probes: p1 = 1999 orders (pruned through the
     # month expression index), p2 = 2000+ orders (stale-index
     # conservative scan of the post-build batch)

@@ -1,0 +1,141 @@
+"""Incremental materialized aggregate views (table/matview.py):
+CDC-slice maintenance must equal a from-scratch GROUP BY after any
+churn sequence, with the watermark atomic in the view's own commits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+from hudi_spark_plus_spark.table.matview import AggregateView
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "_key string, _ts long, _op string, g string, v long"
+    )
+
+
+def assert_equiv(view, src):
+    exp = {
+        (r["g"], r["cnt"], r["sum_v"])
+        for r in src.snapshot()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .collect()
+    }
+    got = {(r["g"], r["cnt"], r["sum_v"]) for r in view.df().collect()}
+    assert got == exp, (sorted(got, key=str), sorted(exp, key=str))
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "src"), buckets=4)
+    t.merge(
+        mk(spark, [
+            ("k1", 1, "upsert", "a", 10),
+            ("k2", 1, "upsert", "a", 20),
+            ("k3", 1, "upsert", "b", 5),
+        ]),
+        "b1",
+    )
+    return t
+
+
+def test_churn_sequence_tracks_group_by(spark, tmp_path, src):
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    assert mv.refresh()["end"] == 1
+    assert_equiv(mv, src)
+    # group move (k2 a->b with new value), delete, insert — one slice
+    src.merge(
+        mk(spark, [
+            ("k2", 2, "upsert", "b", 25),
+            ("k3", 2, "delete", "b", 5),
+            ("k4", 2, "upsert", "c", 7),
+        ]),
+        "b2",
+    )
+    r = mv.refresh()
+    assert (r["begin"], r["end"]) == (1, 2)
+    assert_equiv(mv, src)
+    # multi-version slice: two source commits, one refresh
+    src.merge(mk(spark, [("k5", 3, "upsert", "a", 1)]), "b3")
+    src.merge(mk(spark, [("k5", 4, "upsert", "b", 2)]), "b4")
+    r = mv.refresh()
+    assert (r["begin"], r["end"]) == (2, 4)
+    assert_equiv(mv, src)
+
+
+def test_emptied_group_tombstoned_and_reappears(spark, tmp_path, src):
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    mv.refresh()
+    src.merge(mk(spark, [("k3", 2, "delete", "b", 5)]), "b2")
+    mv.refresh()
+    assert "b" not in {r["g"] for r in mv.df().collect()}
+    src.merge(mk(spark, [("k9", 3, "upsert", "b", 42)]), "b3")
+    mv.refresh()
+    assert_equiv(mv, src)
+    got = {r["g"]: (r["cnt"], r["sum_v"]) for r in mv.df().collect()}
+    assert got["b"] == (1, 42)
+
+
+def test_null_groups_and_noop_refresh(spark, tmp_path, src):
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    mv.refresh()
+    r = mv.refresh()
+    assert r["groups_touched"] == 0 and r["begin"] == r["end"]
+    src.merge(mk(spark, [("kn", 2, "upsert", None, 3)]), "b2")
+    mv.refresh()
+    assert_equiv(mv, src)  # NULL group is a real group, not ""
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path, src):
+    """A refresh that crashed after the merge commit re-applies the
+    SAME slice under the SAME batch id on retry — H5 suppresses the
+    double-apply (the watermark lives in that very commit)."""
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    mv.refresh()
+    src.merge(mk(spark, [("k4", 2, "upsert", "a", 100)]), "b2")
+    begin, end = mv.watermark(), src.log.latest().version
+    deltas = mv._deltas(begin, end)
+    src_df = deltas.select(
+        F.to_json(F.struct("g"), {"ignoreNullFields": "false"}).alias(
+            "_key"
+        ),
+        F.lit(end).cast("long").alias("_ts"),
+        "g",
+        "cnt",
+        "sum_v",
+    )
+    bid = f"mv-{begin}-{end}"
+    mv.table.merge_into(
+        src_df,
+        {"cnt": F.col("t.cnt") + F.col("s.cnt"),
+         "sum_v": F.col("t.sum_v") + F.col("s.sum_v")},
+        "insert",
+        batch_id=bid,
+    )
+    # the "retry": refresh() recomputes the same slice + same batch id
+    mv.refresh()
+    assert_equiv(mv, src)
+    assert mv.watermark() == end
+
+
+def test_validation(spark, tmp_path, src):
+    with pytest.raises(ValueError, match="at least one group"):
+        AggregateView(spark, str(tmp_path / "x"), src, [], ["v"])
+    with pytest.raises(ValueError, match="both group and sum"):
+        AggregateView(spark, str(tmp_path / "x"), src, ["g"], ["g"])
+    # float measures refused (order-dependent addition)
+    t = LakeTable(spark, str(tmp_path / "fsrc"), buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [("k", 1, "upsert", "a", 1.5)],
+            "_key string, _ts long, _op string, g string, x double",
+        ),
+        "b1",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        AggregateView(spark, str(tmp_path / "x"), t, ["g"], ["x"])
