@@ -389,3 +389,104 @@ def test_substring_dedup_no_cartesian_single_wide_shuffle(spark, sf_dir):
     # the wide shuffle on the window text appears exactly once as a
     # hashpartitioning on the substring column
     assert len(re.findall(r"hashpartitioning\(sub", plan)) <= 2
+
+
+def test_fn_index_build_scan_is_column_pruned(spark, tmp_path):
+    """The functional-index build job must read ONLY the expression's
+    input columns — a build that scans the full schema defeats the
+    'one cheap metadata job' contract at 100 TB."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    import pyspark.sql.functions as F
+
+    t = LakeTable(spark, str(tmp_path / "fnp"), buckets=2)
+    t.insert(
+        spark.createDataFrame(
+            [(f"k{i}", 1, f"2024-01-{i % 28 + 1:02d}", i, "x" * 50)
+             for i in range(20)],
+            "_key string, _ts long, dt string, n long, blob string",
+        ),
+        "b1",
+    )
+    files = t.log.live_files()
+    df = (
+        t._read_files(files)
+        .select(
+            F.input_file_name().alias("_f"),
+            F.expr("substring(dt, 1, 7)").alias("_v"),
+        )
+        .groupBy("_f")
+        .agg(F.min("_v"), F.max("_v"))
+    )
+    scan = next(
+        l for l in plan_of(df).splitlines() if "FileScan parquet" in l
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m, scan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"dt"}, read_cols
+
+
+def test_matview_delta_is_single_shuffle_of_the_slice(spark, tmp_path):
+    """The maintenance delta must be ONE exchange keyed by the group
+    (partial aggregation below it), reading the CDC slice — never the
+    source snapshot. A second content shuffle or a snapshot-sized scan
+    here turns refresh cost from O(delta) into O(table)."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import AggregateView
+
+    src = LakeTable(spark, str(tmp_path / "mvsrc"), buckets=2)
+    src.merge(
+        spark.createDataFrame(
+            [("k1", 1, "upsert", "a", 1), ("k2", 1, "upsert", "b", 2)],
+            "_key string, _ts long, _op string, g string, v long",
+        ),
+        "b1",
+    )
+    src.merge(
+        spark.createDataFrame(
+            [("k1", 2, "upsert", "b", 3)],
+            "_key string, _ts long, _op string, g string, v long",
+        ),
+        "b2",
+    )
+    mv = AggregateView(spark, str(tmp_path / "mvv"), src, ["g"], ["v"])
+    plan = plan_of(mv._deltas(1, 2))
+    # partial+final hash agg around exactly one group-keyed exchange
+    # (the CDC before-image join adds its own bounded exchanges; the
+    # DELTA aggregation itself must contribute exactly one)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    frag = plan[plan.index("HashAggregate"):]
+    # the aggregation's own exchange is hashpartitioning on the group
+    assert re.search(r"hashpartitioning.*\bg\b", plan), plan
+
+
+def test_scan_for_values_reads_only_kept_files(spark, tmp_path):
+    """Secondary-index equality scans must plan a FileScan over the
+    Bloom-hit files only — the pruning is I/O-level, visible in the
+    number of scanned files."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "sip"), buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i:02d}", 1, "upsert", f"cat{i % 7}") for i in range(60)],
+            "_key string, _ts long, _op string, cat string",
+        ),
+        "b1",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("k00", 2, "upsert", "UNIQUE")],
+            "_key string, _ts long, _op string, cat string",
+        ),
+        "b2",
+    )
+    t.create_secondary_index("cat")
+    kept, live = t.files_for_values("cat", ["UNIQUE"])
+    assert len(kept) < len(live)
+    df = t.scan_for_values("cat", ["UNIQUE"])
+    # executed scan must reference no more files than kept
+    n_scanned = plan_of(df).count(".parquet")
+    assert n_scanned <= len(kept) * 2  # path may appear in 2 plan spots
