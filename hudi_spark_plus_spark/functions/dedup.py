@@ -94,6 +94,35 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def normalize_text_expr(col: Column) -> Column:
+    """CCNet-style near-exact normalization (lowercase, non-letter/
+    digit runs to one space, trim): the canonical form under which
+    "Hello,  World!" and "hello world" are the same document. Pure
+    codegen expressions — lower + two regexp_replace passes — and
+    deliberately ANSI-replayable: Java regex and RE2 agree on
+    ``[^\\p{L}\\p{N}]`` and ``\\s+`` over the classes used here."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup: ``exact_dedup`` over the NORMALIZED text —
+    catches trivially-reformatted copies (case, punctuation,
+    whitespace) that byte-exact hashing misses but MinHash is overkill
+    for. Same single-shuffle shape: one hash aggregate on the 128-bit
+    digest of the normalized form."""
+    return (
+        df.groupBy(
+            F.md5(normalize_text_expr(F.col(text_col))).alias("norm_hash")
+        )
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
 # -- shingles / jaccard -----------------------------------------------------
 
 

@@ -66,6 +66,35 @@ def q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup(d, "text", "doc_id").orderBy("text_hash")
 
 
+NORMDUP_MOD = 5
+
+
+def q_doc_dedup_normalized(spark, sf_dir):
+    """Near-exact dedup over NORMALIZED text (functions/dedup.py
+    normalized_dedup — lowercase / punctuation→space / whitespace
+    collapse): every MODth doc gets a planted reformatted copy
+    (leading spaces, uppercased, trailing '!!!') at a corpus-derived
+    offset id — byte-exact hashing sees two documents, the normalized
+    form collapses them to one class with the ORIGINAL id as keeper.
+    Both the perturbation and the normalization replay in ANSI SQL
+    (pure-ASCII corpus, so upper/lower round-trips identically in
+    both engines)."""
+    from hudi_spark_plus_spark.functions.dedup import normalized_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    off = _id_offset(d, "doc_id")
+    copies = d.where(F.col("doc_id") % NORMDUP_MOD == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit(" !!!")
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(copies)
+    return normalized_dedup(corpus, "text", "doc_id").orderBy(
+        "norm_hash"
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -1086,6 +1115,7 @@ LLM_QUERIES = {
     "q-doc-line-dedup": q_doc_line_dedup,
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
     "q-doc-dedup-exact": q_doc_dedup_exact,
+    "q-doc-dedup-normalized": q_doc_dedup_normalized,
     "q-doc-token-stats": q_doc_token_stats,
     "q-doc-quality": q_doc_quality,
     "q-doc-langid": q_doc_langid,
@@ -1387,6 +1417,31 @@ LLM_ORACLES = {
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                COUNT(*) AS dup_cnt
         FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    # normalized dedup replay: same planted perturbation (leading
+    # spaces, upper, ' !!!') at the corpus-derived offset, then the
+    # same lowercase / non-alnum->space / ws-collapse / trim pipeline
+    "q-doc-dedup-normalized": rf"""
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT)
+                 AS o FROM documents
+        ), corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + (SELECT o FROM off) AS doc_id,
+                 '  ' || upper(text) || ' !!!' AS text
+          FROM documents WHERE doc_id % {NORMDUP_MOD} = 0
+        ), normed AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]',
+                                  ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+          FROM corpus
+        )
+        SELECT md5(norm) AS norm_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS dup_cnt
+        FROM normed GROUP BY 1 ORDER BY norm_hash
     """,
     "q-doc-token-stats": rf"""
         SELECT doc_id,

@@ -1197,3 +1197,35 @@ def test_semantic_decontaminate_bounds(spark):
     empty = corpus.where("vec_id < 0")
     out = semantic_decontaminate(corpus, empty).collect()
     assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
+
+
+def test_normalized_dedup_collapses_reformatted_copies(spark):
+    from hudi_spark_plus_spark.functions.dedup import (
+        exact_dedup,
+        normalized_dedup,
+    )
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # same class as 1
+        (3, "  HELLO WORLD !!! "),   # same class as 1
+        (4, "another doc"),
+        (5, "Another   DOC."),       # same class as 4
+        (6, "distinct entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["keeper_id"], r["dup_cnt"])
+        for r in normalized_dedup(df, "text", "doc_id").collect()
+    }
+    assert got == {(1, 3), (4, 2), (6, 1)}
+    # byte-exact dedup sees 6 distinct docs — the gap normalization closes
+    assert exact_dedup(df, "text", "doc_id").count() == 6
+    # partitioning-independent (pure function of the data)
+    got2 = {
+        (r["keeper_id"], r["dup_cnt"])
+        for r in normalized_dedup(
+            df.repartition(5), "text", "doc_id"
+        ).collect()
+    }
+    assert got == got2
