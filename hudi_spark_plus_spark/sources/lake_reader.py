@@ -415,6 +415,10 @@ class LakeBatchReader(DataSourceReader):
         # logical column -> pushed conjuncts [(op, literal(s))]
         self._val_preds: dict[str, list] = {}
         self._phys_of = {name: phys for name, phys, _ in self.fields}
+        # lazily-loaded secondary-index manifests ({col: entries}) +
+        # decoded-bloom cache for the current plan (see _index_prunes)
+        self._sec_idx: dict | None = None
+        self._sec_blooms: dict = {}
 
     def _version_at_or_before(self, ts_millis: int) -> int:
         return version_at_or_before(self.log, ts_millis)
@@ -442,6 +446,8 @@ class LakeBatchReader(DataSourceReader):
         self._part_hi = {}
         self._key_eq = None
         self._val_preds = {}
+        self._sec_idx = None
+        self._sec_blooms = {}
 
     def pushFilters(self, filters):
         # EAGER, not a generator: the reset and the state building must
@@ -636,6 +642,88 @@ class LakeBatchReader(DataSourceReader):
                         return True
         return False
 
+    def _load_sec_indexes(self) -> dict:
+        """Latest secondary-index manifest entries for every column the
+        pushed equality conjuncts touch — the format-read twin of
+        ``LakeTable.scan_for_values``. Loaded once per plan; a table
+        with no ``_index/`` sidecars costs one isdir check. Entries are
+        PATH-keyed and a file's content never changes, so an index
+        entry is valid for any version that references the file —
+        time-travel and incremental plans prune safely with it."""
+        import json as _json
+
+        if self._sec_idx is not None:
+            return self._sec_idx
+        self._sec_idx = {}
+        for col, preds in self._val_preds.items():
+            if not any(op == "in" for op, _ in preds):
+                continue
+            d = os.path.join(self.table_path, "_index", col)
+            if not os.path.isdir(d):
+                continue
+            ns = [
+                fn
+                for fn in os.listdir(d)
+                if fn.startswith("index-") and fn.endswith(".json")
+            ]
+            if not ns:
+                continue
+            try:
+                with open(os.path.join(d, sorted(ns)[-1])) as fh:
+                    manifest = _json.load(fh)
+            except (OSError, ValueError):
+                continue  # unreadable sidecar: prune nothing
+            if manifest.get("kind") == "functional":
+                continue
+            self._sec_idx[col] = manifest.get("entries", {})
+        return self._sec_idx
+
+    def _index_prunes(self, f) -> bool:
+        """True when a secondary-index Bloom proves the file holds NONE
+        of a pushed equality conjunct's values. Unindexed files and
+        non-str/int literals keep the file; an all-null sentinel entry
+        prunes (SQL equality never matches NULL). Same I/O-only
+        conservatism as col_stats skipping — Spark re-evaluates every
+        predicate post-scan."""
+        from hudi_spark_plus_spark.table.bloom import KeyBloom
+
+        idxs = self._load_sec_indexes()
+        if not idxs:
+            return False
+        for col, preds in self._val_preds.items():
+            entries = idxs.get(col)
+            if entries is None:
+                continue
+            b64 = entries.get(f.path)
+            if b64 is None:
+                continue  # file newer than the index: scan it
+            for op, vals in preds:
+                if op != "in":
+                    continue
+                # exact-type rendering only: the build cast the column
+                # to string, so str(int) matches bigint renders but a
+                # float/decimal literal must NOT be guessed at
+                probes = [
+                    v if isinstance(v, str) else str(v)
+                    for v in vals
+                    if isinstance(v, (str, int))
+                    and not isinstance(v, bool)
+                ]
+                if len(probes) != len(vals):
+                    continue
+                if b64 == "":
+                    return True  # indexed: column all-NULL in file
+                bloom = self._sec_blooms.get((col, f.path))
+                if bloom is None:
+                    bloom = KeyBloom.from_b64(b64)
+                    self._sec_blooms[(col, f.path)] = bloom
+                if not any(bloom.might_contain(p) for p in probes):
+                    return True
+        return False
+
+    def _value_prunes(self, f) -> bool:
+        return self._stats_prunes(f) or self._index_prunes(f)
+
     def _stats_keep_units(self, grouped: dict) -> list:
         """Unit-granular data skipping for merge-on-read plans: a
         resolution unit is droppable only when EVERY file in it proves
@@ -644,7 +732,7 @@ class LakeBatchReader(DataSourceReader):
         return [
             grp
             for grp in grouped.values()
-            if not all(self._stats_prunes(f) for f in grp)
+            if not all(self._value_prunes(f) for f in grp)
         ]
 
     def _plan_files(self):
@@ -676,7 +764,7 @@ class LakeBatchReader(DataSourceReader):
             return [
                 f
                 for f in files
-                if not self._key_prunes(f) and not self._stats_prunes(f)
+                if not self._key_prunes(f) and not self._value_prunes(f)
             ], None
         files = self.log.live_files(self.version)
         if self.mode == "read_optimized":
@@ -691,7 +779,7 @@ class LakeBatchReader(DataSourceReader):
             for f in files:
                 grouped.setdefault(self._unit_of(f), []).append(f)
             return None, self._stats_keep_units(grouped)
-        return [f for f in files if not self._stats_prunes(f)], None
+        return [f for f in files if not self._value_prunes(f)], None
 
     def _unit_of(self, f) -> tuple:
         # global-index identity is _key alone; bucket is hash(key)-

@@ -779,3 +779,95 @@ class TestPushdownPlanReuse:
         # without pruning there is no stale pruned plan to reuse: the
         # unfiltered action on the shared DataFrame stays correct
         assert df.count() == 12
+
+
+class TestSecondaryIndexFormatPruning:
+    """pushFilters equality conjuncts consult the table's secondary
+    index (format-read twin of LakeTable.scan_for_values): Bloom-miss
+    files are never planned; unindexed (post-build) files always are."""
+
+    def _planned(self, reader):
+        return sorted(p for s in reader.partitions() for p in s.paths)
+
+    def _seed(self, spark, path):
+        t = LakeTable(spark, path, buckets=4)
+        t.merge(
+            _mk(spark, [
+                (f"k{i:02d}", 1, "upsert", f"cat{i % 7}", "p")
+                for i in range(60)
+            ]),
+            "b1",
+        )
+        t.merge(
+            _mk(spark, [("k00", 2, "upsert", "UNIQUE", "p")]), "b2"
+        )
+        t.create_secondary_index("val")
+        return t
+
+    def test_equality_probe_prunes_planned_files(self, spark, tmp_path):
+        t = self._seed(spark, str(tmp_path / "t"))
+        r_all = LakeBatchReader({"path": t.path})
+        r_one = LakeBatchReader({"path": t.path})
+        flt = [EqualTo(("val",), "UNIQUE")]
+        assert list(r_one.pushFilters(flt)) == flt  # all back to Spark
+        planned = self._planned(r_one)
+        assert 0 < len(planned) < len(self._planned(r_all))
+        kept, _ = t.files_for_values("val", ["UNIQUE"])
+        assert set(planned) <= {f.path for f in kept} | set(planned)
+        # end-to-end through Spark: result identical to unpruned read
+        lake_reader.register(spark)
+        got = [
+            (r["_key"], r["val"])
+            for r in _read(spark, t.path)
+            .where(F.col("val") == "UNIQUE")
+            .collect()
+        ]
+        assert got == [("k00", "UNIQUE")]
+
+    def test_stale_index_scans_new_files(self, spark, tmp_path):
+        t = self._seed(spark, str(tmp_path / "t"))
+        t.merge(_mk(spark, [("zz", 3, "upsert", "LATE", "p")]), "b3")
+        lake_reader.register(spark)
+        got = [
+            r["_key"]
+            for r in _read(spark, t.path)
+            .where(F.col("val") == "LATE")
+            .collect()
+        ]
+        assert got == ["zz"]
+        # miss-probe on an indexed value set keeps only unindexed files
+        r = LakeBatchReader({"path": t.path})
+        list(r.pushFilters([EqualTo(("val",), "NOPE")]))
+        planned = self._planned(r)
+        entries = t.secondary_index("val")["entries"]
+        assert all(p not in entries for p in planned), planned
+
+    def test_mor_unit_granularity_and_float_literal_ignored(
+        self, spark, tmp_path
+    ):
+        t = self._seed(spark, str(tmp_path / "t"))
+        t.merge(
+            _mk(spark, [("k03", 4, "upsert", "MOVED", "p")]),
+            "b4",
+            mode="mor",
+        )
+        lake_reader.register(spark)
+        # old value must not surface the superseded row
+        got = {
+            r["_key"]
+            for r in _read(spark, t.path)
+            .where(F.col("val") == "cat3")
+            .collect()
+        }
+        assert "k03" not in got
+        got2 = {
+            r["_key"]
+            for r in _read(spark, t.path)
+            .where(F.col("val") == "MOVED")
+            .collect()
+        }
+        assert got2 == {"k03"}
+        # a float literal must not be string-guessed into a wrong prune
+        r = LakeBatchReader({"path": t.path})
+        list(r.pushFilters([EqualTo(("val",), 3.14)]))
+        assert len(self._planned(r)) > 0
