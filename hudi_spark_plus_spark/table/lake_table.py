@@ -1270,7 +1270,10 @@ class LakeTable:
         with open(
             os.path.join(self._index_dir(col), f"index-{n:06d}.json")
         ) as fh:
-            return _json.load(fh)
+            m = _json.load(fh)
+        # a functional index sharing the directory namespace is NOT a
+        # secondary index (different entry format)
+        return None if m.get("kind") == "functional" else m
 
     def secondary_indexes(self) -> list[str]:
         """Columns with a live secondary index."""
@@ -1278,7 +1281,10 @@ class LakeTable:
         if not os.path.isdir(d):
             return []
         return sorted(
-            c for c in os.listdir(d) if self._latest_index_n(c) > 0
+            c
+            for c in os.listdir(d)
+            if self._latest_index_n(c) > 0
+            and self.secondary_index(c) is not None
         )
 
     def create_secondary_index(self, col: str) -> dict:
@@ -1371,6 +1377,7 @@ class LakeTable:
         rows' buckets are unknown until conversion)."""
         if not any(f.kind == "delta" for f in live):
             return hits
+        hit_paths = {f.path for f in hits}  # set: O(live), never O(n^2)
         hit_buckets = {
             f.bucket for f in hits if f.kind != BOOTSTRAP_KIND
         }
@@ -1378,7 +1385,7 @@ class LakeTable:
         return [
             f
             for f in live
-            if f in hits
+            if f.path in hit_paths
             or f.bucket in hit_buckets
             or (boot_hit and f.kind == "delta")
         ]
@@ -1563,7 +1570,8 @@ class LakeTable:
         with open(
             os.path.join(self._index_dir(dirname), f"index-{n:06d}.json")
         ) as fh:
-            return _json.load(fh)
+            m = _json.load(fh)
+        return m if m.get("kind") == "functional" else None
 
     def files_for_expr_range(
         self, name: str, lo, hi, partitions=None
@@ -2083,8 +2091,9 @@ class LakeTable:
         * ``when_matched="update"`` — matched source rows upsert;
           a dict of column->Column assignments updates ONLY those
           columns, keeping the target row's other payload (evaluated
-          over the matched pair: source columns win name lookups,
-          target columns are reachable as ``t.<col>``);
+          over the matched pair: qualify shared column names as
+          ``s.<col>`` / ``t.<col>`` — a bare name both sides carry is
+          ambiguous, same as Spark's own MERGE);
         * ``when_matched="delete"`` — matched source rows delete;
         * ``when_not_matched="insert"`` (default) inserts unmatched
           source rows; ``None`` drops them.

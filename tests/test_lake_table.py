@@ -2216,3 +2216,23 @@ class TestFunctionalIndex:
             t.files_for_expr_range("never", 0, 1)
         with pytest.raises(ValueError, match="no functional index"):
             t.refresh_functional_index("never")
+
+
+def test_index_namespaces_do_not_cross(spark, tmp_path):
+    """A functional index and a secondary index share the _index/
+    directory namespace but must never read each other's manifests."""
+    t = LakeTable(spark, str(tmp_path / "ns"), buckets=2)
+    t.insert(
+        spark.createDataFrame(
+            [("k1", 1, "2024-01-05", 5)],
+            "_key string, _ts long, dt string, n long",
+        ),
+        "b1",
+    )
+    t.create_functional_index("month", "substring(dt, 1, 7)")
+    t.create_secondary_index("dt")
+    assert t.secondary_indexes() == ["dt"]           # fn_month excluded
+    assert t.secondary_index("fn_month") is None     # kind-guarded
+    assert t.functional_index("month") is not None
+    # and a secondary-index dir never resolves as a functional one
+    assert t.functional_index("dt") is None
