@@ -139,3 +139,50 @@ def test_validation(spark, tmp_path, src):
     )
     with pytest.raises(ValueError, match="integral"):
         AggregateView(spark, str(tmp_path / "x"), t, ["g"], ["x"])
+
+
+def test_streaming_maintenance_composes_with_foreachbatch(
+    spark, tmp_path, src
+):
+    """The production deployment shape: a CDC sink writes the source
+    table per micro-batch and the SAME foreachBatch refreshes the view
+    — the view tracks the stream with no extra coordination because
+    refresh() is watermark-driven and crash-idempotent. Simulated with
+    a rate-limited file stream driving merges + refresh per batch."""
+    import os
+
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        [("k4", 2, "upsert", "c", 7)],
+        [("k2", 3, "upsert", "b", 25), ("k3", 3, "delete", "b", 5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "_key string, _ts long, _op string, g string, v long"
+        ).coalesce(1).write.mode("overwrite").json(f"{feed}/b{i}")
+
+    def apply_batch(df, epoch_id):
+        if df.isEmpty():
+            return
+        src.merge(df, batch_id=f"stream-{epoch_id}")
+        mv.refresh()
+
+    stream = (
+        spark.readStream.schema(
+            "_key string, _ts long, _op string, g string, v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{feed}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    mv.refresh()  # cover any trailing batch
+    assert_equiv(mv, src)
+    assert mv.watermark() == src.log.latest().version
