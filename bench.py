@@ -199,7 +199,72 @@ SPOT10X_QUERIES = [
     # rows, not pairs (replicas are alphabet-rotated, so cross-replica
     # windows cannot collide and dup spans grow linearly)
     "q-doc-substr-dedup",
+    # r9 (VERDICT r8 #5): the remaining r8 operators. BM25's idf table
+    # is per-distinct-term (flat) and scoring is one (doc,term) agg;
+    # SemDeDup's auto-k must keep per-cluster gram matrices bounded as
+    # n grows (the test_semdedup_auto_k_scales_with_corpus invariant,
+    # here probed at 10x rows); DSIR is a broadcast-weights scan + one
+    # TakeOrdered.
+    "q-doc-bm25",
+    "q-emb-semdedup",
+    "q-doc-dsir",
 ]
+
+
+def _probe_matview_refresh(spark, d: str) -> float:
+    """Matview-refresh spot10x shape (VERDICT r8 #5): seed an
+    AggregateView over a lake table built from ``d``'s documents, then
+    time ONLY an incremental refresh of a FIXED-size churn slice (500
+    docs). Group-delta maintenance is O(changed groups + touched
+    units), never O(view) — so the 10x-source ratio should stay well
+    below 10 even though the view's source grew 10x (touched units'
+    base files do grow with source size; that residual is what the
+    recorded ratio makes visible)."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import AggregateView
+
+    work = tempfile.mkdtemp(prefix="hsp_spotmv_")
+    try:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        seed = docs.select(
+            F.col("doc_id").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        src = LakeTable(spark, f"{work}/src", buckets=8)
+        src.merge(seed, "b1")
+        mv = AggregateView(
+            spark, f"{work}/mv", src, ["lang"], ["n_chars"]
+        )
+        mv.refresh()
+        churn = (
+            docs.orderBy("doc_id")
+            .limit(500)
+            .select(
+                F.col("doc_id").cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "doc_id",
+                F.lit("moved").alias("lang"),  # cross-group updates
+                (F.col("n_chars").cast("long") + 1).alias("n_chars"),
+            )
+        )
+        src.merge(churn, "b2")
+        t0 = time.perf_counter()
+        mv.refresh()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# custom probes: (setup excluded from timing; the callable returns the
+# measured seconds itself)
+SPOT10X_PROBES = {"matview-fixed-churn-refresh": _probe_matview_refresh}
 
 
 def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
@@ -289,6 +354,16 @@ def bench_spot10x(spark, sf_dir: str, factor: int = 10) -> dict:
             t0 = time.perf_counter()
             _materialize(qs[name](spark, scaled))
             tn = time.perf_counter() - t0
+            _clear_session_state(spark)
+            out[name] = {
+                "t1_s": round(t1, 3),
+                "tNx_s": round(tn, 3),
+                "ratio": round(tn / max(t1, 1e-9), 2),
+            }
+        for name, probe in SPOT10X_PROBES.items():
+            t1 = probe(spark, sf_dir)
+            _clear_session_state(spark)
+            tn = probe(spark, scaled)
             _clear_session_state(spark)
             out[name] = {
                 "t1_s": round(t1, 3),

@@ -11,9 +11,16 @@ level and not bit-replayable against a SQL oracle, so every factor here
 is quantized to integers ONCE and combined with integer arithmetic
 only (the SemDeDup/DSIR stance, DESIGN.md):
 
-* ``idf_milli = floor(1000 * ln((N - df + 0.5) / (df + 0.5) + 1))`` —
-  the one transcendental, evaluated per DISTINCT term (not per row) on
-  identical rational inputs in both engines and floored to milli-units;
+* ``idf_milli = floor(1000 * ln((N - df + 0.5) / (df + 0.5) + 1) +
+  1e-9)`` — the one transcendental, evaluated per DISTINCT term (not
+  per row) on identical rational inputs in both engines and floored to
+  milli-units. Neither JVM ``Math.log`` nor DuckDB ``ln`` guarantees
+  correctly-rounded results, so when the true scaled value sits within
+  an ulp of an integer the two engines could floor to different sides;
+  the 1e-9 nudge (applied in BOTH engines) is ~4 orders of magnitude
+  wider than the ~1e-13 absolute ulp disagreement and ~5 orders below
+  the quantization step, so it absorbs the platform noise without
+  changing any honestly-non-boundary value;
 * ``avgdl_milli = (1000 * total_tokens) div N`` — corpus average doc
   length in milli-tokens, exact integer division;
 * per (doc, term):
@@ -79,6 +86,7 @@ def bm25_topk(
                     / (F.col("df_cnt") + 0.5)
                     + 1.0
                 )
+                + 1e-9  # cross-engine ulp guard — see module docstring
             ).cast("long"),
         )
         .withColumn(

@@ -1615,9 +1615,12 @@ def q_lake_secondary_index(spark, sf_dir):
     is neither keyed nor clustered by), then exercise all three
     contract legs — (p1) indexed equality probes prune to Bloom-hit
     files (structurally asserted: a probe must keep FEWER than all
-    files); (p2) a batch committed AFTER the build is unindexed and
-    conservatively scanned, so its rows are found by a stale index;
-    (p3) after refresh + a MOR delta renaming one customer, the OLD
+    files); (p2) a batch committed AFTER the build is found — since r9
+    in-commit maintenance indexes it in the merge itself (before r9
+    this leg exercised conservative scanning of an unindexed file; the
+    crash-window stale path is unit-tested via a suppressed-maintenance
+    monkeypatch instead); (p3) after refresh + a MOR delta renaming one
+    customer, the OLD
     name returns nothing (bucket-granular resolution, no superseded
     row) and the NEW name finds exactly the renamed row."""
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")

@@ -1240,7 +1240,7 @@ LLM_ORACLES = {
           SELECT word,
                  CAST(floor(1000.0 * ln(
                    (c.n_docs - df_cnt + 0.5) / (df_cnt + 0.5) + 1.0
-                 )) AS BIGINT) AS idf_milli,
+                 ) + 1e-9) AS BIGINT) AS idf_milli,
                  (1000 * c.total_tokens) // c.n_docs AS avgdl_milli
           FROM dfreq, corpus c
         ), scored AS (

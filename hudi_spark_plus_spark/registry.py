@@ -73,37 +73,30 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r8: asof_join ts normalization changed (micros-preserving
-    # timestamp handling instead of cast('long'); ADVICE r7) — q11's
-    # integral-epoch output is unchanged by design, re-green it
-    "q11",
-    # r8: stream_source.py per-batch cap rework (floor carried through
-    # the engine's restart re-plan; VERDICT r7 directive 1)
+    # r9: in-commit index maintenance (VERDICT r8 #4) changed the
+    # index fixtures' internal flow (auto-refresh inside merge/insert)
+    "q-lake-secondary-index",
+    "q-lake-functional-index",
+    # r9: matview GC recovery on the no-op refresh path + read-side
+    # cnt==0 filter (ADVICE r8)
+    "q-lake-matview",
+    # r9: BM25 idf floor gained the cross-engine 1e-9 ulp guard in
+    # BOTH engines (ADVICE r8) — values should be bit-identical, but
+    # the change is inside the score math: re-green it
+    "q-doc-bm25",
+    # r9: DML assignment-key validation (ADVICE r8) — refusal path
+    # only, but update_where/merge_into are this fixture's spine
+    "q-lake-dml",
+    # r9: stream_source floor hardening (initialOffset ratchet +
+    # pin-state self-heal; VERDICT r8 #1)
     "q-stream-lake-source",
-    # r8: lake_reader.py gained the cdc mode + writer dispatch — the
-    # snapshot/incremental read paths moved around it; later in r8 the
-    # pushed-filter prune state went per-query (eager pushFilters +
-    # reset after partitions(); the Spark 4.1 shared-DataFrame plan
-    # cache SHARP EDGE) and CDC slices gained bootstrap before-image
-    # candidates — re-green the format-read family
-    "q-lake-batch-source",
-    "q-lake-cdc-source",
-    # r8: savepoint re-verify-after-publish + vacuum double pin read
-    # (ADVICE r7)
-    "q-lake-savepoint",
-    # r8: keygen epoch-day arithmetic went exact-decimal (ADVICE r7) —
-    # partition-path derivation for every partitioned fixture
-    "q-lake-timepart",
-    "q-lake-partitioned",
-    "q-lake-derived",
-    "q-cdc-partitioned",
-    # NOT pinned although the new coarse table-module hash flags them
-    # (pinlint.py, VERDICT r7 directive 4): the remaining q-lake-*/
-    # q-cdc-* family — this round's table/ changes there are additive
-    # (new finalizer class, new pyhash module) or in paths those
-    # queries don't execute; the rotation's stalest-first ordering
-    # re-greens the family without crowding out the 25 r5-stale
-    # queries directive 6 wants sampled (pins capped ~10).
+    # NOT pinned although the coarse table-module hash flags them: the
+    # rest of the q-lake-*/q-cdc-* family — r9's lake_table.py changes
+    # there are additive (assignment validation raises, maintenance
+    # no-ops on index-less tables) or in paths those queries don't
+    # execute; the rotation's stalest-first ordering re-greens the
+    # family while leaving room for the 42 r6-stale queries VERDICT r8
+    # directive 6 wants sampled (pins capped ~10).
 ]
 
 

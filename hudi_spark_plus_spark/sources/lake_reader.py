@@ -102,6 +102,11 @@ PATH_OPT = "path"
 TYPE_OPT = "engine.read.type"
 VERSION_OPT = "engine.read.version"
 AS_OF_TS_OPT = "engine.read.as.of.ts.millis"
+# read a named savepoint's pinned version (H12 through the format
+# surface): resolves via the table's _savepoints/<name>.json sidecar —
+# the pin vacuum honors, so the read target cannot be reclaimed while
+# the name lives. Version/instant options win when both are given.
+SAVEPOINT_OPT = "engine.read.savepoint"
 BEGIN_OPT = "engine.read.begin"
 END_OPT = "engine.read.end"
 # Hudi-parity instant-based ranges (hoodie.datasource.read.begin/
@@ -427,6 +432,25 @@ class LakeBatchReader(DataSourceReader):
         v = options.get(VERSION_OPT)
         if v is not None:
             return int(v)
+        sp = options.get(SAVEPOINT_OPT)
+        if sp is not None:
+            # same name alphabet LakeTable.savepoint enforces — also
+            # keeps a hostile option value from escaping the table dir
+            if not sp or not all(c.isalnum() or c in "._-" for c in sp):
+                raise ValueError(
+                    f"savepoint name {sp!r} must be non-empty and use "
+                    "only letters, digits, '.', '_', '-'"
+                )
+            p = os.path.join(
+                self.table_path, "_savepoints", f"{sp}.json"
+            )  # LakeTable.SAVEPOINTS_DIR
+            try:
+                with open(p) as fh:
+                    return int(json.load(fh)["version"])
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no savepoint {sp!r} on table at {self.table_path}"
+                ) from None
         ts = options.get(AS_OF_TS_OPT)
         if ts is None:
             return None

@@ -61,6 +61,13 @@ START_VERSION_OPT = "engine.stream.start.version"
 # The version option wins when both are given.
 START_TS_OPT = "engine.stream.start.ts.millis"
 MAX_VERSIONS_OPT = "engine.stream.max.versions.per.batch"
+# Directory for an append-only JSONL of every driver-side call
+# (initialOffset / latestOffset / partitions / commit) with the floor
+# state — the observability the r8 restart-stall postmortem asked for.
+# An OPTION (not only env) because the offset runner process inherits
+# the JVM's environment frozen at JVM start, so env set by a test
+# after session creation never reaches it; options always flow.
+DEBUG_DIR_OPT = "engine.stream.debug.dir"
 
 _COMMIT_VER = "_commit_ver"
 
@@ -126,6 +133,27 @@ class LakeStreamReader(DataSourceStreamReader):
         # shape that proves a REGRESSED offset (a capped first poll
         # below Spark's checkpoint); ordinary replays have start <= end
         self._regress_floor = 0
+        # Pin-state self-heal bookkeeping (r8 postmortem). The capped
+        # tip can pin forever in exactly one state: the floor lags
+        # Spark's committed offset by the cap or less, so latestOffset
+        # returns a value Spark has ALREADY committed, Spark judges
+        # latest == committed, never plans a batch, and nothing ever
+        # ratchets the floor again. The engine's trigger loop is
+        # single-threaded (poll -> plan -> execute -> commit -> poll),
+        # so two consecutive latestOffset polls with NO intervening
+        # partitions()/commit() prove the engine saw the previous
+        # return value and judged it fully committed — every version
+        # at or below it was delivered (pre-restart), and ratcheting
+        # the floor to it can never skip data. Armed only after the
+        # first partitions() call so the documented fresh-start
+        # poll -> initialOffset -> poll sequence (no batch planned yet)
+        # can never trip it and widen the first capped batch.
+        self._armed = False
+        self._last_poll: int | None = None
+        self._ratcheted_since_poll = True
+        self._debug_dir = options.get(DEBUG_DIR_OPT) or os.environ.get(
+            "HSP_STREAM_DEBUG_DIR"
+        )
         latest = self.log.latest()
         if latest is None or not latest.schema_json:
             raise ValueError(
@@ -138,8 +166,38 @@ class LakeStreamReader(DataSourceStreamReader):
 
     # -- offsets (driver-side) ----------------------------------------------
 
+    def _dbg(self, event: str, **kv) -> None:
+        if not self._debug_dir:
+            return
+        import json
+
+        rec = {
+            "event": event,
+            "floor": self._floor,
+            "regress": self._regress_floor,
+            "armed": self._armed,
+            "last_poll": self._last_poll,
+            **kv,
+        }
+        try:
+            path = os.path.join(
+                self._debug_dir, "lake_stream_transitions.jsonl"
+            )
+            with open(path, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass  # observability must never fail the stream
+
     def initialOffset(self) -> dict:
-        self._floor = self.start_version
+        # RATCHET, never assign: the engine contractually calls this
+        # only at fresh start (no checkpoint), but if any engine path
+        # ever called it after partitions() restored a checkpointed
+        # floor, assignment would throw the floor back to
+        # start_version — landing in the pin state above (capped polls
+        # forever below Spark's committed offset). Ratcheting makes the
+        # call order irrelevant.
+        self._floor = max(self._floor or 0, self.start_version)
+        self._dbg("initialOffset", returned=self.start_version)
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -149,13 +207,33 @@ class LakeStreamReader(DataSourceStreamReader):
             # the last offset-log batch first, setting the floor — see
             # __init__ note). Cap from the configured start.
             self._floor = self.start_version
+        healed = None
+        if (
+            self.max_versions is not None
+            and self._armed
+            and not self._ratcheted_since_poll
+            and self._last_poll is not None
+            and self._last_poll > self._floor
+        ):
+            # Pin-state self-heal (see __init__): the previous poll's
+            # value came back unplanned and uncommitted-to-us, which in
+            # the single-threaded trigger loop means Spark's committed
+            # offset already covers it. Versions <= it were delivered
+            # before the restart; adopting it as the floor lets the
+            # capped tip move past the checkpoint instead of pinning.
+            healed = self._last_poll
+            self._floor = self._last_poll
         self.log.invalidate()  # other writers publish out-of-band
         vs = self.log.versions()
         tip = vs[-1] if vs else self.start_version
         tip = max(tip, self.start_version)
         if self.max_versions is not None:
             tip = min(tip, self._floor + self.max_versions)
-        return {"version": max(tip, self._floor)}
+        ret = max(tip, self._floor)
+        self._last_poll = ret
+        self._ratcheted_since_poll = False
+        self._dbg("latestOffset", returned=ret, tip=tip, healed=healed)
+        return {"version": ret}
 
     def partitions(self, start: dict, end: dict):
         b, e = int(start["version"]), int(end["version"])
@@ -180,6 +258,9 @@ class LakeStreamReader(DataSourceStreamReader):
         # evidence alone, genuine replays (start <= end) are never
         # eviscerated.
         self._floor = max(self._floor or 0, b, e)
+        self._armed = True
+        self._ratcheted_since_poll = True
+        self._dbg("partitions", start=b, end=e)
         if e < b:
             self._regress_floor = max(self._regress_floor, b)
             return []
@@ -227,6 +308,8 @@ class LakeStreamReader(DataSourceStreamReader):
         # ratchet the cap floor (restart defense in depth: the engine
         # re-commits the last batch on recovery before new polls).
         self._floor = max(self._floor or 0, int(end["version"]))
+        self._ratcheted_since_poll = True
+        self._dbg("commit", end=int(end["version"]))
 
     # -- data (worker-side) -------------------------------------------------
 

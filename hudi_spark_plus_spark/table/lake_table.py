@@ -1308,7 +1308,8 @@ class LakeTable:
         """Async-indexer catch-up: bloom ONLY the live files with no
         entry, carry still-live entries forward, drop dead ones. Cost is
         proportional to data written since the last (re)build, not to
-        the table."""
+        the table. No-change refreshes (idempotent replays, commits
+        that touched no indexed state) publish nothing."""
         idx = self.secondary_index(col)
         if idx is None:
             return self.create_secondary_index(col)
@@ -1319,6 +1320,13 @@ class LakeTable:
             f.path: old[f.path] for f in live if f.path in old
         }
         new_files = [f for f in live if f.path not in old]
+        if not new_files and carried == old:
+            return {
+                "col": col,
+                "version": idx["version"],
+                "files_indexed": len(carried),
+                "files_built": 0,
+            }
         carried.update(self._build_index_entries(new_files, col))
         self._publish_index(col, carried, latest.version)
         return {
@@ -1327,6 +1335,38 @@ class LakeTable:
             "files_indexed": len(carried),
             "files_built": len(new_files),
         }
+
+    def functional_indexes(self) -> list[str]:
+        """Names of live functional indexes."""
+        d = os.path.join(self.path, self.SECONDARY_INDEX_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            c[len(self._FN_PREFIX):]
+            for c in os.listdir(d)
+            if c.startswith(self._FN_PREFIX)
+            and self.functional_index(c[len(self._FN_PREFIX):]) is not None
+        )
+
+    def _maintain_indexes(self) -> None:
+        """In-commit incremental index maintenance (VERDICT r8 #4):
+        every table-mutating operation calls this after its commit
+        publishes, so secondary/functional indexes stay an INVARIANT
+        instead of a chore — a merge that rewrites files re-indexes
+        exactly the commit's added files (the refresh paths build only
+        live-files-without-entries) and point queries keep pruning
+        without a manual refresh. Stale-is-correct still holds (an
+        async crash between commit and refresh just un-prunes the new
+        files until the next commit); cost is one ``isdir`` when the
+        table has no indexes, else one bounded job per index sized by
+        the commit's own output."""
+        d = os.path.join(self.path, self.SECONDARY_INDEX_DIR)
+        if not os.path.isdir(d):
+            return
+        for c in self.secondary_indexes():
+            self.refresh_secondary_index(c)
+        for n in self.functional_indexes():
+            self.refresh_functional_index(n)
 
     def files_for_values(
         self, col: str, values, partitions=None
@@ -1518,6 +1558,14 @@ class LakeTable:
         old = idx["entries"]
         carried = {f.path: old[f.path] for f in live if f.path in old}
         new_files = [f for f in live if f.path not in old]
+        if not new_files and carried == old:
+            return {
+                "name": name,
+                "expr": idx["expr"],
+                "version": idx["version"],
+                "files_indexed": len(carried),
+                "files_built": 0,
+            }
         carried.update(self._fn_build_entries(new_files, idx["expr"]))
         self._publish_fn_index(name, idx["expr"], carried, latest.version)
         return {
@@ -1768,13 +1816,24 @@ class LakeTable:
     COMMIT_RETRIES = 3
 
     def _with_commit_retries(self, attempt):
+        out = None
         for n in range(self.COMMIT_RETRIES + 1):
             try:
-                return attempt()
+                out = attempt()
+                break
             except CommitConflict:
                 if n == self.COMMIT_RETRIES:
                     raise
                 self.log.invalidate()
+        try:
+            # every successful mutating commit maintains the table's
+            # indexes in-line (no-op isdir check on index-less tables)
+            self._maintain_indexes()
+        except CommitConflict:
+            # a concurrent indexer published first: their manifest is
+            # at least as fresh; stale-is-correct covers any gap
+            pass
+        return out
 
     def insert(
         self,
@@ -2061,6 +2120,16 @@ class LakeTable:
                 *payload, F.lit(DELETE_OP).alias(OP_COL)
             )
         else:
+            unknown = sorted(set(assignments) - set(payload))
+            if unknown:
+                # a typo'd column must raise, not silently no-op: the
+                # select below walks the TABLE's payload columns, so an
+                # unmatched assignment key would simply never be read
+                raise ValueError(
+                    f"update_where assignments reference columns not in "
+                    f"the table payload: {unknown} (payload columns: "
+                    f"{sorted(payload)})"
+                )
             from pyspark.sql import Column
 
             def value_of(v):
@@ -2170,6 +2239,17 @@ class LakeTable:
                     PARTITION_COL,
                 )
             ]
+            unknown = sorted(set(when_matched) - set(t_payload))
+            if unknown:
+                # same no-silent-no-op rule as update_where: the select
+                # below walks the TARGET's payload columns, so a typo'd
+                # (or schema-evolving) assignment key would vanish
+                raise ValueError(
+                    f"merge_into assignments reference columns not in "
+                    f"the target payload: {unknown} (target payload: "
+                    f"{sorted(t_payload)}; to add columns, run a full "
+                    "merge first)"
+                )
             matched = t.join(s, ident).select(
                 F.col(KEY_COL),
                 F.col(f"s.{TS_COL}").alias(TS_COL),

@@ -125,6 +125,16 @@ class AggregateView:
         begin = self.watermark()
         end = latest.version
         if end <= begin:
+            # crash-recovery: a refresh that died between its mv- merge
+            # and its mvgc- tombstone pass left cnt==0 groups in the
+            # table, and the advanced watermark means no later refresh
+            # with new source changes would re-run GC. The owed pass is
+            # keyed by the EXACT gc batch id the crashed refresh would
+            # have used, so this is idempotent and a no-op when the
+            # last refresh completed normally.
+            owed = self._pending_gc()
+            if owed is not None:
+                self.table.delete_where(F.col("cnt") == 0, batch_id=owed)
             return {"begin": begin, "end": begin, "groups_touched": 0}
         deltas = self._deltas(begin, end)
         src = deltas.select(
@@ -153,6 +163,19 @@ class AggregateView:
             F.col("cnt") == 0, batch_id=f"{_GC_PREFIX}{begin}-{end}"
         )
         return {"begin": begin, "end": end, "groups_touched": n}
+
+    def _pending_gc(self) -> str | None:
+        """The gc batch id owed to the NEWEST mv- commit, or None when
+        that commit's tombstone pass already ran (the normal case)."""
+        newest = None
+        for v in self.table.log.versions():
+            b = self.table.log.read(v).batch_id or ""
+            if b.startswith(_BATCH_PREFIX):
+                newest = b[len(_BATCH_PREFIX):]
+        if newest is None:
+            return None
+        gc_id = f"{_GC_PREFIX}{newest}"
+        return None if self.table.log.has_batch(gc_id) else gc_id
 
     def _deltas(self, begin: int, end: int) -> DataFrame:
         cdc = self.source.incremental_cdc(begin, end)
@@ -197,9 +220,212 @@ class AggregateView:
     # -- reads --------------------------------------------------------------
 
     def df(self) -> DataFrame:
-        """Current view contents: group_cols + cnt + sum_<col>."""
+        """Current view contents: group_cols + cnt + sum_<col>.
+
+        Filters ``cnt == 0`` read-side: those rows are groups whose
+        records all left the source — logically absent from the
+        GROUP-BY equivalence contract — and physically present only in
+        the window between a refresh's mv- merge and its mvgc-
+        tombstone pass (or after a crash in that window, until
+        ``refresh`` runs the owed pass). Belt-and-suspenders with
+        ``_pending_gc``."""
+        return (
+            self.table.snapshot()
+            .where(F.col("cnt") != 0)
+            .select(
+                *self.group_cols,
+                "cnt",
+                *[f"sum_{c}" for c in self.sum_cols],
+            )
+        )
+
+
+class MinMaxView:
+    """Incrementally-maintained COUNT/MIN/MAX aggregate of a source
+    ``LakeTable`` (the second matview shape, VERDICT r8 stretch 7).
+
+    MIN/MAX are NOT self-inverting: a delete of the current minimum
+    cannot be subtracted the way a sum delta can, so the delta-addition
+    construction of ``AggregateView`` does not apply. The standard
+    answer — and this class's contract — is PARTIAL RECOMPUTE (the
+    ``operators/derived.py`` path, here bound to the same
+    watermark-in-batch-id exactly-once protocol as ``AggregateView``):
+
+    * read the source's CDC slice ``(watermark, latest]``;
+    * affected groups = after-image groups of i/u + before-image
+      groups of u/d (a group-moving update affects both);
+    * re-aggregate the source SNAPSHOT for ONLY those groups (one
+      null-safe broadcast semi-join prunes the scan; cost is the
+      affected groups' rows, never the table);
+    * one LWW merge applies everything: recomputed groups upsert,
+      affected groups with no remaining rows tombstone — upserts and
+      deletes ride the SAME commit, so there is no GC window at all
+      (the ``AggregateView`` crash case this shape cannot have).
+
+    Correctness contract (tested + oracled): after any refresh
+    sequence the view equals ``SELECT group_cols, count(*),
+    min(c)..., max(c)... FROM source-snapshot GROUP BY group_cols`` —
+    bit-for-bit for integral/string measure columns (min/max SELECT a
+    stored value rather than accumulate, so no float-order caveat is
+    needed — but floats stay refused for engine-comparison hygiene).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        minmax_cols: list[str],
+        buckets: int = 4,
+    ):
+        if not group_cols:
+            raise ValueError("MinMaxView requires at least one group col")
+        if not minmax_cols:
+            raise ValueError(
+                "MinMaxView requires at least one min/max column"
+            )
+        overlap = set(group_cols) & set(minmax_cols)
+        if overlap:
+            raise ValueError(
+                f"columns cannot be both group and measure: "
+                f"{sorted(overlap)}"
+            )
+        if "cnt" in group_cols or "cnt" in minmax_cols:
+            raise ValueError("'cnt' is the view's count column name")
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.minmax_cols = list(minmax_cols)
+        sch = source.schema()
+        if sch is not None:
+            ok = {
+                "tinyint", "smallint", "int", "bigint", "string",
+                "boolean", "date",
+            }
+            bad = [
+                f.name
+                for f in sch.fields
+                if f.name in self.minmax_cols
+                and f.dataType.simpleString() not in ok
+            ]
+            if bad:
+                raise ValueError(
+                    f"min/max columns must be integral/string/date for "
+                    f"an engine-exact view: {sorted(bad)}"
+                )
+        self.table = LakeTable(spark, path, buckets=buckets)
+
+    def watermark(self) -> int:
+        """Highest source version applied — parsed from the view's own
+        commit batch ids (atomic with the data, same as
+        ``AggregateView``)."""
+        hi = 0
+        for v in self.table.log.versions():
+            b = self.table.log.read(v).batch_id or ""
+            if b.startswith(_BATCH_PREFIX):
+                try:
+                    hi = max(hi, int(b.rsplit("-", 1)[1]))
+                except ValueError:
+                    continue
+        return hi
+
+    def refresh(self) -> dict:
+        latest = self.source.log.latest()
+        if latest is None:
+            return {"begin": 0, "end": 0, "groups_touched": 0}
+        begin = self.watermark()
+        end = latest.version
+        if end <= begin:
+            return {"begin": begin, "end": begin, "groups_touched": 0}
+        cdc = self.source.incremental_cdc(begin, end)
+        after = cdc.where(F.col("_change_op").isin("i", "u")).select(
+            *self.group_cols
+        )
+        before = cdc.where(F.col("_change_op").isin("u", "d")).select(
+            *[F.col(f"_before_{c}").alias(c) for c in self.group_cols]
+        )
+        affected = after.unionByName(before).distinct()
+        a = affected.alias("a")
+        s = self.source.snapshot().alias("s")
+        cond = None
+        for c in self.group_cols:
+            e = F.col(f"s.{c}").eqNullSafe(F.col(f"a.{c}"))
+            cond = e if cond is None else (cond & e)
+        pruned = s.join(F.broadcast(a), cond, "semi")
+        recomputed = pruned.groupBy(*self.group_cols).agg(
+            F.count("*").cast("long").alias("cnt"),
+            *[
+                x
+                for c in self.minmax_cols
+                for x in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ],
+        )
+        measures = ["cnt"] + [
+            f"{p}_{c}" for c in self.minmax_cols for p in ("min", "max")
+        ]
+
+        def keyed(df, op):
+            return df.select(
+                F.to_json(
+                    F.struct(*self.group_cols),
+                    {"ignoreNullFields": "false"},
+                ).alias(KEY_COL),
+                F.lit(end).cast("long").alias(TS_COL),
+                F.lit(op).alias("_op"),
+                *self.group_cols,
+                *measures,
+            )
+
+        types = dict(recomputed.dtypes)
+        dead = (
+            affected.alias("a")
+            .join(
+                F.broadcast(
+                    recomputed.select(*self.group_cols).alias("r")
+                ),
+                self._nullsafe("a", "r"),
+                "anti",
+            )
+            .select(
+                *self.group_cols,
+                F.lit(0).cast("long").alias("cnt"),
+                *[
+                    F.lit(None).cast(types[m]).alias(m)
+                    for m in measures
+                    if m != "cnt"
+                ],
+            )
+        )
+        batch = keyed(recomputed, "upsert").unionByName(
+            keyed(dead, "delete"), allowMissingColumns=False
+        )
+        n = batch.count()
+        # upserts AND tombstones in ONE commit: the watermark, the new
+        # aggregates, and the emptied groups' deletion are atomic
+        self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
+        return {"begin": begin, "end": end, "groups_touched": n}
+
+    def _nullsafe(self, left: str, right: str):
+        cond = None
+        for c in self.group_cols:
+            e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    def df(self) -> DataFrame:
+        """Current view contents: group_cols + cnt + min_/max_<col>."""
         return self.table.snapshot().select(
             *self.group_cols,
             "cnt",
-            *[f"sum_{c}" for c in self.sum_cols],
+            *[
+                f"{p}_{c}"
+                for c in self.minmax_cols
+                for p in ("min", "max")
+            ],
         )
+
+

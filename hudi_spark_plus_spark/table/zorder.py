@@ -315,3 +315,6 @@ def zorder_cluster_table(
         schema_json=lake.log.latest().schema_json,
         partition_fields=lake.partition_fields or None,
     )
+    # clustering rewrites every file: re-index the new ones in-line
+    # (same invariant as LakeTable._with_commit_retries commits)
+    lake._maintain_indexes()

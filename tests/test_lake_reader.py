@@ -81,6 +81,29 @@ class TestBatchSnapshot:
         as_of = _read(spark, t.path, **{"engine.read.as.of.ts.millis": str(ts1)})
         assert _vals(as_of) == _vals(v1)
 
+    def test_savepoint_read(self, spark, tmp_path):
+        """VERDICT r8 stretch 8: format-only consumers read a pinned
+        version by NAME — engine.read.savepoint resolves through the
+        table's _savepoints sidecar (the pin vacuum honors), explicit
+        version wins over it, unknown/invalid names are loud."""
+        t = _build(spark, str(tmp_path / "t"))
+        lake_reader.register(spark)
+        t.savepoint("rel-1", version=1)
+        sp = _read(spark, t.path, **{"engine.read.savepoint": "rel-1"})
+        assert _vals(sp) == _vals(t.snapshot(version=1))
+        # explicit version option wins over the savepoint name
+        both = _read(spark, t.path, **{
+            "engine.read.savepoint": "rel-1",
+            "engine.read.version": "2",
+        })
+        assert _vals(both) == _vals(t.snapshot(version=2))
+        with pytest.raises(Exception, match="no savepoint"):
+            _read(spark, t.path,
+                  **{"engine.read.savepoint": "nope"}).collect()
+        with pytest.raises(Exception, match="letters"):
+            _read(spark, t.path,
+                  **{"engine.read.savepoint": "../evil"}).collect()
+
     def test_read_optimized_view(self, spark, tmp_path):
         t = _build(spark, str(tmp_path / "t"), mode="mor")
         lake_reader.register(spark)
@@ -580,6 +603,7 @@ class TestStreamMaxVersionsPerBatch:
                 spark.readStream.format("lake-table")
                 .option("path", t.path)
                 .option("engine.stream.max.versions.per.batch", "1")
+                .option("engine.stream.debug.dir", str(tmp_path))
                 .load()
                 .writeStream.foreachBatch(take)
                 .option("checkpointLocation", str(tmp_path / "ck"))
@@ -596,10 +620,19 @@ class TestStreamMaxVersionsPerBatch:
             finally:
                 q.stop()
 
+        def transitions():
+            p = tmp_path / "lake_stream_transitions.jsonl"
+            return p.read_text() if p.exists() else "<no transition log>"
+
         run_until(2)   # partway into the backlog
         assert 2 <= sum(len(b) for b in batches) < 5
         run_until(5)   # restart from the checkpoint, drain the rest
         got = [r for b in batches for r in b]
+        # a stall here is the r8 flake: fail WITH the offset-call
+        # transcript so the interleaving is named, not guessed at
+        assert len(got) >= 5, (
+            f"stream stalled with {got}; transitions:\n{transitions()}"
+        )
         # cap held in EVERY batch, including the first after restart
         assert all(len(b) == 1 for b in batches), batches
         assert set(got) == set(keys)
@@ -607,6 +640,91 @@ class TestStreamMaxVersionsPerBatch:
         # that was delivered-but-uncommitted at stop may replay
         assert len(got) <= len(keys) + 1, got
 
+
+    def test_initial_offset_after_restore_cannot_clobber_floor(
+        self, spark, tmp_path
+    ):
+        """The r8 full-suite stall, named (VERDICT r8 #1): the capped
+        tip pins forever iff the floor lags Spark's committed offset —
+        latestOffset then returns a value Spark already committed,
+        Spark judges latest == committed, never plans, and nothing
+        ratchets the floor again. The one call order that THREW the
+        floor backwards was initialOffset() landing after partitions()
+        restored it (assignment, not ratchet). Simulated here without
+        a live stream: restore to 3, clobber-attempt, poll must still
+        return 4 — with the old assignment it returned 1 and pinned."""
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for v in range(1, 6):
+            t.merge(_mk(spark, [(f"k{v}", v, "upsert", "x", "p")]),
+                    f"b{v}")
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.max.versions.per.batch": "1",
+        })
+        # restart: engine re-plans the last offset-log batch first
+        rd.partitions({"version": 2}, {"version": 3})
+        rd.commit({"version": 3})
+        # drifted/errant engine path calls initialOffset post-restore
+        assert rd.initialOffset() == {"version": 0}
+        # floor must have ratcheted, not reset: next capped poll is 4
+        assert rd.latestOffset() == {"version": 4}
+
+    def test_pin_state_self_heals_within_two_polls(self, spark, tmp_path):
+        """Self-heal of the pin state itself: floor restored to 3 but
+        Spark's checkpoint is at 4 (the batch (3,4] was planned and
+        committed before the stop, but this reader instance never saw
+        those calls). Poll 1 returns 4 == committed, Spark plans
+        nothing; poll 2 (no partitions/commit in between) must adopt 4
+        as the floor and return 5 — the backlog drains instead of
+        pinning."""
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for v in range(1, 6):
+            t.merge(_mk(spark, [(f"k{v}", v, "upsert", "x", "p")]),
+                    f"b{v}")
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.max.versions.per.batch": "1",
+        })
+        rd.partitions({"version": 2}, {"version": 3})   # restore -> 3
+        assert rd.latestOffset() == {"version": 4}       # == committed
+        # Spark saw 4 == committed: no plan, no commit, polls again
+        assert rd.latestOffset() == {"version": 5}       # healed
+        # and the healed range plans only the undelivered version
+        slices = rd.partitions({"version": 4}, {"version": 5})
+        assert slices and all(s.begin == 4 and s.end == 5 for s in slices)
+
+    def test_self_heal_never_widens_fresh_start_cap(self, spark, tmp_path):
+        """Fresh-start safety of the heal: the engine polls BEFORE
+        initialOffset on a fresh stream, so two pre-batch polls happen
+        with no partitions() between them. Unarmed (no partitions yet),
+        the heal must not fire — both polls return start+cap and the
+        first batch stays one version wide."""
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        for v in range(1, 4):
+            t.merge(_mk(spark, [(f"k{v}", v, "upsert", "x", "p")]),
+                    f"b{v}")
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.max.versions.per.batch": "1",
+        })
+        assert rd.latestOffset() == {"version": 1}
+        assert rd.initialOffset() == {"version": 0}
+        assert rd.latestOffset() == {"version": 1}   # no heal: unarmed
+        assert rd.partitions({"version": 0}, {"version": 1})
+        rd.commit({"version": 1})
+        assert rd.latestOffset() == {"version": 2}
 
     def test_regressed_offsets_never_redeliver(self, spark, tmp_path):
         """Defense in depth for engine drift: if a future engine polled
@@ -770,6 +888,28 @@ class TestPushdownPlanReuse:
         # every FILTERED action re-plans with its own filters — correct
         assert df.where(F.col("d") < "p3").count() == 8
         assert df.where(F.col("val") == "21").count() == 1
+
+    def test_unfiltered_reuse_of_filtered_plan_pinned(self, spark, tmp_path):
+        """PINS the Spark 4.1 framework hazard itself (ADVICE r8): an
+        unfiltered action on a shared DataFrame after a filtered one
+        reuses the filtered planning's InputPartitions and returns the
+        SUBSET. This is the engine behavior the SHARP EDGE note and the
+        README caveat document — pruning stays on by default because it
+        is the 100-TB point of the format, and the documented escape
+        hatches (fresh load per query / engine.read.pushdown=false) are
+        pinned green by the two tests above. WHEN THIS TEST FAILS with
+        count == 12, Spark has fixed filterless re-planning: delete
+        this test and the caveat docs — no engine change needed."""
+        t = self._table(spark, tmp_path)
+        lake_reader.register(spark)
+        df = _read(spark, t.path)
+        assert df.where(F.col("d") == "p3").count() == 4
+        reused = df.count()
+        assert reused == 4, (
+            f"shared-DataFrame filterless action returned {reused}: "
+            "Spark now re-plans filterless scans — remove this pin and "
+            "the SHARP EDGE caveat in lake_reader.py/README"
+        )
 
     def test_pushdown_off_makes_shared_df_reuse_safe(self, spark, tmp_path):
         t = self._table(spark, tmp_path)

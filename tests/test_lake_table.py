@@ -1693,6 +1693,27 @@ class TestPredicateDml:
         with _pytest.raises(ValueError, match="assignment"):
             t.update_where("val = 'aa'", {})
 
+    def test_unknown_assignment_columns_raise(self, spark, tmp_path):
+        """ADVICE r8: a typo'd assignment column must raise, not
+        silently no-op — both DML surfaces walk the TABLE's payload
+        columns, so an unmatched key would simply never be read."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        t = self._seed(spark, tmp_path)
+        with _pytest.raises(ValueError, match="vall"):
+            t.update_where(F.col("val") == "aa", {"vall": "x"}, "b2")
+        src = spark.createDataFrame(
+            [("k1", 9, "zz")], "_key string, _ts long, val string"
+        )
+        with _pytest.raises(ValueError, match="vall"):
+            t.merge_into(src, {"vall": F.col("s.val")}, batch_id="b3")
+        # nothing committed by either refusal
+        assert snap_dict(t) == {
+            "k1": (5, "aa"), "k2": (5, "bb"),
+            "k3": (5, "cc"), "k4": (5, "dd"),
+        }
+
     def test_dml_mor_mode_and_idempotence(self, spark, tmp_path):
         import pyspark.sql.functions as F
 
@@ -1891,9 +1912,11 @@ class TestSecondaryIndex:
         )
         assert got2 == exp
 
-    def test_stale_index_is_correct_and_refresh_catches_up(
-        self, spark, tmp_path
-    ):
+    def test_merge_auto_maintains_index(self, spark, tmp_path):
+        """VERDICT r8 #4: a merge on an indexed table re-indexes the
+        commit's added files IN the commit path — point probes prune
+        the new files with no manual refresh, and the index covers
+        exactly the live set."""
         t, df = self._seed(spark, tmp_path)
         t.create_secondary_index("cat")
         t.merge(
@@ -1902,6 +1925,41 @@ class TestSecondaryIndex:
             ),
             "b2",
         )
+        idx = t.secondary_index("cat")
+        live = {f.path for f in t.log.live_files()}
+        assert set(idx["entries"]) == live  # no unindexed live file
+        # a miss-probe prunes EVERY file (modulo Bloom FP budget):
+        # strictly fewer than live, and the new file is index-pruned
+        kept, live_files = t.files_for_values("cat", ["NOPE"])
+        assert len(kept) < len(live_files)
+        # hit-probe on the new value reads without a manual refresh
+        got = {r["_key"] for r in t.scan_for_values("cat", ["LATE"]).collect()}
+        assert got == {"zz1"}
+        # and an idempotent replay publishes no new index manifest
+        n_before = t._latest_index_n("cat")
+        t.merge(
+            spark.createDataFrame(
+                [("zz1", 2, "upsert", "LATE", 999)], df.schema
+            ),
+            "b2",
+        )
+        assert t._latest_index_n("cat") == n_before
+
+    def test_stale_index_is_correct_and_refresh_catches_up(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t, df = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+        # the stale window is now a CRASH between a commit and its
+        # in-line index maintenance — simulated by suppressing it
+        monkeypatch.setattr(LakeTable, "_maintain_indexes", lambda s: None)
+        t.merge(
+            spark.createDataFrame(
+                [("zz1", 2, "upsert", "LATE", 999)], df.schema
+            ),
+            "b2",
+        )
+        monkeypatch.undo()
         # unindexed new file: conservatively scanned -> row FOUND
         got = {r["_key"] for r in t.scan_for_values("cat", ["LATE"]).collect()}
         assert got == {"zz1"}
@@ -2147,7 +2205,10 @@ class TestFunctionalIndex:
             f"k{b}_{i}" for b in range(3) for i in range(30, 40)
         }
 
-    def test_stale_found_then_refresh_prunes(self, spark, tmp_path):
+    def test_insert_auto_maintains_functional_index(self, spark, tmp_path):
+        """VERDICT r8 #4, functional flavor: a write on a table with an
+        expression index min/maxes the new files in the commit path —
+        range probes prune them with no manual refresh."""
         t = self._seed(spark, tmp_path)
         t.create_functional_index("month", "substring(dt, 1, 7)")
         t.insert(
@@ -2157,6 +2218,32 @@ class TestFunctionalIndex:
             ),
             "b9",
         )
+        idx = t.functional_index("month")
+        assert set(idx["entries"]) == {f.path for f in t.log.live_files()}
+        kept, live = t.files_for_expr_range("month", "2030-01", "2030-12")
+        assert {f.path for f in kept} < {f.path for f in live}
+        got = {
+            r["_key"]
+            for r in t.scan_expr_range("month", "2030-01", "2030-12")
+            .collect()
+        }
+        assert got == {"zz"}
+
+    def test_stale_found_then_refresh_prunes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = self._seed(spark, tmp_path)
+        t.create_functional_index("month", "substring(dt, 1, 7)")
+        # stale window = crash between commit and in-line maintenance
+        monkeypatch.setattr(LakeTable, "_maintain_indexes", lambda s: None)
+        t.insert(
+            spark.createDataFrame(
+                [("zz", 9, "2030-06-15", 1)],
+                "_key string, _ts long, dt string, n long",
+            ),
+            "b9",
+        )
+        monkeypatch.undo()
         got = {
             r["_key"]
             for r in t.scan_expr_range(

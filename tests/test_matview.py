@@ -186,3 +186,48 @@ def test_streaming_maintenance_composes_with_foreachbatch(
     mv.refresh()  # cover any trailing batch
     assert_equiv(mv, src)
     assert mv.watermark() == src.log.latest().version
+
+
+def test_crashed_gc_pass_recovers_on_noop_refresh(spark, tmp_path, src):
+    """ADVICE r8: a crash BETWEEN a refresh's mv- merge and its mvgc-
+    tombstone pass used to leave cnt==0 groups visible in df() forever
+    on a quiet source (watermark already advanced, so replay skipped
+    GC). Two-layer fix pinned here: df() hides cnt==0 read-side
+    immediately, and the next refresh — even with NO new source
+    changes — runs the owed GC pass under the exact batch id the
+    crashed refresh would have used."""
+    mv = AggregateView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    mv.refresh()
+    # empty group b at the source, then simulate the crash: apply the
+    # mv- merge commit by hand and DON'T run the tombstone pass
+    src.merge(mk(spark, [("k3", 2, "delete", "b", 5)]), "b2")
+    begin, end = mv.watermark(), src.log.latest().version
+    deltas = mv._deltas(begin, end)
+    src_df = deltas.select(
+        F.to_json(F.struct("g"), {"ignoreNullFields": "false"}).alias(
+            "_key"
+        ),
+        F.lit(end).cast("long").alias("_ts"),
+        "g",
+        "cnt",
+        "sum_v",
+    )
+    mv.table.merge_into(
+        src_df,
+        {"cnt": F.col("t.cnt") + F.col("s.cnt"),
+         "sum_v": F.col("t.sum_v") + F.col("s.sum_v")},
+        "insert",
+        batch_id=f"mv-{begin}-{end}",
+    )
+    # the zero-count group is physically present but must not be read
+    zero = mv.table.snapshot().where(F.col("cnt") == 0)
+    assert zero.count() == 1
+    assert "b" not in {r["g"] for r in mv.df().collect()}
+    assert_equiv(mv, src)
+    # recovery: no new source changes, refresh still runs the owed GC
+    r = mv.refresh()
+    assert r["begin"] == r["end"]
+    assert mv.table.snapshot().where(F.col("cnt") == 0).count() == 0
+    assert_equiv(mv, src)
+    # and the recovery is one-shot: a second no-op refresh owes nothing
+    assert mv._pending_gc() is None
