@@ -1896,8 +1896,94 @@ def q_lake_matview(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_minmax(spark, sf_dir):
+    """MIN/MAX materialized view (table/matview.py MinMaxView — the
+    NON-self-inverting aggregate shape, maintained by partial
+    recompute of affected groups instead of delta addition): source =
+    customers < SUBSET keyed by custkey, view = count + min/max of
+    c_nationkey and c_name (a string measure exercises lexical
+    min/max) per market segment. Seed, refresh; churn — %5 keys MOVE
+    to 'MOVED', %9 keys DELETE (removing several segments' current
+    minima, the case delta math cannot handle), [SUBSET, SUBSET+15)
+    insert as 'NEW' — refresh again. Upserts and emptied-group
+    tombstones ride ONE commit. Result must equal a from-scratch
+    GROUP BY of the final state."""
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        seed = c.where(F.col("c_custkey") < SUBSET).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_nationkey",
+            "c_name",
+        )
+        src = LakeTable(spark, work + "/src", buckets=4)
+        src.merge(seed, "b1")
+        mv = MinMaxView(
+            spark, work + "/mv", src, ["c_mktsegment"],
+            ["c_nationkey", "c_name"],
+        )
+        mv.refresh()
+        churn = c.where(
+            (
+                (F.col("c_custkey") < SUBSET)
+                & (
+                    (F.col("c_custkey") % 9 == 0)
+                    | (F.col("c_custkey") % 5 == 0)
+                )
+            )
+            | (
+                (F.col("c_custkey") >= SUBSET)
+                & (F.col("c_custkey") < SUBSET + 15)
+            )
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(
+                (F.col("c_custkey") % 9 == 0)
+                & (F.col("c_custkey") < SUBSET),
+                "delete",
+            )
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            F.when(F.col("c_custkey") >= SUBSET, "NEW")
+            .when(F.col("c_custkey") % 5 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_nationkey",
+            "c_name",
+        )
+        src.merge(churn, "b2")
+        st = mv.refresh()
+        if st["groups_touched"] == 0:
+            raise AssertionError("minmax refresh saw no CDC deltas")
+        out = (
+            mv.df()
+            .select(
+                "c_mktsegment",
+                "cnt",
+                F.col("min_c_nationkey").alias("min_nk"),
+                F.col("max_c_nationkey").alias("max_nk"),
+                F.col("min_c_name").alias("min_name"),
+                F.col("max_c_name").alias("max_name"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
     "q-lake-matview": q_lake_matview,
+    "q-lake-matview-minmax": q_lake_matview_minmax,
     "q-lake-functional-index": q_lake_functional_index,
     "q-lake-partial-update": q_lake_partial_update,
     "q-lake-secondary-index": q_lake_secondary_index,
@@ -1988,6 +2074,29 @@ LAKE_ORACLES = {
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # min/max matview replay: same churn as q-lake-matview, but the
+    # view carries count + min/max of nationkey and name per segment
+    # (partial recompute — deletes removed several segments' minima)
+    "q-lake-matview-minmax": f"""
+        WITH final AS (
+          SELECT CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_nationkey, c_name
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, c_nationkey, c_name
+          FROM customer
+          WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 15}
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               min(c_nationkey) AS min_nk,
+               max(c_nationkey) AS max_nk,
+               min(c_name) AS min_name,
+               max(c_name) AS max_name
         FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     # functional-index probes: p1 = 1999 orders (pruned through the

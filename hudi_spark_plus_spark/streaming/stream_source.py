@@ -60,6 +60,12 @@ START_VERSION_OPT = "engine.stream.start.version"
 # instant becomes the stream's floor (versions after it stream).
 # The version option wins when both are given.
 START_TS_OPT = "engine.stream.start.ts.millis"
+# start the stream at a named savepoint's pinned version (versions
+# AFTER the pin stream) — the savepoint is exactly the "pin the
+# stream's floor" artifact the vacuum-lag note below prescribes, so a
+# consumer can pin, stream from the pin, and know vacuum cannot
+# reclaim its start state. Version > savepoint > ts precedence.
+START_SAVEPOINT_OPT = "engine.stream.start.savepoint"
 MAX_VERSIONS_OPT = "engine.stream.max.versions.per.batch"
 # Directory for an append-only JSONL of every driver-side call
 # (initialOffset / latestOffset / partitions / commit) with the floor
@@ -98,6 +104,23 @@ class LakeStreamReader(DataSourceStreamReader):
         self.log = CommitLog(path)
         if START_VERSION_OPT in options:
             self.start_version = int(options.get(START_VERSION_OPT))
+        elif START_SAVEPOINT_OPT in options:
+            import json as _json
+
+            sp = options.get(START_SAVEPOINT_OPT)
+            if not sp or not all(c.isalnum() or c in "._-" for c in sp):
+                raise ValueError(
+                    f"savepoint name {sp!r} must be non-empty and use "
+                    "only letters, digits, '.', '_', '-'"
+                )
+            p = os.path.join(path, "_savepoints", f"{sp}.json")
+            try:
+                with open(p) as fh:
+                    self.start_version = int(_json.load(fh)["version"])
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no savepoint {sp!r} on table at {path}"
+                ) from None
         elif START_TS_OPT in options:
             from hudi_spark_plus_spark.sources.lake_reader import (
                 version_at_or_before,

@@ -1240,6 +1240,7 @@ class LakeTable:
             target = os.path.join(d, f"index-{n:06d}.json")
             try:
                 self.log.finalizer.publish(content, target)
+                self._retire_index_manifests(d, n)
                 return target
             except CommitConflict:
                 n += 1  # concurrent indexer landed; next slot
@@ -1247,6 +1248,24 @@ class LakeTable:
             f"could not publish secondary index for {col!r} after "
             f"{self.COMMIT_RETRIES + 1} attempts"
         )
+
+    @staticmethod
+    def _retire_index_manifests(d: str, newest: int) -> None:
+        """Only the NEWEST index manifest is ever read, and in-commit
+        maintenance publishes one per mutating commit — without
+        retention a long-lived indexed table accumulates one
+        O(live-files) JSON per commit. Keep the newest two (the
+        previous one covers a reader that listed the directory just
+        before this publish); best-effort unlink is safe for open
+        POSIX readers and correct on list-then-get object stores."""
+        for fn in os.listdir(d):
+            if not (fn.startswith("index-") and fn.endswith(".json")):
+                continue
+            try:
+                if int(fn[6:-5]) < newest - 1:
+                    os.unlink(os.path.join(d, fn))
+            except (ValueError, OSError):
+                continue
 
     def _latest_index_n(self, col: str) -> int:
         d = self._index_dir(col)
@@ -1598,6 +1617,7 @@ class LakeTable:
             target = os.path.join(d, f"index-{n:06d}.json")
             try:
                 self.log.finalizer.publish(content, target)
+                self._retire_index_manifests(d, n)
                 return
             except CommitConflict:
                 n += 1

@@ -417,6 +417,44 @@ class TestInstantRanges:
         assert rd.start_version == 1
         assert rd.initialOffset() == {"version": 1}
 
+    def test_stream_start_by_savepoint(self, spark, tmp_path):
+        """engine.stream.start.savepoint: stream from a named pin —
+        the artifact that ALSO stops vacuum reclaiming the start state
+        (the operational pairing the module docstring prescribes)."""
+        import pytest as _pytest
+
+        from hudi_spark_plus_spark.streaming.stream_source import (
+            LakeStreamReader,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(_mk(spark, [("k1", 1, "upsert", "a", "p")]), "b1")
+        t.merge(_mk(spark, [("k2", 2, "upsert", "b", "p")]), "b2")
+        t.savepoint("feed-start", version=1)
+        rd = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.start.savepoint": "feed-start",
+        })
+        assert rd.start_version == 1
+        assert rd.initialOffset() == {"version": 1}
+        # explicit version option wins over the savepoint name
+        rd2 = LakeStreamReader({
+            "path": t.path,
+            "engine.stream.start.savepoint": "feed-start",
+            "engine.stream.start.version": "2",
+        })
+        assert rd2.start_version == 2
+        with _pytest.raises(ValueError, match="no savepoint"):
+            LakeStreamReader({
+                "path": t.path,
+                "engine.stream.start.savepoint": "nope",
+            })
+        with _pytest.raises(ValueError, match="letters"):
+            LakeStreamReader({
+                "path": t.path,
+                "engine.stream.start.savepoint": "../evil",
+            })
+
 
 class TestCdcRead:
     """engine.read.type=cdc — the format surface of

@@ -1944,6 +1944,23 @@ class TestSecondaryIndex:
             "b2",
         )
         assert t._latest_index_n("cat") == n_before
+        # manifest retention: more merges, but never more than two
+        # index manifests on disk (only the newest is ever read)
+        for i in range(3):
+            t.merge(
+                spark.createDataFrame(
+                    [(f"r{i}", 3 + i, "upsert", f"R{i}", i)], df.schema
+                ),
+                f"br{i}",
+            )
+        d = t._index_dir("cat")
+        import os as _os
+
+        manifests = [f for f in _os.listdir(d) if f.startswith("index-")]
+        assert len(manifests) <= 2, manifests
+        assert set(t.secondary_index("cat")["entries"]) == {
+            f.path for f in t.log.live_files()
+        }
 
     def test_stale_index_is_correct_and_refresh_catches_up(
         self, spark, tmp_path, monkeypatch

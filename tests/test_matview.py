@@ -231,3 +231,83 @@ def test_crashed_gc_pass_recovers_on_noop_refresh(spark, tmp_path, src):
     assert_equiv(mv, src)
     # and the recovery is one-shot: a second no-op refresh owes nothing
     assert mv._pending_gc() is None
+
+
+def test_minmax_view_tracks_group_by(spark, tmp_path, src):
+    """MinMaxView (partial recompute): after churn that moves,
+    deletes, updates and inserts records — including deleting a
+    group's current minimum, the case delta-addition cannot handle —
+    the view equals a from-scratch GROUP BY with count/min/max."""
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    def equiv(view):
+        exp = {
+            (r["g"], r["cnt"], r["min_v"], r["max_v"])
+            for r in src.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+        got = {
+            (r["g"], r["cnt"], r["min_v"], r["max_v"])
+            for r in view.df().collect()
+        }
+        assert got == exp, (sorted(got, key=str), sorted(exp, key=str))
+
+    mv = MinMaxView(spark, str(tmp_path / "mm"), src, ["g"], ["v"])
+    assert mv.refresh()["end"] == 1
+    equiv(mv)
+    # delete the current min of group a (k1, v=10): min must RISE —
+    # the recompute case; also move k3 b->a and insert a new group
+    src.merge(
+        mk(spark, [
+            ("k1", 2, "delete", "a", 10),
+            ("k3", 2, "upsert", "a", 5),
+            ("k7", 2, "upsert", "c", 77),
+        ]),
+        "b2",
+    )
+    r = mv.refresh()
+    assert (r["begin"], r["end"]) == (1, 2)
+    equiv(mv)
+    # empty a whole group: its row must vanish IN THE SAME refresh
+    # commit (no GC window in this shape)
+    src.merge(mk(spark, [("k7", 3, "delete", "c", 77)]), "b3")
+    v_before = mv.table.log.latest().version
+    mv.refresh()
+    assert mv.table.log.latest().version == v_before + 1  # ONE commit
+    equiv(mv)
+    assert "c" not in {r["g"] for r in mv.df().collect()}
+    # no-op refresh: watermark current, nothing owed
+    r = mv.refresh()
+    assert r["begin"] == r["end"] and r["groups_touched"] == 0
+    # crash replay: same slice + same batch id is H5-suppressed
+    src.merge(mk(spark, [("k8", 4, "upsert", "a", 1)]), "b4")
+    mv.refresh()
+    mv.refresh()
+    equiv(mv)
+
+
+def test_minmax_view_null_groups_and_validation(spark, tmp_path, src):
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    src.merge(mk(spark, [("kn", 2, "upsert", None, 3)]), "b2")
+    mv = MinMaxView(spark, str(tmp_path / "mm"), src, ["g"], ["v"])
+    mv.refresh()
+    got = {r["g"]: (r["cnt"], r["min_v"]) for r in mv.df().collect()}
+    assert got[None] == (1, 3)  # NULL group is a real group
+    # and churn ON the null group recomputes it (null-safe join)
+    src.merge(mk(spark, [("kn2", 3, "upsert", None, 1)]), "b3")
+    mv.refresh()
+    got = {r["g"]: (r["cnt"], r["min_v"]) for r in mv.df().collect()}
+    assert got[None] == (2, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group"):
+        MinMaxView(spark, str(tmp_path / "x1"), src, [], ["v"])
+    with _pytest.raises(ValueError, match="measure"):
+        MinMaxView(spark, str(tmp_path / "x2"), src, ["g"], ["g"])
