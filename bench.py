@@ -113,6 +113,22 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
             ).coalesce(4).write.mode("overwrite").text(f"{work}/in/b{b}")
         events.unpersist()
 
+        # Warm-up (NOT timed), symmetric with the query phase's: one
+        # micro-batch through each write mode into a throwaway dir.
+        # Measured (r9, back-to-back same-session passes): the FIRST
+        # CDC pass of a session runs up to ~1.9x slower than the
+        # second on identical code — parse/merge plan JIT, py4j and
+        # parquet write-path bring-up — so an unwarmed record measures
+        # session cold-start, not ingest throughput.
+        for mode in ("cow", "mor"):
+            wopts = sync_options(f"{work}/warm-{mode}")
+            wopts[cfg.WRITE_MODE] = mode
+            sync_batch(
+                spark, spark.read.text(f"{work}/in/b0"), wopts, batch_id=0
+            )
+        shutil.rmtree(f"{work}/warm-cow", ignore_errors=True)
+        shutil.rmtree(f"{work}/warm-mor", ignore_errors=True)
+
         # Same stream through both write modes: COW (rewrite affected
         # buckets; merge-free reads) is the headline "cdc" record for
         # baseline continuity, MOR (delta appends; read-time resolution)
