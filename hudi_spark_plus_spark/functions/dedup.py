@@ -239,6 +239,140 @@ def with_minhash(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """``(id, band, band_key)`` LSH band keys per document — the
+    SIGNATURE STATE of MinHash dedup, factored out so it can be
+    PERSISTED (e.g. appended to a lake table per ingest batch) and
+    probed incrementally instead of recomputed corpus-wide. Identical
+    banding to ``minhash_lsh_pairs`` (which now builds on this):
+    k-permutation MinHash, ``bands`` keys of ``k/bands`` rows each."""
+    rows = k // bands
+    sig = with_minhash(
+        df.select(F.col(id_col).alias("id"), text_col),
+        text_col, k, ngram, id_cols=["id"],
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(array_join(slice(minhash, b * {rows} + 1, {rows}), '_'), b))"
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    state_banded: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    verify_threshold: float | None = None,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """NEAR-dup detection of an ingest batch against an accumulated
+    corpus WITHOUT re-minhashing the corpus — the scale companion of
+    ``incremental_dedup`` (which is exact-only). At 100 TB the corpus's
+    banded signatures are maintained as a table (append each batch's
+    ``banded_signatures`` output, ~``bands`` small rows per doc);
+    detecting the delta's near-dups then costs O(batch signatures) +
+    one band-keyed join against the state + exact verification of the
+    CANDIDATES only — the corpus's text is touched only for candidate
+    ids (semi-join pruned), never scanned.
+
+    Returns (new_id, dup_id, jac, scope): ``scope='corpus'`` pairs a
+    batch doc with a pre-existing doc, ``scope='delta'`` with another
+    doc of the same batch (id_a < id_b ordering within the batch).
+    ``state_banded`` must carry (id, band, band_key) for the corpus
+    (``banded_signatures`` output with the same k/bands/ngram);
+    ``corpus_df`` provides candidate texts for verification."""
+    new_banded = banded_signatures(
+        new_df, id_col, text_col, k, bands, ngram
+    ).localCheckpoint(eager=True)
+    new_capped = cap_bucket_size(
+        new_banded, ["band", "band_key"], max_bucket_size
+    )
+    state_capped = cap_bucket_size(
+        state_banded, ["band", "band_key"], max_bucket_size
+    )
+    n, s = new_capped.alias("n"), state_capped.alias("s")
+    vs_corpus = (
+        n.join(
+            s,
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.band_key") == F.col("s.band_key")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("s.id").alias("dup_id"),
+            F.lit("corpus").alias("scope"),
+        )
+        .distinct()
+    )
+    a, b = new_capped.alias("a"), new_capped.alias("b")
+    vs_delta = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("dup_id"),
+            F.lit("delta").alias("scope"),
+        )
+        .distinct()
+    )
+    cand = vs_corpus.unionByName(vs_delta)
+    if verify_threshold is None:
+        return cand
+    cand = cand.localCheckpoint(eager=True)
+    new_ids = cand.select(F.col("new_id").alias("vid")).distinct()
+    dup_ids = cand.select(F.col("dup_id").alias("vid")).distinct()
+    # candidate texts only: batch side from new_df, corpus side from
+    # corpus_df ∪ new_df (a dup_id can be a same-batch doc)
+    texts = new_df.select(
+        F.col(id_col).alias("vid"), F.col(text_col)
+    ).unionByName(
+        corpus_df.select(F.col(id_col).alias("vid"), F.col(text_col))
+    )
+    sh = (
+        texts.join(new_ids.unionByName(dup_ids).distinct(), "vid", "left_semi")
+        .select("vid", word_shingles(text_col, ngram).alias("sh"))
+    )
+    return (
+        cand.join(
+            sh.withColumnRenamed("vid", "new_id")
+            .withColumnRenamed("sh", "sh_a"),
+            "new_id",
+        )
+        .join(
+            sh.withColumnRenamed("vid", "dup_id")
+            .withColumnRenamed("sh", "sh_b"),
+            "dup_id",
+        )
+        .select(
+            "new_id",
+            "dup_id",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+            "scope",
+        )
+        .where(F.col("jac") >= verify_threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -261,20 +395,7 @@ def minhash_lsh_pairs(
     computes/shuffles shingles for CANDIDATE docs (semi-join pruned —
     candidates ≪ corpus after LSH).
     """
-    rows = k // bands
-    sig = with_minhash(
-        df.select(F.col(id_col).alias("id"), text_col),
-        text_col, k, ngram, id_cols=["id"],
-    )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(array_join(slice(minhash, b * {rows} + 1, {rows}), '_'), b))"
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = banded_signatures(df, id_col, text_col, k, bands, ngram)
     # materialize once: the self-join would otherwise recompute the whole
     # shingle->64-hash signature subtree for BOTH sides
     banded = banded.localCheckpoint(eager=True)

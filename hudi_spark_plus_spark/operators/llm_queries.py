@@ -1051,6 +1051,51 @@ def q_doc_dedup_incremental(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_doc_neardup_incremental(spark, sf_dir):
+    """Incremental NEAR-dup: a new ingest batch probed against the
+    accumulated corpus's PERSISTED banded MinHash signatures
+    (functions/dedup.py:incremental_neardup_pairs) — the corpus is
+    never re-minhashed and its text is read only for verification
+    candidates. Corpus = docs < 400 with doc_id % 4 != 0; the batch is
+    docs 400..499 plus planted exact copies of corpus docs (%20==1 at
+    +off, %40==1 again at +2·off — so the batch near-dups both AGAINST
+    the corpus and WITHIN itself). Verified at jaccard = 1.0, making
+    the outcome (pair ids + scope) an equal-shingle-set join DuckDB
+    replays exactly (same planted-outcome device as the minhash
+    family)."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    off = _plant_offset(max_id if max_id is not None else 0)
+    corpus = d.where(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 4 != 0)
+    )
+    delta = (
+        d.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+        .unionByName(
+            corpus.where(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(off)
+            )
+        )
+        .unionByName(
+            corpus.where(F.col("doc_id") % 40 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(2 * off)
+            )
+        )
+    )
+    # the accumulated state a deployment would keep as a table: one
+    # banded-signature row set per ingested batch, appended over time
+    state = banded_signatures(corpus, "doc_id", "text")
+    return incremental_neardup_pairs(
+        delta, corpus, state, "doc_id", "text",
+        verify_threshold=1.0, max_bucket_size=1_000_000,
+    ).orderBy("scope", "new_id", "dup_id")
+
+
 SEMDEDUP_CLUSTERS, SEMDEDUP_THRESHOLD_CENTI = 8, 90
 
 
@@ -1114,6 +1159,7 @@ LLM_QUERIES = {
     "q-media-pixels": q_media_pixels,
     "q-doc-line-dedup": q_doc_line_dedup,
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
+    "q-doc-neardup-incremental": q_doc_neardup_incremental,
     "q-doc-dedup-exact": q_doc_dedup_exact,
     "q-doc-dedup-normalized": q_doc_dedup_normalized,
     "q-doc-token-stats": q_doc_token_stats,
@@ -1417,6 +1463,70 @@ LLM_ORACLES = {
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                COUNT(*) AS dup_cnt
         FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    # equal-shingle-set ground truth for the incremental LSH probe:
+    # verified-at-1.0 pairs are exactly the identical-3-gram-set joins
+    "q-doc-neardup-incremental": r"""
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 400 AND doc_id % 4 <> 0
+        ),
+        delta AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 400 AND doc_id < 500
+          UNION ALL
+          SELECT doc_id + (SELECT o FROM off), text FROM corpus
+          WHERE doc_id % 20 = 1
+          UNION ALL
+          SELECT doc_id + 2 * (SELECT o FROM off), text FROM corpus
+          WHERE doc_id % 40 = 1
+        ),
+        shc AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM corpus
+        ),
+        shd AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM delta
+        )
+        SELECT * FROM (
+          SELECT d.doc_id AS new_id, c.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'corpus' AS scope
+          FROM shd d JOIN shc c ON d.g = c.g
+          WHERE len(d.g) > 0
+          UNION ALL
+          SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'delta' AS scope
+          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE len(a.g) > 0
+        )
+        ORDER BY scope, new_id, dup_id
     """,
     # normalized dedup replay: same planted perturbation (leading
     # spaces, upper, ' !!!') at the corpus-derived offset, then the

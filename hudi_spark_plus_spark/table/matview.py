@@ -346,24 +346,7 @@ class MinMaxView:
             *[F.col(f"_before_{c}").alias(c) for c in self.group_cols]
         )
         affected = after.unionByName(before).distinct()
-        a = affected.alias("a")
-        s = self.source.snapshot().alias("s")
-        cond = None
-        for c in self.group_cols:
-            e = F.col(f"s.{c}").eqNullSafe(F.col(f"a.{c}"))
-            cond = e if cond is None else (cond & e)
-        pruned = s.join(F.broadcast(a), cond, "semi")
-        recomputed = pruned.groupBy(*self.group_cols).agg(
-            F.count("*").cast("long").alias("cnt"),
-            *[
-                x
-                for c in self.minmax_cols
-                for x in (
-                    F.min(c).alias(f"min_{c}"),
-                    F.max(c).alias(f"max_{c}"),
-                )
-            ],
-        )
+        recomputed = self._recompute_frame(affected)
         measures = ["cnt"] + [
             f"{p}_{c}" for c in self.minmax_cols for p in ("min", "max")
         ]
@@ -408,6 +391,27 @@ class MinMaxView:
         # aggregates, and the emptied groups' deletion are atomic
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
         return {"begin": begin, "end": end, "groups_touched": n}
+
+    def _recompute_frame(self, affected: DataFrame) -> DataFrame:
+        """Re-aggregate the source snapshot for ONLY the affected
+        groups: a null-safe BROADCAST semi-join prunes the scan (the
+        affected set is bounded by the refresh slice's groups), then
+        one group-keyed aggregation. Plan-guarded: broadcast semi, no
+        cartesian — the shape that keeps refresh O(affected rows)."""
+        a = affected.alias("a")
+        s = self.source.snapshot().alias("s")
+        pruned = s.join(F.broadcast(a), self._nullsafe("s", "a"), "semi")
+        return pruned.groupBy(*self.group_cols).agg(
+            F.count("*").cast("long").alias("cnt"),
+            *[
+                x
+                for c in self.minmax_cols
+                for x in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ],
+        )
 
     def _nullsafe(self, left: str, right: str):
         cond = None

@@ -1229,3 +1229,46 @@ def test_normalized_dedup_collapses_reformatted_copies(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_incremental_neardup_pairs_scopes_and_pruning(spark):
+    """incremental_neardup_pairs: a batch probed against PERSISTED
+    corpus signatures finds (a) its copies of corpus docs (scope
+    corpus), (b) its internal copies (scope delta), and nothing for
+    genuinely novel text; the corpus is never re-minhashed (only its
+    banded state is joined) and candidate verification is semi-join
+    pruned. Plan: no cartesian anywhere."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, f"{words} corpus doc {i} " + words[::-1]) for i in range(8)],
+        "doc_id long, text string",
+    )
+    state = banded_signatures(corpus, "doc_id", "text", k=32, bands=8)
+    batch = spark.createDataFrame(
+        [
+            (100, f"{words} corpus doc 3 " + words[::-1]),  # copy of 3
+            (101, "completely novel text nothing like the corpus at all"),
+            (102, "twin twin twin unique within the batch only twin"),
+            (103, "twin twin twin unique within the batch only twin"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_neardup_pairs(
+        batch, corpus, state, "doc_id", "text",
+        k=32, bands=8, verify_threshold=1.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {(r["new_id"], r["dup_id"], r["scope"]) for r in out.collect()}
+    assert (100, 3, "corpus") in rows
+    assert (102, 103, "delta") in rows
+    assert not any(r[0] == 101 or r[1] == 101 for r in rows)
+    # state must match the banding minhash_lsh_pairs itself uses
+    # (same k/bands/ngram => a corpus doc's copy collides on EVERY band)
+    n_bands = state.where(F.col("id") == 3).count()
+    assert n_bands == 8

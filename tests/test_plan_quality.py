@@ -490,3 +490,30 @@ def test_scan_for_values_reads_only_kept_files(spark, tmp_path):
     # executed scan must reference no more files than kept
     n_scanned = plan_of(df).count(".parquet")
     assert n_scanned <= len(kept) * 2  # path may appear in 2 plan spots
+
+
+def test_minmax_view_recompute_is_broadcast_semi_no_cartesian(
+    spark, tmp_path
+):
+    """MinMaxView partial recompute: the source scan must be pruned by
+    a BROADCAST semi-join on the affected groups (the set is bounded by
+    the refresh slice) and aggregated once — a shuffled join or a
+    cartesian here turns refresh from O(affected rows) into O(table)."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    src = LakeTable(spark, str(tmp_path / "mmsrc"), buckets=2)
+    src.merge(
+        spark.createDataFrame(
+            [("k1", 1, "upsert", "a", 1), ("k2", 1, "upsert", "b", 2)],
+            "_key string, _ts long, _op string, g string, v long",
+        ),
+        "b1",
+    )
+    mm = MinMaxView(spark, str(tmp_path / "mmv"), src, ["g"], ["v"])
+    affected = spark.createDataFrame([("a",)], "g string")
+    plan = plan_of(mm._recompute_frame(affected))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
