@@ -278,9 +278,46 @@ def _probe_matview_refresh(spark, d: str) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _probe_incremental_neardup(spark, d: str) -> float:
+    """Incremental near-dup spot10x shape: a FIXED 300-doc batch probed
+    against the (1x vs 10x) corpus's banded signature state. Setup
+    (state build — the one-time cost a deployment amortizes across
+    ingests) is excluded; the timed part is what every ingest pays:
+    batch signatures + the band-keyed state join + candidate
+    verification. Should grow far slower than the corpus (the state
+    join's probe side is fixed; only the state's row count grows)."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.orderBy("doc_id").limit(300)
+    corpus = batch.alias("b").join(
+        docs, "doc_id", "left_anti"
+    )
+    state = banded_signatures(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    incremental_neardup_pairs(
+        batch, corpus, state, "doc_id", "text", verify_threshold=1.0
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    state.unpersist()
+    return dt
+
+
 # custom probes: (setup excluded from timing; the callable returns the
 # measured seconds itself)
-SPOT10X_PROBES = {"matview-fixed-churn-refresh": _probe_matview_refresh}
+SPOT10X_PROBES = {
+    "matview-fixed-churn-refresh": _probe_matview_refresh,
+    "neardup-fixed-batch-vs-corpus": _probe_incremental_neardup,
+}
 
 
 def _replicate_fixtures(spark, sf_dir: str, out_dir: str, factor: int) -> None:
