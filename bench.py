@@ -297,9 +297,10 @@ def _probe_incremental_neardup(spark, d: str) -> float:
         "doc_id", "text"
     )
     batch = docs.orderBy("doc_id").limit(300)
-    corpus = batch.alias("b").join(
-        docs, "doc_id", "left_anti"
-    )
+    # corpus = everything NOT in the batch (docs minus batch). The r9
+    # record had this anti-join reversed (batch minus docs == empty), so
+    # the probe timed batch-vs-empty-state — meaningless (ADVICE r9 #1).
+    corpus = docs.join(batch.select("doc_id"), "doc_id", "left_anti")
     state = banded_signatures(corpus, "doc_id", "text").localCheckpoint(
         eager=True
     )
@@ -520,10 +521,26 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump(result, fh)
             fh.write("\n")
+    finally:
+        # Quiesce Spark COMPLETELY before the final print: rounds 7-9
+        # all recorded parsed=null because JVM shutdown stack traces
+        # (RejectedExecutionException from statusUpdate etc.) landed on
+        # the captured stream AFTER the JSON line, and the driver parses
+        # the LAST line of output (BENCH_r01 tail proves that contract).
+        # Log level OFF silences the shutdown ERRORs; the post-stop
+        # sleep lets any straggler JVM threads flush first.
+        try:
+            spark.sparkContext.setLogLevel("OFF")
+        except Exception:
+            pass
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        time.sleep(2)
+        sys.stderr.flush()
         sys.stdout.flush()
         print(json.dumps(result), flush=True)
-    finally:
-        spark.stop()
 
 
 if __name__ == "__main__":

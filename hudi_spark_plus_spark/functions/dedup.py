@@ -296,7 +296,17 @@ def incremental_neardup_pairs(
     doc of the same batch (id_a < id_b ordering within the batch).
     ``state_banded`` must carry (id, band, band_key) for the corpus
     (``banded_signatures`` output with the same k/bands/ngram);
-    ``corpus_df`` provides candidate texts for verification."""
+    ``corpus_df`` provides candidate texts for verification.
+
+    PRECONDITION — disjoint id spaces: ``new_df`` ids must not already
+    exist in ``corpus_df``/``state_banded``. A shared id would yield
+    duplicate rows in the verification text union (two texts for one
+    vid → wrong/duplicated jac rows). Re-ingesting an id is an UPSERT,
+    not an ingest: prune the old id from state first (see
+    ``prune_signature_state``). As defense-in-depth, corpus-scope
+    self-pairs (new_id == dup_id) are filtered below — mirroring the
+    delta scope's id_a < id_b — so a violated precondition degrades to
+    possibly-duplicated pairs, never a self-match."""
     new_banded = banded_signatures(
         new_df, id_col, text_col, k, bands, ngram
     ).localCheckpoint(eager=True)
@@ -311,7 +321,8 @@ def incremental_neardup_pairs(
         n.join(
             s,
             (F.col("n.band") == F.col("s.band"))
-            & (F.col("n.band_key") == F.col("s.band_key")),
+            & (F.col("n.band_key") == F.col("s.band_key"))
+            & (F.col("n.id") != F.col("s.id")),
         )
         .select(
             F.col("n.id").alias("new_id"),
@@ -371,6 +382,26 @@ def incremental_neardup_pairs(
         )
         .where(F.col("jac") >= verify_threshold)
     )
+
+
+def prune_signature_state(
+    state_banded: DataFrame,
+    live_ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Signature-state LIFECYCLE: drop banded signatures whose document
+    no longer exists in the corpus. The ``banded_signatures`` state
+    table is append-only per ingest (DESIGN.md contract) — a document
+    DELETED from the corpus would otherwise keep matching as ``dup_id``
+    forever and, worse, its text would be missing at verification time.
+    This is the GC half of the contract: one band-partitionable
+    left-semi pass of the state against the live id set (at 100 TB, run
+    it as a periodic maintenance compaction of the state table, or feed
+    ``live_ids`` from the lake table's CDC delete feed to prune only
+    tombstoned ids). ``live_ids`` may be the corpus itself or just its
+    id column; any extra columns are ignored."""
+    keep = live_ids.select(F.col(id_col).alias("id")).distinct()
+    return state_banded.join(keep, "id", "left_semi")
 
 
 def minhash_lsh_pairs(

@@ -61,9 +61,10 @@ def refresh_grouped_aggregate(
     if n_affected == 0:
         reader.commit(version)
         return 0
-    slice_df = src.snapshot().join(
-        F.broadcast(affected), group_col, "left_semi"
-    )
+    # FILE-pruned scan side (index / partition / col_stats when the
+    # group column has one), bounded broadcast, loud shuffle fallback —
+    # shared with MinMaxView (VERDICT r9 #1)
+    slice_df = src.snapshot_pruned_to_groups(affected, [group_col])
     recomputed = agg_fn(slice_df)
     upserts = recomputed.select(
         F.col(group_col).cast("string").alias(KEY_COL),

@@ -1278,18 +1278,36 @@ class LakeTable:
         ]
         return max(ns, default=0)
 
+    def _open_latest_manifest(self, dirname: str) -> dict | None:
+        """Resolve-then-open of the newest index manifest, tolerant of
+        the retention race: list-then-open is non-atomic against
+        ``_retire_index_manifests``, so two publishes landing between a
+        reader's ``_latest_index_n`` and its ``open`` can unlink the
+        resolved file. On FileNotFoundError re-resolve once — whatever
+        replaced it is at least as fresh (stale-is-correct); a second
+        consecutive miss is a real error and raises."""
+        import json as _json
+
+        for attempt in range(2):
+            n = self._latest_index_n(dirname)
+            if n == 0:
+                return None
+            try:
+                with open(
+                    os.path.join(self._index_dir(dirname), f"index-{n:06d}.json")
+                ) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                if attempt:
+                    raise
+        return None
+
     def secondary_index(self, col: str) -> dict | None:
         """Latest published index manifest for ``col`` (None if never
         indexed): {"col", "version", "entries": {relpath: bloom_b64}}."""
-        import json as _json
-
-        n = self._latest_index_n(col)
-        if n == 0:
+        m = self._open_latest_manifest(col)
+        if m is None:
             return None
-        with open(
-            os.path.join(self._index_dir(col), f"index-{n:06d}.json")
-        ) as fh:
-            m = _json.load(fh)
         # a functional index sharing the directory namespace is NOT a
         # secondary index (different entry format)
         return None if m.get("kind") == "functional" else m
@@ -1459,15 +1477,190 @@ class LakeTable:
         is re-applied by Spark, so Bloom false positives and stale
         entries cost reads, never wrong rows."""
         kept, _ = self.files_for_values(col, values, partitions)
-        if not kept:
-            sch = self.schema()
-            return self.spark.createDataFrame([], sch)
-        df = self._read_files(kept)
-        if any(f.kind == "delta" for f in kept):
+        return self._snapshot_of_files(kept).where(
+            F.col(col).isin(list(values))
+        )
+
+    def _snapshot_of_files(self, files: list) -> DataFrame:
+        """Snapshot semantics over an explicit (already-pruned) live
+        subset: read, MOR-resolve if deltas present, hide tombstones.
+        Only valid for file sets produced by the pruning helpers, which
+        keep every file needed to resolve the kept rows' keys."""
+        if not files:
+            return self.spark.createDataFrame([], self.schema())
+        df = self._read_files(files)
+        if any(f.kind == "delta" for f in files):
             df = self._resolve_latest(df)
         if DELETED_COL in df.columns:
             df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        return df.where(F.col(col).isin(list(values)))
+        return df
+
+    # probing more values than this per file is slower than scanning;
+    # past it, value-set file pruning declines (row-level prune remains)
+    PRUNE_PROBE_CAP = 2000
+
+    def files_for_any_value(
+        self, col: str, values
+    ) -> tuple[list, list] | None:
+        """Best-available FILE pruning for an equality value-SET on
+        ``col`` — the partial-recompute feeder (VERDICT r9 #1): a
+        matview refresh touching 5 groups of a 100 TB table should read
+        the affected groups' files, not every live file. Tries, in
+        precedence order: secondary index (Bloom per file) > identity
+        partition field (exact structural elimination) > manifest
+        col_stats ([min,max] intersection). Returns (kept, live)
+        MOR-widened like ``files_for_values`` — a kept file's key can
+        be superseded by a delta in a non-kept file, so kept buckets
+        pull in their delta mates for resolution; under COW the live
+        set holds exactly one version per key and no widening applies.
+        Returns None when no structure covers the column (or the probe
+        set is unprunable: too large, or types the structure can't
+        render) — the caller falls back to row-level pruning over the
+        full snapshot. Files without index/stats entries are kept
+        conservatively: stale structures cost reads, never rows."""
+        vals = list(dict.fromkeys(values))
+        has_null = any(v is None for v in vals)
+        non_null = [v for v in vals if v is not None]
+        # 1. secondary index — exact-value Bloom per file. Nulls are
+        # not recorded by the index build, so a null probe disables it.
+        if (
+            not has_null
+            and len(non_null) <= self.PRUNE_PROBE_CAP
+            and all(isinstance(v, (str, int, bool)) for v in non_null)
+            and self.secondary_index(col) is not None
+        ):
+            return self.files_for_values(col, non_null)
+        # 2. identity partition field — each file's single exact
+        # partition value; nulls render as the "default" partition, so
+        # null probes prune fine. Floats are skipped (Python str() vs
+        # Spark cast disagree on scientific notation).
+        if self.partition_fields == [col] and not any(
+            isinstance(v, float) for v in non_null
+        ):
+            keep = {
+                "default" if v is None else self._index_probe_str(v)
+                if isinstance(v, (str, int, bool))
+                else str(v)
+                for v in vals
+            }
+            live = self.log.live_files()
+            hits = [
+                f for f in live if f.partition is None or f.partition in keep
+            ]
+            return self._widen_hits_for_mor(hits, live), live
+        # 3. manifest col_stats — [min,max] per file. Parquet stats
+        # ignore nulls, so a null probe can never be pruned by them.
+        if has_null or len(non_null) > self.PRUNE_PROBE_CAP:
+            return None
+        sch = self.schema()
+        phys = col
+        if sch is not None:
+            for fld in sch.fields:
+                if fld.name == col:
+                    phys = self._physical_of(fld)
+                    break
+        live = self.log.live_files()
+        if not any((f.col_stats or {}).get(phys) for f in live):
+            return None
+
+        def might(f: FileEntry) -> bool:
+            st = (f.col_stats or {}).get(phys)
+            if st is None:
+                return True  # stat-less: conservatively scan
+            try:
+                return any(st[0] <= v <= st[1] for v in non_null)
+            except TypeError:
+                return True  # incomparable probe type: keep
+        hits = [f for f in live if might(f)]
+        return self._widen_hits_for_mor(hits, live), live
+
+    # broadcast-semi guard for partial-recompute consumers: past this
+    # many affected groups the plan falls back to a shuffle semi-join
+    MAX_BROADCAST_GROUPS = 100_000
+
+    def snapshot_pruned_to_groups(
+        self,
+        affected: DataFrame,
+        group_cols: list[str],
+        max_broadcast_groups: int | None = None,
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot slice holding exactly the ``affected`` groups' rows
+        — the scan side of every partial-recompute maintenance path
+        (MinMaxView, ``operators/derived.py``). Three-tier shape:
+
+        * affected-group count ≤ cap: FILE-prune via the first group
+          column ``files_for_any_value`` can serve (index / partition /
+          col_stats), then a null-safe BROADCAST semi-join row-prunes
+          the remainder — refresh I/O is O(affected groups' files).
+        * a column prunes nothing (every file might hit): keep the full
+          scan but still broadcast the semi-join (the r8 shape).
+        * count > cap: LOUD fallback — full scan + SHUFFLE semi-join
+          (a 100k+-group broadcast would flood the driver; at that
+          cardinality a full recompute-shaped plan is the right one).
+
+        ``stats_out`` (optional dict) receives {strategy, prune_col,
+        files_kept, files_live, groups} for tests/observability."""
+        import logging as _logging
+
+        cap = (
+            self.MAX_BROADCAST_GROUPS
+            if max_broadcast_groups is None
+            else max_broadcast_groups
+        )
+        out = stats_out if stats_out is not None else {}
+        rows = affected.limit(cap + 1).collect()
+        if len(rows) > cap:
+            _logging.getLogger(__name__).warning(
+                "partial recompute: >%d affected groups on %s — "
+                "falling back to a shuffle semi-join over the full "
+                "snapshot (file pruning and broadcast are off)",
+                cap, self.path,
+            )
+            out.update(
+                strategy="shuffle-semi", prune_col=None,
+                files_kept=None, files_live=None, groups=None,
+            )
+            snap = self.snapshot().alias("s")
+            return snap.join(
+                affected.alias("a"),
+                self._group_eq("s", "a", group_cols),
+                "semi",
+            )
+        out.update(
+            strategy="broadcast-semi", prune_col=None,
+            files_kept=None, files_live=None, groups=len(rows),
+        )
+        snap = None
+        for c in group_cols:
+            pruned = self.files_for_any_value(c, [r[c] for r in rows])
+            if pruned is None:
+                continue
+            kept, live = pruned
+            if len(kept) < len(live):
+                out.update(
+                    prune_col=c, files_kept=len(kept), files_live=len(live)
+                )
+                snap = self._snapshot_of_files(kept)
+                break
+        if snap is None:
+            snap = self.snapshot()
+        # the semi-join stays even when files pruned: Bloom false
+        # positives / widened buckets / coarse stats admit extra rows
+        local = self.spark.createDataFrame(rows, affected.schema)
+        return snap.alias("s").join(
+            F.broadcast(local.alias("a")),
+            self._group_eq("s", "a", group_cols),
+            "semi",
+        )
+
+    @staticmethod
+    def _group_eq(left: str, right: str, cols: list[str]):
+        cond = None
+        for c in cols:
+            e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            cond = e if cond is None else (cond & e)
+        return cond
 
     # -- functional index (Hudi 1.0 expression-index analogue) -------------
     #
@@ -1629,16 +1822,9 @@ class LakeTable:
     def functional_index(self, name: str) -> dict | None:
         """Latest manifest for functional index ``name`` (None if never
         created): {"kind","name","expr","version","entries"}."""
-        import json as _json
-
-        dirname = self._FN_PREFIX + name
-        n = self._latest_index_n(dirname)
-        if n == 0:
+        m = self._open_latest_manifest(self._FN_PREFIX + name)
+        if m is None:
             return None
-        with open(
-            os.path.join(self._index_dir(dirname), f"index-{n:06d}.json")
-        ) as fh:
-            m = _json.load(fh)
         return m if m.get("kind") == "functional" else None
 
     def files_for_expr_range(
@@ -1849,10 +2035,26 @@ class LakeTable:
             # every successful mutating commit maintains the table's
             # indexes in-line (no-op isdir check on index-less tables)
             self._maintain_indexes()
-        except CommitConflict:
-            # a concurrent indexer published first: their manifest is
-            # at least as fresh; stale-is-correct covers any gap
-            pass
+        except Exception:
+            # The DATA commit has already published by this point — a
+            # maintenance failure must not make the API raise, or a
+            # caller retry without batch_id would re-apply the batch
+            # (double write) while misattributing a successful commit
+            # as failed. Stale indexes are contractually correct
+            # (pruning is advisory: an unindexed/stale file is kept,
+            # never skipped), so ANY maintenance error — a concurrent
+            # indexer's CommitConflict, a transient Spark failure
+            # building bloom entries — degrades to a stale index, which
+            # the next mutating commit or explicit rebuild repairs.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "in-commit index maintenance failed for %s; indexes "
+                "remain stale-but-correct until the next commit or an "
+                "explicit create_*_index rebuild",
+                self.path,
+                exc_info=True,
+            )
         return out
 
     def insert(

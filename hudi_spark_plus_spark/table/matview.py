@@ -315,6 +315,8 @@ class MinMaxView:
                     f"an engine-exact view: {sorted(bad)}"
                 )
         self.table = LakeTable(spark, path, buckets=buckets)
+        # pruning decision of the most recent refresh (observability)
+        self.last_prune: dict = {}
 
     def watermark(self) -> int:
         """Highest source version applied — parsed from the view's own
@@ -394,13 +396,18 @@ class MinMaxView:
 
     def _recompute_frame(self, affected: DataFrame) -> DataFrame:
         """Re-aggregate the source snapshot for ONLY the affected
-        groups: a null-safe BROADCAST semi-join prunes the scan (the
-        affected set is bounded by the refresh slice's groups), then
-        one group-keyed aggregation. Plan-guarded: broadcast semi, no
-        cartesian — the shape that keeps refresh O(affected rows)."""
-        a = affected.alias("a")
-        s = self.source.snapshot().alias("s")
-        pruned = s.join(F.broadcast(a), self._nullsafe("s", "a"), "semi")
+        groups. The scan side is ``snapshot_pruned_to_groups`` (VERDICT
+        r9 #1): when a group column has a secondary index, is the
+        partition field, or carries col_stats, the source's FILES are
+        pruned before the null-safe broadcast semi-join — refresh I/O
+        is O(affected groups' files), not O(table files); a >cap
+        affected set falls back loudly to a shuffle semi-join. The
+        pruning decision of the last refresh is exposed at
+        ``self.last_prune`` for tests/observability."""
+        self.last_prune = {}
+        pruned = self.source.snapshot_pruned_to_groups(
+            affected, self.group_cols, stats_out=self.last_prune
+        )
         return pruned.groupBy(*self.group_cols).agg(
             F.count("*").cast("long").alias("cnt"),
             *[

@@ -2340,3 +2340,95 @@ def test_index_namespaces_do_not_cross(spark, tmp_path):
     assert t.functional_index("month") is not None
     # and a secondary-index dir never resolves as a functional one
     assert t.functional_index("dt") is None
+
+
+class TestRound9AdvisorFindings:
+    """ADVICE r9: index-manifest retirement race (low) and in-commit
+    maintenance failure atomicity (low)."""
+
+    def _seed(self, spark, tmp_path, name="r9", n=40):
+        t = LakeTable(spark, str(tmp_path / name), buckets=4)
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", 1, "upsert", f"cat{i % 5}", i) for i in range(n)],
+            "_key string, _ts long, _op string, cat string, n long",
+        )
+        t.merge(df, "b1")
+        return t, df
+
+    def test_reader_survives_manifest_retirement_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """secondary_index()/functional_index() do a non-atomic
+        list-then-open; if two publishes + retention land in between,
+        the resolved manifest is unlinked. The reader must re-resolve
+        once (the newer manifest is at least as fresh) instead of
+        crashing with FileNotFoundError (ADVICE r9 #2)."""
+        import os
+        import shutil
+
+        t, _ = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+        d = t._index_dir("cat")
+        real = type(t)._latest_index_n
+        state = {"raced": False}
+
+        def racy(col):
+            n = real(t, col)
+            if not state["raced"]:
+                state["raced"] = True
+                # two concurrent publishes land AFTER our listing;
+                # retention (keep newest two) unlinks the file we
+                # resolved
+                cur = os.path.join(d, f"index-{n:06d}.json")
+                shutil.copy(cur, os.path.join(d, f"index-{n + 1:06d}.json"))
+                shutil.copy(cur, os.path.join(d, f"index-{n + 2:06d}.json"))
+                t._retire_index_manifests(d, n + 2)
+                assert not os.path.exists(cur)
+                return n  # the stale, now-unlinked answer
+            return n
+
+        monkeypatch.setattr(t, "_latest_index_n", racy)
+        idx = t.secondary_index("cat")
+        assert idx is not None and idx["entries"]
+        assert state["raced"]
+
+    def test_commit_survives_maintenance_failure(
+        self, spark, tmp_path, monkeypatch, caplog
+    ):
+        """The data commit publishes BEFORE in-commit index
+        maintenance; a maintenance error (e.g. transient Spark failure
+        building bloom entries) must not make merge() raise — a caller
+        retry without batch_id would re-apply the batch. Stale indexes
+        are contractually correct (ADVICE r9 #4)."""
+        import logging
+
+        t, df = self._seed(spark, tmp_path)
+        t.create_secondary_index("cat")
+
+        def boom():
+            raise RuntimeError("transient executor loss")
+
+        monkeypatch.setattr(t, "_maintain_indexes", boom)
+        with caplog.at_level(
+            logging.WARNING, logger="hudi_spark_plus_spark.table.lake_table"
+        ):
+            t.merge(
+                spark.createDataFrame(
+                    [("zz9", 2, "upsert", "LATE", 999)], df.schema
+                ),
+                "b2",
+            )  # must NOT raise
+        assert any(
+            "maintenance failed" in r.message for r in caplog.records
+        )
+        monkeypatch.undo()
+        # the data commit published: the row is in the snapshot
+        snap = {r["_key"]: r["cat"] for r in t.snapshot().collect()}
+        assert snap["zz9"] == "LATE"
+        # stale index stays CORRECT: the unindexed new file is kept
+        # conservatively, so the probe still returns the row
+        got = [
+            (r["_key"], r["cat"])
+            for r in t.scan_for_values("cat", ["LATE"]).collect()
+        ]
+        assert got == [("zz9", "LATE")]

@@ -1272,3 +1272,71 @@ def test_incremental_neardup_pairs_scopes_and_pruning(spark):
     # (same k/bands/ngram => a corpus doc's copy collides on EVERY band)
     n_bands = state.where(F.col("id") == 3).count()
     assert n_bands == 8
+
+
+def test_incremental_neardup_no_self_pairs_on_shared_ids(spark):
+    """ADVICE r9 #3: ids shared between batch and state violate the
+    documented disjointness precondition; the defense-in-depth guard
+    must still never emit a corpus-scope self-pair (new_id == dup_id)."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, f"{words} shared doc {i} " + words[::-1]) for i in range(4)],
+        "doc_id long, text string",
+    )
+    state = banded_signatures(corpus, "doc_id", "text", k=32, bands=8)
+    # the batch RE-INGESTS id 2 with identical text: every band collides
+    batch = spark.createDataFrame(
+        [(2, f"{words} shared doc 2 " + words[::-1])],
+        "doc_id long, text string",
+    )
+    out = incremental_neardup_pairs(
+        batch, corpus, state, "doc_id", "text", k=32, bands=8
+    ).collect()
+    assert not any(r["new_id"] == r["dup_id"] for r in out)
+
+
+def test_prune_signature_state_drops_deleted_docs(spark):
+    """VERDICT r10 #3 (signature-state lifecycle): after documents are
+    DELETED from the corpus, prune_signature_state(state, live) removes
+    their banded signatures, so a later ingest of identical text no
+    longer reports the ghost as dup_id (and verification never needs
+    the missing text)."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+        prune_signature_state,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, f"{words} corpus doc {i} " + words[::-1]) for i in range(6)],
+        "doc_id long, text string",
+    )
+    state = banded_signatures(corpus, "doc_id", "text", k=32, bands=8)
+    # docs 3 and 4 are deleted from the corpus
+    live = corpus.where(~F.col("doc_id").isin(3, 4))
+    pruned = prune_signature_state(state, live, "doc_id")
+    assert pruned.select("id").distinct().count() == 4
+    assert pruned.where(F.col("id").isin(3, 4)).count() == 0
+    # a batch copying the DELETED doc 3 and the LIVE doc 5
+    batch = spark.createDataFrame(
+        [
+            (100, f"{words} corpus doc 3 " + words[::-1]),
+            (101, f"{words} corpus doc 5 " + words[::-1]),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["new_id"], r["dup_id"])
+        for r in incremental_neardup_pairs(
+            batch, live, pruned, "doc_id", "text",
+            k=32, bands=8, verify_threshold=1.0,
+        ).collect()
+    }
+    assert (101, 5) in rows
+    assert not any(dup in (3, 4) for _, dup in rows)
