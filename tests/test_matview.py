@@ -311,3 +311,188 @@ def test_minmax_view_null_groups_and_validation(spark, tmp_path, src):
         MinMaxView(spark, str(tmp_path / "x1"), src, [], ["v"])
     with _pytest.raises(ValueError, match="measure"):
         MinMaxView(spark, str(tmp_path / "x2"), src, ["g"], ["g"])
+
+
+class TestRecomputeFilePruning:
+    """VERDICT r9 #1: the partial-recompute scan side must prune FILES
+    (index / partition / col_stats) before the row-level semi-join, so
+    a small-churn refresh reads the affected groups' files, not the
+    table; bounded broadcast with a loud shuffle fallback."""
+
+    def _seed_wide(self, spark, tmp_path, name="psrc", buckets=6):
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / name), buckets=buckets)
+        t.merge(
+            mk(spark, [
+                (f"k{i:03d}", 1, "upsert", f"g{i % 5}", i)
+                for i in range(120)
+            ]),
+            "seed",
+        )
+        return t
+
+    def _equiv(self, view, src):
+        exp = {
+            (r["g"], r["cnt"], r["min_v"], r["max_v"])
+            for r in src.snapshot().groupBy("g").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            ).collect()
+        }
+        got = {
+            (r["g"], r["cnt"], r["min_v"], r["max_v"])
+            for r in view.df().collect()
+        }
+        assert got == exp, (sorted(got, key=str), sorted(exp, key=str))
+
+    def test_secondary_index_prunes_refresh_files(self, spark, tmp_path):
+        """With a secondary index on the group column, a churn confined
+        to one file recomputes from a file subset: kept < live."""
+        from hudi_spark_plus_spark.table.matview import MinMaxView
+
+        src = self._seed_wide(spark, tmp_path)
+        src.create_secondary_index("g")
+        mv = MinMaxView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+        mv.refresh()
+        # churn: ONE new group on one new key -> lives in one data file
+        # (in-commit maintenance indexes the added file automatically)
+        src.merge(mk(spark, [("zz1", 2, "upsert", "RARE", 7)]), "b2")
+        mv.refresh()
+        p = mv.last_prune
+        assert p["strategy"] == "broadcast-semi"
+        assert p["prune_col"] == "g"
+        assert p["files_kept"] < p["files_live"], p
+        self._equiv(mv, src)
+
+    def test_partition_field_prunes_refresh_files(self, spark, tmp_path):
+        """When the group column IS the table's (identity) partition
+        field, structural elimination prunes with no index at all: a
+        one-partition churn keeps only that partition's files."""
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+        from hudi_spark_plus_spark.table.matview import MinMaxView
+
+        src = LakeTable(
+            spark, str(tmp_path / "part"), buckets=3,
+            partition_fields=["g"],
+        )
+        src.merge(
+            mk(spark, [
+                (f"k{i:03d}", 1, "upsert", f"g{i % 4}", i)
+                for i in range(80)
+            ]),
+            "seed",
+        )
+        mv = MinMaxView(spark, str(tmp_path / "mvp"), src, ["g"], ["v"])
+        mv.refresh()
+        src.merge(mk(spark, [("k000", 2, "upsert", "g0", 500)]), "b2")
+        mv.refresh()
+        p = mv.last_prune
+        assert p["prune_col"] == "g"
+        assert p["files_kept"] < p["files_live"], p
+        # kept files are exactly partition g0's
+        kept, live = src.files_for_any_value("g", ["g0"])
+        assert {f.partition for f in kept} == {"g0"}
+        self._equiv(mv, src)
+
+    def test_shuffle_fallback_past_broadcast_cap(
+        self, spark, tmp_path, caplog
+    ):
+        """Past the affected-group cap the refresh must not collect or
+        broadcast: loud fallback to a shuffle semi-join, same answer."""
+        import logging
+
+        from hudi_spark_plus_spark.table.matview import MinMaxView
+
+        src = self._seed_wide(spark, tmp_path, name="capsrc")
+        mv = MinMaxView(spark, str(tmp_path / "mvc"), src, ["g"], ["v"])
+        mv.refresh()
+        src.MAX_BROADCAST_GROUPS = 1  # instance-level override
+        src.merge(
+            mk(spark, [
+                ("k000", 2, "upsert", "g0", 500),
+                ("k001", 2, "upsert", "g1", 501),
+                ("k002", 2, "upsert", "g2", 502),
+            ]),
+            "b2",
+        )
+        with caplog.at_level(
+            logging.WARNING,
+            logger="hudi_spark_plus_spark.table.lake_table",
+        ):
+            mv.refresh()
+        assert mv.last_prune["strategy"] == "shuffle-semi"
+        assert any(
+            "shuffle semi-join" in r.message for r in caplog.records
+        )
+        self._equiv(mv, src)
+
+    def test_mor_widening_excludes_superseded_rows(self, spark, tmp_path):
+        """The stale-row hazard file pruning must survive: k moved
+        group a->m by an ALREADY-REFRESHED MOR delta; a later churn of
+        group a prunes to files containing 'a' — which include k's
+        STALE base row but not its newer delta (g='m'). MOR widening
+        pulls the bucket's delta mates, so resolution excludes the
+        superseded row and group a's count stays right."""
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+        from hudi_spark_plus_spark.table.matview import MinMaxView
+
+        src = LakeTable(spark, str(tmp_path / "mor"), buckets=1)
+        src.merge(
+            mk(spark, [
+                ("k1", 1, "upsert", "a", 10),
+                ("k2", 1, "upsert", "a", 20),
+                ("k3", 1, "upsert", "b", 5),
+            ]),
+            "seed",
+        )
+        src.create_secondary_index("g")
+        mv = MinMaxView(spark, str(tmp_path / "mvm"), src, ["g"], ["v"])
+        mv.refresh()
+        # refreshed slice 1: k1 leaves group a via a MOR delta
+        src.merge(
+            mk(spark, [("k1", 2, "upsert", "m", 99)]), "b2", mode="mor"
+        )
+        mv.refresh()
+        self._equiv(mv, src)
+        # later churn touches ONLY group a: the pruned file set must
+        # still resolve k1 as group m (stale base row superseded)
+        src.merge(
+            mk(spark, [("k9", 3, "upsert", "a", 1)]), "b3", mode="mor"
+        )
+        mv.refresh()
+        self._equiv(mv, src)
+        a_row = [r for r in mv.df().collect() if r["g"] == "a"]
+        assert a_row and a_row[0]["cnt"] == 2  # k2 + k9, NOT stale k1
+
+    def test_derived_refresh_uses_pruned_slice(self, spark, tmp_path):
+        """operators/derived.py rides the same pruned scan side and
+        stays correct across churn (including a group emptied)."""
+        from hudi_spark_plus_spark.operators.derived import (
+            refresh_grouped_aggregate,
+        )
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        src = self._seed_wide(spark, tmp_path, name="dsrc")
+        src.create_secondary_index("g")
+        dst = LakeTable(spark, str(tmp_path / "dagg"), buckets=2)
+        ckpt = str(tmp_path / "ckpt")
+
+        def agg(df):
+            return df.groupBy("g").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+
+        assert refresh_grouped_aggregate(src, dst, ckpt, "g", agg) == 5
+        src.merge(mk(spark, [("zz1", 2, "upsert", "RARE", 7)]), "b2")
+        assert refresh_grouped_aggregate(src, dst, ckpt, "g", agg) == 1
+        exp = {
+            (r["g"], r["cnt"], r["sum_v"]) for r in agg(src.snapshot()).collect()
+        }
+        got = {
+            (r["g"], r["cnt"], r["sum_v"])
+            for r in dst.snapshot().select("g", "cnt", "sum_v").collect()
+        }
+        assert got == exp
