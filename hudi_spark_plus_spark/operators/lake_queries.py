@@ -1981,9 +1981,129 @@ def q_lake_matview_minmax(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_pruned(spark, sf_dir):
+    """Index-routed FILE pruning for the partial-recompute matview
+    (VERDICT r9 #1, lake_table.snapshot_pruned_to_groups): source =
+    customer < SUBSET partitioned BY the group column (c_mktsegment),
+    MinMaxView of c_nationkey per segment. Churn touches ONLY the
+    BUILDING segment (custkey %7 rows get nationkey+30), so the second
+    refresh's recompute must read ONLY that partition's files — the
+    fixture RAISES unless the pruning decision kept fewer files than
+    live (structural partition elimination, no index needed). Result
+    must equal a from-scratch GROUP BY of the final state (oracled)."""
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+
+        def batch(df, ts):
+            return df.select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(ts).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_mktsegment",
+                F.col("c_nationkey").cast("long").alias("nk"),
+            )
+
+        src = LakeTable(
+            spark, work + "/src", buckets=3,
+            partition_fields=["c_mktsegment"],
+        )
+        src.merge(batch(c, 1), "b1")
+        mv = MinMaxView(
+            spark, work + "/mv", src, ["c_mktsegment"], ["nk"]
+        )
+        mv.refresh()
+        churn = batch(
+            c.where(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_custkey") % 7 == 0)
+            ),
+            2,
+        ).withColumn("nk", F.col("nk") + F.lit(30))
+        src.merge(churn, "b2")
+        mv.refresh()
+        p = mv.last_prune
+        if not (
+            p.get("prune_col") == "c_mktsegment"
+            and p.get("files_kept") is not None
+            and p["files_kept"] < p["files_live"]
+        ):
+            raise AssertionError(
+                f"recompute did not file-prune to the churned "
+                f"partition: {p}"
+            )
+        out = mv.df().select(
+            "c_mktsegment", "cnt",
+            F.col("min_nk").cast("long").alias("min_nk"),
+            F.col("max_nk").cast("long").alias("max_nk"),
+        ).orderBy("c_mktsegment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_retype(spark, sf_dir):
+    """Explicit non-widening type change (VERDICT r9 stretch 8,
+    maintenance.rewrite_column_type): in-band int→string stays REJECTED
+    (known-limit 2); the maintenance command rewrites every live file
+    in one 'retype' commit. Seed customers < SUBSET with nk=int
+    nationkey; retype nk to string; post-retype churn upserts %6 keys
+    with a string-shaped value ('N<nk+1>'). The fixture also asserts
+    time travel to the pre-retype version still reads int (version-
+    scoped read schemas). Result = final snapshot, oracled as a replay
+    CAST in DuckDB."""
+    from hudi_spark_plus_spark.table.maintenance import rewrite_column_type
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        seed = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.col("c_nationkey").cast("int").alias("nk"),
+        )
+        src = LakeTable(spark, work + "/src", buckets=3)
+        src.merge(seed, "b1")
+        st = rewrite_column_type(src, "nk", "string")
+        if (st["from"], st["to"]) != ("int", "string"):
+            raise AssertionError(f"unexpected retype record: {st}")
+        old = src.snapshot(version=1)
+        if dict(old.dtypes)["nk"] != "int":
+            raise AssertionError(
+                "pre-retype version must read with its own (int) schema"
+            )
+        churn = c.where(F.col("c_custkey") % 6 == 0).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.concat(
+                F.lit("N"), (F.col("c_nationkey") + 1).cast("string")
+            ).alias("nk"),
+        )
+        src.merge(churn, "b2")
+        out = src.snapshot().select("c_custkey", "nk").orderBy("c_custkey")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 LAKE_QUERIES = {
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-minmax": q_lake_matview_minmax,
+    "q-lake-matview-pruned": q_lake_matview_pruned,
+    "q-lake-retype": q_lake_retype,
     "q-lake-functional-index": q_lake_functional_index,
     "q-lake-partial-update": q_lake_partial_update,
     "q-lake-secondary-index": q_lake_secondary_index,
@@ -2098,6 +2218,33 @@ LAKE_ORACLES = {
                min(c_name) AS min_name,
                max(c_name) AS max_name
         FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # pruned partial recompute: BUILDING %7 rows got nationkey+30;
+    # every other row is untouched — replay on the final state
+    "q-lake-matview-pruned": f"""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(nk) AS BIGINT) AS min_nk,
+               CAST(max(nk) AS BIGINT) AS max_nk
+        FROM (
+          SELECT c_mktsegment,
+                 CASE WHEN c_mktsegment = 'BUILDING'
+                       AND c_custkey % 7 = 0
+                      THEN c_nationkey + 30
+                      ELSE c_nationkey END AS nk
+          FROM customer WHERE c_custkey < {SUBSET}
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # retype replay: every nk became a string at the rewrite; %6 keys
+    # then got the post-retype string-shaped upsert
+    "q-lake-retype": f"""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0
+                    THEN 'N' || CAST(c_nationkey + 1 AS VARCHAR)
+                    ELSE CAST(c_nationkey AS VARCHAR) END AS nk
+        FROM customer WHERE c_custkey < {SUBSET}
+        ORDER BY c_custkey
     """,
     # functional-index probes: p1 = 1999 orders (pruned through the
     # month expression index), p2 = 2000+ orders (stale-index

@@ -73,30 +73,27 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r9: in-commit index maintenance (VERDICT r8 #4) changed the
-    # index fixtures' internal flow (auto-refresh inside merge/insert)
+    # r10: MinMaxView recompute scan side moved to
+    # snapshot_pruned_to_groups (file pruning + bounded broadcast) —
+    # VERDICT r9 #1
+    "q-lake-matview-minmax",
+    # r10: derived-table refresh rides the same pruned slice (and its
+    # semi-join became null-safe)
+    "q-lake-derived",
+    # r10: incremental near-dup corpus-scope join gained the
+    # new_id != dup_id guard (ADVICE r9 #3)
+    "q-doc-neardup-incremental",
+    # r10: secondary/functional index readers re-resolve through
+    # _open_latest_manifest on the retention race (ADVICE r9 #2)
     "q-lake-secondary-index",
     "q-lake-functional-index",
-    # r9: matview GC recovery on the no-op refresh path + read-side
-    # cnt==0 filter (ADVICE r8)
-    "q-lake-matview",
-    # r9: BM25 idf floor gained the cross-engine 1e-9 ulp guard in
-    # BOTH engines (ADVICE r8) — values should be bit-identical, but
-    # the change is inside the score math: re-green it
-    "q-doc-bm25",
-    # r9: DML assignment-key validation (ADVICE r8) — refusal path
-    # only, but update_where/merge_into are this fixture's spine
-    "q-lake-dml",
-    # r9: stream_source floor hardening (initialOffset ratchet +
-    # pin-state self-heal; VERDICT r8 #1)
-    "q-stream-lake-source",
-    # NOT pinned although the coarse table-module hash flags them: the
-    # rest of the q-lake-*/q-cdc-* family — r9's lake_table.py changes
-    # there are additive (assignment validation raises, maintenance
-    # no-ops on index-less tables) or in paths those queries don't
-    # execute; the rotation's stalest-first ordering re-greens the
-    # family while leaving room for the 42 r6-stale queries VERDICT r8
-    # directive 6 wants sampled (pins capped ~10).
+    # NOT pinned although module hashes flag them: the rest of the
+    # q-lake-* family — r10's lake_table.py changes are additive (new
+    # pruning methods those fixtures don't call; the maintenance catch
+    # widening only alters a failure path). q-lake-matview-pruned is
+    # NEW and sorts first as never-verified. The rotation's
+    # stalest-first ordering drains the r7-stale tail (VERDICT r9 #5)
+    # with pins held at 5.
 ]
 
 

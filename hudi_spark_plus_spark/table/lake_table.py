@@ -585,7 +585,7 @@ class LakeTable:
         if read_optimized:
             files = [f for f in files if f.kind != "delta"]
         files = self._prune_partitions(files, partitions, partition_range)
-        df = self._read_files(files)
+        df = self._read_files(files, schema=self._schema_at(version))
         if not read_optimized and any(f.kind == "delta" for f in files):
             df = self._resolve_latest(df)
         if not include_deleted and DELETED_COL in df.columns:
@@ -829,13 +829,14 @@ class LakeTable:
             units = {(f.partition, f.bucket) for f in files}
             df = self._resolve_latest(
                 self._read_files(
-                    [f for f in live if (f.partition, f.bucket) in units]
+                    [f for f in live if (f.partition, f.bucket) in units],
+                    schema=self._schema_at(end),
                 )
             )
         else:
             # COW: one live copy per key, already LWW-settled at write;
             # reading only the changed-and-still-live files suffices
-            df = self._read_files(files)
+            df = self._read_files(files, schema=self._schema_at(end))
         if COMMIT_VER_COL in df.columns:
             ver = F.coalesce(F.col(COMMIT_VER_COL), F.lit(0))
             cond = ver > begin
@@ -922,7 +923,7 @@ class LakeTable:
                 and f.path not in end_paths
                 and f.path not in have
             ]
-            bdf = self._read_files(bfiles)
+            bdf = self._read_files(bfiles, schema=self._schema_at(begin))
             if COMMIT_VER_COL not in bdf.columns:
                 bdf = bdf.withColumn(
                     COMMIT_VER_COL, F.lit(0).cast("long")
@@ -1957,14 +1958,41 @@ class LakeTable:
             )
         )
 
-    def _read_files(self, files: list[FileEntry]) -> DataFrame:
+    def _schema_at(self, version: int | None) -> StructType | None:
+        """ACTIVE logical schema of a specific committed version (None
+        = latest). Historical reads must use the schema of the version
+        whose live set they read: widening evolution happens to be
+        read-compatible in both directions of time, but an explicit
+        ``rewrite_column_type`` changes the physical type of every live
+        file at its commit — reading an older version's files with the
+        newer schema would crash the vectorized reader (and vice
+        versa). Version-scoped schemas make every read self-consistent:
+        any file live at version v was written under a schema v's
+        schema widens."""
+        if version is None:
+            return self.schema()
+        import json as _json
+
+        c = self.log.read(version)
+        if not c.schema_json:
+            return self.schema()
+        full = StructType.fromJson(_json.loads(c.schema_json))
+        return StructType(
+            [f for f in full.fields if not (f.metadata or {}).get("dropped")]
+        )
+
+    def _read_files(
+        self, files: list[FileEntry], schema: StructType | None = None
+    ) -> DataFrame:
         """Read data files into the LOGICAL schema: scan with physical
         names (what the parquet actually stores — a logical name absent
         from the files would silently read as all-null), then alias back
         to logical. Dropped columns are simply not projected. Bootstrap
         files (kind="bootstrap") are read separately and their engine
-        meta columns synthesized from the persisted spec."""
-        sch = self.schema()
+        meta columns synthesized from the persisted spec. ``schema``
+        overrides the latest logical schema for historical reads (pass
+        ``_schema_at`` of the version whose live set ``files`` is)."""
+        sch = schema if schema is not None else self.schema()
         if sch is None:
             raise ValueError(f"lake table at {self.path} has no commits")
         if not files:

@@ -184,6 +184,144 @@ def maybe_compact(
     )
 
 
+# types rewrite_column_type can target: primitives whose parquet
+# representation is unambiguous and whose cast semantics round-trip
+# detectably (the lossless check below)
+_RETYPE_TARGETS = {
+    "string", "tinyint", "smallint", "int", "bigint",
+    "float", "double", "boolean", "date",
+}
+
+
+def rewrite_column_type(
+    lake: LakeTable, col: str, new_type: str, allow_lossy: bool = False
+) -> dict:
+    """EXPLICIT full-table rewrite changing a payload column's type —
+    the maintenance-command answer to known-limit 2 (DESIGN.md):
+    non-widening type changes (int→string, double→int, …) are rejected
+    IN-BAND because carried files of untouched buckets would keep the
+    old physical type and poison vectorized reads; the only correct
+    form is a rewrite of every live file, which is a scheduled
+    maintenance decision, never an ingest side effect. Mirrors
+    ``compact``: one pass over the snapshot (tombstones included, MOR
+    deltas folded), same bucket/partition layout, one commit replacing
+    the full file set; physical column names are unchanged, so column
+    mapping is untouched.
+
+    LOSSLESS BY PROOF per row: before writing, every non-null value
+    must survive the round trip ``cast(cast(v AS new) AS old) == v``
+    (catches double→int truncation, bigint→int overflow via try_cast
+    null, '007'→7→'7' renormalization). Any violation raises with a
+    count unless ``allow_lossy=True`` is passed explicitly. Returns
+    {files_before, files_after, column, from, to}."""
+    new_type = new_type.strip().lower()
+    if new_type not in sorted(_RETYPE_TARGETS):
+        raise ValueError(
+            f"rewrite_column_type targets {sorted(_RETYPE_TARGETS)}; "
+            f"got {new_type!r}"
+        )
+    if col in lake.RESERVED_COLS:
+        raise ValueError(f"{col!r} is an engine column; cannot retype")
+    from hudi_spark_plus_spark.table.keygen import partition_source_cols
+
+    if col in partition_source_cols(lake.partition_fields or []):
+        raise ValueError(
+            f"{col!r} feeds the partition path; retyping it would "
+            "re-render every partition value — not supported"
+        )
+
+    def attempt() -> dict:
+        import json as _json
+
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        prev = lake.log.latest()
+        if prev is None:
+            raise ValueError(f"lake table at {lake.path} has no commits")
+        stored = StructType.fromJson(_json.loads(prev.schema_json))
+        fld = next(
+            (
+                f
+                for f in stored.fields
+                if f.name == col and not (f.metadata or {}).get("dropped")
+            ),
+            None,
+        )
+        if fld is None:
+            raise ValueError(f"no column {col!r} in the active schema")
+        old_type = fld.dataType.simpleString()
+        if old_type == new_type:
+            return {
+                "files_before": len(prev.files),
+                "files_after": len(prev.files),
+                "column": col, "from": old_type, "to": new_type,
+            }
+        snap = lake.snapshot(include_deleted=True)
+        casted = F.expr(f"try_cast(`{col}` AS {new_type})")
+        if not allow_lossy:
+            back = F.expr(
+                f"try_cast(try_cast(`{col}` AS {new_type}) AS {old_type})"
+            )
+            n_bad = (
+                snap.where(
+                    F.col(col).isNotNull() & ~back.eqNullSafe(F.col(col))
+                ).limit(1_000_000).count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"retype {col}: {old_type}->{new_type} is lossy for "
+                    f"{n_bad} row(s) (value does not round-trip); pass "
+                    "allow_lossy=True to force"
+                )
+        new_schema = StructType(
+            [
+                f
+                if f is not fld
+                else type(f)(
+                    f.name,
+                    _parse_datatype_string(new_type),
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in stored.fields
+            ]
+        )
+        out = lake._apply_physical(
+            lake._with_part(
+                snap.withColumn(col, casted).withColumn(
+                    BUCKET_COL, bucket_expr(F.col(KEY_COL), lake.buckets)
+                )
+            ),
+            new_schema.json(),
+        )
+        absd, rel = lake.log.new_data_subdir()
+        layout = lake._layout_cols()
+        (
+            out.repartition(
+                max(1, lake.buckets), *[F.col(c) for c in layout]
+            )
+            .write.mode("append")
+            .options(**_BLOOM_OPTS)
+            .partitionBy(*layout)
+            .parquet(absd)
+        )
+        files = _collect_file_entries(lake.path, rel, spark=lake.spark)
+        lake.log.commit(
+            "retype",
+            files,
+            schema_json=new_schema.json(),
+            expected_version=prev.version + 1,
+            partition_fields=lake.partition_fields or None,
+        )
+        return {
+            "files_before": len(prev.files),
+            "files_after": len(files),
+            "column": col, "from": old_type, "to": new_type,
+        }
+
+    return lake._with_commit_retries(attempt)
+
+
 def vacuum(
     lake: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
 ) -> dict:

@@ -359,3 +359,130 @@ def test_two_os_process_writers_race_through_http_put(spark, tmp_path):
         assert final.log.latest().version == 3, outs
     finally:
         store.close()
+
+
+_SOAK_CHILD = r'''
+import os, sys, time
+sys.path.insert(0, sys.argv[1])
+table_path, port, wid, n_rounds, sync_dir = (
+    sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]),
+    sys.argv[6],
+)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"soak-writer-{wid}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from hudi_spark_plus_spark.table.commit_log import (
+    CommitConflict, HttpConditionalPutFinalizer,
+)
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+fin = HttpConditionalPutFinalizer(
+    lambda p: f"http://127.0.0.1:{port}/" + os.path.relpath(p, table_path)
+)
+t = LakeTable(spark, table_path, finalizer=fin)
+# rendezvous once: both writers start their merge storms together
+open(os.path.join(sync_dir, f"ready-{wid}"), "w").close()
+deadline = time.time() + 120
+while not os.path.exists(os.path.join(sync_dir, "go")):
+    if time.time() > deadline:
+        raise SystemExit(f"writer {wid}: rendezvous timeout")
+    time.sleep(0.05)
+conflicts = 0
+for j in range(n_rounds):
+    batch = spark.createDataFrame(
+        [
+            (f"k{wid}-{j}", 10 + j, "upsert", f"w{wid}r{j}"),
+            ("shared", j * 2 + wid, "upsert", f"s{wid}r{j}"),
+        ],
+        "_key string, _ts long, _op string, val string",
+    )
+    # the INNER bounded retry loop is the subject under soak; the
+    # outer loop only absorbs pathological exhaustion (counted, so
+    # the parent can see how hard the storm actually was)
+    for attempt in range(10):
+        try:
+            t.merge(batch, f"soak-{wid}-{j}")
+            break
+        except CommitConflict:
+            conflicts += 1
+            time.sleep(0.2 * (attempt + 1))
+    else:
+        raise SystemExit(f"writer {wid}: round {j} never landed")
+spark.stop()
+print(f"writer {wid} done outer_conflicts={conflicts}", flush=True)
+'''
+
+
+def test_two_process_occ_soak_matches_serial_replay(spark, tmp_path):
+    """VERDICT r9 stretch 7: sustained cross-process contention, not a
+    single staged race — two OS processes each push N merges through
+    the HTTP conditional-PUT finalizer as fast as they can. Liveness:
+    every one of the 2N batches lands (bounded retry never starves a
+    writer). Safety: the final table equals the serial replay of all
+    batches under LWW — writer-unique keys all present, the shared
+    key resolved by the highest _ts, and exactly 1 + 2N commits (no
+    lost or duplicated publish)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    n_rounds = 5
+    path = str(tmp_path / "t")
+    sync_dir = str(tmp_path / "sync")
+    os.makedirs(sync_dir)
+    store = _InProcessObjectStore(path)
+    try:
+        fin = store.finalizer()
+        seed = LakeTable(spark, path, buckets=2, finalizer=fin)
+        seed.merge(
+            spark.createDataFrame(
+                [("s", 1, "upsert", "seed"), ("shared", 0, "upsert", "s0")],
+                "_key string, _ts long, _op string, val string",
+            ),
+            "soak-seed",
+        )
+        child = str(tmp_path / "soak_writer.py")
+        with open(child, "w") as fh:
+            fh.write(_SOAK_CHILD)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "PYTHONPATH": repo}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, child, repo, path, str(store.port),
+                 str(i), str(n_rounds), sync_dir],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in (0, 1)
+        ]
+        deadline = time.time() + 180
+        while time.time() < deadline and not all(
+            os.path.exists(os.path.join(sync_dir, f"ready-{i}"))
+            for i in (0, 1)
+        ):
+            time.sleep(0.1)
+        open(os.path.join(sync_dir, "go"), "w").close()
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out.decode(errors="replace"))
+            assert p.returncode == 0, outs
+        final = LakeTable(spark, path)
+        got = {r["_key"]: r["val"] for r in final.snapshot().collect()}
+        exp = {"s": "seed"}
+        for w in (0, 1):
+            for j in range(n_rounds):
+                exp[f"k{w}-{j}"] = f"w{w}r{j}"
+        # shared key: highest _ts across all writers' rounds wins —
+        # ts = j*2 + wid, max at j = n_rounds-1, wid = 1
+        exp["shared"] = f"s1r{n_rounds - 1}"
+        assert got == exp, (got, outs)
+        assert final.log.latest().version == 1 + 2 * n_rounds, outs
+    finally:
+        store.close()
