@@ -313,11 +313,33 @@ def _probe_incremental_neardup(spark, d: str) -> float:
     return dt
 
 
+def _probe_semdedup_autok(spark, d: str) -> float:
+    """SemDeDup's SCALE contract is auto-K (cluster population bounded
+    at SEMDEDUP_TARGET_CLUSTER_ROWS as n grows — the paper's own rule).
+    The oracled q-emb-semdedup pins an explicit K so DuckDB can replay
+    the seeds, which makes ITS ratio O(n^2/K) by construction (measured
+    exponent 1.28 at 50x, r10) — this probe times the deployment shape
+    instead: n_clusters=None."""
+    import time as _t
+
+    from hudi_spark_plus_spark.functions.similarity import semdedup
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    t0 = _t.perf_counter()
+    semdedup(emb, "vec_id", "embedding", n_clusters=None).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return _t.perf_counter() - t0
+
+
 # custom probes: (setup excluded from timing; the callable returns the
 # measured seconds itself)
 SPOT10X_PROBES = {
     "matview-fixed-churn-refresh": _probe_matview_refresh,
     "neardup-fixed-batch-vs-corpus": _probe_incremental_neardup,
+    "semdedup-autok": _probe_semdedup_autok,
 }
 
 

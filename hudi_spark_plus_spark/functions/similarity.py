@@ -771,11 +771,27 @@ def semdedup(
         )
 
     q = quantize_embeddings(df, vec_col).select(id_col, "qvec")
+    # one cheap pre-quantize count pays for BOTH the auto-K rule and the
+    # explicit-K scale guard (the r10 50x probe measured the unguarded
+    # fixed-K shape at exponent 1.28 — O(n^2/K) gram work): a caller
+    # pinning K while n grows gets a LOUD warning, not a silent
+    # quadratic cliff.
+    n = df.count()
     if n_clusters is None:
-        n = q.count()
         n_clusters = min(
             max(8, n // SEMDEDUP_TARGET_CLUSTER_ROWS),
             SEMDEDUP_MAX_AUTO_CLUSTERS,
+        )
+    elif n > n_clusters * 8 * SEMDEDUP_TARGET_CLUSTER_ROWS:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semdedup: explicit n_clusters=%d over %d rows yields avg "
+            "cluster population ~%d (target %d) — within-cluster gram "
+            "work is quadratic in that; pass n_clusters=None to auto-"
+            "scale K with the corpus",
+            n_clusters, n, n // max(n_clusters, 1),
+            SEMDEDUP_TARGET_CLUSTER_ROWS,
         )
 
     @F.pandas_udf("bigint")
@@ -821,12 +837,25 @@ def semdedup(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = np.array(pdf["qvec"].tolist(), dtype=np.int64)
         n2 = pdf["n2"].to_numpy(dtype=np.int64)
-        g = m @ m.T
-        sim = (g > 0) & ((g * g) * 10_000 >= t2 * (n2[:, None] * n2[None, :]))
+        rows = len(pdf)
         # removed[i] = exists j < i (lower id, rows are id-sorted) with
-        # sim — the strictly-lower triangle
-        lower = np.tril(np.ones(sim.shape, dtype=bool), k=-1)
-        removed = (sim & lower).any(axis=1)
+        # sim — the strictly-lower triangle. Computed in ROW BLOCKS so
+        # peak memory is O(block x cluster), not O(cluster^2): an
+        # oversized cluster (explicit K under grown n) degrades to slow,
+        # never to an executor OOM. Integer ops — bit-identical to the
+        # full-matrix form.
+        removed = np.zeros(rows, dtype=bool)
+        block = 1024
+        cols = np.arange(rows)[None, :]
+        for s in range(0, rows, block):
+            e = min(s + block, rows)
+            g = m[s:e] @ m.T  # (block, rows) exact int64
+            sim = (g > 0) & (
+                (g * g) * 10_000 >= t2 * (n2[s:e, None] * n2[None, :])
+            )
+            removed[s:e] = (
+                sim & (cols < np.arange(s, e)[:, None])
+            ).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

@@ -87,6 +87,10 @@ _PINNED = [
     # _open_latest_manifest on the retention race (ADVICE r9 #2)
     "q-lake-secondary-index",
     "q-lake-functional-index",
+    # r10: semdedup within-cluster prune became row-block-chunked
+    # (bounded memory) + explicit-K scale guard — integer math
+    # unchanged, but the kernel is new code
+    "q-emb-semdedup",
     # NOT pinned although module hashes flag them: the rest of the
     # q-lake-* family — r10's lake_table.py changes are additive (new
     # pruning methods those fixtures don't call; the maintenance catch
