@@ -771,27 +771,16 @@ def semdedup(
         )
 
     q = quantize_embeddings(df, vec_col).select(id_col, "qvec")
-    # one cheap pre-quantize count pays for BOTH the auto-K rule and the
-    # explicit-K scale guard (the r10 50x probe measured the unguarded
-    # fixed-K shape at exponent 1.28 — O(n^2/K) gram work): a caller
-    # pinning K while n grows gets a LOUD warning, not a silent
-    # quadratic cliff.
-    n = df.count()
     if n_clusters is None:
+        # the auto-K rule needs n; this count is the auto path's only
+        # extra job (a driver-side count() on an EXPLICIT-K call would
+        # re-execute the caller's whole upstream lineage — measured
+        # +2-3x on the e2e pipelines — so explicit K is guarded
+        # executor-side in _prune instead, where cluster size is free)
+        n = q.count()
         n_clusters = min(
             max(8, n // SEMDEDUP_TARGET_CLUSTER_ROWS),
             SEMDEDUP_MAX_AUTO_CLUSTERS,
-        )
-    elif n > n_clusters * 8 * SEMDEDUP_TARGET_CLUSTER_ROWS:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "semdedup: explicit n_clusters=%d over %d rows yields avg "
-            "cluster population ~%d (target %d) — within-cluster gram "
-            "work is quadratic in that; pass n_clusters=None to auto-"
-            "scale K with the corpus",
-            n_clusters, n, n // max(n_clusters, 1),
-            SEMDEDUP_TARGET_CLUSTER_ROWS,
         )
 
     @F.pandas_udf("bigint")
@@ -838,6 +827,20 @@ def semdedup(
         m = np.array(pdf["qvec"].tolist(), dtype=np.int64)
         n2 = pdf["n2"].to_numpy(dtype=np.int64)
         rows = len(pdf)
+        if rows >= 8 * SEMDEDUP_TARGET_CLUSTER_ROWS:
+            # the explicit-K scale guard (the r10 50x probe measured
+            # the pinned-K shape at exponent 1.28 — O(n^2/K) gram
+            # work): cluster size is FREE here on the executor, where
+            # a driver-side count() would re-execute the caller's
+            # upstream lineage. Lands in executor logs.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster of %d rows (target %d) — gram work "
+                "is quadratic in cluster population; pass "
+                "n_clusters=None to auto-scale K with the corpus",
+                rows, SEMDEDUP_TARGET_CLUSTER_ROWS,
+            )
         # removed[i] = exists j < i (lower id, rows are id-sorted) with
         # sim — the strictly-lower triangle. Computed in ROW BLOCKS so
         # peak memory is O(block x cluster), not O(cluster^2): an
