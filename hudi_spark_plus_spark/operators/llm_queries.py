@@ -1096,6 +1096,46 @@ def q_doc_neardup_incremental(spark, sf_dir):
     ).orderBy("scope", "new_id", "dup_id")
 
 
+def q_doc_neardup_lifecycle(spark, sf_dir):
+    """Signature-state LIFECYCLE (VERDICT r9 #3,
+    functions/dedup.py:prune_signature_state): documents DELETED from
+    the corpus must stop matching as dup_id after the state GC — their
+    ghost signatures would otherwise match forever with their text
+    gone at verification time. Corpus = docs < 400 with %4 != 0; docs
+    with %5 == 0 are then DELETED; the state built over the ORIGINAL
+    corpus is pruned against the live ids (one band-partitioned
+    left-semi pass). The batch plants +off copies of corpus docs with
+    %10 in (1, 5): the %10==5 sources are deleted, so only the %10==1
+    pairs may surface. Verified at jaccard 1.0 — the outcome is an
+    equal-shingle-set join over the LIVE corpus that DuckDB replays
+    exactly."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+        prune_signature_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    off = _plant_offset(max_id if max_id is not None else 0)
+    corpus0 = d.where(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 4 != 0)
+    )
+    live = corpus0.where(F.col("doc_id") % 5 != 0)
+    # state accumulated over the ORIGINAL corpus, then GC'd after the
+    # deletion — the lifecycle contract's maintenance pass
+    state = prune_signature_state(
+        banded_signatures(corpus0, "doc_id", "text"), live, "doc_id"
+    )
+    batch = corpus0.where(
+        (F.col("doc_id") % 10 == 1) | (F.col("doc_id") % 10 == 5)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    return incremental_neardup_pairs(
+        batch, live, state, "doc_id", "text",
+        verify_threshold=1.0, max_bucket_size=1_000_000,
+    ).orderBy("scope", "new_id", "dup_id")
+
+
 SEMDEDUP_CLUSTERS, SEMDEDUP_THRESHOLD_CENTI = 8, 90
 
 
@@ -1160,6 +1200,7 @@ LLM_QUERIES = {
     "q-doc-line-dedup": q_doc_line_dedup,
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
     "q-doc-neardup-incremental": q_doc_neardup_incremental,
+    "q-doc-neardup-lifecycle": q_doc_neardup_lifecycle,
     "q-doc-dedup-exact": q_doc_dedup_exact,
     "q-doc-dedup-normalized": q_doc_dedup_normalized,
     "q-doc-token-stats": q_doc_token_stats,
@@ -1499,6 +1540,68 @@ LLM_ORACLES = {
                                 - 1)]
                    END), x -> x <> '')) AS g
           FROM corpus
+        ),
+        shd AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM delta
+        )
+        SELECT * FROM (
+          SELECT d.doc_id AS new_id, c.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'corpus' AS scope
+          FROM shd d JOIN shc c ON d.g = c.g
+          WHERE len(d.g) > 0
+          UNION ALL
+          SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'delta' AS scope
+          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE len(a.g) > 0
+        )
+        ORDER BY scope, new_id, dup_id
+    """,
+    # lifecycle replay: %5==0 corpus docs are DELETED and their
+    # signatures GC'd, so only LIVE docs may surface as dup_id — the
+    # batch's %10==5 plants must pair with nothing
+    "q-doc-neardup-lifecycle": r"""
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ),
+        corpus0 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 400 AND doc_id % 4 <> 0
+        ),
+        live AS (
+          SELECT doc_id, text FROM corpus0 WHERE doc_id % 5 <> 0
+        ),
+        delta AS (
+          SELECT doc_id + (SELECT o FROM off) AS doc_id, text
+          FROM corpus0 WHERE doc_id % 10 IN (1, 5)
+        ),
+        shc AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM live
         ),
         shd AS (
           SELECT doc_id,
