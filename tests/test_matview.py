@@ -496,3 +496,74 @@ class TestRecomputeFilePruning:
             for r in dst.snapshot().select("g", "cnt", "sum_v").collect()
         }
         assert got == exp
+
+
+def test_null_group_prunes_through_default_partition(spark, tmp_path):
+    """NULL group values render as the 'default' partition (keygen's
+    null-safe partition path); the pruned recompute must map a None
+    probe to that partition and keep the null group correct."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    src = LakeTable(
+        spark, str(tmp_path / "np"), buckets=2, partition_fields=["g"]
+    )
+    src.merge(
+        mk(spark, [
+            ("k1", 1, "upsert", "a", 10),
+            ("k2", 1, "upsert", None, 20),
+            ("k3", 1, "upsert", "b", 5),
+            ("k4", 1, "upsert", None, 7),
+        ]),
+        "b1",
+    )
+    mv = MinMaxView(spark, str(tmp_path / "mvn"), src, ["g"], ["v"])
+    mv.refresh()
+    # churn ONLY the null group: the probe set is {None} -> partition
+    # {'default'} -> kept files are just that partition's
+    src.merge(mk(spark, [("k9", 2, "upsert", None, 99)]), "b2")
+    mv.refresh()
+    p = mv.last_prune
+    assert p["prune_col"] == "g" and p["files_kept"] < p["files_live"], p
+    kept, _ = src.files_for_any_value("g", [None])
+    assert {f.partition for f in kept} == {"default"}
+    got = {
+        r["g"]: (r["cnt"], r["min_v"], r["max_v"])
+        for r in mv.df().collect()
+    }
+    assert got[None] == (3, 7, 99)
+    assert got["a"] == (1, 10, 10) and got["b"] == (1, 5, 5)
+
+
+def test_col_stats_branch_prunes_without_index_or_partition(
+    spark, tmp_path
+):
+    """Third pruning tier: no secondary index, unpartitioned — manifest
+    col_stats ([min,max] from the parquet footers) still prune when the
+    probed values fall outside most files' ranges."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "cs"), buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i:03d}", 1, "upsert", f"g{i % 5}", i) for i in range(80)],
+            "_key string, _ts long, _op string, g string, v long",
+        ),
+        "b1",
+    )
+    # one new key with an out-of-range v: only its bucket's rewritten
+    # file can contain 10000 per col_stats
+    t.merge(
+        spark.createDataFrame(
+            [("zz1", 2, "upsert", "gx", 10_000)],
+            "_key string, _ts long, _op string, g string, v long",
+        ),
+        "b2",
+    )
+    pruned = t.files_for_any_value("v", [10_000])
+    assert pruned is not None
+    kept, live = pruned
+    assert 0 < len(kept) < len(live), (len(kept), len(live))
+    # correctness through the pruned snapshot: the row is there
+    rows = t._snapshot_of_files(kept).where(F.col("v") == 10_000).collect()
+    assert [(r["_key"], r["v"]) for r in rows] == [("zz1", 10_000)]
