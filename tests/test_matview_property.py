@@ -131,3 +131,71 @@ def test_matviews_match_group_by_replay(
     }
     assert got_mm == exp_mm, (sorted(got_mm, key=str),
                               sorted(exp_mm, key=str))
+
+
+@given(events=schedule, cut=boundaries, refresh_pts=refresh_after)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pruned_recompute_matches_group_by_replay(
+    spark, tmp_path_factory, events, cut, refresh_pts
+):
+    """The r10 file-pruned recompute path under ARBITRARY churn: the
+    source carries a secondary index on the group column, so every
+    refresh routes through files_for_any_value (index branch for
+    non-null probe sets, fallback when a NULL group is affected) and
+    in-commit maintenance keeps the index live across the schedule.
+    The view must still equal the from-scratch GROUP BY."""
+    from hudi_spark_plus_spark.table.matview import MinMaxView
+
+    work = tmp_path_factory.mktemp("mvprune")
+    batches, cur = [], []
+    for seq, e in enumerate(events):
+        cur.append((seq, e))
+        if cut[seq % len(cut)]:
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+
+    src = LakeTable(spark, str(work / "src"), buckets=2)
+    mm = None
+    for i, batch in enumerate(batches):
+        surv = {}
+        for seq, (k, ts, g, v, is_del) in batch:
+            if k not in surv or (ts, seq) >= surv[k][:2]:
+                surv[k] = (ts, seq, g, v, is_del)
+        rows = [
+            (str(k), ts, "delete" if d else "upsert", g, v)
+            for k, (ts, seq, g, v, d) in surv.items()
+        ]
+        src.merge(
+            spark.createDataFrame(
+                rows, "_key string, _ts long, _op string, g string, v long"
+            ),
+            batch_id=f"b{i}",
+        )
+        if mm is None:
+            src.create_secondary_index("g")
+            mm = MinMaxView(spark, str(work / "mm"), src, ["g"], ["v"])
+        if refresh_pts[i % len(refresh_pts)]:
+            mm.refresh()
+    mm.refresh()
+    exp = {
+        (r["g"], r["cnt"], r["mn"], r["mx"])
+        for r in src.snapshot()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    got = {
+        (r["g"], r["cnt"], r["min_v"], r["max_v"])
+        for r in mm.df().collect()
+    }
+    assert got == exp, (sorted(got, key=str), sorted(exp, key=str))
