@@ -2099,7 +2099,90 @@ def q_lake_retype(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_meta_agg(spark, sf_dir):
+    """Metadata-only aggregates (stats_count/stats_minmax,
+    lake_table.py — the Hudi metadata-table / Delta stats COUNT(*)
+    fast path): snapshot COUNT answered from per-file ``live_rows``
+    manifest arithmetic, MIN/MAX from col_stats where provably exact.
+    COW fixture: 200 customers inserted, then %50==3 updated (+1000)
+    and %50==17 deleted — the COW count must cost ZERO data reads
+    (asserted), and min/max must reject the tombstone-holding rewritten
+    files while serving clean buckets from metadata (asserted). MOR
+    fixture: same batches as deltas — only delta-touched buckets may
+    scan (asserted), values identical. The DuckDB oracle recomputes
+    every metric from first principles, so a metadata shortcut that
+    drifts from scan truth (e.g. a deleted extremum surfacing, or a
+    superseded MOR version double-counted) hash-mismatches."""
+    bound = 200
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < bound
+    )
+
+    def batches():
+        b1 = c.select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        b2 = c.where(
+            (F.col("c_custkey") % 50 == 3) | (F.col("c_custkey") % 50 == 17)
+        ).select(
+            F.col("c_custkey").cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when(F.col("c_custkey") % 50 == 17, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 1000.0, 4).alias("acctbal"),
+        )
+        return b1, b2
+
+    rows = []
+    cow_minmax = None
+    work = tempfile.mkdtemp(prefix="hsp_metaagg_")
+    try:
+        for mode in ("cow", "mor"):
+            lake = LakeTable(spark, f"{work}/{mode}", buckets=8)
+            b1, b2 = batches()
+            lake.merge(b1, "b1", mode=mode)
+            lake.merge(b2, "b2", mode=mode)
+            sc = lake.stats_count()
+            mm = lake.stats_minmax("acctbal")
+            if mode == "cow":
+                # the headline 100-TB contract: a COW COUNT(*) is pure
+                # manifest arithmetic — zero files read
+                assert sc["files_scanned"] == 0, sc
+                # min/max serves untouched buckets from metadata and
+                # scans ONLY the rewritten (tombstone-holding) ones
+                assert mm["files_metadata"] > 0, mm
+                assert mm["files_scanned"] < (
+                    mm["files_metadata"] + mm["files_scanned"]
+                ), mm
+                cow_minmax = (float(mm["min"]), float(mm["max"]))
+                rows.append(("cow_v1_count", float(
+                    lake.stats_count(version=1)["count"]
+                )))
+                rows.append(("min_acctbal", cow_minmax[0]))
+                rows.append(("max_acctbal", cow_minmax[1]))
+            else:
+                # MOR: only delta-touched bucket numbers pay a scan
+                assert sc["files_metadata"] > 0, sc
+                assert 0 < sc["files_scanned"], sc
+                assert (mm["min"], mm["max"]) == cow_minmax, (
+                    "MOR metadata min/max diverged from COW"
+                )
+            rows.append((f"{mode}_count", float(sc["count"])))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "metric string, value double"
+    ).orderBy("metric")
+
+
 LAKE_QUERIES = {
+    "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-minmax": q_lake_matview_minmax,
     "q-lake-matview-pruned": q_lake_matview_pruned,
@@ -2160,6 +2243,31 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # Every metric recomputed from first principles: live = inserted
+    # minus deletes, updates applied. A metadata shortcut that diverges
+    # from scan truth cannot hash-match.
+    "q-lake-meta-agg": """
+        WITH c AS (SELECT * FROM customer WHERE c_custkey < 200),
+        live AS (
+            SELECT CASE WHEN c_custkey % 50 = 3
+                        THEN ROUND(c_acctbal + 1000.0, 4)
+                        ELSE ROUND(c_acctbal, 4) END AS acctbal
+            FROM c WHERE c_custkey % 50 <> 17)
+        SELECT * FROM (
+            SELECT 'cow_count' AS metric,
+                   CAST((SELECT COUNT(*) FROM live) AS DOUBLE) AS value
+            UNION ALL
+            SELECT 'cow_v1_count',
+                   CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+            UNION ALL
+            SELECT 'mor_count',
+                   CAST((SELECT COUNT(*) FROM live) AS DOUBLE)
+            UNION ALL
+            SELECT 'min_acctbal', (SELECT MIN(acctbal) FROM live)
+            UNION ALL
+            SELECT 'max_acctbal', (SELECT MAX(acctbal) FROM live)
+        ) ORDER BY metric
+    """,
     # MERGE INTO: [half, top) updated/inserted at +500, then every 10th
     # key under top deleted; keys < half keep base balances
     "q-lake-merge-into": f"""

@@ -98,6 +98,12 @@ _PINNED = [
     # NEW and sorts first as never-verified. The rotation's
     # stalest-first ordering drains the r7-stale tail (VERDICT r9 #5)
     # with pins held at 5.
+    # Also NOT pinned: the metadata-aggregate round's lake/CDC re-hash
+    # (manifests gained a per-file live_rows field) — the field is
+    # write-side additive (old manifests default to None and consumers
+    # scan-fallback), no existing fixture reads it, and the NEW
+    # q-lake-meta-agg query that does consume it sorts first as
+    # never-verified.
 ]
 
 

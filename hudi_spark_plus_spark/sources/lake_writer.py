@@ -534,7 +534,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             bloom = KeyBloom.sized(len(ks))
             for k in ks:
                 bloom.add(k)
-            _rows, _mn, _mx, col_stats, _hk = _footer_stats(absf)
+            _rows, _mn, _mx, col_stats, _hk, live_rows = _footer_stats(absf)
             entries.append(
                 FileEntry(
                     path=os.path.relpath(absf, self.table_path),
@@ -549,6 +549,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     kind=kind,
                     col_stats=col_stats or None,
                     partition=part,
+                    live_rows=live_rows,
                 )
             )
 

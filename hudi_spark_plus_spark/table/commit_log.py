@@ -221,6 +221,13 @@ class FileEntry:
     # structurally — partition elimination needs no per-file stats.
     # None = unpartitioned table (all pre-partitioning manifests).
     partition: str | None = None
+    # Rows with ``_deleted == false`` (the rows snapshot() surfaces):
+    # tombstones occupy storage until vacuumed, so ``rows`` alone
+    # over-counts the logical table. Feeds metadata-only aggregates
+    # (stats_count/stats_minmax) — a COW snapshot COUNT(*) at 100 TB
+    # is then pure manifest arithmetic, zero data I/O. None = unknown
+    # (manifests written before the field); consumers must scan.
+    live_rows: int | None = None
 
 
 def seg_sort_key(k: str) -> tuple:

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    NumericType,
     ShortType,
     StringType,
     StructField,
@@ -130,13 +131,20 @@ _BLOOM_OPTS = {
 BLOOM_DISTRIBUTED_MIN_ROWS = 2_000_000
 
 
-def _footer_stats(f: str) -> tuple[int, str | None, str | None, dict, bool]:
-    """(rows, min_key, max_key, col_stats, has_key) from ONE parquet
-    footer — pure per-file extraction, runnable on the driver (small
-    commits) or inside an executor task (large rewrites)."""
+def _footer_stats(
+    f: str,
+) -> tuple[int, str | None, str | None, dict, bool, int]:
+    """(rows, min_key, max_key, col_stats, has_key, live_rows) from ONE
+    parquet file — footer-only in the common case, runnable on the
+    driver (small commits) or inside an executor task (large rewrites).
+    ``live_rows`` counts rows with ``_deleted == false`` (exactly the
+    rows snapshot() surfaces): boolean row-group statistics decide the
+    all-live / all-tombstone cases for free; only a mixed file pays one
+    columnar read of the single boolean column."""
     import pyarrow.parquet as _pq
 
-    md = _pq.ParquetFile(f).metadata
+    pf = _pq.ParquetFile(f)
+    md = pf.metadata
     min_key = max_key = None
     has_key = False
     names = {md.schema.column(i).name: i for i in range(len(md.schema))}
@@ -175,7 +183,34 @@ def _footer_stats(f: str) -> tuple[int, str | None, str | None, dict, bool]:
                 continue
         if isinstance(lo, (int, float, str)):  # JSON-stable only
             col_stats[cname] = [lo, hi]
-    return md.num_rows, min_key, max_key, col_stats, has_key
+    live_rows = md.num_rows
+    di = names.get(DELETED_COL)
+    if di is not None:
+        known = 0
+        exact_read = False
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(di).statistics
+            nulls = st.null_count if st is not None and st.has_null_count else None
+            if st is not None and st.has_min_max and nulls == 0:
+                if not st.min and not st.max:
+                    known += rgm.num_rows
+                    continue
+                if st.min and st.max:
+                    continue  # all tombstones: contributes 0 live
+            exact_read = True
+            break
+        if exact_read:
+            # mixed / statless file: one columnar read of the boolean
+            # column — strict `== false`, matching snapshot()'s filter
+            import pyarrow.compute as _pc
+
+            col = pf.read(columns=[DELETED_COL]).column(0)
+            known = _pc.sum(
+                _pc.equal(col, False).cast("int64"), min_count=0
+            ).as_py()
+        live_rows = known
+    return md.num_rows, min_key, max_key, col_stats, has_key, live_rows
 
 
 # Commits with more files than this gather footer stats in one Spark
@@ -233,14 +268,14 @@ def _collect_file_entries(
             # values (e.g. "/" in multi-field paths); manifests store
             # the UNESCAPED logical value
             partition = _unquote(f.split("_part=")[1].split(os.sep)[0])
-        rows, min_key, max_key, col_stats, has_key = stats[f]
+        rows, min_key, max_key, col_stats, has_key, live_rows = stats[f]
         if has_key:
             key_files.append(f)
         entries.append(
             FileEntry(path=rel, bucket=bucket, rows=rows,
                       min_key=min_key, max_key=max_key, bloom=None,
                       kind=kind, col_stats=col_stats or None,
-                      partition=partition)
+                      partition=partition, live_rows=live_rows)
         )
     total_rows = sum(e.rows for e in entries)
     if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
@@ -483,6 +518,133 @@ class LakeTable:
             rows,
             "partition string, n_files long, n_rows long, n_delta_files long",
         )
+
+    def _meta_agg_split(self, files: list) -> tuple[list, list]:
+        """Split a live set into (meta, scan): files whose manifest
+        stats are EXACT with respect to snapshot() semantics vs files
+        that must be read. The rule mirrors snapshot()'s own resolution
+        behavior: with no deltas live, snapshot() never window-resolves,
+        so per-file counts compose exactly. With deltas live, a bucket
+        touched by any delta needs resolution (base files there can
+        hold superseded versions — the `_widen_hits_for_mor` rule, at
+        bucket-number granularity because global-index relocation
+        crosses partitions within a bucket), and live bootstrap files
+        force a full scan (their rows' buckets are unknown until
+        conversion, so a clean/dirty split cannot be proven)."""
+        if not any(f.kind == "delta" for f in files):
+            meta = [f for f in files if f.live_rows is not None]
+            return meta, [f for f in files if f.live_rows is None]
+        if any(f.kind == BOOTSTRAP_KIND for f in files):
+            return [], list(files)
+        dirty = {f.bucket for f in files if f.kind == "delta"}
+        meta, scan = [], []
+        for f in files:
+            if (
+                f.kind != "delta"
+                and f.bucket not in dirty
+                and f.live_rows is not None
+            ):
+                meta.append(f)
+            else:
+                scan.append(f)
+        return meta, scan
+
+    def _scan_resolved(self, files: list, version: int | None) -> DataFrame:
+        """snapshot() semantics over an explicit subset at a version:
+        read under the version's schema, MOR-resolve iff deltas are in
+        the subset, hide tombstones with snapshot()'s exact filter."""
+        df = self._read_files(files, schema=self._schema_at(version))
+        if any(f.kind == "delta" for f in files):
+            df = self._resolve_latest(df)
+        if DELETED_COL in df.columns:
+            df = df.where(~F.col(DELETED_COL))
+        return df
+
+    def stats_count(
+        self,
+        version: int | None = None,
+        partitions=None,
+        partition_range=None,
+    ) -> dict:
+        """Exact ``snapshot().count()`` answered from manifest metadata
+        wherever the manifest is provably exact (the Hudi metadata-table
+        / Delta stats-based COUNT(*) fast path): a COW table's count is
+        pure driver arithmetic over per-file ``live_rows`` — zero data
+        I/O, no Spark job — and a MOR table pays a scan ONLY for the
+        buckets delta files touch. At 100 TB that is the difference
+        between a sub-second metadata answer and a full-table scan.
+        Returns ``{"count", "files_metadata", "files_scanned"}`` so
+        callers (and tests) can assert how much I/O the answer cost."""
+        files = self._prune_partitions(
+            self.log.live_files(version), partitions, partition_range
+        )
+        meta, scan = self._meta_agg_split(files)
+        n = sum(f.live_rows for f in meta)
+        if scan:
+            n += self._scan_resolved(scan, version).count()
+        return {
+            "count": n,
+            "files_metadata": len(meta),
+            "files_scanned": len(scan),
+        }
+
+    def stats_minmax(
+        self,
+        col: str,
+        version: int | None = None,
+        partitions=None,
+        partition_range=None,
+    ) -> dict:
+        """Exact ``snapshot().agg(min(col), max(col))`` from manifest
+        col_stats wherever provably exact. On top of the
+        ``_meta_agg_split`` rule, a file's recorded [min, max] is only
+        trusted when (a) the column is numeric — engines truncate long
+        string statistics, so string extrema fall back to a scan —
+        (b) the file carries stats for it, and (c) the file holds no
+        tombstones (``live_rows == rows``): a deleted row may be the
+        recorded extremum, and min/max must range over live rows only.
+        Parquet stats exclude nulls, matching SQL MIN/MAX. Everything
+        untrusted is scanned; the two halves combine exactly."""
+        schema = self._schema_at(version) or self.schema()
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise KeyError(f"no such column: {col}")
+        phys = self._physical_of(field)
+        numeric = isinstance(field.dataType, NumericType)
+        files = self._prune_partitions(
+            self.log.live_files(version), partitions, partition_range
+        )
+        meta, scan = self._meta_agg_split(files)
+        lo = hi = None
+        scan = list(scan)
+        n_meta = 0
+        for f in meta:
+            st = (f.col_stats or {}).get(phys)
+            if (
+                not numeric
+                or st is None
+                or f.live_rows != f.rows
+                or f.live_rows == 0
+            ):
+                if f.live_rows != 0:  # all-tombstone files hold no live rows
+                    scan.append(f)
+                continue
+            n_meta += 1
+            lo = st[0] if lo is None else min(lo, st[0])
+            hi = st[1] if hi is None else max(hi, st[1])
+        if scan:
+            row = self._scan_resolved(scan, version).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if row["lo"] is not None:
+                lo = row["lo"] if lo is None else min(lo, row["lo"])
+                hi = row["hi"] if hi is None else max(hi, row["hi"])
+        return {
+            "min": lo,
+            "max": hi,
+            "files_metadata": n_meta,
+            "files_scanned": len(scan),
+        }
 
     # -- reads -------------------------------------------------------------
 
