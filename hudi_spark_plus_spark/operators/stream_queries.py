@@ -330,7 +330,127 @@ def q_stream_lake_source(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_neardup(spark, sf_dir):
+    """STREAMING incremental near-dup ingest (functions/dedup.py
+    banded_signatures + incremental_neardup_pairs driven from
+    Structured Streaming): each micro-batch is probed against the
+    PERSISTED signature state — never the corpus — then its survivors'
+    signatures and texts are appended to the state, so a duplicate of
+    a batch-1 survivor arriving in batch 2 is caught by state the
+    pipeline itself grew (the cross-batch property a batch-global
+    re-minhash cannot test). Corpus: docs < 300 with %4 != 0, state
+    seeded from it. Batch 0: fresh docs 300-349 + corpus %20==1 copies
+    at +off. Batch 1: fresh 350-399 + corpus %20==3 copies at +off +
+    copies of batch-0 FRESH docs (%10==5) at +2·off — those must pair
+    iff their source SURVIVED batch 0. Survivor rule (both engines):
+    drop a doc iff it matched state ('corpus' scope) or a lower-id
+    doc of its own batch ('delta' scope dup side). Verified at
+    jaccard 1.0 — equal distinct-shingle sets, replayed exactly by
+    DuckDB including the survivor-state construction."""
+    from hudi_spark_plus_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+    from hudi_spark_plus_spark.operators.llm_queries import _plant_offset
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    off = _plant_offset(max_id if max_id is not None else 0)
+    did = F.col("doc_id")
+    corpus = d.where((did < 300) & (did % 4 != 0))
+    fresh1 = d.where((did >= 300) & (did < 350))
+    fresh2 = d.where((did >= 350) & (did < 400))
+    b0 = fresh1.unionByName(
+        corpus.where(did % 20 == 1).withColumn("doc_id", did + F.lit(off))
+    )
+    b1 = (
+        fresh2.unionByName(
+            corpus.where(did % 20 == 3).withColumn(
+                "doc_id", did + F.lit(off)
+            )
+        ).unionByName(
+            fresh1.where(did % 10 == 5).withColumn(
+                "doc_id", did + F.lit(2 * off)
+            )
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="hsp_streamnd_")
+    try:
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        now = time.time()
+        for i, b in enumerate((b0, b1)):
+            path = os.path.join(src_dir, f"batch{i}.json")
+            with open(path, "w") as fh:
+                for r in b.collect():  # bounded fixture spool (~110/doc)
+                    fh.write(json.dumps(r.asDict()) + "\n")
+            os.utime(path, (now - 120 + i * 60,) * 2)
+        state_dir = os.path.join(work, "state")
+        corpus_dir = os.path.join(work, "corpus")
+        banded_signatures(corpus, "doc_id", "text").write.parquet(state_dir)
+        corpus.write.parquet(corpus_dir)
+        collected: list = []
+
+        def on_batch(bdf, bid):
+            bdf = bdf.localCheckpoint(eager=True)
+            state = spark.read.parquet(state_dir)
+            corp = spark.read.parquet(corpus_dir)
+            pairs = incremental_neardup_pairs(
+                bdf, corp, state, "doc_id", "text",
+                verify_threshold=1.0, max_bucket_size=1_000_000,
+            ).localCheckpoint(eager=True)
+            collected.extend(
+                (int(bid), r["new_id"], r["dup_id"], r["jac"], r["scope"])
+                for r in pairs.collect()
+            )
+            dropped = (
+                pairs.where(F.col("scope") == "corpus")
+                .select(F.col("new_id").alias("doc_id"))
+                .unionByName(
+                    pairs.where(F.col("scope") == "delta")
+                    .select(F.col("dup_id").alias("doc_id"))
+                )
+                .distinct()
+            )
+            surv = bdf.join(
+                F.broadcast(dropped), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            # the pipeline GROWS its own probe state: survivors'
+            # signatures and texts append — O(batch) per micro-batch
+            banded_signatures(surv, "doc_id", "text").write.mode(
+                "append"
+            ).parquet(state_dir)
+            surv.write.mode("append").parquet(corpus_dir)
+
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "availableNow stream did not finish within 300s"
+                )
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            collected,
+            "batch int, new_id long, dup_id long, jac double, scope string",
+        ).orderBy("batch", "scope", "new_id", "dup_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_QUERIES = {
+    "q-stream-neardup": q_stream_neardup,
     "q-stream-lake-source": q_stream_lake_source,
     "q-stream-static-join": q_stream_static_join,
     "q-stream-stateful-dedup": q_stream_stateful_dedup,
@@ -338,7 +458,98 @@ STREAM_QUERIES = {
     "q-stream-join": q_stream_join,
 }
 
+def _sh_cte(src: str) -> str:
+    """Distinct sorted word-3-gram shingle set per doc (the same
+    normalization the MinHash side shingles on) — the equal-set join
+    these oracles verify jaccard-1.0 pairs with."""
+    return rf"""
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM {src}"""
+
+
 STREAM_ORACLES = {
+    # full replay INCLUDING the survivor-state construction: batch-0
+    # survivors join the probe state for batch 1, so a batch-1 copy of
+    # a batch-0 fresh doc pairs iff its source survived batch 0
+    "q-stream-neardup": rf"""
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 300 AND doc_id % 4 <> 0
+        ),
+        b0 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 300 AND doc_id < 350
+          UNION ALL
+          SELECT doc_id + (SELECT o FROM off), text FROM corpus
+          WHERE doc_id % 20 = 1
+        ),
+        b1 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 350 AND doc_id < 400
+          UNION ALL
+          SELECT doc_id + (SELECT o FROM off), text FROM corpus
+          WHERE doc_id % 20 = 3
+          UNION ALL
+          SELECT doc_id + 2 * (SELECT o FROM off), text FROM documents
+          WHERE doc_id >= 300 AND doc_id < 350 AND doc_id % 10 = 5
+        ),
+        shc AS ({_sh_cte('corpus')}),
+        sh0 AS ({_sh_cte('b0')}),
+        sh1 AS ({_sh_cte('b1')}),
+        p0c AS (
+          SELECT d.doc_id AS new_id, c.doc_id AS dup_id
+          FROM sh0 d JOIN shc c ON d.g = c.g WHERE len(d.g) > 0
+        ),
+        p0d AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS dup_id
+          FROM sh0 a JOIN sh0 b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE len(a.g) > 0
+        ),
+        surv0 AS (
+          SELECT s.doc_id, s.g FROM sh0 s
+          WHERE s.doc_id NOT IN (SELECT new_id FROM p0c)
+            AND s.doc_id NOT IN (SELECT dup_id FROM p0d)
+        ),
+        state1 AS (
+          SELECT doc_id, g FROM shc
+          UNION ALL SELECT doc_id, g FROM surv0
+        ),
+        p1c AS (
+          SELECT d.doc_id AS new_id, c.doc_id AS dup_id
+          FROM sh1 d JOIN state1 c ON d.g = c.g WHERE len(d.g) > 0
+        ),
+        p1d AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS dup_id
+          FROM sh1 a JOIN sh1 b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE len(a.g) > 0
+        )
+        SELECT * FROM (
+          SELECT 0 AS batch, new_id, dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'corpus' AS scope FROM p0c
+          UNION ALL
+          SELECT 0, new_id, dup_id, CAST(1.0 AS DOUBLE), 'delta' FROM p0d
+          UNION ALL
+          SELECT 1, new_id, dup_id, CAST(1.0 AS DOUBLE), 'corpus' FROM p1c
+          UNION ALL
+          SELECT 1, new_id, dup_id, CAST(1.0 AS DOUBLE), 'delta' FROM p1d
+        )
+        ORDER BY batch, scope, new_id, dup_id
+    """,
     # one change row per record at its final state: batch-2 winners
     # (updates +1000, tombstoned deletes) at version 2, the rest at 1
     "q-stream-lake-source": f"""
