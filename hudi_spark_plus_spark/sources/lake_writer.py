@@ -550,6 +550,7 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                     col_stats=col_stats or None,
                     partition=part,
                     live_rows=live_rows,
+                    bytes=os.path.getsize(absf),
                 )
             )
 

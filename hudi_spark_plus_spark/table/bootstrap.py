@@ -285,7 +285,8 @@ def collect_bootstrap_entries(spark, files: list[str], spec: dict) -> list:
             n_rows, col_stats = _footer_col_stats(f)
             entries.append(
                 FileEntry(path=f, bucket=-1, rows=n_rows, kind=BOOTSTRAP_KIND,
-                          col_stats=col_stats or None, live_rows=n_rows)
+                          col_stats=col_stats or None, live_rows=n_rows,
+                          bytes=os.path.getsize(f))
             )
             continue
         n, lo, hi, bloom = by_path[f]
@@ -303,6 +304,7 @@ def collect_bootstrap_entries(spark, files: list[str], spec: dict) -> list:
                 # bootstrapped parquet predates the engine: no
                 # _deleted column can exist, every row is live
                 live_rows=f_rows,
+                bytes=os.path.getsize(f),
             )
         )
     return entries

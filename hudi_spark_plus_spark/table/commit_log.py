@@ -221,6 +221,12 @@ class FileEntry:
     # structurally — partition elimination needs no per-file stats.
     # None = unpartitioned table (all pre-partitioning manifests).
     partition: str | None = None
+    # On-disk size in bytes, recorded at commit time (one stat call on
+    # a file the writer just produced). Feeds the small-file compaction
+    # trigger (maintenance.maybe_compact's size rule — the Hudi
+    # smallFileLimit analogue) and the partition_stats maintenance
+    # view. None = unknown (manifests written before the field).
+    bytes: int | None = None
     # Rows with ``_deleted == false`` (the rows snapshot() surfaces):
     # tombstones occupy storage until vacuumed, so ``rows`` alone
     # over-counts the logical table. Feeds metadata-only aggregates

@@ -275,7 +275,8 @@ def _collect_file_entries(
             FileEntry(path=rel, bucket=bucket, rows=rows,
                       min_key=min_key, max_key=max_key, bloom=None,
                       kind=kind, col_stats=col_stats or None,
-                      partition=partition, live_rows=live_rows)
+                      partition=partition, live_rows=live_rows,
+                      bytes=os.path.getsize(f))
         )
     total_rows = sum(e.rows for e in entries)
     if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
@@ -504,19 +505,21 @@ class LakeTable:
         until vacuumed — that is what a maintenance view must see)."""
         agg: dict[str | None, list[int]] = {}
         for f in self.log.live_files(version):
-            a = agg.setdefault(f.partition, [0, 0, 0])
+            a = agg.setdefault(f.partition, [0, 0, 0, 0])
             a[0] += 1
             a[1] += f.rows
             if f.kind == "delta":
                 a[2] += 1
+            a[3] += f.bytes or 0
         rows = [
-            (p, n[0], n[1], n[2]) for p, n in sorted(
+            (p, n[0], n[1], n[2], n[3]) for p, n in sorted(
                 agg.items(), key=lambda kv: (kv[0] is None, kv[0])
             )
         ]
         return self.spark.createDataFrame(
             rows,
-            "partition string, n_files long, n_rows long, n_delta_files long",
+            "partition string, n_files long, n_rows long, "
+            "n_delta_files long, n_bytes long",
         )
 
     def _meta_agg_split(self, files: list) -> tuple[list, list]:
@@ -784,13 +787,15 @@ class LakeTable:
         path, bucket, kind (base/delta), row count, and key-range stats
         — the file-level inspection surface maintenance tooling reads."""
         rows = [
-            (f.path, f.partition, f.bucket, f.kind, f.rows, f.min_key, f.max_key)
+            (f.path, f.partition, f.bucket, f.kind, f.rows, f.live_rows,
+             f.bytes, f.min_key, f.max_key)
             for f in self.log.live_files(version)
         ]
         return self.spark.createDataFrame(
             rows,
             "path string, partition string, bucket int, kind string, "
-            "rows long, min_key string, max_key string",
+            "rows long, live_rows long, bytes long, min_key string, "
+            "max_key string",
         )
 
     def snapshot_as_of(

@@ -153,26 +153,61 @@ def maybe_compact(
     lake: LakeTable,
     max_deltas_per_bucket: int = 10,
     target_files_per_bucket: int = 1,
+    max_base_files_per_bucket: int | None = None,
+    small_file_bytes: int | None = None,
 ) -> dict:
-    """Automatic merge-on-read compaction trigger: compact exactly the
-    units whose accumulated delta-file count reached the threshold.
-    Called by the sync loop after each MOR merge, it bounds snapshot-read
-    amplification (the latest-per-key window reads at most
-    ``max_deltas_per_bucket`` deltas per unit) without ever paying a
-    full-table rewrite. The unit is (partition, bucket) on partitioned
-    tables — a hot partition's deltas never trigger a rewrite of the
-    same bucket in cold partitions. No-op when nothing is due."""
+    """Automatic compaction trigger: compact exactly the units that are
+    due, by any of three rules —
+
+    - **delta pile** (MOR, always on): a unit accumulated
+      ``max_deltas_per_bucket`` delta files, so the snapshot read's
+      latest-per-key window is paying that much read amplification.
+    - **base-file count** (opt-in): a unit holds that many live BASE
+      files — the COW/insert small-file problem (every ``insert``
+      commit appends new base files per bucket; N micro-batch inserts
+      = N files per unit with no delta ever triggering the MOR rule).
+    - **small files** (opt-in, the Hudi ``smallFileLimit`` analogue):
+      a unit holds two or more base files each under
+      ``small_file_bytes`` (size recorded in the manifest at commit
+      time) — bin-pack them regardless of count, so a 100-TB table's
+      scan cost stays dominated by right-sized files. Files from
+      pre-size-field manifests (bytes unknown) never match.
+
+    Called by the sync loop after each merge, the unit is
+    (partition, bucket) on partitioned tables — a hot partition's
+    churn never triggers a rewrite of the same bucket in cold
+    partitions. No-op when nothing is due; cost is proportional to the
+    due units, never the table."""
     prev = lake.log.latest()
     if prev is None:
         return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
     per_unit: dict[tuple[str | None, int], int] = {}
+    base_n: dict[tuple[str | None, int], int] = {}
+    small_n: dict[tuple[str | None, int], int] = {}
     for f in prev.files:
+        u = (f.partition, f.bucket)
         if f.kind == "delta":
-            u = (f.partition, f.bucket)
             per_unit[u] = per_unit.get(u, 0) + 1
+        elif f.kind == "base":
+            # bootstrap files are excluded: their rows' buckets are
+            # unknown until conversion, so a unit-scoped rewrite cannot
+            # prove resolution safety — merges/compact() convert them
+            base_n[u] = base_n.get(u, 0) + 1
+            if (
+                small_file_bytes is not None
+                and f.bytes is not None
+                and f.bytes < small_file_bytes
+            ):
+                small_n[u] = small_n.get(u, 0) + 1
     due = {
         u for u, n in per_unit.items() if n >= max_deltas_per_bucket
     }
+    if max_base_files_per_bucket is not None:
+        due |= {
+            u for u, n in base_n.items() if n >= max_base_files_per_bucket
+        }
+    if small_file_bytes is not None:
+        due |= {u for u, n in small_n.items() if n >= 2}
     if not due:
         return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
     if lake.partition_fields:

@@ -698,6 +698,51 @@ class TestMergeOnRead:
 
 
 class TestInlineCompaction:
+    def test_maybe_compact_base_file_count_rule(self, spark, tmp_path):
+        """The COW/insert small-file problem: N insert commits append N
+        base files per touched bucket with no delta ever triggering the
+        MOR rule. The base-file-count rule bin-packs a due unit; state
+        is exactly preserved and the untouched-rule default (None) stays
+        a no-op."""
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        for i in range(4):
+            t.insert(
+                mkbatch(spark, [(f"k{i}", 1, "upsert", f"v{i}")]), f"b{i}"
+            )
+        base = [f for f in t.log.live_files() if f.kind == "base"]
+        assert len(base) == 4
+        # default rules: nothing due (no deltas, count rule off)
+        st = maybe_compact(t, max_deltas_per_bucket=3)
+        assert st["buckets_compacted"] == 0
+        st = maybe_compact(t, max_base_files_per_bucket=4)
+        assert st["buckets_compacted"] == 1
+        after = [f for f in t.log.live_files() if f.kind == "base"]
+        assert len(after) < 4
+        assert snap_dict(t) == {f"k{i}": (1, f"v{i}") for i in range(4)}
+
+    def test_maybe_compact_small_file_rule(self, spark, tmp_path):
+        """Size-based bin-packing (the Hudi smallFileLimit analogue):
+        two or more sub-threshold base files in a unit are rewritten;
+        a unit whose files are 'large' (threshold below their size) is
+        left alone."""
+        from hudi_spark_plus_spark.table.maintenance import maybe_compact
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=1)
+        t.insert(mkbatch(spark, [("a", 1, "upsert", "x")]), "b0")
+        t.insert(mkbatch(spark, [("b", 1, "upsert", "y")]), "b1")
+        live = t.log.live_files()
+        assert all(f.bytes and f.bytes > 0 for f in live)
+        # threshold below the real sizes: no unit is due
+        st = maybe_compact(t, small_file_bytes=10)
+        assert st["buckets_compacted"] == 0
+        # threshold above: the unit bin-packs into one file
+        st = maybe_compact(t, small_file_bytes=10_000_000)
+        assert st["buckets_compacted"] == 1
+        assert len(t.log.live_files()) == 1
+        assert snap_dict(t) == {"a": (1, "x"), "b": (1, "y")}
+
     def test_maybe_compact_bounds_delta_count(self, spark, tmp_path):
         """A long MOR ingest with the trigger applied after every merge
         must keep per-bucket delta counts bounded by the threshold — the

@@ -112,6 +112,23 @@ class TestStatsCount:
         # case the scan fallback must still produce the exact count
 
 
+class TestZeroJobs:
+    def test_cow_count_launches_no_spark_job(self, spark, table):
+        """The 100-TB contract made mechanical: a COW stats_count is
+        driver-side manifest arithmetic — the Spark scheduler must see
+        ZERO new jobs (not merely zero files read)."""
+        table.merge(mkbatch(spark, base_rows()), "b1")
+        table.merge(
+            mkbatch(spark, [("7", 2, "delete", 0.0, "d")]), "b2"
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        got = table.stats_count()
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, "COW stats_count launched a Spark job"
+        assert got["count"] == 39
+
+
 class TestMetaAggSplit:
     """Pure-function split rules over synthetic entries."""
 
@@ -203,6 +220,18 @@ class TestStatsMinMax:
         n, lo, hi = _truth(table)
         assert (got["min"], got["max"]) == (lo, hi) == (got["min"], 39.0)
         assert got["min"] == -50.0
+
+    def test_minmax_through_column_rename(self, spark, table):
+        """Column mapping: col_stats are keyed by PHYSICAL parquet
+        names; after a rename the logical name must still resolve to
+        the stored stats (metadata path, not a silent scan-always)."""
+        table.merge(mkbatch(spark, base_rows()), "b1")
+        table.rename_column("num", "amount")
+        got = table.stats_minmax("amount")
+        assert (got["min"], got["max"]) == (0.0, 39.0)
+        assert got["files_metadata"] > 0 and got["files_scanned"] == 0
+        with pytest.raises(KeyError):
+            table.stats_minmax("num")  # old name gone
 
     def test_empty_table_and_unknown_column(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "e"), buckets=2)
