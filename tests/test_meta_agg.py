@@ -13,6 +13,14 @@ string extrema always scanned) against recomputed truth.
 import pytest
 from pyspark.sql import functions as F
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
 from hudi_spark_plus_spark.table.commit_log import FileEntry
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
@@ -255,3 +263,73 @@ class TestBootstrapMetadata:
         got = t.stats_count()
         assert got["count"] == 100
         assert got["files_scanned"] == 0
+
+
+if HAS_HYPOTHESIS:
+    _event = st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=3),   # ts (ties likely)
+        st.booleans(),                           # is_delete
+        st.integers(min_value=-50, max_value=50),  # numeric payload
+    )
+    _schedule = st.lists(_event, min_size=1, max_size=12)
+    _cuts = st.lists(st.booleans(), min_size=12, max_size=12)
+    _modes = st.lists(
+        st.sampled_from(["cow", "mor"]), min_size=12, max_size=12
+    )
+
+    @given(events=_schedule, cut=_cuts, batch_modes=_modes)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_meta_aggregates_match_scan_under_random_schedules(
+        spark, tmp_path_factory, events, cut, batch_modes
+    ):
+        """Property: after ANY generated upsert/delete schedule through
+        a generated COW/MOR interleaving, stats_count == snapshot count
+        and stats_minmax == recomputed min/max — the metadata fast path
+        can never drift from scan truth, whatever mix of tombstoned
+        files, delta-dirty buckets, and tie-broken winners the schedule
+        leaves behind."""
+        work = tmp_path_factory.mktemp("prop_meta")
+        t = LakeTable(spark, str(work / "t"), buckets=2)
+        batches, cur = [], []
+        for seq, e in enumerate(events):
+            cur.append((seq, e))
+            if cut[seq % len(cut)]:
+                batches.append(cur)
+                cur = []
+        if cur:
+            batches.append(cur)
+        for i, batch in enumerate(batches):
+            surv = {}
+            for seq, (k, ts, is_del, num) in batch:
+                if k not in surv or (ts, seq) >= surv[k][:2]:
+                    surv[k] = (ts, seq, is_del, num)
+            rows = [
+                (str(k), ts, "delete" if is_del else "upsert",
+                 float(num), f"v{seq}")
+                for k, (ts, seq, is_del, num) in surv.items()
+            ]
+            t.merge(
+                spark.createDataFrame(
+                    rows,
+                    "_key string, _ts long, _op string, num double, "
+                    "name string",
+                ),
+                batch_id=f"b{i}",
+                mode=batch_modes[i % len(batch_modes)],
+            )
+        truth = t.snapshot().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("num").alias("lo"),
+            F.max("num").alias("hi"),
+        ).first()
+        sc = t.stats_count()
+        mm = t.stats_minmax("num")
+        assert sc["count"] == truth["n"], (sc, truth)
+        assert (mm["min"], mm["max"]) == (truth["lo"], truth["hi"]), (
+            mm, truth,
+        )
