@@ -2099,6 +2099,70 @@ def q_lake_retype(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_clone(spark, sf_dir):
+    """Zero-copy shallow clone (table/clone.py — the Delta SHALLOW
+    CLONE analogue): the standard two-batch COW fixture is cloned
+    metadata-only, then BOTH sides diverge — the clone upserts +2000
+    for %5==0 keys, the source deletes %11==0 keys — and the result is
+    both final states side-tagged. The clone continues the source's
+    version space (asserted: base = source latest + 1), its divergence
+    writes land under its own root, and neither side sees the other's
+    change; DuckDB replays both lineages from first principles."""
+    from hudi_spark_plus_spark.table.clone import clone_table
+
+    work = tempfile.mkdtemp(prefix="hsp_cloneq_")
+    try:
+        src = _build_lake(spark, sf_dir, f"{work}/src", "cow")
+        c = clone_table(spark, src, f"{work}/dst")
+        assert c.log.latest().version == src.log.latest().version + 1
+        base = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < SUBSET
+        )
+        c.merge(
+            base.where(F.col("c_custkey") % 5 == 0).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(3).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_name",
+                F.round(
+                    F.col("c_acctbal")
+                    + F.when(F.col("c_custkey") % 3 == 0, 1000.0).otherwise(0.0)
+                    + 2000.0,
+                    4,
+                ).alias("acctbal"),
+            ),
+            "c1",
+        )
+        src.merge(
+            base.where(F.col("c_custkey") % 11 == 0).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(3).cast("long").alias("_ts"),
+                F.lit("delete").alias("_op"),
+                "c_custkey",
+                "c_name",
+                F.round("c_acctbal", 4).alias("acctbal"),
+            ),
+            "s3",
+        )
+        out = (
+            src.snapshot()
+            .select(F.lit("src").alias("side"), "c_custkey",
+                    F.round("acctbal", 4).alias("acctbal"))
+            .unionByName(
+                c.snapshot().select(
+                    F.lit("clone").alias("side"), "c_custkey",
+                    F.round("acctbal", 4).alias("acctbal"),
+                )
+            )
+            .orderBy("side", "c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_meta_agg(spark, sf_dir):
     """Metadata-only aggregates (stats_count/stats_minmax,
     lake_table.py — the Hudi metadata-table / Delta stats COUNT(*)
@@ -2182,6 +2246,7 @@ def q_lake_meta_agg(spark, sf_dir):
 
 
 LAKE_QUERIES = {
+    "q-lake-clone": q_lake_clone,
     "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-minmax": q_lake_matview_minmax,
@@ -2243,6 +2308,39 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # both lineages replayed from first principles: src = two-batch
+    # state minus %11 deletes; clone = two-batch state with %5 keys
+    # re-upserted at +2000 (on top of the %3 +1000 where both apply)
+    "q-lake-clone": f"""
+        WITH c AS (
+            SELECT * FROM customer WHERE c_custkey < {SUBSET}
+        ),
+        two_batch AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN ROUND(c_acctbal + 1000.0, 4)
+                        ELSE ROUND(c_acctbal, 4) END AS acctbal
+            FROM c WHERE c_custkey % 7 <> 0
+        )
+        SELECT * FROM (
+            SELECT 'src' AS side, c_custkey, acctbal
+            FROM two_batch WHERE c_custkey % 11 <> 0
+            UNION ALL
+            -- the %5 upsert also RESURRECTS %7-deleted keys (its _ts 3
+            -- beats the tombstone), hence the widened WHERE
+            SELECT 'clone', c_custkey,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN ROUND(c_acctbal
+                             + CASE WHEN c_custkey % 3 = 0
+                                    THEN 1000.0 ELSE 0.0 END
+                             + 2000.0, 4)
+                        WHEN c_custkey % 3 = 0
+                        THEN ROUND(c_acctbal + 1000.0, 4)
+                        ELSE ROUND(c_acctbal, 4) END AS acctbal
+            FROM c
+            WHERE c_custkey % 7 <> 0 OR c_custkey % 5 = 0
+        ) ORDER BY side, c_custkey
+    """,
     # Every metric recomputed from first principles: live = inserted
     # minus deletes, updates applied. A metadata shortcut that diverges
     # from scan truth cannot hash-match.

@@ -564,10 +564,16 @@ class CommitLog:
         partition_fields: list[str] | None = None,
         global_index: bool | None = None,
         bootstrap_spec: dict | None = None,
+        version_base: int | None = None,
     ) -> Commit:
+        """``version_base``: first version of an EMPTY timeline (default
+        1). A shallow clone continues its source's version space so the
+        carried rows' ``_commit_ver`` stamps stay below every
+        clone-local commit — see table/clone.py. Ignored once the
+        timeline has commits."""
         os.makedirs(self.commits_path, exist_ok=True)
         latest = self.latest()
-        version = (latest.version + 1) if latest else 1
+        version = (latest.version + 1) if latest else (version_base or 1)
         if expected_version is not None and version != expected_version:
             # the caller computed its output (and any record-level
             # version stamps) against a timeline that has since moved —
