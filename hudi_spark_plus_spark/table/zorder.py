@@ -258,6 +258,7 @@ def zorder_cluster_table(
     col_b: str,
     *more_cols: str,
     files_per_bucket: int = 4,
+    partitions: list[str] | None = None,
 ) -> None:
     """OPTIMIZE ZORDER BY-equivalent for a LakeTable: rewrite the current
     snapshot with rows Z-ordered WITHIN each key bucket (same logical
@@ -266,20 +267,58 @@ def zorder_cluster_table(
     file tightens parquet row-group min/max on every cluster column, so
     predicate pushdown skips row groups server-side. Two columns take
     the magic-number interleave; 3+ go through ``with_zvalue_n``
-    (Hudi's multi-column ZORDER BY surface)."""
+    (Hudi's multi-column ZORDER BY surface).
+
+    ``partitions`` scopes the rewrite to the named partitions (the
+    OPTIMIZE ... WHERE surface): at 100 TB you cluster the hot days as
+    they close, never the table — cost is O(named partitions), every
+    other partition's files are carried by reference, untouched.
+    Resolution safety: record identity on partitioned non-global tables
+    is (partition, key), so a partition's rows resolve entirely within
+    its own files; GLOBAL-index tables with live deltas refuse partition
+    scoping (key-only identity resolves across partitions — a scoped
+    rewrite could resurrect a row relocated away)."""
     from hudi_spark_plus_spark.table.keygen import BUCKET_COL, KEY_COL, bucket_expr
     from hudi_spark_plus_spark.table.lake_table import (
         _BLOOM_OPTS,
         _collect_file_entries,
     )
 
-    snap = lake.snapshot(include_deleted=True)
+    prev = lake.log.latest()
+    if prev is None:
+        return
+    if partitions is None:
+        hit, carry = list(prev.files), []
+        snap = lake.snapshot(include_deleted=True)
+        n_units = lake.buckets
+    else:
+        if not lake.partition_fields:
+            raise ValueError(
+                "partitions= requires a partitioned table"
+            )
+        if lake.global_index and any(
+            f.kind == "delta" for f in prev.files
+        ):
+            raise ValueError(
+                "partition-scoped clustering is unsafe on a GLOBAL-index "
+                "table with live deltas (key-only identity resolves "
+                "across partitions); compact() first"
+            )
+        pset = set(partitions)
+        hit = [f for f in prev.files if f.partition in pset]
+        carry = [f for f in prev.files if f.partition not in pset]
+        if not hit:
+            return
+        snap = lake._read_files(hit)
+        if any(f.kind == "delta" for f in hit):
+            snap = lake._resolve_latest(snap)
+        n_units = max(1, len({(f.partition, f.bucket) for f in hit}))
     z = (
         with_zvalue(snap, col_a, col_b)
         if not more_cols
         else with_zvalue_n(snap, [col_a, col_b, *more_cols])
     )
-    schema_json = lake.log.latest().schema_json
+    schema_json = prev.schema_json
     absd, rel = lake.log.new_data_subdir()
     layout = lake._layout_cols()
     (
@@ -297,7 +336,7 @@ def zorder_cluster_table(
         # scans (scan_range) skip whole files — the col_stats payoff
         # z-order exists for
         .repartitionByRange(
-            lake.buckets * files_per_bucket,
+            n_units * files_per_bucket,
             *[F.col(c) for c in layout],
             F.col("_z"),
         )
@@ -311,10 +350,10 @@ def zorder_cluster_table(
     files = _collect_file_entries(lake.path, rel, spark=lake.spark)
     lake.log.commit(
         "cluster",
-        files,
-        schema_json=lake.log.latest().schema_json,
+        carry + files,
+        schema_json=schema_json,
         partition_fields=lake.partition_fields or None,
     )
-    # clustering rewrites every file: re-index the new ones in-line
-    # (same invariant as LakeTable._with_commit_retries commits)
+    # clustering rewrites the scoped files: re-index the new ones
+    # in-line (same invariant as LakeTable._with_commit_retries commits)
     lake._maintain_indexes()

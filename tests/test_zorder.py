@@ -189,3 +189,81 @@ def test_zorder_write_three_columns(spark, sf_dir, tmp_path):
 
     assert spark.read.parquet(zdir).where(pred).count() == o.where(pred).count()
     assert hits(zdir) <= hits(pdir)
+
+
+def test_partition_scoped_clustering(spark, tmp_path):
+    """OPTIMIZE ... WHERE: clustering only the named partition rewrites
+    that partition's files, carries every other partition's files BY
+    REFERENCE (identical manifest paths), preserves the logical table
+    exactly (tombstones and MOR deltas in the scoped partition fold),
+    and refuses the one unsafe shape (GLOBAL index + live deltas)."""
+    lake = LakeTable(
+        spark, str(tmp_path / "p"), buckets=2, partition_fields=["day"]
+    )
+    rows = [
+        (f"k{i}", 1, "upsert", f"v{i}", ["mon", "tue", "wed"][i % 3],
+         i % 50, (i * 7) % 50)
+        for i in range(120)
+    ]
+    sch = ("_key string, _ts long, _op string, val string, day string, "
+           "a int, b int")
+    lake.merge(spark.createDataFrame(rows, sch), "b0")
+    # churn INSIDE the target partition: a delete + a MOR delta
+    lake.merge(
+        spark.createDataFrame(
+            [("k0", 2, "delete", "", "mon", 0, 0)], sch), "b1")
+    lake.merge(
+        spark.createDataFrame(
+            [("k3", 2, "upsert", "v3x", "mon", 3, 21)], sch), "b2",
+        mode="mor")
+    before_state = {
+        r["_key"]: (r["val"], r["day"]) for r in lake.snapshot().collect()
+    }
+    other = {
+        f.path for f in lake.log.live_files() if f.partition != "mon"
+    }
+    zorder_cluster_table(lake, "a", "b", partitions=["mon"])
+    assert lake.log.latest().operation == "cluster"
+    after_files = lake.log.live_files()
+    assert {
+        f.path for f in after_files if f.partition != "mon"
+    } == other, "untouched partitions were rewritten"
+    mon = [f for f in after_files if f.partition == "mon"]
+    assert mon and all(f.kind == "base" for f in mon), "deltas must fold"
+    assert all(
+        (f.col_stats or {}).get("a") for f in mon
+    ), "clustered files must carry cluster-column stats"
+    assert {
+        r["_key"]: (r["val"], r["day"]) for r in lake.snapshot().collect()
+    } == before_state
+    # unpartitioned tables refuse the parameter
+    flat = LakeTable(spark, str(tmp_path / "f"), buckets=2)
+    flat.merge(
+        spark.createDataFrame(
+            [("x", 1, "upsert", "v", "mon", 1, 2)], sch), "b0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned"):
+        zorder_cluster_table(flat, "a", "b", partitions=["mon"])
+
+
+def test_partition_scoped_clustering_refuses_global_index_deltas(
+    spark, tmp_path
+):
+    lake = LakeTable(
+        spark, str(tmp_path / "g"), buckets=2,
+        partition_fields=["day"], global_index=True,
+    )
+    sch = ("_key string, _ts long, _op string, val string, day string, "
+           "a int, b int")
+    lake.merge(
+        spark.createDataFrame(
+            [("k1", 1, "upsert", "v", "mon", 1, 2)], sch), "b0")
+    lake.merge(
+        spark.createDataFrame(
+            [("k1", 2, "upsert", "v2", "tue", 1, 2)], sch), "b1",
+        mode="mor")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GLOBAL-index"):
+        zorder_cluster_table(lake, "a", "b", partitions=["tue"])
