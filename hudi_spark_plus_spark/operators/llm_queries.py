@@ -1096,6 +1096,60 @@ def q_doc_neardup_incremental(spark, sf_dir):
     ).orderBy("scope", "new_id", "dup_id")
 
 
+def q_doc_neardup_store(spark, sf_dir):
+    """SignatureStore end-to-end (functions/signature_store.py): the
+    near-dup signature state managed AS a lake table — multi-batch
+    accumulation (two keyed ingests), EXACTLY-ONCE replay (the second
+    batch is ingested twice under one batch_id; a doubled state would
+    emit duplicate pair rows and hash-mismatch), and delta-sized GC
+    (%5==0 docs pruned by synthesized key — O(dead × bands)
+    tombstones, no state rewrite). The probe must then equal the
+    lifecycle truth: batch plants copies of live (%10==1) and pruned
+    (%10==5) corpus docs; only the live sources may pair. Same
+    equal-shingle-set DuckDB replay as q-doc-neardup-lifecycle — one
+    truth, two engine paths (raw functions vs the store)."""
+    import tempfile as _tempfile
+    import shutil as _shutil
+
+    from hudi_spark_plus_spark.functions.signature_store import (
+        SignatureStore,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    off = _plant_offset(max_id if max_id is not None else 0)
+    corpus0 = d.where(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 4 != 0)
+    )
+    work = _tempfile.mkdtemp(prefix="hsp_sigstore_")
+    try:
+        store = SignatureStore(spark, f"{work}/sig", buckets=4)
+        store.ingest(
+            corpus0.where(F.col("doc_id") % 2 == 1), "doc_id", "text", "b1"
+        )
+        b2 = corpus0.where(F.col("doc_id") % 2 == 0)
+        store.ingest(b2, "doc_id", "text", "b2")
+        store.ingest(b2, "doc_id", "text", "b2")  # crash replay: no-op
+        store.prune(
+            corpus0.where(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+            "gc1",
+        )
+        live = corpus0.where(F.col("doc_id") % 5 != 0)
+        batch = corpus0.where(
+            (F.col("doc_id") % 10 == 1) | (F.col("doc_id") % 10 == 5)
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        out = store.probe(
+            batch, live, "doc_id", "text",
+            verify_threshold=1.0, max_bucket_size=1_000_000,
+        ).orderBy("scope", "new_id", "dup_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def q_doc_neardup_lifecycle(spark, sf_dir):
     """Signature-state LIFECYCLE (VERDICT r9 #3,
     functions/dedup.py:prune_signature_state): documents DELETED from
@@ -1201,6 +1255,7 @@ LLM_QUERIES = {
     "q-doc-dedup-incremental": q_doc_dedup_incremental,
     "q-doc-neardup-incremental": q_doc_neardup_incremental,
     "q-doc-neardup-lifecycle": q_doc_neardup_lifecycle,
+    "q-doc-neardup-store": q_doc_neardup_store,
     "q-doc-dedup-exact": q_doc_dedup_exact,
     "q-doc-dedup-normalized": q_doc_dedup_normalized,
     "q-doc-token-stats": q_doc_token_stats,
@@ -1573,6 +1628,67 @@ LLM_ORACLES = {
     # signatures GC'd, so only LIVE docs may surface as dup_id — the
     # batch's %10==5 plants must pair with nothing
     "q-doc-neardup-lifecycle": r"""
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
+          FROM documents
+        ),
+        corpus0 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 400 AND doc_id % 4 <> 0
+        ),
+        live AS (
+          SELECT doc_id, text FROM corpus0 WHERE doc_id % 5 <> 0
+        ),
+        delta AS (
+          SELECT doc_id + (SELECT o FROM off) AS doc_id, text
+          FROM corpus0 WHERE doc_id % 10 IN (1, 5)
+        ),
+        shc AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM live
+        ),
+        shd AS (
+          SELECT doc_id,
+                 list_sort(list_filter(list_distinct(
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                        THEN [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+'), ' ')]
+                        ELSE [array_to_string(
+                               regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                               ' ')
+                              for i in range(1,
+                                len(regexp_split_to_array(trim(text), '\s+'))
+                                - 1)]
+                   END), x -> x <> '')) AS g
+          FROM delta
+        )
+        SELECT * FROM (
+          SELECT d.doc_id AS new_id, c.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'corpus' AS scope
+          FROM shd d JOIN shc c ON d.g = c.g
+          WHERE len(d.g) > 0
+          UNION ALL
+          SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+                 CAST(1.0 AS DOUBLE) AS jac, 'delta' AS scope
+          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE len(a.g) > 0
+        )
+        ORDER BY scope, new_id, dup_id
+    """,
+    # the SignatureStore path must land on the SAME truth as the raw
+    # lifecycle functions — identical replay, different engine path
+"q-doc-neardup-store": r"""
         WITH off AS (
           SELECT CAST(POWER(10, CEIL(LOG10(MAX(doc_id) + 2))) AS BIGINT) AS o
           FROM documents
