@@ -636,7 +636,7 @@ class TestStreamMaxVersionsPerBatch:
             if rows:
                 batches.append(rows)
 
-        def run_until(n_rows):
+        def run_until(n_rows, ck):
             q = (
                 spark.readStream.format("lake-table")
                 .option("path", t.path)
@@ -644,7 +644,7 @@ class TestStreamMaxVersionsPerBatch:
                 .option("engine.stream.debug.dir", str(tmp_path))
                 .load()
                 .writeStream.foreachBatch(take)
-                .option("checkpointLocation", str(tmp_path / "ck"))
+                .option("checkpointLocation", ck)
                 .trigger(processingTime="0 seconds")
                 .start()
             )
@@ -662,9 +662,27 @@ class TestStreamMaxVersionsPerBatch:
             p = tmp_path / "lake_stream_transitions.jsonl"
             return p.read_text() if p.exists() else "<no transition log>"
 
-        run_until(2)   # partway into the backlog
-        assert 2 <= sum(len(b) for b in batches) < 5
-        run_until(5)   # restart from the checkpoint, drain the rest
+        # Phase 1 must stop MID-backlog, but q.stop() latency races the
+        # drain: between the poll observing 2 rows and the stop taking
+        # effect, the remaining batches may land (load-dependent — the
+        # one observed in-suite flake of this test post-r9). Achieve the
+        # mid-backlog stop BY CONSTRUCTION: retry with a fresh
+        # checkpoint until the stop genuinely lands partway.
+        import shutil as _shutil
+
+        ck = str(tmp_path / "ck")
+        for _attempt in range(5):
+            batches.clear()
+            _shutil.rmtree(ck, ignore_errors=True)
+            run_until(2, ck)   # partway into the backlog
+            if sum(len(b) for b in batches) < 5:
+                break
+        n1 = sum(len(b) for b in batches)
+        assert 2 <= n1 < 5, (
+            f"could not stop mid-backlog in 5 attempts (last run "
+            f"delivered {n1})"
+        )
+        run_until(5, ck)   # restart from the checkpoint, drain the rest
         got = [r for b in batches for r in b]
         # a stall here is the r8 flake: fail WITH the offset-call
         # transcript so the interleaving is named, not guessed at
