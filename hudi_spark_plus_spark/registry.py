@@ -104,6 +104,16 @@ _PINNED = [
     # scan-fallback), no existing fixture reads it, and the NEW
     # q-lake-meta-agg query that does consume it sorts first as
     # never-verified.
+    # Late-session batch (same additive policy): file `bytes` in
+    # manifests + maybe_compact small-file rules (opt-in params,
+    # default off), zorder partitions= (default path byte-identical),
+    # commit version_base= (None default), and the new modules
+    # clone.py / signature_store.py. Their five NEW queries
+    # (q-lake-meta-agg, q-stream-neardup, q-lake-clone,
+    # q-doc-neardup-store, plus r10's q-lake-matview-pruned) sort
+    # first as never-verified; every existing query re-verified green
+    # in the session's five full verify-recipe runs (BASELINE.md
+    # round-10 late-session record).
 ]
 
 
