@@ -336,10 +336,47 @@ def _probe_semdedup_autok(spark, d: str) -> float:
 
 # custom probes: (setup excluded from timing; the callable returns the
 # measured seconds itself)
+def _probe_partition_scoped_optimize(spark, d: str) -> float:
+    """Fixed-work probe for partition-scoped clustering (the
+    OPTIMIZE ... WHERE surface): the table is partitioned into
+    constant-size 1000-doc slabs, so the 10× fixture has 10× the
+    PARTITIONS — and clustering exactly ONE of them must cost
+    O(partition), not O(table). Ratio ≈ 1 is the contract; the small
+    residual is manifest handling, which grows with partition count."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.zorder import zorder_cluster_table
+
+    work = tempfile.mkdtemp(prefix="hsp_spotopt_")
+    try:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        seed = docs.select(
+            F.col("doc_id").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "doc_id",
+            (F.col("doc_id") / 1000).cast("long").cast("string").alias("slab"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        t = LakeTable(
+            spark, f"{work}/t", buckets=4, partition_fields=["slab"]
+        )
+        t.insert(seed, "b1")
+        t0 = time.perf_counter()
+        zorder_cluster_table(
+            t, "doc_id", "n_chars", partitions=["0"]
+        )
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 SPOT10X_PROBES = {
     "matview-fixed-churn-refresh": _probe_matview_refresh,
     "neardup-fixed-batch-vs-corpus": _probe_incremental_neardup,
     "semdedup-autok": _probe_semdedup_autok,
+    "optimize-fixed-partition": _probe_partition_scoped_optimize,
 }
 
 
