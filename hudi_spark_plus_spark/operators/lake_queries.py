@@ -2099,6 +2099,68 @@ def q_lake_retype(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_ndv(spark, sf_dir):
+    """Approximate NDV from per-file HLL sketches (table/ndv.py — the
+    fourth metadata aggregate beside exact stats_count/stats_minmax).
+    200 customers in 8 buckets, then a NARROW churn (%50==17 deleted)
+    so most buckets stay tombstone-free: those files answer from their
+    stored sketch (asserted), while the rewritten tombstone-holding
+    files are scanned (HLL cannot subtract a deleted value — a trusted
+    stale sketch would still count the deleted c_name). ESTIMATES are
+    asserted within 5%% in-fixture (q16's approx-agg doctrine: sketches
+    differ across engines by design, so the hash-checked payload is the
+    EXACT distinct counts, replayed by DuckDB as COUNT(DISTINCT))."""
+    from hudi_spark_plus_spark.table import ndv as _ndv
+
+    bound = 200
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < bound
+    )
+    work = tempfile.mkdtemp(prefix="hsp_ndvq_")
+    try:
+        lake = LakeTable(spark, f"{work}/t", buckets=8)
+        lake.merge(
+            c.select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_name",
+            ),
+            "b1",
+        )
+        _ndv.create_ndv_sketch(lake, "c_name")
+        lake.merge(
+            c.where(F.col("c_custkey") % 50 == 17).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.lit("delete").alias("_op"),
+                "c_custkey",
+                "c_name",
+            ),
+            "b2",
+        )
+        got = _ndv.approx_ndv(lake, "c_name")
+        snap = lake.snapshot()
+        exact_name = snap.agg(F.countDistinct("c_name")).first()[0]
+        exact_key = snap.agg(F.countDistinct("c_custkey")).first()[0]
+        # clean buckets answer from sketches; the rewritten ones scan
+        assert got["files_sketched"] > 0, got
+        assert got["files_scanned"] > 0, got
+        assert (
+            abs(got["estimate"] - exact_name) <= max(1, exact_name * 0.05)
+        ), (got, exact_name)
+        return spark.createDataFrame(
+            [
+                ("distinct_name", int(exact_name)),
+                ("distinct_key", int(exact_key)),
+            ],
+            "metric string, value long",
+        ).orderBy("metric")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_clone(spark, sf_dir):
     """Zero-copy shallow clone (table/clone.py — the Delta SHALLOW
     CLONE analogue): the standard two-batch COW fixture is cloned
@@ -2246,6 +2308,7 @@ def q_lake_meta_agg(spark, sf_dir):
 
 
 LAKE_QUERIES = {
+    "q-lake-ndv": q_lake_ndv,
     "q-lake-clone": q_lake_clone,
     "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
@@ -2308,6 +2371,23 @@ _INCREMENTAL_ORACLE = f"""
     """
 
 LAKE_ORACLES = {
+    # the hash-checked payload is EXACT distinct counts over the live
+    # two-batch state (q16 doctrine: the HLL estimate is asserted
+    # in-fixture, never hashed — sketches differ across engines)
+    "q-lake-ndv": """
+        WITH live AS (
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey < 200 AND c_custkey % 50 <> 17
+        )
+        SELECT * FROM (
+            SELECT 'distinct_key' AS metric,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS value
+            FROM live
+            UNION ALL
+            SELECT 'distinct_name',
+                   CAST(COUNT(DISTINCT c_name) AS BIGINT) FROM live
+        ) ORDER BY metric
+    """,
     # both lineages replayed from first principles: src = two-batch
     # state minus %11 deletes; clone = two-batch state with %5 keys
     # re-upserted at +2000 (on top of the %3 +1000 where both apply)

@@ -1476,9 +1476,9 @@ class LakeTable:
         m = self._open_latest_manifest(col)
         if m is None:
             return None
-        # a functional index sharing the directory namespace is NOT a
-        # secondary index (different entry format)
-        return None if m.get("kind") == "functional" else m
+        # a functional index or NDV sketch sharing the directory
+        # namespace is NOT a secondary index (different entry formats)
+        return None if m.get("kind") in ("functional", "ndv") else m
 
     def secondary_indexes(self) -> list[str]:
         """Columns with a live secondary index."""

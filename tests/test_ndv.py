@@ -1,0 +1,128 @@
+"""Approximate NDV from per-file HLL sketches (table/ndv.py).
+
+The exactness doctrine under test: HLL error is the ONLY error — a
+file's stored sketch is trusted only when no resolution or tombstone
+can make it describe rows the snapshot does not contain; everything
+else scans into a fresh sketch and unions in.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_spark_plus_spark.table import ndv
+from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+SCHEMA = "_key string, _ts long, _op string, num int, name string"
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    t.merge(
+        mk(spark, [(str(k), 1, "upsert", k % 37, f"n{k % 61}")
+                   for k in range(400)]),
+        "b1",
+    )
+    return t
+
+
+def exact(t, col):
+    return t.snapshot().agg(F.countDistinct(col)).first()[0]
+
+
+class TestNdv:
+    def test_estimate_within_bound_and_no_scan_when_clean(
+        self, spark, table
+    ):
+        ndv.create_ndv_sketch(table, "name")
+        got = ndv.approx_ndv(table, "name")
+        assert got["files_scanned"] == 0 and got["files_sketched"] > 0
+        e = exact(table, "name")
+        assert abs(got["estimate"] - e) / e <= 0.05
+
+    def test_tombstoned_file_is_scanned_not_trusted(self, spark, table):
+        """A deleted row's value must not inflate the estimate: the
+        only doc carrying name 'UNIQUE' is deleted AFTER the sketch
+        was built — a trusted stale sketch would still count it."""
+        table.merge(
+            mk(spark, [("u1", 1, "upsert", 1, "UNIQUE")]), "b2"
+        )
+        ndv.create_ndv_sketch(table, "name")
+        table.merge(
+            mk(spark, [("u1", 2, "delete", 1, "UNIQUE")]), "b3"
+        )
+        got = ndv.approx_ndv(table, "name")
+        e = exact(table, "name")  # UNIQUE gone
+        assert got["files_scanned"] > 0
+        assert abs(got["estimate"] - e) / e <= 0.05
+        assert got["estimate"] <= e + max(1, int(0.05 * e))
+
+    def test_mor_delta_buckets_scan(self, spark, table):
+        ndv.create_ndv_sketch(table, "name")
+        table.merge(
+            mk(spark, [("3", 2, "upsert", 1, "BRANDNEW")]), "b2",
+            mode="mor",
+        )
+        got = ndv.approx_ndv(table, "name")
+        e = exact(table, "name")
+        assert got["files_scanned"] > 0
+        assert abs(got["estimate"] - e) / e <= 0.05
+
+    def test_refresh_is_incremental_and_unsketched_files_scan(
+        self, spark, table
+    ):
+        ndv.create_ndv_sketch(table, "name")
+        table.merge(
+            mk(spark, [("900", 1, "upsert", 1, "EXTRA")]), "b2"
+        )
+        got = ndv.approx_ndv(table, "name")
+        assert got["files_scanned"] > 0  # new file unsketched
+        r = ndv.refresh_ndv_sketch(table, "name")
+        assert 0 < r["files"] < len(table.log.live_files())
+        got2 = ndv.approx_ndv(table, "name")
+        assert got2["files_scanned"] == 0
+        e = exact(table, "name")
+        assert abs(got2["estimate"] - e) / e <= 0.05
+
+    def test_namespace_isolation_from_other_indexes(self, spark, table):
+        """The ndv_<col> sidecar must not masquerade as a secondary
+        index (kind guard) and vice versa."""
+        ndv.create_ndv_sketch(table, "name")
+        table.create_secondary_index("name")
+        assert table.secondary_indexes() == ["name"]
+        assert "ndv_name" not in table.secondary_indexes()
+        assert ndv.ndv_manifest(table, "name") is not None
+        # a mutating commit's in-line maintenance must not crash on or
+        # clobber the ndv sidecar
+        table.merge(
+            mk(spark, [("901", 1, "upsert", 1, "POST")]), "b9"
+        )
+        assert ndv.ndv_manifest(table, "name") is not None
+
+    def test_type_and_column_validation(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "v"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("1", 1, "upsert", 1.5)],
+                "_key string, _ts long, _op string, x double",
+            ),
+            "b1",
+        )
+        with pytest.raises(ValueError, match="supports"):
+            ndv.create_ndv_sketch(t, "x")
+        with pytest.raises(ValueError, match="not in table schema"):
+            ndv.approx_ndv(t, "nope")
+
+    def test_integral_column_and_empty_table(self, spark, table, tmp_path):
+        ndv.create_ndv_sketch(table, "num")
+        got = ndv.approx_ndv(table, "num")
+        assert abs(got["estimate"] - 37) <= 2
+        t = LakeTable(spark, str(tmp_path / "e"), buckets=2)
+        t.merge(mk(spark, [("1", 1, "upsert", 5, "x")]), "b1")
+        t.merge(mk(spark, [("1", 2, "delete", 5, "x")]), "b2")
+        got = ndv.approx_ndv(t, "name")
+        assert got["estimate"] == 0
