@@ -372,11 +372,57 @@ def _probe_partition_scoped_optimize(spark, d: str) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _probe_meta_agg(spark, d: str) -> float:
+    """Fixed-work probe for the metadata aggregates (VERDICT r10
+    directive 7): the table is partitioned into constant-size 1000-doc
+    slabs, so the 10× fixture has 10× the FILES — and
+    stats_count + stats_minmax + approx_ndv must stay O(manifest):
+    driver arithmetic plus (for NDV) one tiny job over sidecar sketch
+    parts, never a data scan. Setup (table build + sketch build — the
+    one-time indexing cost) is excluded; the timed part is what every
+    query pays, on a FRESH handle so cold manifest resolution is
+    included in the claim. Ratio ≈ 1 is the contract; the residual is
+    manifest parse + sketch-part read, both metadata-sized."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.ndv import approx_ndv, create_ndv_sketch
+
+    work = tempfile.mkdtemp(prefix="hsp_spotmeta_")
+    try:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        seed = docs.select(
+            F.col("doc_id").cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "doc_id",
+            "lang",
+            (F.col("doc_id") / 1000).cast("long").cast("string").alias("slab"),
+        )
+        t = LakeTable(
+            spark, f"{work}/t", buckets=4, partition_fields=["slab"]
+        )
+        t.insert(seed, "b1")
+        create_ndv_sketch(t, "lang")
+        fresh = LakeTable(spark, f"{work}/t", buckets=4)
+        t0 = time.perf_counter()
+        sc = fresh.stats_count()
+        mm = fresh.stats_minmax("doc_id")
+        nd = approx_ndv(fresh, "lang")
+        dt = time.perf_counter() - t0
+        assert sc["files_scanned"] == 0 and mm["files_scanned"] == 0
+        assert nd["files_scanned"] == 0
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 SPOT10X_PROBES = {
     "matview-fixed-churn-refresh": _probe_matview_refresh,
     "neardup-fixed-batch-vs-corpus": _probe_incremental_neardup,
     "semdedup-autok": _probe_semdedup_autok,
     "optimize-fixed-partition": _probe_partition_scoped_optimize,
+    "meta-agg-fixed": _probe_meta_agg,
 }
 
 
@@ -485,6 +531,46 @@ def bench_spot10x(spark, sf_dir: str, factor: int = 10) -> dict:
             }
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
+    return out
+
+
+def compact_summary(result: dict) -> dict:
+    """Compact (<1.5 KB) record for the FINAL stdout line.
+
+    The driver keeps only the last ~2000 chars of stdout and parses the
+    LAST line; the full 145-query record is ~5 KB, so printing it whole
+    guarantees a truncated, unparseable tail (BENCH_r07-r10 all recorded
+    "parsed": null for exactly this reason — VERDICT r10 directive 1).
+    The full record stays in BENCH.out.json; this line carries the
+    acceptance metrics (total, q01-q28 subtotal, CDC rows/s, worst
+    spot10x ratio) plus the 28 relational per-query timings — small
+    enough to never truncate, in the driver's metric/value/unit shape."""
+    qs = result.get("queries", {})
+    q0128 = {
+        k: v for k, v in qs.items() if len(k) == 3 and k[0] == "q" and k[1:].isdigit()
+    }
+    spot = result.get("spot10x", {})
+    out = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "sf": result.get("sf"),
+        "n_queries": len(qs),
+        "q01_q28_s": round(sum(q0128.values()), 3) if q0128 else None,
+        "cdc_rows_per_s": result.get("cdc", {}).get("rows_per_s"),
+        "cdc_mor_rows_per_s": result.get("cdc_mor", {}).get("rows_per_s"),
+        "spot10x_max": max((v["ratio"] for v in spot.values()), default=None),
+        "queries": q0128,
+        "detail": "BENCH.out.json",
+    }
+    if result.get("contended_with_pids"):
+        out["contended_with_pids"] = result["contended_with_pids"]
+    if result.get("phases_done"):  # crashed mid-run: say how far it got
+        out["phases_done"] = result["phases_done"]
+    # hard budget: the per-query dict is the only elastic part — drop it
+    # before ever risking the truncation that nulled four rounds of records
+    if len(json.dumps(out)) > 1500:
+        out.pop("queries", None)
     return out
 
 
@@ -599,7 +685,7 @@ def main() -> None:
         time.sleep(2)
         sys.stderr.flush()
         sys.stdout.flush()
-        print(json.dumps(result), flush=True)
+        print(json.dumps(compact_summary(result)), flush=True)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,18 @@ class SignatureStore:
         self.k, self.bands, self.ngram = k, bands, ngram
         params = {"k": k, "bands": bands, "ngram": ngram}
         pfile = os.path.join(path, _PARAMS_FILE)
-        if os.path.exists(pfile):
+        # Atomic create-or-verify (ADVICE r10 #4): a plain
+        # check-then-write let two concurrent creators with DIFFERENT
+        # parameters both pass the exists() probe, one silently
+        # overwriting the other — defeating the mixed-parameter guard.
+        # mode "x" makes creation first-writer-wins; the loser (and
+        # every reopen) drops to the verify branch against the winner's
+        # pin, so a parameter mismatch always raises, never overwrites.
+        os.makedirs(path, exist_ok=True)
+        try:
+            with open(pfile, "x") as fh:
+                json.dump(params, fh)
+        except FileExistsError:
             with open(pfile) as fh:
                 stored = json.load(fh)
             if stored != params:
@@ -64,11 +75,7 @@ class SignatureStore:
                     f"signature store at {path} was created with {stored}; "
                     f"reopening with {params} would produce signatures "
                     "that never collide with the stored ones"
-                )
-        else:
-            os.makedirs(path, exist_ok=True)
-            with open(pfile, "w") as fh:
-                json.dump(params, fh)
+                ) from None
         self.table = LakeTable(spark, path, buckets=buckets)
 
     # -- state views --------------------------------------------------------
@@ -185,3 +192,142 @@ class SignatureStore:
             )
         )
         self.table.merge(tombs, batch_id=batch_id)
+
+
+class StreamingNearDup:
+    """Crash-safe exactly-once streaming near-dup ingest — the
+    composition of the engine's two r10 features (VERDICT r10
+    directive 6): Structured-Streaming micro-batches probed against
+    signature state the pipeline itself grew, with BOTH state surfaces
+    (banded signatures + survivor texts) managed as lake tables keyed
+    by the stream's ``batch_id``.
+
+    Per micro-batch (``process_batch``):
+
+    1. replay guard: if the SIGNATURE table already has ``batch_id``,
+       the batch was fully applied — return None (state no-op);
+    2. probe the batch against the current state (O(batch) minhash +
+       band-keyed join; never the corpus — see
+       ``incremental_neardup_pairs``);
+    3. survivors = batch minus corpus-matched ids minus delta-scope
+       higher-id dups;
+    4. commit survivors' TEXTS first, then their SIGNATURES — both
+       idempotent merges on ``batch_id``.
+
+    The commit ORDER is the crash-safety argument: the signature
+    commit is the batch's commit point. A crash after texts but before
+    signatures replays into an identical probe — candidate ids come
+    from the signature state, which does not yet contain the batch, so
+    the early-committed texts are inert — and the text merge no-ops on
+    its batch_id. A crash after both commits replays into the guard.
+    So a re-delivered micro-batch never doubles state rows and never
+    probes a batch against its own signatures."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 64,
+        bands: int = 16,
+        ngram: int = 3,
+        buckets: int = 16,
+        verify_threshold: float | None = None,
+        max_bucket_size: int = 1_000_000,
+    ):
+        self.spark = spark
+        self.store = SignatureStore(
+            spark, os.path.join(path, "signatures"), k, bands, ngram, buckets
+        )
+        self.texts = LakeTable(
+            spark, os.path.join(path, "texts"), buckets=buckets
+        )
+        self.verify_threshold = verify_threshold
+        self.max_bucket_size = max_bucket_size
+
+    def _text_rows(
+        self, df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        latest = self.texts.log.latest()
+        ts = (latest.version if latest else 0) + 1
+        return df.select(
+            F.col(id_col).cast("string").alias("_key"),
+            F.lit(ts).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text_col).alias("text"),
+        )
+
+    def corpus(self, id_col: str = "id", text_col: str = "text") -> DataFrame:
+        if not self.texts.exists():
+            return self.spark.createDataFrame([], "id long, text string").select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col)
+            )
+        return self.texts.snapshot().select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col)
+        )
+
+    def seed(
+        self, corpus_df: DataFrame, id_col: str, text_col: str,
+        batch_id: str = "seed",
+    ) -> None:
+        """Initialize state from a pre-existing corpus (no probing) —
+        same exactly-once commit order as process_batch."""
+        self.texts.merge(
+            self._text_rows(corpus_df, id_col, text_col), batch_id=batch_id
+        )
+        self.store.ingest(corpus_df, id_col, text_col, batch_id)
+
+    def process_batch(
+        self, batch_df: DataFrame, id_col: str, text_col: str, batch_id: str
+    ) -> DataFrame | None:
+        """Probe + survivor-grow, exactly once per ``batch_id``.
+        Returns the batch's near-dup pairs (new_id, dup_id, jac,
+        scope), or None when the batch was already applied (replay)."""
+        if self.store.table.log.has_batch(batch_id):
+            return None
+        batch_df = batch_df.localCheckpoint(eager=True)
+        pairs = self.store.probe(
+            batch_df,
+            self.corpus(id_col, text_col),
+            id_col,
+            text_col,
+            verify_threshold=self.verify_threshold,
+            max_bucket_size=self.max_bucket_size,
+        ).localCheckpoint(eager=True)
+        dropped = (
+            pairs.where(F.col("scope") == "corpus")
+            .select(F.col("new_id").alias(id_col))
+            .unionByName(
+                pairs.where(F.col("scope") == "delta")
+                .select(F.col("dup_id").alias(id_col))
+            )
+            .distinct()
+        )
+        survivors = batch_df.join(
+            F.broadcast(dropped), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        # texts first, signatures last (the commit point) — see class doc
+        self.texts.merge(
+            self._text_rows(survivors, id_col, text_col), batch_id=batch_id
+        )
+        self.store.ingest(survivors, id_col, text_col, batch_id)
+        return pairs
+
+    def prune(self, dead_ids, batch_id: str) -> None:
+        """GC deleted documents from BOTH state surfaces — O(dead)
+        text tombstones + O(dead × bands) signature tombstones."""
+        if not isinstance(dead_ids, DataFrame):
+            dead_ids = self.spark.createDataFrame(
+                [(int(i),) for i in dead_ids], "id long"
+            )
+        latest = self.texts.log.latest()
+        ts = (latest.version if latest else 0) + 1
+        tombs = dead_ids.select(F.col("id").cast("long").alias("id")).distinct().select(
+            F.col("id").cast("string").alias("_key"),
+            F.lit(ts).cast("long").alias("_ts"),
+            F.lit("delete").alias("_op"),
+            "id",
+            F.lit(None).cast("string").alias("text"),
+        )
+        self.texts.merge(tombs, batch_id=f"{batch_id}-texts")
+        self.store.prune(dead_ids, batch_id)

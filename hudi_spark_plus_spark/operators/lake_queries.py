@@ -2276,17 +2276,24 @@ def q_lake_meta_agg(spark, sf_dir):
             lake.merge(b2, "b2", mode=mode)
             sc = lake.stats_count()
             mm = lake.stats_minmax("acctbal")
+            mk = lake.stats_minmax("c_custkey")
             if mode == "cow":
                 # the headline 100-TB contract: a COW COUNT(*) is pure
                 # manifest arithmetic — zero files read
                 assert sc["files_scanned"] == 0, sc
-                # min/max serves untouched buckets from metadata and
-                # scans ONLY the rewritten (tombstone-holding) ones
-                assert mm["files_metadata"] > 0, mm
-                assert mm["files_scanned"] < (
-                    mm["files_metadata"] + mm["files_scanned"]
-                ), mm
+                # DOUBLE columns never trust footer stats (NaN handling
+                # is writer-dependent, ADVICE r10 #2): acctbal scans...
+                assert mm["files_metadata"] == 0, mm
+                # ...while the LONG key column (no NaN to mistrust)
+                # serves untouched buckets from metadata and scans ONLY
+                # the rewritten (tombstone-holding) ones
+                assert mk["files_metadata"] > 0, mk
+                assert mk["files_scanned"] < (
+                    mk["files_metadata"] + mk["files_scanned"]
+                ), mk
                 cow_minmax = (float(mm["min"]), float(mm["max"]))
+                rows.append(("min_custkey", float(mk["min"])))
+                rows.append(("max_custkey", float(mk["max"])))
                 rows.append(("cow_v1_count", float(
                     lake.stats_count(version=1)["count"]
                 )))
@@ -2444,6 +2451,14 @@ LAKE_ORACLES = {
             SELECT 'min_acctbal', (SELECT MIN(acctbal) FROM live)
             UNION ALL
             SELECT 'max_acctbal', (SELECT MAX(acctbal) FROM live)
+            UNION ALL
+            SELECT 'min_custkey',
+                   (SELECT CAST(MIN(c_custkey) AS DOUBLE) FROM c
+                    WHERE c_custkey % 50 <> 17)
+            UNION ALL
+            SELECT 'max_custkey',
+                   (SELECT CAST(MAX(c_custkey) AS DOUBLE) FROM c
+                    WHERE c_custkey % 50 <> 17)
         ) ORDER BY metric
     """,
     # MERGE INTO: [half, top) updated/inserted at +500, then every 10th

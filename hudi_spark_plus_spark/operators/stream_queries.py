@@ -346,10 +346,18 @@ def q_stream_neardup(spark, sf_dir):
     drop a doc iff it matched state ('corpus' scope) or a lower-id
     doc of its own batch ('delta' scope dup side). Verified at
     jaccard 1.0 — equal distinct-shingle sets, replayed exactly by
-    DuckDB including the survivor-state construction."""
-    from hudi_spark_plus_spark.functions.dedup import (
-        banded_signatures,
-        incremental_neardup_pairs,
+    DuckDB including the survivor-state construction.
+
+    r11 (VERDICT r10 directive 6): state routes through
+    ``StreamingNearDup`` — BOTH state surfaces (signatures + survivor
+    texts) are lake tables committed exactly-once per stream batch_id,
+    so a crashed-and-replayed micro-batch is a state no-op (the
+    restart-replay property is unit-tested in
+    test_signature_store.py); the raw-parquet-append state of r10 had
+    no replay protection. Pair output is IDENTICAL: same probe, same
+    survivor rule, same state content."""
+    from hudi_spark_plus_spark.functions.signature_store import (
+        StreamingNearDup,
     )
     from hudi_spark_plus_spark.operators.llm_queries import _plant_offset
 
@@ -386,42 +394,26 @@ def q_stream_neardup(spark, sf_dir):
                 for r in b.collect():  # bounded fixture spool (~110/doc)
                     fh.write(json.dumps(r.asDict()) + "\n")
             os.utime(path, (now - 120 + i * 60,) * 2)
-        state_dir = os.path.join(work, "state")
-        corpus_dir = os.path.join(work, "corpus")
-        banded_signatures(corpus, "doc_id", "text").write.parquet(state_dir)
-        corpus.write.parquet(corpus_dir)
+        pipe = StreamingNearDup(
+            spark,
+            os.path.join(work, "state"),
+            verify_threshold=1.0,
+            max_bucket_size=1_000_000,
+        )
+        pipe.seed(corpus, "doc_id", "text")
         collected: list = []
 
         def on_batch(bdf, bid):
-            bdf = bdf.localCheckpoint(eager=True)
-            state = spark.read.parquet(state_dir)
-            corp = spark.read.parquet(corpus_dir)
-            pairs = incremental_neardup_pairs(
-                bdf, corp, state, "doc_id", "text",
-                verify_threshold=1.0, max_bucket_size=1_000_000,
-            ).localCheckpoint(eager=True)
-            collected.extend(
-                (int(bid), r["new_id"], r["dup_id"], r["jac"], r["scope"])
-                for r in pairs.collect()
-            )
-            dropped = (
-                pairs.where(F.col("scope") == "corpus")
-                .select(F.col("new_id").alias("doc_id"))
-                .unionByName(
-                    pairs.where(F.col("scope") == "delta")
-                    .select(F.col("dup_id").alias("doc_id"))
+            # exactly-once per stream batch id: the pipeline probes the
+            # batch against state it itself grew, then commits survivor
+            # texts + signatures transactionally; a replayed bid is a
+            # no-op (pairs=None)
+            pairs = pipe.process_batch(bdf, "doc_id", "text", f"b{bid}")
+            if pairs is not None:
+                collected.extend(
+                    (int(bid), r["new_id"], r["dup_id"], r["jac"], r["scope"])
+                    for r in pairs.collect()
                 )
-                .distinct()
-            )
-            surv = bdf.join(
-                F.broadcast(dropped), "doc_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            # the pipeline GROWS its own probe state: survivors'
-            # signatures and texts append — O(batch) per micro-batch
-            banded_signatures(surv, "doc_id", "text").write.mode(
-                "append"
-            ).parquet(state_dir)
-            surv.write.mode("append").parquet(corpus_dir)
 
         src = (
             spark.readStream.schema("doc_id long, text string")

@@ -73,47 +73,43 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r10: MinMaxView recompute scan side moved to
-    # snapshot_pruned_to_groups (file pruning + bounded broadcast) —
-    # VERDICT r9 #1
-    "q-lake-matview-minmax",
-    # r10: derived-table refresh rides the same pruned slice (and its
-    # semi-join became null-safe)
-    "q-lake-derived",
-    # r10: incremental near-dup corpus-scope join gained the
-    # new_id != dup_id guard (ADVICE r9 #3)
-    "q-doc-neardup-incremental",
-    # r10: secondary/functional index readers re-resolve through
-    # _open_latest_manifest on the retention race (ADVICE r9 #2)
-    "q-lake-secondary-index",
-    "q-lake-functional-index",
-    # r10: semdedup within-cluster prune became row-block-chunked
-    # (bounded memory) + explicit-K scale guard — integer math
-    # unchanged, but the kernel is new code
-    "q-emb-semdedup",
-    # NOT pinned although module hashes flag them: the rest of the
-    # q-lake-* family — r10's lake_table.py changes are additive (new
-    # pruning methods those fixtures don't call; the maintenance catch
-    # widening only alters a failure path). q-lake-matview-pruned is
-    # NEW and sorts first as never-verified. The rotation's
-    # stalest-first ordering drains the r7-stale tail (VERDICT r9 #5)
-    # with pins held at 5.
-    # Also NOT pinned: the metadata-aggregate round's lake/CDC re-hash
-    # (manifests gained a per-file live_rows field) — the field is
-    # write-side additive (old manifests default to None and consumers
-    # scan-fallback), no existing fixture reads it, and the NEW
-    # q-lake-meta-agg query that does consume it sorts first as
-    # never-verified.
-    # Late-session batch (same additive policy): file `bytes` in
-    # manifests + maybe_compact small-file rules (opt-in params,
-    # default off), zorder partitions= (default path byte-identical),
-    # commit version_base= (None default), and the new modules
-    # clone.py / signature_store.py. Their five NEW queries
-    # (q-lake-meta-agg, q-stream-neardup, q-lake-clone,
-    # q-doc-neardup-store, plus r10's q-lake-matview-pruned) sort
-    # first as never-verified; every existing query re-verified green
-    # in the session's five full verify-recipe runs (BASELINE.md
-    # round-10 late-session record).
+    # r11 (VERDICT r10 directive 2): the six r10 pins all re-greened in
+    # CORRECTNESS_r10.json and are dropped; these seven are the last
+    # r7-stale greens in the system (the rotation drained 43 -> 7 over
+    # r9/r10 but three-round-stale evidence remains the oldest). Pinning
+    # them ahead of this round's never-verified newcomers finishes the
+    # drain: after the r11 pass every registry query's newest green is
+    # >= r8. Drop all seven once CORRECTNESS_r11.json re-greens them.
+    "q-lake-colstats",
+    "q-lake-compact",
+    "q-lake-concurrent",
+    "q-lake-history",
+    "q-lake-mor-ro",
+    "q-lake-overwrite",
+    "q-lake-zorder",
+    # r11 semantic changes (pin until a CORRECTNESS row proves them):
+    # - q-lake-meta-agg: OUTPUT changed — float/double columns no
+    #   longer trust footer min/max (ADVICE r10 #2), fixture gained
+    #   min_custkey/max_custkey rows over the long key column
+    "q-lake-meta-agg",
+    # - q-lake-ndv: sketch residence rewrite — entries moved from the
+    #   manifest JSON to executor-side parquet parts (VERDICT r10 #4)
+    "q-lake-ndv",
+    # - q-stream-neardup: state rerouted through StreamingNearDup /
+    #   SignatureStore exactly-once commits (VERDICT r10 #6); pair
+    #   output is construction-identical but the state engine is new
+    "q-stream-neardup",
+    # NOT pinned although flagged/changed:
+    # - q-lake-clone: clone_table's pin naming + carried_batch_ids are
+    #   new metadata the fixture's OUTPUT never observes (verified
+    #   hash-green against the oracle in-session); 15 unit tests cover
+    #   the new lifecycle (test_clone.py), and pinning it would push
+    #   the list past the ≤10 cap.
+    # - signature-store family (q-doc-neardup-store/-lifecycle): the
+    #   O_EXCL params-pin fix only alters the create-race failure path.
+    # - the broad q-lake-* family hash-flagged by the lake_table.py
+    #   stats_minmax edit: the change touches only the metadata
+    #   aggregate path those fixtures never call.
 ]
 
 

@@ -28,18 +28,36 @@ Source-vacuum hazard (same as Delta shallow clones): the source does
 not know about clones, so a source ``vacuum`` may reclaim files a clone
 still references. ``pin_source=True`` (default) creates a savepoint on
 the source at the cloned version — vacuum retains savepoint-pinned
-versions — named ``clone_<basename>``; release it with
-``delete_savepoint`` when the clone is dropped.
+versions. The pin name is UNIQUE PER CLONE
+(``clone_<basename>-v<version>-<token>``): two clones sharing a
+destination basename, or a re-clone after a drop, can never silently
+share (and then yank) one pin (ADVICE r10 #1). The clone records its
+pin in ``_clone_pin.json`` at its own root; ``drop_clone`` reads it,
+releases the source savepoint, and removes the clone — the lifecycle
+helper that keeps a forgotten pin from blocking source vacuum forever.
+``clone_pins(src)`` lists a source's live clone pins for auditing.
+
+Exactly-once across the clone boundary: the clone's first commit
+carries the source's already-applied batch-id set
+(``carried_batch_ids``), so replaying an ingest pipeline against the
+clone no-ops on batches the source already absorbed — ``has_batch`` is
+truthful on both sides of the clone point (ADVICE r10 #5).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 from dataclasses import replace
 
 from pyspark.sql import SparkSession
 
 from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+PIN_FILE = "_clone_pin.json"
+PIN_PREFIX = "clone_"
 
 
 def clone_table(
@@ -63,10 +81,32 @@ def clone_table(
         replace(f, path=src.log.abs_path(f.path))
         for f in src.log.live_files(version)
     ]
+    pin_name = None
     if pin_source:
-        name = f"clone_{os.path.basename(dst_path.rstrip('/'))}"
-        if name not in src.savepoints():
-            src.savepoint(name, version=base_commit.version)
+        # unique per clone: a shared name would let drop_clone of one
+        # clone (or a re-clone over a stale name) yank another's pin
+        pin_name = (
+            f"{PIN_PREFIX}{os.path.basename(dst_path.rstrip('/'))}"
+            f"-v{base_commit.version}-{uuid.uuid4().hex[:8]}"
+        )
+        src.savepoint(pin_name, version=base_commit.version)
+    # batch ids the source already applied up to the clone point: replays
+    # of those batches against the clone must be no-ops (H5 across the
+    # clone boundary). Bounded by the source's retained timeline length.
+    carried = sorted(
+        {
+            b
+            for v in src.log.versions()
+            if v <= base_commit.version
+            and (b := src.log.read(v).batch_id) is not None
+        }
+        | {
+            cb
+            for v in src.log.versions()
+            if v <= base_commit.version
+            for cb in (src.log.read(v).carried_batch_ids or ())
+        }
+    )
     dst = LakeTable(
         spark,
         dst_path,
@@ -84,5 +124,46 @@ def clone_table(
         bootstrap_spec=src._bootstrap_spec(),
         # continue the source's version space (see module docstring)
         version_base=base_commit.version + 1,
+        carried_batch_ids=carried or None,
     )
+    if pin_name is not None:
+        # the clone remembers its own pin so drop_clone can release it
+        with open(os.path.join(dst_path, PIN_FILE), "w") as fh:
+            json.dump(
+                {
+                    "source_path": os.path.abspath(src.path),
+                    "savepoint": pin_name,
+                    "version": base_commit.version,
+                },
+                fh,
+            )
     return dst
+
+
+def clone_pins(src: LakeTable) -> dict[str, int]:
+    """{savepoint name: pinned version} for every live clone pin on
+    ``src`` — audit surface for pins whose clone was dropped without
+    ``drop_clone`` (each blocks vacuum of its pinned version until
+    released with ``delete_savepoint``)."""
+    return {
+        n: v for n, v in src.savepoints().items() if n.startswith(PIN_PREFIX)
+    }
+
+
+def drop_clone(clone: LakeTable) -> bool:
+    """Drop a shallow clone: release its source savepoint pin (read from
+    the clone's ``_clone_pin.json``; the source may then vacuum the
+    previously-pinned files) and remove the clone's directory. Returns
+    whether a pin was found and released. Safe on unpinned clones
+    (``pin_source=False``) and on clones whose pin was already deleted."""
+    released = False
+    pin_file = os.path.join(clone.path, PIN_FILE)
+    try:
+        with open(pin_file) as fh:
+            pin = json.load(fh)
+        src = LakeTable(clone.spark, pin["source_path"])
+        released = src.delete_savepoint(pin["savepoint"])
+    except (OSError, ValueError, KeyError):
+        pass  # unpinned clone, or pin record unreadable: nothing to release
+    shutil.rmtree(clone.path, ignore_errors=True)
+    return released

@@ -292,6 +292,13 @@ class Commit:
     # Persisted like ``buckets`` (the spec is fixed at bootstrap and
     # carried forward forever — synthesized keys must never change).
     bootstrap_spec: dict | None = None
+    # Batch ids this commit inherits WITHOUT having applied them itself:
+    # a shallow clone's first commit carries the source's already-applied
+    # batch-id set so ``has_batch`` stays truthful across the clone
+    # boundary (an ingest replay against the clone must be a no-op for
+    # batches the SOURCE already absorbed — see table/clone.py). Bounded
+    # by the source's retained timeline length; absent everywhere else.
+    carried_batch_ids: list[str] | None = None
 
     def to_json(self) -> str:
         d = {
@@ -308,6 +315,8 @@ class Commit:
             d["global_index"] = True
         if self.bootstrap_spec is not None:
             d["bootstrap_spec"] = self.bootstrap_spec
+        if self.carried_batch_ids is not None:
+            d["carried_batch_ids"] = self.carried_batch_ids
         if self.segments is not None:
             d["segments"] = self.segments
         else:  # v1 inline form
@@ -329,6 +338,7 @@ class Commit:
             partition_fields=d.get("partition_fields"),
             global_index=d.get("global_index"),
             bootstrap_spec=d.get("bootstrap_spec"),
+            carried_batch_ids=d.get("carried_batch_ids"),
         )
 
 
@@ -396,9 +406,10 @@ class CommitLog:
             while os.path.exists(self._commit_file(nxt)):
                 self._versions.append(nxt)
                 if self._batch_ids is not None:
-                    b = self.read(nxt).batch_id
-                    if b is not None:
-                        self._batch_ids.add(b)
+                    c = self.read(nxt)
+                    if c.batch_id is not None:
+                        self._batch_ids.add(c.batch_id)
+                    self._batch_ids.update(c.carried_batch_ids or ())
                 nxt += 1
         return list(self._versions)
 
@@ -436,11 +447,13 @@ class CommitLog:
         The batch-id set is built once per instance and maintained by
         commit(); vacuum bounds how far back it remembers."""
         if self._batch_ids is None:
-            self._batch_ids = {
-                b
-                for v in self.versions()
-                if (b := self.read(v).batch_id) is not None
-            }
+            ids: set[str] = set()
+            for v in self.versions():
+                c = self.read(v)
+                if c.batch_id is not None:
+                    ids.add(c.batch_id)
+                ids.update(c.carried_batch_ids or ())
+            self._batch_ids = ids
         return batch_id in self._batch_ids
 
     def live_files(self, version: int | None = None) -> list[FileEntry]:
@@ -565,6 +578,7 @@ class CommitLog:
         global_index: bool | None = None,
         bootstrap_spec: dict | None = None,
         version_base: int | None = None,
+        carried_batch_ids: list[str] | None = None,
     ) -> Commit:
         """``version_base``: first version of an EMPTY timeline (default
         1). A shallow clone continues its source's version space so the
@@ -604,6 +618,9 @@ class CommitLog:
             bootstrap_spec=bootstrap_spec
             if bootstrap_spec is not None
             else (latest.bootstrap_spec if latest else None),
+            # NOT inherited: carried ids live only on the commit that
+            # declares them (has_batch unions across the whole timeline)
+            carried_batch_ids=carried_batch_ids,
         )
         # Atomic publish through the pluggable finalizer: create-or-fail
         # on the versioned commit path IS the optimistic-concurrency
@@ -628,8 +645,10 @@ class CommitLog:
         if self._versions is not None:
             self._versions.append(version)
         self._commits[version] = c
-        if self._batch_ids is not None and batch_id is not None:
-            self._batch_ids.add(batch_id)
+        if self._batch_ids is not None:
+            if batch_id is not None:
+                self._batch_ids.add(batch_id)
+            self._batch_ids.update(carried_batch_ids or ())
         return c
 
     # -- paths -------------------------------------------------------------

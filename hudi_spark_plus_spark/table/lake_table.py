@@ -606,14 +606,22 @@ class LakeTable:
         (b) the file carries stats for it, and (c) the file holds no
         tombstones (``live_rows == rows``): a deleted row may be the
         recorded extremum, and min/max must range over live rows only.
-        Parquet stats exclude nulls, matching SQL MIN/MAX. Everything
+        Parquet stats exclude nulls, matching SQL MIN/MAX. Float/double
+        columns are NOT trusted either (ADVICE r10 #2): whether a writer
+        records min/max for a NaN-containing float column is
+        writer-version dependent, and Spark's MAX treats NaN as greater
+        than every value — a footer that silently dropped NaN would
+        diverge from ``snapshot().agg(max())``. Integral/decimal types
+        have no NaN, so the fast path stays exact there. Everything
         untrusted is scanned; the two halves combine exactly."""
         schema = self._schema_at(version) or self.schema()
         field = next((f for f in schema.fields if f.name == col), None)
         if field is None:
             raise KeyError(f"no such column: {col}")
         phys = self._physical_of(field)
-        numeric = isinstance(field.dataType, NumericType)
+        numeric = isinstance(field.dataType, NumericType) and not isinstance(
+            field.dataType, (FloatType, DoubleType)
+        )
         files = self._prune_partitions(
             self.log.live_files(version), partitions, partition_range
         )

@@ -28,12 +28,12 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 def mkbatch(spark, rows):
     """rows: (key, ts, op, num, name)"""
     return spark.createDataFrame(
-        rows, "_key string, _ts long, _op string, num double, name string"
+        rows, "_key string, _ts long, _op string, num long, name string"
     )
 
 
 def base_rows(n=40, ts=1):
-    return [(str(k), ts, "upsert", float(k), f"n{k:03d}") for k in range(n)]
+    return [(str(k), ts, "upsert", k, f"n{k:03d}") for k in range(n)]
 
 
 @pytest.fixture()
@@ -57,7 +57,7 @@ class TestStatsCount:
         table.merge(
             mkbatch(
                 spark,
-                [("3", 2, "upsert", 300.0, "u"), ("7", 2, "delete", 0.0, "d")],
+                [("3", 2, "upsert", 300, "u"), ("7", 2, "delete", 0, "d")],
             ),
             "b2",
         )
@@ -70,8 +70,8 @@ class TestStatsCount:
         table.merge(
             mkbatch(
                 spark,
-                [("3", 2, "upsert", 300.0, "u"), ("3", 2, "delete", 0.0, "d")][:1]
-                + [("7", 2, "delete", 0.0, "d")],
+                [("3", 2, "upsert", 300, "u"), ("3", 2, "delete", 0, "d")][:1]
+                + [("7", 2, "delete", 0, "d")],
             ),
             "b2",
             mode="mor",
@@ -86,7 +86,7 @@ class TestStatsCount:
     def test_time_travel_count(self, spark, table):
         table.merge(mkbatch(spark, base_rows()), "b1")
         table.merge(
-            mkbatch(spark, [("5", 2, "delete", 0.0, "d")]), "b2"
+            mkbatch(spark, [("5", 2, "delete", 0, "d")]), "b2"
         )
         assert table.stats_count(version=1)["count"] == 40
         assert table.stats_count()["count"] == 39
@@ -96,7 +96,7 @@ class TestStatsCount:
             spark, str(tmp_path / "p"), buckets=4, partition_fields=["name"]
         )
         rows = [
-            (str(k), 1, "upsert", float(k), "a" if k % 2 else "b")
+            (str(k), 1, "upsert", k, "a" if k % 2 else "b")
             for k in range(20)
         ]
         t.merge(mkbatch(spark, rows), "b1")
@@ -127,7 +127,7 @@ class TestZeroJobs:
         ZERO new jobs (not merely zero files read)."""
         table.merge(mkbatch(spark, base_rows()), "b1")
         table.merge(
-            mkbatch(spark, [("7", 2, "delete", 0.0, "d")]), "b2"
+            mkbatch(spark, [("7", 2, "delete", 0, "d")]), "b2"
         )
         tracker = spark.sparkContext.statusTracker()
         before = set(tracker.getJobIdsForGroup(None) or [])
@@ -182,10 +182,10 @@ class TestStatsMinMax:
         """THE correctness trap: the recorded file max (999) belongs to
         a row that is later tombstoned — metadata min/max must reject
         that file's stats and scan it instead."""
-        rows = base_rows() + [("99", 1, "upsert", 999.0, "peak")]
+        rows = base_rows() + [("99", 1, "upsert", 999, "peak")]
         table.merge(mkbatch(spark, rows), "b1")
         table.merge(
-            mkbatch(spark, [("99", 2, "delete", 999.0, "peak")]), "b2"
+            mkbatch(spark, [("99", 2, "delete", 999, "peak")]), "b2"
         )
         got = table.stats_minmax("num")
         n, lo, hi = _truth(table)
@@ -195,7 +195,7 @@ class TestStatsMinMax:
     def test_clean_files_served_from_metadata(self, spark, table):
         table.merge(mkbatch(spark, base_rows()), "b1")
         table.merge(
-            mkbatch(spark, [("3", 2, "delete", 0.0, "d")]), "b2"
+            mkbatch(spark, [("3", 2, "delete", 0, "d")]), "b2"
         )
         got = table.stats_minmax("num")
         n, lo, hi = _truth(table)
@@ -217,8 +217,8 @@ class TestStatsMinMax:
             mkbatch(
                 spark,
                 [
-                    ("2", 2, "upsert", -50.0, "low"),
-                    ("4", 2, "delete", 0.0, "d"),
+                    ("2", 2, "upsert", -50, "low"),
+                    ("4", 2, "delete", 0, "d"),
                 ],
             ),
             "b2",
@@ -243,8 +243,8 @@ class TestStatsMinMax:
 
     def test_empty_table_and_unknown_column(self, spark, tmp_path):
         t = LakeTable(spark, str(tmp_path / "e"), buckets=2)
-        t.merge(mkbatch(spark, [("1", 1, "upsert", 5.0, "x")]), "b1")
-        t.merge(mkbatch(spark, [("1", 2, "delete", 5.0, "x")]), "b2")
+        t.merge(mkbatch(spark, [("1", 1, "upsert", 5, "x")]), "b1")
+        t.merge(mkbatch(spark, [("1", 2, "delete", 5, "x")]), "b2")
         got = t.stats_minmax("num")
         assert got["min"] is None and got["max"] is None
         assert t.stats_count()["count"] == 0
@@ -333,3 +333,33 @@ if HAS_HYPOTHESIS:
         assert (mm["min"], mm["max"]) == (truth["lo"], truth["hi"]), (
             mm, truth,
         )
+
+
+class TestFloatColumnsNeverTrustFooters:
+    def test_double_minmax_always_scans_and_nan_is_exact(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10 #2: whether a parquet writer records min/max for a
+        NaN-containing float column is writer-version dependent, and
+        Spark's MAX ranks NaN above every value — so float/double
+        columns never take the footer fast path. With NaN planted, the
+        scan answer must equal snapshot().agg(max()) (NaN), which a
+        NaN-dropping footer stat could not produce."""
+        t = LakeTable(spark, str(tmp_path / "f"), buckets=2)
+        rows = [(str(k), 1, "upsert", float(k)) for k in range(10)]
+        rows.append(("99", 1, "upsert", float("nan")))
+        t.merge(
+            spark.createDataFrame(
+                rows, "_key string, _ts long, _op string, val double"
+            ),
+            "b1",
+        )
+        got = t.stats_minmax("val")
+        assert got["files_metadata"] == 0  # double: no footer trust
+        truth = t.snapshot().agg(
+            F.min("val").alias("lo"), F.max("val").alias("hi")
+        ).first()
+        assert got["min"] == truth["lo"] == 0.0
+        import math
+
+        assert math.isnan(got["max"]) and math.isnan(truth["hi"])

@@ -126,3 +126,72 @@ class TestNdv:
         t.merge(mk(spark, [("1", 2, "delete", 5, "x")]), "b2")
         got = ndv.approx_ndv(t, "name")
         assert got["estimate"] == 0
+
+
+class TestSidecarResidence:
+    """VERDICT r10 directive 4 + ADVICE r10 #3: sketch bytes live in
+    parquet parts (executor residence), and churn cannot grow the
+    sidecar without bound — refresh compacts once dead entries
+    outnumber live ones."""
+
+    def _part_entries(self, spark, t, col):
+        import os
+        root = os.path.join(t._index_dir(f"ndv_{col}"), "parts")
+        if not os.path.isdir(root):
+            return 0
+        return spark.read.schema("path string, s binary").parquet(
+            *[os.path.join(root, p) for p in os.listdir(root)]
+        ).count()
+
+    def test_refresh_compacts_dead_entries(self, spark, table):
+        ndv.create_ndv_sketch(table, "name")
+        m0 = ndv.ndv_manifest(table, "name")
+        n0 = len(table.log.live_files())
+        # churn: rewrite EVERY bucket several times (COW rewrites kill
+        # the old files), each refresh appending a part
+        for i in range(3):
+            table.merge(
+                mk(spark, [(str(k), 2 + i, "upsert", k % 37, f"n{k % 61}")
+                           for k in range(400)]),
+                f"c{i}",
+            )
+            ndv.refresh_ndv_sketch(table, "name")
+        # sidecar bounded: total entries across parts stay O(live),
+        # not O(all files ever) (3 full rewrites would leave ~4x)
+        entries = self._part_entries(spark, table, "name")
+        live = len(table.log.live_files())
+        assert entries <= 2 * live + n0 // 2, (entries, live)
+        got = ndv.approx_ndv(table, "name")
+        assert got["files_scanned"] == 0
+        e = exact(table, "name")
+        assert abs(got["estimate"] - e) / max(e, 1) <= 0.05
+
+    def test_unreferenced_parts_reclaimed(self, spark, table):
+        import os
+        ndv.create_ndv_sketch(table, "name")
+        root = os.path.join(table._index_dir("ndv_name"), "parts")
+        # full rebuild twice: parts referenced by neither retained
+        # manifest must be GC'd on publish
+        ndv.create_ndv_sketch(table, "name")
+        ndv.create_ndv_sketch(table, "name")
+        parts_on_disk = set(os.listdir(root))
+        referenced = set()
+        d = table._index_dir("ndv_name")
+        import json as _json
+        for fn in os.listdir(d):
+            if fn.startswith("index-") and fn.endswith(".json"):
+                referenced.update(
+                    _json.load(open(os.path.join(d, fn))).get("parts", [])
+                )
+        assert parts_on_disk == referenced  # nothing orphaned
+        assert ndv.approx_ndv(table, "name")["files_scanned"] == 0
+
+    def test_manifest_carries_no_sketch_bytes(self, spark, table):
+        """The manifest JSON is O(parts), not O(files x sketch)."""
+        import json as _json, os
+        ndv.create_ndv_sketch(table, "name")
+        d = table._index_dir("ndv_name")
+        fn = max(f for f in os.listdir(d) if f.startswith("index-"))
+        m = _json.load(open(os.path.join(d, fn)))
+        assert "entries" not in m
+        assert os.path.getsize(os.path.join(d, fn)) < 4096

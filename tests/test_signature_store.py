@@ -109,6 +109,23 @@ class TestStoreLifecycle:
         again = SignatureStore(spark, store.table.path)
         assert again.bands == store.bands
 
+    def test_param_pin_creation_is_first_writer_wins(self, spark, tmp_path):
+        """ADVICE r10 #4: the pin is created with O_EXCL — a second
+        creator racing in with different params must hit the verify
+        branch against the winner's pin (raise), never overwrite it.
+        Simulated by pre-planting the winner's pin file alone (the
+        state a loser of the create race observes)."""
+        import json, os
+
+        path = str(tmp_path / "race")
+        os.makedirs(path)
+        with open(os.path.join(path, "_signature_params.json"), "w") as fh:
+            json.dump({"k": 64, "bands": 16, "ngram": 3}, fh)
+        with pytest.raises(ValueError, match="created with"):
+            SignatureStore(spark, path, bands=8)
+        s = SignatureStore(spark, path)  # winner's params: fine
+        assert s.bands == 16
+
     def test_integral_id_required(self, spark, store):
         s = spark.createDataFrame([("a", "text")], "doc_id string, text string")
         with pytest.raises(ValueError, match="integral id"):
@@ -121,3 +138,96 @@ class TestStoreLifecycle:
             batch, empty_corpus, "doc_id", "text", verify_threshold=1.0
         )
         assert pairs.count() == 0
+
+
+class TestStreamingNearDup:
+    """VERDICT r10 directive 6: the streaming near-dup path composed
+    with transactional SignatureStore state — crash-safe exactly-once
+    streaming dedup state."""
+
+    def _pipe(self, spark, tmp_path, **kw):
+        from hudi_spark_plus_spark.functions.signature_store import (
+            StreamingNearDup,
+        )
+
+        return StreamingNearDup(
+            spark, str(tmp_path / "pipe"), verify_threshold=1.0, **kw
+        )
+
+    def test_batch_flow_and_survivor_growth(self, spark, tmp_path):
+        pipe = self._pipe(spark, tmp_path)
+        corpus = docs(spark, CORPUS)
+        pipe.seed(corpus, "doc_id", "text")
+        # batch: one dup of corpus doc 1, one fresh doc
+        b0 = docs(spark, [(301, CORPUS[0][1]), (302, "totally fresh text")])
+        pairs = pipe.process_batch(b0, "doc_id", "text", "b0")
+        assert [(r["new_id"], r["dup_id"], r["scope"])
+                for r in pairs.collect()] == [(301, 1, "corpus")]
+        # batch 2: dup of the batch-0 SURVIVOR (302) — caught by state
+        # the pipeline itself grew
+        b1 = docs(spark, [(401, "totally fresh text")])
+        pairs = pipe.process_batch(b1, "doc_id", "text", "b1")
+        assert [(r["new_id"], r["dup_id"], r["scope"])
+                for r in pairs.collect()] == [(401, 302, "corpus")]
+
+    def test_replayed_batch_is_a_state_noop(self, spark, tmp_path):
+        pipe = self._pipe(spark, tmp_path)
+        pipe.seed(docs(spark, CORPUS), "doc_id", "text")
+        b0 = docs(spark, [(301, CORPUS[0][1]), (302, "fresh text here")])
+        assert pipe.process_batch(b0, "doc_id", "text", "b0") is not None
+        sig_n = pipe.store.state().count()
+        txt_n = pipe.texts.snapshot().count()
+        sig_ver = pipe.store.table.log.latest().version
+        # foreachBatch redelivery after a crash: same bid, same data
+        assert pipe.process_batch(b0, "doc_id", "text", "b0") is None
+        assert pipe.store.state().count() == sig_n
+        assert pipe.texts.snapshot().count() == txt_n
+        assert pipe.store.table.log.latest().version == sig_ver
+        # and the next probe still behaves as if applied exactly once:
+        # a dup of survivor 302 pairs against ONE state row, not two
+        pairs = pipe.process_batch(
+            docs(spark, [(401, "fresh text here")]), "doc_id", "text", "b1"
+        )
+        assert [(r["new_id"], r["dup_id"]) for r in pairs.collect()] == [
+            (401, 302)
+        ]
+
+    def test_crash_between_text_and_signature_commit_replays_clean(
+        self, spark, tmp_path
+    ):
+        """The partial-failure window: texts committed, signatures not
+        (the signature commit is the batch's commit point). The replay
+        must produce the SAME pairs (probe state unchanged; the
+        early-committed texts are inert because candidate ids come
+        from signatures) and converge to exactly-once state."""
+        pipe = self._pipe(spark, tmp_path)
+        pipe.seed(docs(spark, CORPUS), "doc_id", "text")
+        b0 = docs(spark, [(301, CORPUS[0][1]), (302, "fresh text here")])
+        # simulate the crash: apply ONLY the text half of batch b0
+        pipe.texts.merge(
+            pipe._text_rows(
+                docs(spark, [(302, "fresh text here")]), "doc_id", "text"
+            ),
+            batch_id="b0",
+        )
+        pairs = pipe.process_batch(b0, "doc_id", "text", "b0")
+        assert [(r["new_id"], r["dup_id"], r["scope"])
+                for r in pairs.collect()] == [(301, 1, "corpus")]
+        # state converged exactly once: 302's text exists ONCE, its
+        # signatures exist once
+        assert pipe.texts.snapshot().where("id = 302").count() == 1
+        assert (
+            pipe.store.state().where("id = 302").count() == pipe.store.bands
+        )
+
+    def test_prune_clears_both_surfaces(self, spark, tmp_path):
+        pipe = self._pipe(spark, tmp_path)
+        pipe.seed(docs(spark, CORPUS), "doc_id", "text")
+        pipe.prune([1], "gc1")
+        assert pipe.store.state().where("id = 1").count() == 0
+        assert pipe.texts.snapshot().where("id = 1").count() == 0
+        # pruned doc's duplicate now survives (no state to match)
+        pairs = pipe.process_batch(
+            docs(spark, [(501, CORPUS[0][1])]), "doc_id", "text", "b9"
+        )
+        assert pairs.collect() == []
