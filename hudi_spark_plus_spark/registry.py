@@ -110,6 +110,11 @@ _PINNED = [
     # - the broad q-lake-* family hash-flagged by the lake_table.py
     #   stats_minmax edit: the change touches only the metadata
     #   aggregate path those fixtures never call.
+    # - the same family re-flagged by the NEW table/s3_finalizer.py
+    #   (pin-lint folds the whole table/ dir into those hashes): the
+    #   module is imported by nothing in any query path — it is the
+    #   opt-in S3 binding of the commit finalizer, exercised only by
+    #   tests/test_s3_finalizer.py.
 ]
 
 

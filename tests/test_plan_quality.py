@@ -517,3 +517,41 @@ def test_minmax_view_recompute_is_broadcast_semi_no_cartesian(
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_approx_ndv_union_is_broadcast_join_over_parts(spark, tmp_path):
+    """The NDV estimate's trusted-path join (r11 executor-side sketch
+    residence): sketch parts join the trusted path set via a BROADCAST
+    hash join of path strings — never a shuffle of sketch bytes, never
+    a cartesian — and the union plan reads the sidecar parquet, not the
+    table data."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.table import ndv
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(str(k), 1, "upsert", f"n{k % 7}") for k in range(50)],
+            "_key string, _ts long, _op string, name string",
+        ),
+        "b1",
+    )
+    ndv.create_ndv_sketch(t, "name")
+    m = ndv.ndv_manifest(t, "name")
+    files = t.log.live_files()
+    trusted = spark.createDataFrame([(f.path,) for f in files], "path string")
+    joined = (
+        ndv._read_parts(t, "name", m)
+        .join(F.broadcast(trusted), "path")
+        .select("s")
+    )
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    # both scans are metadata-sized inputs (sidecar parts + path list);
+    # the TABLE's data dir must not appear in the estimate plan
+    assert all("/data/" not in l for l in scans), scans

@@ -1,0 +1,280 @@
+"""S3-semantics conditional-write finalizer (table/s3_finalizer.py).
+
+The façade here implements the documented S3 conditional-write
+protocol over real HTTP — ``If-None-Match: *`` PUT, ``412
+PreconditionFailed`` with an XML error body when the key exists, ``200
++ ETag`` on create, and injectable ``409 ConditionalRequestConflict``
+storms (the transient rejection S3 issues while a concurrent
+conditional operation is in flight, documented remedy: retry). What
+the suite pins:
+
+* 409 is TRANSIENT, not "exists": the binding retries through a storm
+  and still lands the commit (the generic HTTP binding would abort).
+* 412 stays terminal, bytes are never overwritten, N-way races have
+  exactly one winner per key.
+* the lost-response trap: a dropped 2xx followed by a retry's 412 is
+  resolved by read-back — our own delivered PUT reports success, a
+  genuinely lost race reports conflict, and an undecidable outcome
+  raises WITHOUT CommitConflict (which would reclaim live segments).
+* end-to-end: concurrent LakeTable merges publishing every commit
+  through this binding converge to the serializable result.
+"""
+
+import http.server
+import os
+import threading
+
+import pytest
+
+from hudi_spark_plus_spark.table.commit_log import CommitConflict
+from hudi_spark_plus_spark.table.s3_finalizer import S3ConditionalPutFinalizer
+
+
+class _S3Facade:
+    """In-process S3 conditional-write façade over a backing directory
+    (reads stay on the table path, like the production deployment
+    note in commit_log.py). ``conflict_budget`` injects that many 409
+    ConditionalRequestConflict rejections before letting PUTs through;
+    ``drop_success_responses`` makes the next N successful PUTs die
+    after the write lands (the lost-2xx trap)."""
+
+    def __init__(self, root: str):
+        store = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _xml_error(self, status, code):
+                body = (
+                    f'<?xml version="1.0" encoding="UTF-8"?>'
+                    f"<Error><Code>{code}</Code>"
+                    f"<Message>{code}</Message></Error>"
+                ).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_PUT(self):
+                rel = self.path.lstrip("/")
+                target = os.path.join(store.root, rel)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                with store.lock:
+                    if store.conflict_budget > 0:
+                        store.conflict_budget -= 1
+                        self._xml_error(409, "ConditionalRequestConflict")
+                        return
+                    if (
+                        self.headers.get("If-None-Match") == "*"
+                        and os.path.exists(target)
+                    ):
+                        self._xml_error(412, "PreconditionFailed")
+                        return
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    with open(target, "wb") as fh:
+                        fh.write(body)
+                    if store.drop_success_responses > 0:
+                        store.drop_success_responses -= 1
+                        # write landed; response never reaches the client
+                        self.connection.close()
+                        return
+                self.send_response(200)
+                self.send_header("ETag", '"%032x"' % (hash(body) & (2**128 - 1)))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self):
+                rel = self.path.lstrip("/")
+                target = os.path.join(store.root, rel)
+                if not os.path.exists(target):
+                    self._xml_error(404, "NoSuchKey")
+                    return
+                with open(target, "rb") as fh:
+                    body = fh.read()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.root = root
+        self.lock = threading.Lock()
+        self.conflict_budget = 0
+        self.drop_success_responses = 0
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def finalizer(self, **kw):
+        root, port = self.root, self.port
+        return S3ConditionalPutFinalizer(
+            lambda p: f"http://127.0.0.1:{port}/{os.path.relpath(p, root)}",
+            backoff_base_s=0.01,
+            **kw,
+        )
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def facade(tmp_path):
+    f = _S3Facade(str(tmp_path))
+    yield f
+    f.close()
+
+
+class TestS3Protocol:
+    def test_create_then_412_no_overwrite(self, facade, tmp_path):
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin.publish('{"v": "winner"}', target)
+        with pytest.raises(CommitConflict):
+            fin.publish('{"v": "loser"}', target)
+        assert open(target).read() == '{"v": "winner"}'
+
+    def test_conflict_storm_is_retried_through(self, facade, tmp_path):
+        """409 ConditionalRequestConflict is transient: the binding
+        must land the commit once the storm clears — the generic
+        binding's 409=exists mapping would abort a version nobody
+        published."""
+        facade.conflict_budget = 4
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin.publish('{"v": 1}', target)
+        assert open(target).read() == '{"v": 1}'
+
+    def test_persistent_conflict_bounded(self, facade, tmp_path):
+        facade.conflict_budget = 10**9
+        fin = facade.finalizer(conflict_retries=2)
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        with pytest.raises(CommitConflict, match="concurrent"):
+            fin.publish('{"v": 1}', target)
+        assert not os.path.exists(target)
+
+    def test_lost_success_response_resolved_by_read_back(
+        self, facade, tmp_path
+    ):
+        """THE retry trap: the first PUT lands but its 2xx is lost;
+        the retry gets 412 — against our OWN bytes. Must report
+        success (a false conflict would reclaim live segments)."""
+        facade.drop_success_responses = 1
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin.publish('{"v": "mine"}', target)  # no raise
+        assert open(target).read() == '{"v": "mine"}'
+
+    def test_lost_response_but_other_writer_won(self, facade, tmp_path):
+        """Ambiguous attempt, then a 412 against DIFFERENT bytes:
+        genuine conflict."""
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin = facade.finalizer()
+        # writer A: response dropped, but write landed
+        facade.drop_success_responses = 1
+        fin.publish('{"v": "A"}', target)
+        # writer B with its own ambiguous start: 409 first (ambiguous),
+        # then 412 against A's bytes -> read-back mismatch -> conflict
+        facade.conflict_budget = 1
+        with pytest.raises(CommitConflict):
+            fin.publish('{"v": "B"}', target)
+        assert open(target).read() == '{"v": "A"}'
+
+    def test_race_exactly_one_winner(self, facade, tmp_path):
+        facade.conflict_budget = 6  # storm across the racers
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000002.json")
+        wins, losses, errs = [], [], []
+        barrier = threading.Barrier(8)
+
+        def racer(i):
+            try:
+                barrier.wait()
+                fin.publish('{"writer": %d}' % i, target)
+                wins.append(i)
+            except CommitConflict:
+                losses.append(i)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        assert len(wins) == 1 and len(losses) == 7
+        assert open(target).read() == '{"writer": %d}' % wins[0]
+
+
+class TestS3LakeTableSoak:
+    def test_concurrent_merges_converge(self, spark, facade, tmp_path):
+        """End-to-end: every commit/segment-adjacent publish of two
+        contending writers crosses the S3 binding (with an injected
+        conflict storm); the table must converge to the serializable
+        LWW result with a dense timeline."""
+        from pyspark.sql import functions as F
+
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+
+        path = str(tmp_path / "t")
+        fin = facade.finalizer()
+        t = LakeTable(spark, path, buckets=2, finalizer=fin)
+        t.merge(
+            spark.createDataFrame(
+                [(str(k), 1, "upsert", 0) for k in range(20)],
+                "_key string, _ts long, _op string, v int",
+            ),
+            "b0",
+        )
+        facade.conflict_budget = 3
+        errs = []
+
+        def writer(wid):
+            try:
+                w = LakeTable(spark, path, buckets=2, finalizer=facade.finalizer())
+                for j in range(3):
+                    for attempt in range(10):
+                        try:
+                            w.merge(
+                                spark.createDataFrame(
+                                    [
+                                        (
+                                            str(k),
+                                            10 * (j + 1) + wid,
+                                            "upsert",
+                                            100 * wid + j,
+                                        )
+                                        for k in range(wid, 20, 2)
+                                    ],
+                                    "_key string, _ts long, _op string, v int",
+                                ),
+                                f"w{wid}-b{j}",
+                            )
+                            break
+                        except CommitConflict:
+                            w.log.invalidate()
+                    else:
+                        raise AssertionError(f"writer {wid} starved")
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ws = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+        for w in ws:
+            w.start()
+        for w in ws:
+            w.join()
+        assert not errs, errs
+        final = LakeTable(spark, path, buckets=2)
+        rows = {
+            r["_key"]: (r["_ts"], r["v"])
+            for r in final.snapshot().select("_key", "_ts", "v").collect()
+        }
+        # each writer owns its parity: last batch (j=2) wins by ts
+        for k in range(20):
+            wid = k % 2
+            assert rows[str(k)] == (30 + wid, 100 * wid + 2), (k, rows[str(k)])
+        vs = final.log.versions()
+        assert vs == list(range(1, len(vs) + 1))  # dense, no gaps
