@@ -1896,6 +1896,84 @@ def q_lake_matview(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_avg(spark, sf_dir):
+    """AVG maintained incrementally (table/matview.py AggregateView
+    avg_cols — algebraic over the same ± machinery: integer sum plus
+    NON-NULL count per measure, one double division read-side; SQL AVG
+    ignores NULLs, so dividing by the row count would be wrong the
+    moment a NULL lands). Source = customers < SUBSET with
+    c_acctbal pre-scaled to integer cents and NULLed for %7==3 keys
+    (the nn != cnt trap) and for every 'NEW' insert (an all-NULL group:
+    avg must be NULL while cnt counts the rows). Same churn shape as
+    q-lake-matview: %5 keys MOVE segments, %9 keys delete,
+    [SUBSET, SUBSET+15) insert as 'NEW'. The refreshed view must equal
+    a from-scratch AVG GROUP BY replayed by DuckDB."""
+    from hudi_spark_plus_spark.table.matview import AggregateView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        key = F.col("c_custkey")
+
+        def bal(is_new):
+            cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            cond = (key % 7 == 3) | F.lit(is_new)
+            return F.when(~cond, cents).alias("bal")
+
+        seed = c.where(key < SUBSET).select(
+            key.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_mktsegment",
+            bal(False),
+        )
+        src = LakeTable(spark, work + "/src", buckets=4)
+        src.merge(seed, "b1")
+        mv = AggregateView(
+            spark, work + "/mv", src, ["c_mktsegment"], avg_cols=["bal"]
+        )
+        mv.refresh()
+        churn = c.where(
+            ((key < SUBSET) & ((key % 9 == 0) | (key % 5 == 0)))
+            | ((key >= SUBSET) & (key < SUBSET + 15))
+        ).select(
+            key.cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when((key % 9 == 0) & (key < SUBSET), "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            F.when(key >= SUBSET, "NEW")
+            .when(key % 5 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(
+                (key >= SUBSET) | (key % 7 == 3),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .alias("bal"),
+        )
+        src.merge(churn, "b2")
+        st = mv.refresh()
+        if st["groups_touched"] == 0:
+            raise AssertionError("avg matview refresh saw no CDC deltas")
+        out = (
+            mv.df()
+            .select(
+                "c_mktsegment",
+                "cnt",
+                F.round(F.col("avg_bal"), 4).alias("avg_bal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_matview_minmax(spark, sf_dir):
     """MIN/MAX materialized view (table/matview.py MinMaxView — the
     NON-self-inverting aggregate shape, maintained by partial
@@ -2319,6 +2397,7 @@ LAKE_QUERIES = {
     "q-lake-clone": q_lake_clone,
     "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
+    "q-lake-matview-avg": q_lake_matview_avg,
     "q-lake-matview-minmax": q_lake_matview_minmax,
     "q-lake-matview-pruned": q_lake_matview_pruned,
     "q-lake-retype": q_lake_retype,
@@ -2495,6 +2574,27 @@ LAKE_ORACLES = {
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # avg matview replay: NULL-aware (AVG divides by non-null count;
+    # the 'NEW' group is all-NULL so its avg is NULL while cnt > 0)
+    "q-lake-matview-avg": f"""
+        WITH final AS (
+          SELECT CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 3 THEN NULL
+                      ELSE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                 END AS bal
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, CAST(NULL AS BIGINT) AS bal
+          FROM customer
+          WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 15}
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               ROUND(CAST(sum(bal) AS DOUBLE) / count(bal), 4) AS avg_bal
         FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     # min/max matview replay: same churn as q-lake-matview, but the

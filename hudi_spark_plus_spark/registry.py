@@ -115,6 +115,14 @@ _PINNED = [
     #   module is imported by nothing in any query path — it is the
     #   opt-in S3 binding of the commit finalizer, exercised only by
     #   tests/test_s3_finalizer.py.
+    # - matview.py avg_cols + maintenance.py fsck/vacuum(dry_run):
+    #   additive opt-in surfaces — avg_cols defaults empty (the
+    #   maintained state columns, delta frame, and df() output are
+    #   construction-identical for every existing view), dry_run
+    #   defaults False (real-vacuum path untouched), fsck is new and
+    #   report-only. The NEW q-lake-matview-avg sorts first as
+    #   never-verified; fsck/dry-run are unit-tested ops tooling, not
+    #   query operators.
 ]
 
 

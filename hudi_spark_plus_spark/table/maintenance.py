@@ -358,11 +358,21 @@ def rewrite_column_type(
 
 
 def vacuum(
-    lake: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
+    lake: LakeTable,
+    keep_last: int = 1,
+    grace_seconds: float = 600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Drop timeline versions beyond the newest ``keep_last`` and delete
     data files referenced by no retained commit. Time travel to dropped
     versions becomes unavailable (that is the point). Returns counts.
+
+    ``dry_run=True`` reports what a real run WOULD reclaim — versions
+    droppable, file/segment counts, bytes — and mutates nothing: the
+    answer an operator wants before pointing retention at 100 TB of
+    history (is the pin I forgot still blocking reclamation? how much
+    space does keep_last=1 actually buy?). Same decision logic as the
+    real pass, including savepoint pins and the in-flight grace window.
 
     CAUTION (exactly-once interplay): batch-id idempotence (H5) only
     remembers the retained versions — keep ``keep_last`` at least as
@@ -427,6 +437,53 @@ def vacuum(
             return os.path.getmtime(absf) < cutoff
         except OSError:
             return False
+
+    if dry_run:
+        files_n = bytes_n = 0
+        data_root = lake.log.data_dir()
+        if os.path.isdir(data_root):
+            for dirpath, _dirnames, filenames in os.walk(data_root):
+                for fn in filenames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    absf = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(absf, lake.path)
+                    if reclaimable(rel, absf):
+                        files_n += 1
+                        try:
+                            bytes_n += os.path.getsize(absf)
+                        except OSError:
+                            pass
+        keep_segments = set()
+        for v in retained:
+            keep_segments.update((lake.log.read(v).segments or {}).values())
+        dropped_segments = set()
+        for v in dropped:
+            dropped_segments.update(
+                (lake.log.read(v).segments or {}).values()
+            )
+        dropped_segments -= keep_segments
+        segs_n = 0
+        if os.path.isdir(lake.log.segments_path):
+            for fn in os.listdir(lake.log.segments_path):
+                rel = os.path.join(lake.log.SEGMENTS_DIR, fn)
+                absf = os.path.join(lake.log.segments_path, fn)
+                if rel in keep_segments:
+                    continue
+                if (
+                    rel not in dropped_segments
+                    and os.path.getmtime(absf) >= cutoff
+                ):
+                    continue
+                segs_n += 1
+        return {
+            "dry_run": True,
+            "versions_droppable": len(dropped),
+            "files_reclaimable": files_n,
+            "bytes_reclaimable": bytes_n,
+            "segments_reclaimable": segs_n,
+            "pinned_versions": sorted(pinned | late_pins),
+        }
 
     removed = 0
     data_root = lake.log.data_dir()
@@ -494,4 +551,84 @@ def vacuum(
         "versions_dropped": len(dropped),
         "files_removed": removed,
         "segments_removed": segments_removed,
+    }
+
+
+def fsck(lake: LakeTable, grace_seconds: float = 600.0) -> dict:
+    """Manifest-vs-storage consistency audit (report-only; never
+    mutates). At 100 TB the two failure classes an operator needs to
+    see BEFORE they bite are:
+
+    * **missing** — a file some retained commit references does not
+      exist on storage. Data loss / external interference: reads of
+      that version will fail. ``ok`` is False iff any missing file is
+      referenced by the LATEST version (older-version misses break
+      only time travel and are listed separately).
+    * **orphans** — ``*.parquet`` under the table's own data dir that
+      NO retained commit references: leftovers of crashed write
+      attempts (published manifests never reference them). They are
+      invisible to queries but hold space; files younger than
+      ``grace_seconds`` are excluded (possible in-flight writer, the
+      same ambiguity rule vacuum applies) and reported as
+      ``in_flight``. ``vacuum`` reclaims aged orphans; fsck only
+      counts them.
+
+    Segment manifests get the same referenced-set check (missing
+    segment = bricked timeline read). Bootstrap/clone entries that
+    point OUTSIDE the table root are existence-checked like any other
+    reference but never counted as orphan candidates (fsck walks only
+    the table's own data dir)."""
+    import time as _time
+
+    versions = lake.log.versions()
+    latest_v = versions[-1] if versions else None
+    referenced: set[str] = set()
+    missing_latest: list[str] = []
+    missing_history: list[str] = []
+    missing_segments: list[str] = []
+    for v in versions:
+        c = lake.log.read(v)
+        for f in c.files:
+            referenced.add(f.path)
+            absf = lake.log.abs_path(f.path)
+            if not os.path.exists(absf):
+                (missing_latest if v == latest_v else missing_history).append(
+                    f"{f.path}@v{v}"
+                )
+        for rel in (c.segments or {}).values():
+            if not os.path.exists(os.path.join(lake.path, rel)):
+                missing_segments.append(f"{rel}@v{v}")
+    cutoff = _time.time() - grace_seconds
+    orphans: list[str] = []
+    orphan_bytes = 0
+    in_flight = 0
+    data_root = lake.log.data_dir()
+    if os.path.isdir(data_root):
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                absf = os.path.join(dirpath, fn)
+                rel = os.path.relpath(absf, lake.path)
+                if rel in referenced:
+                    continue
+                try:
+                    st = os.stat(absf)
+                except OSError:
+                    continue
+                if st.st_mtime >= cutoff:
+                    in_flight += 1
+                    continue
+                orphans.append(rel)
+                orphan_bytes += st.st_size
+    # dedupe history misses (same path can miss across many versions)
+    missing_history = sorted(set(missing_history))
+    return {
+        "ok": not missing_latest and not missing_segments,
+        "missing_latest": sorted(missing_latest),
+        "missing_history": missing_history,
+        "missing_segments": sorted(set(missing_segments)),
+        "orphan_files": sorted(orphans),
+        "orphan_bytes": orphan_bytes,
+        "in_flight_files": in_flight,
     }

@@ -64,6 +64,7 @@ class AggregateView:
         source: LakeTable,
         group_cols: list[str],
         sum_cols: list[str] | None = None,
+        avg_cols: list[str] | None = None,
         buckets: int = 4,
     ):
         if not group_cols:
@@ -72,29 +73,41 @@ class AggregateView:
         self.source = source
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
-        overlap = set(self.group_cols) & set(self.sum_cols)
+        # AVG is algebraic over the same ± machinery: maintain
+        # sum_<c> plus nn_<c> (the NON-NULL count — SQL AVG divides by
+        # it, not by the row count) and emit avg_<c> = sum/nn read-side.
+        # Exact by construction: integer sums and counts are maintained
+        # bit-for-bit, and one double division at read time is
+        # deterministic — no float accumulation ever happens.
+        self.avg_cols = list(avg_cols or [])
+        measures = self.sum_cols + self.avg_cols
+        overlap = set(self.group_cols) & set(measures)
         if overlap:
             raise ValueError(
-                f"columns cannot be both group and sum: {sorted(overlap)}"
+                f"columns cannot be both group and measure: {sorted(overlap)}"
             )
-        if "cnt" in self.group_cols or "cnt" in self.sum_cols:
+        if "cnt" in self.group_cols or "cnt" in measures:
             raise ValueError("'cnt' is the view's count column name")
         sch = source.schema()
-        if sch is not None and self.sum_cols:
+        if sch is not None and measures:
             integral = {"tinyint", "smallint", "int", "bigint"}
             bad = [
                 f.name
                 for f in sch.fields
-                if f.name in self.sum_cols
+                if f.name in measures
                 and f.dataType.simpleString() not in integral
             ]
             if bad:
                 raise ValueError(
-                    f"sum columns must be integral for an exact view "
+                    f"sum/avg columns must be integral for an exact view "
                     f"(float addition is order-dependent): {sorted(bad)} "
                     "— pre-scale to integer units (cents, micros) in "
                     "the source"
                 )
+        # maintained state columns: one sum per distinct measure (a
+        # column in BOTH sum_cols and avg_cols is maintained once), one
+        # non-null count per avg column
+        self._sum_state = list(dict.fromkeys(measures))
         self.table = LakeTable(spark, path, buckets=buckets)
 
     # -- watermark ----------------------------------------------------------
@@ -137,6 +150,11 @@ class AggregateView:
                 self.table.delete_where(F.col("cnt") == 0, batch_id=owed)
             return {"begin": begin, "end": begin, "groups_touched": 0}
         deltas = self._deltas(begin, end)
+        state_cols = (
+            ["cnt"]
+            + [f"sum_{c}" for c in self._sum_state]
+            + [f"nn_{c}" for c in self.avg_cols]
+        )
         src = deltas.select(
             F.to_json(
                 F.struct(*self.group_cols),
@@ -144,16 +162,12 @@ class AggregateView:
             ).alias(KEY_COL),
             F.lit(end).cast("long").alias(TS_COL),
             *self.group_cols,
-            "cnt",
-            *[f"sum_{c}" for c in self.sum_cols],
+            *state_cols,
         )
         n = src.count()
         self.table.merge_into(
             src,
-            {
-                c: F.col(f"t.{c}") + F.col(f"s.{c}")
-                for c in ["cnt"] + [f"sum_{c}" for c in self.sum_cols]
-            },
+            {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in state_cols},
             "insert",
             batch_id=f"{_BATCH_PREFIX}{begin}-{end}",
         )
@@ -184,10 +198,14 @@ class AggregateView:
         def s(col):  # NULL measure values contribute 0, not NULL
             return F.coalesce(F.col(col).cast("long"), zero)
 
+        def nn(col):  # ±1 only when the measure value is NON-NULL
+            return F.when(F.col(col).isNotNull(), F.lit(1)).otherwise(zero)
+
         after = cdc.where(F.col("_change_op").isin("i", "u")).select(
             *self.group_cols,
             F.lit(1).alias("_c"),
-            *[s(c).alias(f"_s_{c}") for c in self.sum_cols],
+            *[s(c).alias(f"_s_{c}") for c in self._sum_state],
+            *[nn(c).alias(f"_n_{c}") for c in self.avg_cols],
         )
         before = cdc.where(F.col("_change_op").isin("u", "d")).select(
             *[
@@ -196,7 +214,11 @@ class AggregateView:
             F.lit(-1).alias("_c"),
             *[
                 (-s(f"_before_{c}")).alias(f"_s_{c}")
-                for c in self.sum_cols
+                for c in self._sum_state
+            ],
+            *[
+                (-nn(f"_before_{c}")).alias(f"_n_{c}")
+                for c in self.avg_cols
             ],
         )
         deltas = (
@@ -206,21 +228,30 @@ class AggregateView:
                 F.sum("_c").cast("long").alias("cnt"),
                 *[
                     F.sum(f"_s_{c}").cast("long").alias(f"sum_{c}")
-                    for c in self.sum_cols
+                    for c in self._sum_state
+                ],
+                *[
+                    F.sum(f"_n_{c}").cast("long").alias(f"nn_{c}")
+                    for c in self.avg_cols
                 ],
             )
         )
         # all-zero groups (e.g. an update that kept group and measures)
         # would churn rows for nothing
         nonzero = F.col("cnt") != 0
-        for c in self.sum_cols:
+        for c in self._sum_state:
             nonzero = nonzero | (F.col(f"sum_{c}") != 0)
+        for c in self.avg_cols:
+            nonzero = nonzero | (F.col(f"nn_{c}") != 0)
         return deltas.where(nonzero)
 
     # -- reads --------------------------------------------------------------
 
     def df(self) -> DataFrame:
-        """Current view contents: group_cols + cnt + sum_<col>.
+        """Current view contents: group_cols + cnt + sum_<col> +
+        avg_<col> (avg = maintained integer sum / maintained non-null
+        count, one deterministic double division; NULL when every
+        value in the group is NULL — SQL AVG semantics).
 
         Filters ``cnt == 0`` read-side: those rows are groups whose
         records all left the source — logically absent from the
@@ -236,6 +267,14 @@ class AggregateView:
                 *self.group_cols,
                 "cnt",
                 *[f"sum_{c}" for c in self.sum_cols],
+                *[
+                    F.when(
+                        F.col(f"nn_{c}") > 0,
+                        F.col(f"sum_{c}").cast("double")
+                        / F.col(f"nn_{c}"),
+                    ).alias(f"avg_{c}")
+                    for c in self.avg_cols
+                ],
             )
         )
 

@@ -126,7 +126,7 @@ def test_crash_replay_is_idempotent(spark, tmp_path, src):
 def test_validation(spark, tmp_path, src):
     with pytest.raises(ValueError, match="at least one group"):
         AggregateView(spark, str(tmp_path / "x"), src, [], ["v"])
-    with pytest.raises(ValueError, match="both group and sum"):
+    with pytest.raises(ValueError, match="both group and measure"):
         AggregateView(spark, str(tmp_path / "x"), src, ["g"], ["g"])
     # float measures refused (order-dependent addition)
     t = LakeTable(spark, str(tmp_path / "fsrc"), buckets=2)
@@ -567,3 +567,90 @@ def test_col_stats_branch_prunes_without_index_or_partition(
     # correctness through the pruned snapshot: the row is there
     rows = t._snapshot_of_files(kept).where(F.col("v") == 10_000).collect()
     assert [(r["_key"], r["v"]) for r in rows] == [("zz1", 10_000)]
+
+
+class TestAvgView:
+    """AVG as an algebraic extension of the ± machinery: sum_<c> plus a
+    NON-NULL count nn_<c> (SQL AVG ignores nulls — dividing by cnt
+    would be wrong the moment a NULL lands), avg emitted read-side as
+    one deterministic double division."""
+
+    def _truth(self, src):
+        return {
+            (r["g"], r["cnt"], r["avg_v"])
+            for r in src.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                (
+                    F.sum("v").cast("double")
+                    / F.count("v").cast("long")
+                ).alias("avg_v"),
+            )
+            .collect()
+        }
+
+    def test_avg_tracks_group_by_through_null_churn(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=4)
+        t.merge(
+            mk(spark, [
+                ("k1", 1, "upsert", "a", 10),
+                ("k2", 1, "upsert", "a", None),   # NULL measure
+                ("k3", 1, "upsert", "b", 5),
+                ("k4", 1, "upsert", "n", None),   # all-NULL group
+            ]),
+            "b1",
+        )
+        mv = AggregateView(
+            spark, str(tmp_path / "mv"), t, ["g"], avg_cols=["v"]
+        )
+        mv.refresh()
+        got = {(r["g"], r["cnt"], r["avg_v"]) for r in mv.df().collect()}
+        assert got == self._truth(t)
+        assert ("n", 1, None) in got  # all-NULL group: avg NULL, cnt 1
+        assert ("a", 2, 10.0) in got  # NULL ignored: 10/1, not 10/2
+        # churn: NULL->value, value->NULL, group move, delete, insert
+        t.merge(
+            mk(spark, [
+                ("k2", 2, "upsert", "a", 30),   # NULL -> 30
+                ("k1", 2, "upsert", "a", None),  # 10 -> NULL
+                ("k3", 2, "upsert", "a", 5),     # b -> a
+                ("k4", 2, "delete", "n", None),
+                ("k5", 2, "upsert", "b", 9),
+            ]),
+            "b2",
+        )
+        mv.refresh()
+        got = {(r["g"], r["cnt"], r["avg_v"]) for r in mv.df().collect()}
+        assert got == self._truth(t)
+        assert ("a", 3, 17.5) in got  # (30+5)/2 non-null
+
+    def test_sum_and_avg_share_state(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=4)
+        t.merge(mk(spark, [("k1", 1, "upsert", "a", 4),
+                           ("k2", 1, "upsert", "a", 6)]), "b1")
+        mv = AggregateView(
+            spark, str(tmp_path / "mv"), t, ["g"],
+            sum_cols=["v"], avg_cols=["v"],
+        )
+        mv.refresh()
+        row = mv.df().collect()[0]
+        assert (row["sum_v"], row["avg_v"]) == (10, 5.0)
+        # one maintained sum column, not two
+        assert mv.table.snapshot().columns.count("sum_v") == 1
+
+    def test_validation(self, spark, tmp_path, src):
+        with pytest.raises(ValueError, match="group and measure"):
+            AggregateView(spark, str(tmp_path / "m1"), src, ["g"],
+                          avg_cols=["g"])
+        t = LakeTable(spark, str(tmp_path / "fsrc"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("1", 1, "upsert", "a", 1.5)],
+                "_key string, _ts long, _op string, g string, v double",
+            ),
+            "b1",
+        )
+        with pytest.raises(ValueError, match="integral"):
+            AggregateView(spark, str(tmp_path / "m2"), t, ["g"],
+                          avg_cols=["v"])
