@@ -1896,6 +1896,75 @@ def q_lake_matview(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_record_history(spark, sf_dir):
+    """Record-level audit trail (table/audit.py record_history): every
+    state a key EVER held across the retained timeline — updates,
+    tombstones, re-inserts — from ONE pruned read of the key's bucket
+    files (immutable files + carried ``_commit_ver`` stamps make
+    history a DISTINCT, not N per-version scans). Fixture: customers
+    < SUBSET seeded (v1), %10==1 keys updated +100 (v2), %20==1 keys
+    deleted with NULL payload (v3); the histories of key 1 (three
+    states incl. tombstone), key 11 (two states), and key 2 (one
+    state, untouched — carried copies must collapse) are unioned.
+    DuckDB replays each state from first principles."""
+    from hudi_spark_plus_spark.table.audit import record_history
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        key = F.col("c_custkey")
+        seed = c.where(key < SUBSET).select(
+            key.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("bal"),
+        )
+        lake = LakeTable(spark, f"{work}/t", buckets=4)
+        lake.merge(seed, "b1")
+        lake.merge(
+            c.where((key < SUBSET) & (key % 10 == 1)).select(
+                key.cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                F.round(F.col("c_acctbal") + 100.0, 4).alias("bal"),
+            ),
+            "b2",
+        )
+        lake.merge(
+            c.where((key < SUBSET) & (key % 20 == 1)).select(
+                key.cast("string").alias("_key"),
+                F.lit(3).cast("long").alias("_ts"),
+                F.lit("delete").alias("_op"),
+                "c_custkey",
+                F.lit(None).cast("double").alias("bal"),
+            ),
+            "b3",
+        )
+        parts = []
+        for k in (1, 11, 2):
+            parts.append(
+                record_history(lake, str(k)).select(
+                    F.lit(k).cast("long").alias("key"),
+                    F.col("_commit_ver").alias("ver"),
+                    F.col("_ts").alias("ts"),
+                    F.col("_deleted").alias("deleted"),
+                    "bal",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.orderBy("key", "ver")
+        rows = out.collect()
+        if len(rows) != 6:  # 3 + 2 + 1 by construction
+            raise AssertionError(f"expected 6 history states, got {len(rows)}")
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_matview_avg(spark, sf_dir):
     """AVG maintained incrementally (table/matview.py AggregateView
     avg_cols — algebraic over the same ± machinery: integer sum plus
@@ -2398,6 +2467,7 @@ LAKE_QUERIES = {
     "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-avg": q_lake_matview_avg,
+    "q-lake-record-history": q_lake_record_history,
     "q-lake-matview-minmax": q_lake_matview_minmax,
     "q-lake-matview-pruned": q_lake_matview_pruned,
     "q-lake-retype": q_lake_retype,
@@ -2575,6 +2645,25 @@ LAKE_ORACLES = {
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
         FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # record-history replay: key 1 has seed+update+tombstone states,
+    # key 11 seed+update, key 2 seed only (carried copies collapse);
+    # the tombstone carries the delete batch's NULL payload
+    "q-lake-record-history": """
+        WITH k AS (
+          SELECT c_custkey, ROUND(c_acctbal, 4) AS bal
+          FROM customer WHERE c_custkey IN (1, 2, 11)
+        )
+        SELECT * FROM (
+          SELECT c_custkey AS key, CAST(1 AS BIGINT) AS ver,
+                 CAST(1 AS BIGINT) AS ts, FALSE AS deleted, bal FROM k
+          UNION ALL
+          SELECT c_custkey, 2, 2, FALSE, ROUND(bal + 100.0, 4)
+          FROM k WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT c_custkey, 3, 3, TRUE, CAST(NULL AS DOUBLE)
+          FROM k WHERE c_custkey % 20 = 1
+        ) ORDER BY key, ver
     """,
     # avg matview replay: NULL-aware (AVG divides by non-null count;
     # the 'NEW' group is all-NULL so its avg is NULL while cnt > 0)

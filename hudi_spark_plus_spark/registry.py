@@ -123,6 +123,9 @@ _PINNED = [
     #   report-only. The NEW q-lake-matview-avg sorts first as
     #   never-verified; fsck/dry-run are unit-tested ops tooling, not
     #   query operators.
+    # - table/audit.py (record_history) is a NEW read-only module no
+    #   existing query imports; its q-lake-record-history sorts first
+    #   as never-verified.
 ]
 
 
