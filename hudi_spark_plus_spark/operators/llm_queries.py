@@ -346,6 +346,58 @@ def q_emb_ann_ivf(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_emb_ann_index(spark, sf_dir):
+    """Persistent mutable ANN index (functions/ann_index.py IvfIndex —
+    IVF state managed AS a lake table, the SignatureStore move applied
+    to similarity search): build fixes the quantizer and adds the
+    natural corpus; then the full mutation lifecycle runs under oracle
+    control — 6 exact copies of every query ADDED as one batch
+    (exactly-once: the add is REPLAYED and must no-op), copy j=1
+    REMOVED (O(removed) tombstones), and the stale add replayed AGAIN
+    (the tombstone must win version-derived LWW, never resurrect).
+    Search then returns exactly copies j=2..6 per query at sim 1.0
+    (identical vector -> identical cell -> own probe set), ranked by
+    n_id — deterministic regardless of which other cells probe."""
+    import tempfile as _tf
+    import shutil as _sh
+
+    from hudi_spark_plus_spark.functions.ann_index import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
+    queries = e.where(F.col("vec_id") < 10)
+    planted = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 7)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
+        .drop("j")
+        .localCheckpoint()
+    )
+    work = _tf.mkdtemp(prefix="hsp_annidx_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{work}/idx", e, n_centroids=16, buckets=8
+        )
+        idx.add(planted, "b-plant")
+        ver = idx.table.log.latest().version
+        idx.add(planted, "b-plant")  # crash replay: exactly-once no-op
+        if idx.table.log.latest().version != ver:
+            raise AssertionError("replayed add committed twice")
+        removed = [int(r["vec_id"]) + off for r in queries.select("vec_id").collect()]
+        idx.remove(removed, "b-gc")
+        idx.add(planted, "b-plant")  # STALE replay: tombstones must win
+        if idx.assignments().where(
+            F.col("id").isin(removed)
+        ).count():
+            raise AssertionError("stale add resurrected removed vectors")
+        out = idx.search(queries, k=5, nprobe=4).orderBy("q_id", "rank")
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
 def q_emb_neardup_exact(spark, sf_dir):
     """Embedding-cosine near-dup, exact verifier path: the 20
     most-similar embedding pairs over a bounded subset (all-pairs is
@@ -1290,6 +1342,7 @@ LLM_QUERIES = {
     "q-media-audio": q_media_audio,
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
+    "q-emb-ann-index": q_emb_ann_index,
     "q-doc-minhash-lsh": q_doc_minhash_lsh,
     "q-doc-minhash-full": q_doc_minhash_full,
     "q-doc-simhash": q_doc_simhash,
@@ -2411,6 +2464,21 @@ LLM_ORACLES = {
     # same planted-duplicate construction as q-emb-ann-lsh: identical
     # vectors share the query's own KMeans cell, which the probe always
     # visits, so the approximate index MUST return the planted set
+    # persistent-index replay: survivors are copies j=2..6 (j=1 was
+    # tombstoned; the stale re-add must not resurrect it), rank = j-1
+    "q-emb-ann-index": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j - 1 AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(2, 6)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
     "q-emb-ann-ivf": """
         WITH off AS (
           SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
