@@ -105,14 +105,29 @@ class IvfIndex:
             "dim": int(centers.shape[1]),
             "seed": seed,
         }
-        # O_EXCL pin: the quantizer is the index's identity — a second
-        # build on the same path must fail loudly, never remix cells
-        with open(os.path.join(path, _PARAMS_FILE), "x") as fh:
-            json.dump(params, fh)
+        # ORDER: centroids sidecar FIRST (mode overwrite — a crashed
+        # earlier build's partial dir is simply rewritten), the params
+        # pin LAST as the commit point. The reverse order bricked the
+        # path on a crash in between: reopen failed on the missing
+        # centroids while re-build failed on the existing pin. The pin
+        # is published atomically (complete body or FileExistsError) so
+        # a second build on a committed path still fails loudly — cell
+        # spaces never mix.
         spark.createDataFrame(
             [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
             "cell int, c array<double>",
-        ).coalesce(1).write.parquet(os.path.join(path, _CENTROIDS_DIR))
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, _CENTROIDS_DIR)
+        )
+        from hudi_spark_plus_spark.functions.signature_store import (
+            _atomic_pin,
+        )
+
+        if not _atomic_pin(os.path.join(path, _PARAMS_FILE), json.dumps(params)):
+            raise FileExistsError(
+                f"ANN index already built at {path}; a second build "
+                "would remix cell spaces — use a new path"
+            )
         idx = cls(spark, path)
         idx.table = LakeTable(
             spark, os.path.join(path, "assignments"), buckets=buckets

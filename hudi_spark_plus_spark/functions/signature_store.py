@@ -42,6 +42,25 @@ from hudi_spark_plus_spark.table.lake_table import LakeTable
 _PARAMS_FILE = "_signature_params.json"
 
 
+def _atomic_pin(target: str, content: str) -> bool:
+    """Create ``target`` with ``content`` all-or-nothing: write a temp
+    sibling, hard-link it into place (atomic create-or-fail — no reader
+    can ever observe a partial body). Returns False when the target
+    already exists (verify against it)."""
+    import uuid as _uuid
+
+    tmp = f"{target}.{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class SignatureStore:
     def __init__(
         self,
@@ -60,14 +79,15 @@ class SignatureStore:
         # check-then-write let two concurrent creators with DIFFERENT
         # parameters both pass the exists() probe, one silently
         # overwriting the other — defeating the mixed-parameter guard.
-        # mode "x" makes creation first-writer-wins; the loser (and
-        # every reopen) drops to the verify branch against the winner's
-        # pin, so a parameter mismatch always raises, never overwrites.
+        # Creation is write-temp-then-link: a bare open("x") would
+        # expose an EMPTY file until the JSON flushed, crashing a
+        # concurrent verifier on partial content; os.link publishes the
+        # COMPLETE body or raises FileExistsError (first-writer-wins),
+        # and the loser (and every reopen) drops to the verify branch
+        # against the winner's pin — a parameter mismatch always
+        # raises, never overwrites.
         os.makedirs(path, exist_ok=True)
-        try:
-            with open(pfile, "x") as fh:
-                json.dump(params, fh)
-        except FileExistsError:
+        if not _atomic_pin(pfile, json.dumps(params)):
             with open(pfile) as fh:
                 stored = json.load(fh)
             if stored != params:
@@ -75,7 +95,7 @@ class SignatureStore:
                     f"signature store at {path} was created with {stored}; "
                     f"reopening with {params} would produce signatures "
                     "that never collide with the stored ones"
-                ) from None
+                )
         self.table = LakeTable(spark, path, buckets=buckets)
 
     # -- state views --------------------------------------------------------

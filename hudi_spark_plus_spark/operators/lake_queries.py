@@ -2432,12 +2432,18 @@ def q_lake_meta_agg(spark, sf_dir):
                 # is writer-dependent, ADVICE r10 #2): acctbal scans...
                 assert mm["files_metadata"] == 0, mm
                 # ...while the LONG key column (no NaN to mistrust)
-                # serves untouched buckets from metadata and scans ONLY
-                # the rewritten (tombstone-holding) ones
+                # serves clean files from metadata and scans ONLY the
+                # tombstone-holding ones — exactly the live files where
+                # live_rows != rows (a deleted row may BE the extremum)
                 assert mk["files_metadata"] > 0, mk
-                assert mk["files_scanned"] < (
-                    mk["files_metadata"] + mk["files_scanned"]
-                ), mk
+                dirty = sum(
+                    1
+                    for f in lake.log.live_files()
+                    if f.live_rows is not None
+                    and f.live_rows != f.rows
+                    and f.live_rows != 0  # all-tombstone files skip
+                )
+                assert mk["files_scanned"] == dirty, (mk, dirty)
                 cow_minmax = (float(mm["min"]), float(mm["max"]))
                 rows.append(("min_custkey", float(mk["min"])))
                 rows.append(("max_custkey", float(mk["max"])))

@@ -41,7 +41,15 @@ Exactly-once across the clone boundary: the clone's first commit
 carries the source's already-applied batch-id set
 (``carried_batch_ids``), so replaying an ingest pipeline against the
 clone no-ops on batches the source already absorbed — ``has_batch`` is
-truthful on both sides of the clone point (ADVICE r10 #5).
+truthful on both sides of the clone point (ADVICE r10 #5). The carry
+obeys the SAME vacuum horizon as native batch ids (vacuum's
+exactly-once CAUTION): ``has_batch`` only remembers retained versions,
+on the source and the clone alike — the difference is that the clone's
+memory of pre-clone batches lives entirely in its FIRST commit, so a
+clone vacuum that drops the clone-base version forgets all of them at
+once (the source forgets the same ids gradually as their commits age
+out). Keep the clone's ``keep_last`` at least as deep as the ingest
+pipeline's replay horizon, exactly as you would on the source.
 """
 
 from __future__ import annotations
@@ -90,6 +98,20 @@ def clone_table(
             f"-v{base_commit.version}-{uuid.uuid4().hex[:8]}"
         )
         src.savepoint(pin_name, version=base_commit.version)
+        # pin record BEFORE the clone commit: a crash between the two
+        # leaves a pin drop_clone can still find and release (the
+        # reverse order leaked an unrecorded pin that blocked source
+        # vacuum until manual clone_pins() archaeology)
+        os.makedirs(dst_path, exist_ok=True)
+        with open(os.path.join(dst_path, PIN_FILE), "w") as fh:
+            json.dump(
+                {
+                    "source_path": os.path.abspath(src.path),
+                    "savepoint": pin_name,
+                    "version": base_commit.version,
+                },
+                fh,
+            )
     # batch ids the source already applied up to the clone point: replays
     # of those batches against the clone must be no-ops (H5 across the
     # clone boundary). Bounded by the source's retained timeline length.
@@ -114,29 +136,29 @@ def clone_table(
         partition_fields=src.partition_fields or None,
         global_index=src.global_index or None,
     )
-    dst.log.commit(
-        "clone",
-        entries,
-        schema_json=base_commit.schema_json,
-        buckets=src.buckets,
-        partition_fields=src.partition_fields or None,
-        global_index=src.global_index or None,
-        bootstrap_spec=src._bootstrap_spec(),
-        # continue the source's version space (see module docstring)
-        version_base=base_commit.version + 1,
-        carried_batch_ids=carried or None,
-    )
-    if pin_name is not None:
-        # the clone remembers its own pin so drop_clone can release it
-        with open(os.path.join(dst_path, PIN_FILE), "w") as fh:
-            json.dump(
-                {
-                    "source_path": os.path.abspath(src.path),
-                    "savepoint": pin_name,
-                    "version": base_commit.version,
-                },
-                fh,
-            )
+    try:
+        dst.log.commit(
+            "clone",
+            entries,
+            schema_json=base_commit.schema_json,
+            buckets=src.buckets,
+            partition_fields=src.partition_fields or None,
+            global_index=src.global_index or None,
+            bootstrap_spec=src._bootstrap_spec(),
+            # continue the source's version space (see module docstring)
+            version_base=base_commit.version + 1,
+            carried_batch_ids=carried or None,
+        )
+    except BaseException:
+        # failed clone (e.g. a concurrent clone won the same target):
+        # release the pin instead of leaking it against source vacuum
+        if pin_name is not None:
+            src.delete_savepoint(pin_name)
+            try:
+                os.unlink(os.path.join(dst_path, PIN_FILE))
+            except OSError:
+                pass
+        raise
     return dst
 
 

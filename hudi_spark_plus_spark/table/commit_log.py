@@ -298,6 +298,10 @@ class Commit:
     # boundary (an ingest replay against the clone must be a no-op for
     # batches the SOURCE already absorbed — see table/clone.py). Bounded
     # by the source's retained timeline length; absent everywhere else.
+    # Subject to the vacuum horizon like native batch ids: vacuuming the
+    # carrying commit forgets them — all at once, since they live on ONE
+    # commit — so size the clone's keep_last to the replay horizon, per
+    # vacuum()'s exactly-once CAUTION.
     carried_batch_ids: list[str] | None = None
 
     def to_json(self) -> str:

@@ -582,22 +582,33 @@ def fsck(lake: LakeTable, grace_seconds: float = 600.0) -> dict:
 
     versions = lake.log.versions()
     latest_v = versions[-1] if versions else None
-    referenced: set[str] = set()
-    missing_latest: list[str] = []
-    missing_history: list[str] = []
-    missing_segments: list[str] = []
+    # dedupe BY PATH before touching storage: a file carried through N
+    # commits is stat'd once, not N times (on a remote/FUSE store each
+    # stat is a round trip — the per-(version, file) loop was
+    # O(versions x files) metadata I/O for a per-path answer)
+    ref_versions: dict[str, list[int]] = {}
+    seg_versions: dict[str, list[int]] = {}
     for v in versions:
         c = lake.log.read(v)
         for f in c.files:
-            referenced.add(f.path)
-            absf = lake.log.abs_path(f.path)
-            if not os.path.exists(absf):
-                (missing_latest if v == latest_v else missing_history).append(
-                    f"{f.path}@v{v}"
-                )
+            ref_versions.setdefault(f.path, []).append(v)
         for rel in (c.segments or {}).values():
-            if not os.path.exists(os.path.join(lake.path, rel)):
-                missing_segments.append(f"{rel}@v{v}")
+            seg_versions.setdefault(rel, []).append(v)
+    referenced = set(ref_versions)
+    missing_latest: list[str] = []
+    missing_history: list[str] = []
+    missing_segments: list[str] = []
+    for path, vs in ref_versions.items():
+        if os.path.exists(lake.log.abs_path(path)):
+            continue
+        if latest_v in vs:
+            missing_latest.append(f"{path}@v{latest_v}")
+        missing_history.extend(
+            f"{path}@v{v}" for v in vs if v != latest_v
+        )
+    for rel, vs in seg_versions.items():
+        if not os.path.exists(os.path.join(lake.path, rel)):
+            missing_segments.extend(f"{rel}@v{v}" for v in vs)
     cutoff = _time.time() - grace_seconds
     orphans: list[str] = []
     orphan_bytes = 0

@@ -59,6 +59,11 @@ PARTS_DIR = "parts"
 # refresh compacts the sidecar once dead entries exceed live ones —
 # bounds sidecar storage at ~2x the live-file count under any churn
 COMPACT_DEAD_RATIO = 1.0
+# ... and once the PART COUNT exceeds this, regardless of dead ratio:
+# insert-only churn (dead == 0 forever) would otherwise accumulate one
+# part dir per refresh without bound — bytes stayed bounded but object
+# count did not, and every read opens every part
+COMPACT_MAX_PARTS = 16
 
 _SKETCHABLE = ("string", "tinyint", "smallint", "int", "bigint")
 
@@ -251,7 +256,9 @@ def refresh_ndv_sketch(lake: LakeTable, col: str) -> dict:
         return {"col": col, "files": 0}
     latest = lake.log.latest()
     version = latest.version if latest else 0
-    if dead > COMPACT_DEAD_RATIO * max(1, len(have & live_paths)):
+    if dead > COMPACT_DEAD_RATIO * max(1, len(have & live_paths)) or (
+        len(m.get("parts", [])) + 1 > COMPACT_MAX_PARTS
+    ):
         # compact: old parts filtered to live, new files sketched, one part
         old = _read_parts(lake, col, m)
         live_df = lake.spark.createDataFrame(

@@ -69,10 +69,15 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
         self.backoff_base_s = backoff_base_s
         self.sign = sign
 
-    def _attempt(self, url: str, payload: bytes) -> bool | None:
+    def _attempt(self, url: str, payload: bytes) -> object:
         """One conditional PUT. True = created, False = exists (412),
-        None = transient rejection (409 ConditionalRequestConflict or
-        5xx) — retry."""
+        "rejected" = the store REFUSED the request without applying it
+        (409 ConditionalRequestConflict, 5xx with a response) — safe to
+        retry, nothing was written; "unknown" = network-layer loss —
+        the PUT may have been DELIVERED, only the response is gone.
+        The distinction matters at exhaustion: a run of pure
+        rejections can safely conclude CommitConflict, a run
+        containing an unknown cannot (see put_if_absent)."""
         req = urllib.request.Request(
             url,
             data=payload,
@@ -91,23 +96,40 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
             if e.code == 412:
                 return False
             if e.code == 409 or e.code >= 500:
-                return None
+                return "rejected"
             raise
         except (OSError, TimeoutError, http.client.HTTPException):
             # network-layer loss (connection reset/dropped mid-response,
             # DNS blip, timeout): the PUT may or may not have been
             # delivered — ambiguous, retry under the If-None-Match guard
-            return None
+            return "unknown"
 
-    def _read_back(self, url: str) -> bytes | None:
+    def _read_back(self, url: str) -> object:
+        """bytes = object content, "absent" = key definitely does not
+        exist (404 — our PUT was NOT delivered), None = unreachable
+        (undecidable)."""
         req = urllib.request.Request(url, method="GET")
         if self.sign is not None:
             self.sign(req)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 return resp.read()
-        except (urllib.error.URLError, TimeoutError):
+        except urllib.error.HTTPError as e:
+            return "absent" if e.code == 404 else None
+        except (OSError, TimeoutError, http.client.HTTPException):
             return None
+
+    def _undecidable(self, url: str) -> RuntimeError:
+        # Deliberately NOT CommitConflict — commit() reacts to that by
+        # reclaiming this attempt's segments, which corrupts the table
+        # if a lost PUT actually landed. Surface loudly and leave state
+        # for reconciliation.
+        return RuntimeError(
+            f"publish outcome unknown for {url}: a PUT may have been "
+            "delivered but the confirming read failed; reconcile the "
+            "timeline before retrying (segments were intentionally not "
+            "reclaimed)"
+        )
 
     def put_if_absent(self, target: str, content: str) -> bool:
         url = self.url_of(target)
@@ -117,8 +139,8 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
             out = self._attempt(url, payload)
             if out is False and ambiguous:
                 # THE retry trap: if an earlier attempt's 2xx was lost
-                # in transit (timeout/5xx after server-side success),
-                # this 412 may be rejecting our OWN object. Reporting
+                # in transit (timeout after server-side success), this
+                # 412 may be rejecting our OWN object. Reporting
                 # "exists" would make commit() reclaim the segments a
                 # PUBLISHED commit references — read back and compare:
                 # commit payloads embed fresh uuid segment paths, so
@@ -127,22 +149,12 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
                 if got == payload:
                     return True
                 if got is None:
-                    # store unreachable for the read-back: the outcome
-                    # is UNDECIDABLE. Deliberately NOT CommitConflict —
-                    # commit() reacts to that by reclaiming this
-                    # attempt's segments, which corrupts the table if
-                    # the lost PUT actually landed. Surface loudly and
-                    # leave state for reconciliation.
-                    raise RuntimeError(
-                        f"publish outcome unknown for {url}: a PUT may "
-                        "have been delivered but the confirming read "
-                        "failed; reconcile the timeline before retrying "
-                        "(segments were intentionally not reclaimed)"
-                    )
-                return False
-            if out is not None:
+                    raise self._undecidable(url)
+                return False  # someone else's bytes: genuine conflict
+            if out is True or out is False:
                 return out
-            ambiguous = True
+            if out == "unknown":
+                ambiguous = True
             if attempt < self.conflict_retries:
                 # jittered exponential backoff: contending writers must
                 # not re-collide in lockstep (the 409 storm that
@@ -152,6 +164,23 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
                     * (2**attempt)
                     * (0.5 + random.random())
                 )
+        if ambiguous:
+            # exhaustion with a possibly-delivered PUT in the run: the
+            # same trap as the 412 branch — raising CommitConflict here
+            # would reclaim segments a published commit may reference.
+            # One read-back decides it; unreachable stays undecidable.
+            got = self._read_back(url)
+            if got == payload:
+                return True
+            if got == "absent" or isinstance(got, bytes):
+                # key absent (our PUT never landed) or someone else's
+                # bytes: this attempt definitively did not publish
+                raise CommitConflict(
+                    f"commit publish to {url} did not land after "
+                    f"{self.conflict_retries + 1} attempts; re-read the "
+                    "timeline and retry the operation"
+                )
+            raise self._undecidable(url)
         raise CommitConflict(
             f"commit publish to {url} still rejected as a concurrent "
             f"conditional-request conflict after "

@@ -195,3 +195,29 @@ class TestSidecarResidence:
         m = _json.load(open(os.path.join(d, fn)))
         assert "entries" not in m
         assert os.path.getsize(os.path.join(d, fn)) < 4096
+
+
+def test_insert_only_churn_bounds_part_count(spark, table, monkeypatch):
+    """Review finding (r11): dead==0 forever (append-only) must not
+    accumulate one part dir per refresh — the part-count cap compacts."""
+    import os
+
+    from hudi_spark_plus_spark.table import ndv as ndv_mod
+
+    monkeypatch.setattr(ndv_mod, "COMPACT_MAX_PARTS", 2)
+    ndv.create_ndv_sketch(table, "name")
+    for i in range(4):  # pure inserts: new keys, no tombstones
+        table.merge(
+            mk(spark, [(str(1000 + 10 * i + j), 1, "upsert", j, f"x{i}-{j}")
+                       for j in range(3)]),
+            f"ins{i}",
+        )
+        ndv.refresh_ndv_sketch(table, "name")
+    m = ndv.ndv_manifest(table, "name")
+    assert len(m["parts"]) <= 2, m["parts"]
+    root = os.path.join(table._index_dir("ndv_name"), "parts")
+    assert len(os.listdir(root)) <= 2  # orphans GC'd too
+    got = ndv.approx_ndv(table, "name")
+    assert got["files_scanned"] == 0
+    e = exact(table, "name")
+    assert abs(got["estimate"] - e) / e <= 0.05
