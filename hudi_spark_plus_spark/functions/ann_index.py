@@ -34,6 +34,8 @@ the same move as ``SignatureStore`` for dedup state:
 
 import json
 import os
+import shutil
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -61,7 +63,11 @@ class IvfIndex:
                 f"no ANN index at {path}; create one with IvfIndex.build"
             ) from None
         rows = (
-            self.spark.read.parquet(os.path.join(path, _CENTROIDS_DIR))
+            self.spark.read.parquet(
+                os.path.join(
+                    path, self.params.get("centroids_dir", _CENTROIDS_DIR)
+                )
+            )
             .orderBy("cell")
             .collect()
         )  # bounded: n_centroids rows — the quantizer, not the corpus
@@ -88,6 +94,17 @@ class IvfIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        pfile = os.path.join(path, _PARAMS_FILE)
+        already = FileExistsError(
+            f"ANN index already built at {path}; a second build "
+            "would remix cell spaces — use a new path"
+        )
+        # Fail fast BEFORE any fit or write (ADVICE r11 #1): the old
+        # flow overwrote the shared centroids/ dir and only then lost
+        # the pin race — leaving committed assignments paired with a
+        # NEW quantizer fit, the exact cell-space mix the pin guards.
+        if os.path.exists(pfile):
+            raise already
         c = corpus.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).withColumn("features", array_to_vector("vec"))
@@ -100,34 +117,31 @@ class IvfIndex:
         ).fit(fit_df)
         centers = np.stack(model.clusterCenters())
         os.makedirs(path, exist_ok=True)
+        # Each attempt writes its fit to a UNIQUE sidecar dir and the
+        # O_EXCL params pin — published LAST, as the commit point —
+        # names which dir is THE quantizer. A crash before the pin
+        # leaves only an unreferenced dir (path not bricked: rebuild
+        # writes its own dir and pins it); a concurrent build that
+        # loses the pin race removes its dir and raises — the winner's
+        # centroids are never touched, so cell spaces never mix.
+        cdir = f"{_CENTROIDS_DIR}.{uuid.uuid4().hex}"
         params = {
             "n_centroids": n_centroids,
             "dim": int(centers.shape[1]),
             "seed": seed,
+            "centroids_dir": cdir,
         }
-        # ORDER: centroids sidecar FIRST (mode overwrite — a crashed
-        # earlier build's partial dir is simply rewritten), the params
-        # pin LAST as the commit point. The reverse order bricked the
-        # path on a crash in between: reopen failed on the missing
-        # centroids while re-build failed on the existing pin. The pin
-        # is published atomically (complete body or FileExistsError) so
-        # a second build on a committed path still fails loudly — cell
-        # spaces never mix.
         spark.createDataFrame(
             [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
             "cell int, c array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, _CENTROIDS_DIR)
-        )
+        ).coalesce(1).write.parquet(os.path.join(path, cdir))
         from hudi_spark_plus_spark.functions.signature_store import (
             _atomic_pin,
         )
 
-        if not _atomic_pin(os.path.join(path, _PARAMS_FILE), json.dumps(params)):
-            raise FileExistsError(
-                f"ANN index already built at {path}; a second build "
-                "would remix cell spaces — use a new path"
-            )
+        if not _atomic_pin(pfile, json.dumps(params)):
+            shutil.rmtree(os.path.join(path, cdir), ignore_errors=True)
+            raise already
         idx = cls(spark, path)
         idx.table = LakeTable(
             spark, os.path.join(path, "assignments"), buckets=buckets

@@ -73,32 +73,22 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r11 (VERDICT r10 directive 2): the six r10 pins all re-greened in
-    # CORRECTNESS_r10.json and are dropped; these seven are the last
-    # r7-stale greens in the system (the rotation drained 43 -> 7 over
-    # r9/r10 but three-round-stale evidence remains the oldest). Pinning
-    # them ahead of this round's never-verified newcomers finishes the
-    # drain: after the r11 pass every registry query's newest green is
-    # >= r8. Drop all seven once CORRECTNESS_r11.json re-greens them.
-    "q-lake-colstats",
-    "q-lake-compact",
-    "q-lake-concurrent",
-    "q-lake-history",
-    "q-lake-mor-ro",
-    "q-lake-overwrite",
-    "q-lake-zorder",
-    # r11 semantic changes (pin until a CORRECTNESS row proves them):
-    # - q-lake-meta-agg: OUTPUT changed — float/double columns no
-    #   longer trust footer min/max (ADVICE r10 #2), fixture gained
-    #   min_custkey/max_custkey rows over the long key column
-    "q-lake-meta-agg",
-    # - q-lake-ndv: sketch residence rewrite — entries moved from the
-    #   manifest JSON to executor-side parquet parts (VERDICT r10 #4)
-    "q-lake-ndv",
-    # - q-stream-neardup: state rerouted through StreamingNearDup /
-    #   SignatureStore exactly-once commits (VERDICT r10 #6); pair
-    #   output is construction-identical but the state engine is new
-    "q-stream-neardup",
+    # r12: all ten r11 pins re-greened in CORRECTNESS_r11.json and are
+    # dropped. These five are the last r8-stale greens in the system
+    # (VERDICT r11 directive 4 — the rotation's floor): one more pinned
+    # pass retires the staleness debt entirely (every registry query's
+    # newest green >= r9 after the r12 pass). Drop once re-greened.
+    "q-lake-incremental",
+    "q-lake-incremental-mor",
+    "q-lake-mor",
+    "q-lake-point-lookup",
+    "q-lake-time-travel",
+    # r12 semantic change (pin until a CORRECTNESS row proves it):
+    # - q-emb-ann-index: IvfIndex assignments now PARTITIONED by cell
+    #   with search reading snapshot(partitions=probed_cells) — the
+    #   VERDICT r11 directive-1 unpruned-scan fix; output is
+    #   construction-identical but the whole read path is new
+    "q-emb-ann-index",
     # NOT pinned although flagged/changed:
     # - q-lake-clone: clone_table's pin naming + carried_batch_ids are
     #   new metadata the fixture's OUTPUT never observes (verified
@@ -126,6 +116,17 @@ _PINNED = [
     # - table/audit.py (record_history) is a NEW read-only module no
     #   existing query imports; its q-lake-record-history sorts first
     #   as never-verified.
+    # r12 ADVICE fixes (family re-flagged by table/ edits, none pinned:
+    # every change is a failure/race path no fixture output observes):
+    # - clone.py: pin record now published atomically + verified-unlink
+    #   in the failure handler (ADVICE r11 #3) — success path identical.
+    # - ndv.py: approx_ndv retries through the reclaimed-parts
+    #   retention race (ADVICE r11 #4) — estimates unchanged.
+    # - s3_finalizer.py: 5xx reclassified ambiguous (ADVICE r11 #2) —
+    #   still imported by no query path.
+    # - ann_index.py build: centroids now land in a unique pinned dir
+    #   (ADVICE r11 #1) — build output identical; q-emb-ann-index is
+    #   pinned below anyway for the r12 search-path partitioning.
 ]
 
 

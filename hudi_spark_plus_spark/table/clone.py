@@ -101,16 +101,32 @@ def clone_table(
         # pin record BEFORE the clone commit: a crash between the two
         # leaves a pin drop_clone can still find and release (the
         # reverse order leaked an unrecorded pin that blocked source
-        # vacuum until manual clone_pins() archaeology)
+        # vacuum until manual clone_pins() archaeology). Published
+        # atomically (ADVICE r11 #3): a plain open/write could expose
+        # partial JSON to a concurrent drop_clone, which would silently
+        # skip the release; O_EXCL-style create also makes the SECOND
+        # clone racing the same dst_path lose HERE — before it could
+        # clobber the record of the first clone's pin.
         os.makedirs(dst_path, exist_ok=True)
-        with open(os.path.join(dst_path, PIN_FILE), "w") as fh:
-            json.dump(
+        from hudi_spark_plus_spark.functions.signature_store import (
+            _atomic_pin,
+        )
+
+        if not _atomic_pin(
+            os.path.join(dst_path, PIN_FILE),
+            json.dumps(
                 {
                     "source_path": os.path.abspath(src.path),
                     "savepoint": pin_name,
                     "version": base_commit.version,
-                },
-                fh,
+                }
+            ),
+        ):
+            src.delete_savepoint(pin_name)
+            raise ValueError(
+                f"clone target {dst_path} already has a clone pin "
+                "record (a concurrent or crashed clone owns it); use a "
+                "new path or drop_clone the existing one"
             )
     # batch ids the source already applied up to the clone point: replays
     # of those batches against the clone must be no-ops (H5 across the
@@ -151,12 +167,20 @@ def clone_table(
         )
     except BaseException:
         # failed clone (e.g. a concurrent clone won the same target):
-        # release the pin instead of leaking it against source vacuum
+        # release the pin instead of leaking it against source vacuum.
+        # Unlink the pin record only after verifying it is OURS — an
+        # unconditional unlink would let a losing attempt delete the
+        # record of the winner's pin, leaking that savepoint against
+        # source vacuum until manual clone_pins() cleanup (ADVICE r11
+        # #3; the savepoint itself is name-unique, always safe).
         if pin_name is not None:
             src.delete_savepoint(pin_name)
+            pin_path = os.path.join(dst_path, PIN_FILE)
             try:
-                os.unlink(os.path.join(dst_path, PIN_FILE))
-            except OSError:
+                with open(pin_path) as fh:
+                    if json.load(fh).get("savepoint") == pin_name:
+                        os.unlink(pin_path)
+            except (OSError, ValueError):
                 pass
         raise
     return dst

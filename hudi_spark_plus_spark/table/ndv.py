@@ -280,7 +280,28 @@ def approx_ndv(lake: LakeTable, col: str) -> dict:
     Returns {"estimate", "files_sketched", "files_scanned"} — HLL error
     is the only approximation; see module docstring for the trust
     rule. The union runs entirely JVM-side over the sidecar parts; the
-    driver holds path strings and the final numbers, never sketches."""
+    driver holds path strings and the final numbers, never sketches.
+
+    Retention-race tolerant like ``_open_latest_manifest`` (ADVICE r11
+    #4): the parts are read LAZILY and evaluated at estimate time, so a
+    concurrent refresh's ``_reclaim_parts`` can delete a part dir
+    between the manifest resolve and the Spark action. On a
+    FileNotFound-shaped failure the whole estimate re-resolves the
+    (newer, at-least-as-fresh) manifest and retries once; a second
+    consecutive miss is a real error and raises."""
+    for attempt in range(2):
+        try:
+            return _approx_ndv_once(lake, col)
+        except Exception as e:  # noqa: BLE001 — re-raised unless retryable
+            retryable = isinstance(e, FileNotFoundError) or (
+                "FileNotFound" in str(e) or "PATH_NOT_FOUND" in str(e)
+            )
+            if attempt or not retryable:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _approx_ndv_once(lake: LakeTable, col: str) -> dict:
     fld = _ndv_field(lake, col)
     m = ndv_manifest(lake, col) or {"parts": []}
     files = lake.log.live_files()

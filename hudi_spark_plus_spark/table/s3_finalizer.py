@@ -28,7 +28,10 @@ answers the commit protocol actually needs. A still-409-after-retries
 raises ``CommitConflict`` (safe: re-read and retry the operation; never
 an overwrite). HTTP 5xx/timeouts follow the same bounded retry — a
 commit publish is idempotent-by-precondition, so re-sending can never
-double-publish.
+double-publish — but unlike a 409 they are AMBIGUOUS: a 502/504 from a
+gateway can mask a PUT the upstream store applied, so any later 412 (or
+exhaustion) after a 5xx resolves through the read-back comparison
+instead of concluding CommitConflict outright.
 
 Production deployment is this class plus request signing: pass
 ``sign=`` a callable that adds the provider's auth headers to each
@@ -72,12 +75,17 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
     def _attempt(self, url: str, payload: bytes) -> object:
         """One conditional PUT. True = created, False = exists (412),
         "rejected" = the store REFUSED the request without applying it
-        (409 ConditionalRequestConflict, 5xx with a response) — safe to
-        retry, nothing was written; "unknown" = network-layer loss —
-        the PUT may have been DELIVERED, only the response is gone.
-        The distinction matters at exhaustion: a run of pure
-        rejections can safely conclude CommitConflict, a run
-        containing an unknown cannot (see put_if_absent)."""
+        (409 ConditionalRequestConflict) — safe to retry, nothing was
+        written; "unknown" = the PUT may have been DELIVERED but the
+        outcome is unconfirmed: network-layer loss, or ANY 5xx — a
+        502/504 is typically a gateway/proxy speaking for an upstream
+        that may already have applied the write (ADVICE r11 #2), and
+        even a store-originated 500 gives no applied/not-applied
+        guarantee, so all 5xx are classified conservatively. The
+        distinction matters at exhaustion and on a later 412: a run of
+        pure rejections can safely conclude CommitConflict, a run
+        containing an unknown must go through the read-back comparison
+        (see put_if_absent)."""
         req = urllib.request.Request(
             url,
             data=payload,
@@ -95,8 +103,10 @@ class S3ConditionalPutFinalizer(ConditionalPutFinalizer):
         except urllib.error.HTTPError as e:
             if e.code == 412:
                 return False
-            if e.code == 409 or e.code >= 500:
+            if e.code == 409:
                 return "rejected"
+            if e.code >= 500:
+                return "unknown"
             raise
         except (OSError, TimeoutError, http.client.HTTPException):
             # network-layer loss (connection reset/dropped mid-response,

@@ -122,3 +122,61 @@ class TestIvfIndexLifecycle:
             )
         with pytest.raises(ValueError, match="no ANN index"):
             IvfIndex(spark, str(tmp_path / "nowhere"))
+
+    def test_failed_rebuild_never_touches_quantizer(self, spark, index):
+        """ADVICE r11 #1: the old build OVERWROTE the centroids sidecar
+        before losing the pin race — committed assignments silently
+        paired with a fresh quantizer fit. A losing build must leave
+        the winner's quantizer (and search results) bit-identical."""
+        import os
+
+        idx, rows = index
+        before_centers = idx.centers.copy()
+        q = vecs(spark, rows[:3])
+        before_search = sorted(
+            map(tuple, idx.search(q, k=3, nprobe=2).collect())
+        )
+        with pytest.raises(FileExistsError):
+            IvfIndex.build(
+                spark, idx.path, vecs(spark, rows[:10]), n_centroids=2
+            )
+        again = IvfIndex(spark, idx.path)
+        assert np.allclose(again.centers, before_centers)
+        assert (
+            sorted(map(tuple, again.search(q, k=3, nprobe=2).collect()))
+            == before_search
+        )
+        # no stray sidecar dirs from the losing attempt
+        dirs = [
+            d for d in os.listdir(idx.path) if d.startswith("centroids")
+        ]
+        assert len(dirs) == 1
+
+    def test_pin_race_loser_cleans_up_and_winner_survives(
+        self, spark, index, monkeypatch
+    ):
+        """Two CONCURRENT builds both pass the fail-fast check; the pin
+        decides the winner. The loser must remove its own sidecar dir
+        and raise — never touching the winner's quantizer. Simulated by
+        blinding the fail-fast check so the losing attempt runs all the
+        way to the pin race."""
+        import os
+
+        idx, rows = index
+        before_centers = idx.centers.copy()
+        real_exists = os.path.exists
+        monkeypatch.setattr(
+            "hudi_spark_plus_spark.functions.ann_index.os.path.exists",
+            lambda p: (
+                False if p.endswith("_ann_params.json") else real_exists(p)
+            ),
+        )
+        with pytest.raises(FileExistsError):
+            IvfIndex.build(
+                spark, idx.path, vecs(spark, rows[:10]), n_centroids=2
+            )
+        dirs = [
+            d for d in os.listdir(idx.path) if d.startswith("centroids")
+        ]
+        assert len(dirs) == 1  # loser's unique dir was removed
+        assert np.allclose(IvfIndex(spark, idx.path).centers, before_centers)

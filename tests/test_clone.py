@@ -101,6 +101,50 @@ class TestCloneBasics:
         assert snap(c2) == snap(src)
 
 
+class TestClonePinAtomicity:
+    def test_crashed_pin_record_blocks_reclone_and_releases_own_pin(
+        self, spark, tmp_path, src
+    ):
+        """ADVICE r11 #3: the pin record is published atomically — a
+        target already holding one (a crashed or concurrent clone)
+        makes a new clone lose BEFORE it can clobber that record; the
+        loser releases its OWN savepoint and the record is untouched."""
+        import json
+
+        dst = str(tmp_path / "dst")
+        os.makedirs(dst)
+        ghost = {
+            "source_path": os.path.abspath(src.path),
+            "savepoint": "clone_ghost-v1-deadbeef",
+            "version": 1,
+        }
+        with open(os.path.join(dst, "_clone_pin.json"), "w") as fh:
+            json.dump(ghost, fh)
+        with pytest.raises(ValueError, match="clone pin record"):
+            clone_table(spark, src, dst)
+        assert src.savepoints() == {}  # loser's savepoint released
+        with open(os.path.join(dst, "_clone_pin.json")) as fh:
+            assert json.load(fh) == ghost  # winner's record untouched
+
+    def test_commit_failure_releases_own_pin_only_if_record_is_ours(
+        self, spark, tmp_path, src, monkeypatch
+    ):
+        """Commit-failure cleanup: the savepoint is always released
+        (name-unique), and the pin record is unlinked only after
+        verifying it names OUR savepoint."""
+        from hudi_spark_plus_spark.table import commit_log
+
+        def boom(self, *a, **k):
+            raise RuntimeError("injected publish failure")
+
+        monkeypatch.setattr(commit_log.CommitLog, "commit", boom)
+        dst = str(tmp_path / "dst")
+        with pytest.raises(RuntimeError, match="injected"):
+            clone_table(spark, src, dst)
+        assert src.savepoints() == {}
+        assert not os.path.exists(os.path.join(dst, "_clone_pin.json"))
+
+
 class TestCloneDivergence:
     def test_writes_diverge_and_source_is_never_touched(
         self, spark, tmp_path, src

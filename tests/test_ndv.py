@@ -197,6 +197,40 @@ class TestSidecarResidence:
         assert os.path.getsize(os.path.join(d, fn)) < 4096
 
 
+def test_estimate_retries_through_reclaimed_parts(spark, table, monkeypatch):
+    """ADVICE r11 #4: the parts are read lazily and evaluated at
+    estimate time, so a concurrent refresh's ``_reclaim_parts`` can
+    delete a part dir mid-estimate. The estimate must re-resolve the
+    (newer) manifest and retry — mirroring ``_open_latest_manifest``'s
+    retention-race doctrine — instead of surfacing FileNotFound."""
+    ndv.create_ndv_sketch(table, "name")
+    real = ndv._read_parts
+    calls = {"n": 0}
+
+    def flaky(lake, col, m):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(
+                "part dir reclaimed by a concurrent refresh publish"
+            )
+        return real(lake, col, m)
+
+    monkeypatch.setattr(ndv, "_read_parts", flaky)
+    got = ndv.approx_ndv(table, "name")
+    assert calls["n"] >= 2  # first resolve failed, retry succeeded
+    e = exact(table, "name")
+    assert abs(got["estimate"] - e) / e <= 0.05
+    # a PERSISTENT miss (both attempts) still raises
+    calls["n"] = -10**6
+    monkeypatch.setattr(
+        ndv,
+        "_read_parts",
+        lambda *a: (_ for _ in ()).throw(FileNotFoundError("gone")),
+    )
+    with pytest.raises(FileNotFoundError):
+        ndv.approx_ndv(table, "name")
+
+
 def test_insert_only_churn_bounds_part_count(spark, table, monkeypatch):
     """Review finding (r11): dead==0 forever (append-only) must not
     accumulate one part dir per refresh — the part-count cap compacts."""

@@ -85,6 +85,13 @@ class _S3Facade:
                         # write landed; response never reaches the client
                         self.connection.close()
                         return
+                    if store.gateway_502_after_write > 0:
+                        store.gateway_502_after_write -= 1
+                        # write landed upstream; a gateway in front
+                        # answers 502 — the client must treat it as
+                        # ambiguous, not "nothing was written"
+                        self._xml_error(502, "BadGateway")
+                        return
                 self.send_response(200)
                 self.send_header("ETag", '"%032x"' % (hash(body) & (2**128 - 1)))
                 self.send_header("Content-Length", "0")
@@ -107,6 +114,7 @@ class _S3Facade:
         self.lock = threading.Lock()
         self.conflict_budget = 0
         self.drop_success_responses = 0
+        self.gateway_502_after_write = 0
         self.puts_seen = 0
         self.conflict_attempts = set()  # 1-based PUT indices to 409
         self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
@@ -284,6 +292,38 @@ class TestS3LakeTableSoak:
             assert rows[str(k)] == (30 + wid, 100 * wid + 2), (k, rows[str(k)])
         vs = final.log.versions()
         assert vs == list(range(1, len(vs) + 1))  # dense, no gaps
+
+
+class TestGateway5xxAmbiguity:
+    def test_502_after_landed_write_resolved_by_read_back(
+        self, facade, tmp_path
+    ):
+        """ADVICE r11 #2: a 502/504 can come from a gateway whose
+        upstream APPLIED the PUT. Classifying it 'rejected, nothing
+        written' made the retry's 412 return a plain conflict —
+        commit() then reclaimed segments a PUBLISHED commit
+        references. The 5xx must mark the run ambiguous so the 412
+        resolves by read-back: our own bytes report success."""
+        facade.gateway_502_after_write = 1
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        fin.publish('{"v": "mine"}', target)  # success, not conflict
+        assert open(target).read() == '{"v": "mine"}'
+
+    def test_5xx_classified_ambiguous_409_stays_rejected(
+        self, facade, tmp_path
+    ):
+        """The classifier itself: 5xx → "unknown" (may have applied),
+        409 → "rejected" (definitively not applied). The 412-against-
+        other-bytes follow-up is pinned by
+        test_lost_response_but_other_writer_won."""
+        fin = facade.finalizer()
+        target = str(tmp_path / "_commits" / "00000000000000000001.json")
+        url = fin.url_of(target)
+        facade.gateway_502_after_write = 1
+        assert fin._attempt(url, b"x") == "unknown"
+        facade.conflict_budget = 1
+        assert fin._attempt(url, b"x") == "rejected"
 
 
 class TestExhaustionAmbiguity:
