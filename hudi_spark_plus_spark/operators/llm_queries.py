@@ -376,8 +376,12 @@ def q_emb_ann_index(spark, sf_dir):
     )
     work = _tf.mkdtemp(prefix="hsp_annidx_")
     try:
+        # buckets=2: with the cell-partitioned layout (r12) files split
+        # by (cell, key-bucket); cell pruning does the search-side work
+        # and 16 cells x 8 buckets would write 128 files per commit at
+        # fixture scale for nothing
         idx = IvfIndex.build(
-            spark, f"{work}/idx", e, n_centroids=16, buckets=8
+            spark, f"{work}/idx", e, n_centroids=16, buckets=2
         )
         idx.add(planted, "b-plant")
         ver = idx.table.log.latest().version
@@ -392,6 +396,66 @@ def q_emb_ann_index(spark, sf_dir):
         ).count():
             raise AssertionError("stale add resurrected removed vectors")
         out = idx.search(queries, k=5, nprobe=4).orderBy("q_id", "rank")
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
+def q_emb_ann_index_pq(spark, sf_dir):
+    """PQ-resident persistent ANN index (VERDICT r11 directive 3 —
+    functions/ann_index.py IvfIndex(pq=True)): the assignments table
+    stores n_sub=8 PQ CODES per vector instead of raw float64s (the
+    raw-vector index is the corpus re-materialized; the bytes-on-disk
+    assertion lives in tests/test_ann_index.py), search ADC-scans the
+    codes via a codebook-literal codegen expression and exact-re-ranks
+    only the bounded top-refine ∪ full-code-match candidates, fetching
+    their raw vectors from the corpus (exact_source). Same planted-copy
+    lifecycle as q-emb-ann-index — 6 exact copies added (replayed:
+    exactly-once no-op), copy j=1 removed, the stale add replayed again
+    (version-derived LWW: tombstone wins) — and the same deterministic
+    answer: copies j=2..6 per query at sim 1.0, ranked by n_id (exact
+    duplicates encode to the query's own codes, so the code-match arm
+    makes them candidates regardless of ADC rank; exact re-rank scores
+    them 1.0)."""
+    import tempfile as _tf
+    import shutil as _sh
+
+    from hudi_spark_plus_spark.functions.ann_index import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    off = _id_offset(e, "vec_id")
+    queries = e.where(F.col("vec_id") < 10)
+    planted = (
+        queries.withColumn(
+            "j", F.explode(F.array([F.lit(i) for i in range(1, 7)]))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
+        .drop("j")
+        .localCheckpoint()
+    )
+    work = _tf.mkdtemp(prefix="hsp_annpq_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{work}/idx", e, n_centroids=16, buckets=2,
+            pq=True, n_sub=8, n_codes=16,
+        )
+        if "vec" in idx.assignments().columns:
+            raise AssertionError("pq index stored raw vectors")
+        idx.add(planted, "b-plant")
+        ver = idx.table.log.latest().version
+        idx.add(planted, "b-plant")  # crash replay: exactly-once no-op
+        if idx.table.log.latest().version != ver:
+            raise AssertionError("replayed add committed twice")
+        removed = [int(r["vec_id"]) + off for r in queries.select("vec_id").collect()]
+        idx.remove(removed, "b-gc")
+        idx.add(planted, "b-plant")  # STALE replay: tombstones must win
+        if idx.assignments().where(F.col("id").isin(removed)).count():
+            raise AssertionError("stale add resurrected removed vectors")
+        out = idx.search(
+            queries, k=5, nprobe=4,
+            exact_source=e.unionByName(planted),
+        ).orderBy("q_id", "rank")
         rows = out.collect()  # materialize before the workdir vanishes
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -1343,6 +1407,7 @@ LLM_QUERIES = {
     "q-emb-ann-lsh": q_emb_ann_lsh,
     "q-emb-ann-ivf": q_emb_ann_ivf,
     "q-emb-ann-index": q_emb_ann_index,
+    "q-emb-ann-index-pq": q_emb_ann_index_pq,
     "q-doc-minhash-lsh": q_doc_minhash_lsh,
     "q-doc-minhash-full": q_doc_minhash_full,
     "q-doc-simhash": q_doc_simhash,
@@ -2467,6 +2532,22 @@ LLM_ORACLES = {
     # persistent-index replay: survivors are copies j=2..6 (j=1 was
     # tombstoned; the stale re-add must not resurrect it), rank = j-1
     "q-emb-ann-index": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j - 1 AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(2, 6)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
+    # the PQ-resident index answers the SAME planted-copy construction:
+    # exact duplicates encode to the query's own codes (code-match arm
+    # guarantees candidacy) and exact re-rank restores sim 1.0
+    "q-emb-ann-index-pq": """
         WITH off AS (
           SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
           FROM embeddings
