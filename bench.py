@@ -202,6 +202,94 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     return out
 
 
+def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
+    """The COW CDC pass with EVERY commit published through the S3
+    conditional-write binding (S3ConditionalPutFinalizer against the
+    in-process façade, wired via the engine.table.commit.finalizer
+    plugin — VERDICT r11 stretch 8): rows/s + batch latency side by
+    side with the POSIX-publish `cdc` record puts a number on the
+    per-commit conditional-PUT protocol overhead a real object-store
+    deployment pays. The façade is localhost HTTP, so the measured
+    delta is protocol round-trips + the read-back machinery, not WAN
+    latency — a lower bound, stated as such in BASELINE.md."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.operators.cdc_queries import (
+        build_envelopes,
+        derive_cdc_events,
+        sync_options,
+    )
+    from hudi_spark_plus_spark.operators.sync import sync_batch
+    from hudi_spark_plus_spark.plans import config as cfg
+    from hudi_spark_plus_spark.table.s3_facade import (
+        FACADE_ROOT_ENV,
+        FACADE_URL_ENV,
+        S3Facade,
+    )
+
+    events = derive_cdc_events(spark, sf_dir).persist()
+    n = events.count()
+    max_seq = events.agg(F.max("seq")).first()[0]
+    n_batches = max(1, n // rows_per_batch)
+    step = max_seq // n_batches + 1
+    work = tempfile.mkdtemp(prefix="hsp_bench_cdcs3_")
+    facade = S3Facade(work)
+    old_env = {
+        k: os.environ.get(k) for k in (FACADE_URL_ENV, FACADE_ROOT_ENV)
+    }
+    os.environ[FACADE_URL_ENV] = facade.url
+    os.environ[FACADE_ROOT_ENV] = work
+    try:
+        for b in range(n_batches):
+            build_envelopes(
+                events.where(
+                    (F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)
+                )
+            ).coalesce(4).write.mode("overwrite").text(f"{work}/in/b{b}")
+        events.unpersist()
+        opts = sync_options(f"{work}/tables-s3")
+        opts[cfg.COMMIT_FINALIZER] = (
+            "hudi_spark_plus_spark.table.s3_facade:finalizer_from_env"
+        )
+        # warm-up (NOT timed), symmetric with bench_cdc's
+        wopts = dict(opts)
+        wopts[cfg.HOODIE_PATH] = f"{work}/warm-s3" + "/{db}/ods_{db}_{table}"
+        sync_batch(spark, spark.read.text(f"{work}/in/b0"), wopts, batch_id=0)
+        shutil.rmtree(f"{work}/warm-s3", ignore_errors=True)
+        puts0 = facade.puts_seen
+        lat: list[float] = []
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            env = spark.read.text(f"{work}/in/b{b}")
+            bt = time.perf_counter()
+            sync_batch(spark, env, opts, batch_id=b)
+            lat.append(time.perf_counter() - bt)
+        total = time.perf_counter() - t0
+        lat.sort()
+        return {
+            "cdc_s3": {
+                "rows": n,
+                "batches": n_batches,
+                "rows_per_s": round(n / total, 1),
+                "batch_p50_s": round(lat[len(lat) // 2], 3),
+                "batch_p95_s": round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3
+                ),
+                "conditional_puts": facade.puts_seen - puts0,
+            }
+        }
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+        facade.close()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # The most expensive registry queries (BENCH_r02 top-5 among data-scaled
 # candidates; streaming queries are fixture-bounded by design and excluded)
 SPOT10X_QUERIES = [
@@ -598,6 +686,7 @@ def compact_summary(result: dict) -> dict:
         "q01_q28_s": round(sum(q0128.values()), 3) if q0128 else None,
         "cdc_rows_per_s": result.get("cdc", {}).get("rows_per_s"),
         "cdc_mor_rows_per_s": result.get("cdc_mor", {}).get("rows_per_s"),
+        "cdc_s3_rows_per_s": result.get("cdc_s3", {}).get("rows_per_s"),
         "spot10x_max": max((v["ratio"] for v in spot.values()), default=None),
         "queries": q0128,
         "detail": "BENCH.out.json",
@@ -688,6 +777,9 @@ def main() -> None:
         cdc = bench_cdc(spark, sf_dir)
         result.update(cdc)
         checkpoint("cdc")
+        _clear_session_state(spark)
+        result.update(bench_cdc_s3(spark, sf_dir))
+        checkpoint("cdc_s3")
         _clear_session_state(spark)
         queries = bench_queries(spark, sf_dir)
         result["queries"] = queries

@@ -2043,6 +2043,180 @@ def q_lake_matview_avg(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_ndv(spark, sf_dir):
+    """Approx COUNT(DISTINCT) materialized view (table/matview.py
+    NdvView — per-group HLL sketches composed with the matview
+    watermark protocol, VERDICT r11 directive 6). Hybrid maintenance,
+    both paths exercised under oracle control: seed refresh + an
+    INSERT-ONLY batch refresh ride the sketch-UNION path (asserted: no
+    source recompute), then a move/delete churn forces the partial
+    RECOMPUTE path (HLL cannot subtract — affected groups rebuild from
+    the file-pruned snapshot). q16 doctrine for the oracle: the hashed
+    output carries the EXACT distinct (replayable by DuckDB) — view
+    cnt per group + exact countDistinct from the source snapshot —
+    while the view's HLL estimates are asserted within 5% in-fixture
+    (at nationkey cardinality the DataSketches list-mode estimate is
+    exact, so this pins equality in practice)."""
+    from hudi_spark_plus_spark.table.matview import NdvView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        key = F.col("c_custkey")
+        seed = c.where(key < SUBSET).select(
+            key.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        src = LakeTable(spark, work + "/src", buckets=4)
+        src.merge(seed, "b1")
+        mv = NdvView(
+            spark, work + "/mv", src, ["c_mktsegment"], ["c_nationkey"]
+        )
+        st = mv.refresh()
+        if st["groups_recomputed"] != 0 or st["groups_union"] == 0:
+            raise AssertionError(f"seed refresh took the wrong path: {st}")
+        inserts = c.where((key >= SUBSET) & (key < SUBSET + 15)).select(
+            key.cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.lit("NEW").alias("c_mktsegment"),
+            "c_nationkey",
+        )
+        src.merge(inserts, "b2")
+        st = mv.refresh()
+        if st["groups_recomputed"] != 0 or st["groups_union"] == 0:
+            raise AssertionError(
+                f"insert-only refresh must union, not recompute: {st}"
+            )
+        churn = c.where(
+            (key < SUBSET) & ((key % 9 == 0) | (key % 5 == 0))
+        ).select(
+            key.cast("string").alias("_key"),
+            F.lit(3).cast("long").alias("_ts"),
+            F.when(key % 9 == 0, "delete").otherwise("upsert").alias("_op"),
+            "c_custkey",
+            F.when(key % 5 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_nationkey",
+        )
+        src.merge(churn, "b3")
+        st = mv.refresh()
+        if st["groups_recomputed"] == 0 or st["groups_union"] != 0:
+            raise AssertionError(
+                f"u/d churn refresh must recompute, not union: {st}"
+            )
+        exact = (
+            src.snapshot()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.countDistinct("c_nationkey")
+                .cast("long")
+                .alias("nd_nationkey")
+            )
+        )
+        got = {
+            r["c_mktsegment"]: (r["cnt"], r["approx_distinct_c_nationkey"])
+            for r in mv.df().collect()
+        }
+        out = (
+            exact.alias("e")
+            .join(mv.df().alias("v"), "c_mktsegment")
+            .select(
+                "c_mktsegment",
+                F.col("v.cnt").alias("cnt"),
+                F.col("e.nd_nationkey").alias("nd_nationkey"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        if len(rows) != len(got):
+            raise AssertionError("view and exact disagree on live groups")
+        for r in rows:
+            est = got[r["c_mktsegment"]][1]
+            if abs(est - r["nd_nationkey"]) > max(
+                1, 0.05 * r["nd_nationkey"]
+            ):
+                raise AssertionError(
+                    f"estimate off by >5%: {r['c_mktsegment']} "
+                    f"est={est} exact={r['nd_nationkey']}"
+                )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_record_history_batch(spark, sf_dir):
+    """Batch audit trail (table/audit.py record_histories — VERDICT
+    r11 directive 7, the compliance-export shape): the histories of a
+    key SET from ONE pruned read + one semi-join — the per-key
+    bucket/range/Bloom prunes union into one candidate file set, never
+    a per-key loop re-reading overlapping files (files-read ⊆ union of
+    per-key prunes is plan-guarded in tests/test_audit.py). Same
+    churn construction as q-lake-record-history — seed, +100 update
+    for %10==1 keys, delete for %20==1 keys — then ONE call returns
+    keys 1 (three states incl. tombstone), 11 (two states), 2 (one
+    state; carried copies collapse), and a missing key contributes no
+    rows. DuckDB replays every state from first principles."""
+    from hudi_spark_plus_spark.table.audit import record_histories
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        key = F.col("c_custkey")
+        seed = c.where(key < SUBSET).select(
+            key.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("bal"),
+        )
+        lake = LakeTable(spark, f"{work}/t", buckets=4)
+        lake.merge(seed, "b1")
+        lake.merge(
+            c.where((key < SUBSET) & (key % 10 == 1)).select(
+                key.cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                F.round(F.col("c_acctbal") + 100.0, 4).alias("bal"),
+            ),
+            "b2",
+        )
+        lake.merge(
+            c.where((key < SUBSET) & (key % 20 == 1)).select(
+                key.cast("string").alias("_key"),
+                F.lit(3).cast("long").alias("_ts"),
+                F.lit("delete").alias("_op"),
+                "c_custkey",
+                F.lit(None).cast("double").alias("bal"),
+            ),
+            "b3",
+        )
+        out = (
+            record_histories(lake, ["1", "11", "2", "999999999"])
+            .select(
+                F.col("_key").cast("long").alias("key"),
+                F.col("_commit_ver").alias("ver"),
+                F.col("_ts").alias("ts"),
+                F.col("_deleted").alias("deleted"),
+                "bal",
+            )
+            .orderBy("key", "ver")
+        )
+        rows = out.collect()
+        if len(rows) != 6:  # 3 + 2 + 1 + 0 by construction
+            raise AssertionError(f"expected 6 history states, got {len(rows)}")
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_matview_minmax(spark, sf_dir):
     """MIN/MAX materialized view (table/matview.py MinMaxView — the
     NON-self-inverting aggregate shape, maintained by partial
@@ -2473,7 +2647,9 @@ LAKE_QUERIES = {
     "q-lake-meta-agg": q_lake_meta_agg,
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-avg": q_lake_matview_avg,
+    "q-lake-matview-ndv": q_lake_matview_ndv,
     "q-lake-record-history": q_lake_record_history,
+    "q-lake-record-history-batch": q_lake_record_history_batch,
     "q-lake-matview-minmax": q_lake_matview_minmax,
     "q-lake-matview-pruned": q_lake_matview_pruned,
     "q-lake-retype": q_lake_retype,
@@ -2656,6 +2832,45 @@ LAKE_ORACLES = {
     # key 11 seed+update, key 2 seed only (carried copies collapse);
     # the tombstone carries the delete batch's NULL payload
     "q-lake-record-history": """
+        WITH k AS (
+          SELECT c_custkey, ROUND(c_acctbal, 4) AS bal
+          FROM customer WHERE c_custkey IN (1, 2, 11)
+        )
+        SELECT * FROM (
+          SELECT c_custkey AS key, CAST(1 AS BIGINT) AS ver,
+                 CAST(1 AS BIGINT) AS ts, FALSE AS deleted, bal FROM k
+          UNION ALL
+          SELECT c_custkey, 2, 2, FALSE, ROUND(bal + 100.0, 4)
+          FROM k WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT c_custkey, 3, 3, TRUE, CAST(NULL AS DOUBLE)
+          FROM k WHERE c_custkey % 20 = 1
+        ) ORDER BY key, ver
+    """,
+    # ndv matview replay: exact distinct per group from first
+    # principles (cnt comes from the VIEW, exact nd from the final
+    # state; the view's HLL estimates are asserted in-fixture)
+    "q-lake-matview-ndv": f"""
+        WITH final AS (
+          SELECT CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_nationkey
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, c_nationkey
+          FROM customer
+          WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 15}
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd_nationkey
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # batch record-history replay: identical churn to the single-key
+    # fixture; the key-set call returns the union of the three keys'
+    # states (and nothing for the missing key)
+    "q-lake-record-history-batch": """
         WITH k AS (
           SELECT c_custkey, ROUND(c_acctbal, 4) AS bal
           FROM customer WHERE c_custkey IN (1, 2, 11)

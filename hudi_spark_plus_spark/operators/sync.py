@@ -57,8 +57,12 @@ def _cached_lake(
     buckets: int | None,
     partition_fields: list[str] | None = None,
     global_index: bool | None = None,
+    finalizer_spec: str | None = None,
 ) -> LakeTable:
-    key = (id(spark), path)
+    # the finalizer spec is part of the cache identity: a cached table
+    # publishing through POSIX links must not satisfy a sync configured
+    # for the object-store binding (and vice versa)
+    key = (id(spark), path, finalizer_spec)
     with _LAKE_LOCK:
         t = _LAKE_CACHE.get(key)
         if (
@@ -71,9 +75,14 @@ def _cached_lake(
             vs = t.log._versions
             if not vs or os.path.exists(t.log._commit_file(vs[-1])):
                 return t
+        fin = None
+        if finalizer_spec:
+            from hudi_spark_plus_spark.plans.plugins import load_object
+
+            fin = load_object(finalizer_spec)(path)
         t = LakeTable(
             spark, path, buckets=buckets, partition_fields=partition_fields,
-            global_index=global_index,
+            global_index=global_index, finalizer=fin,
         )
         _LAKE_CACHE[key] = t
         return t
@@ -294,6 +303,7 @@ def _sync_one_table(
     lake = _cached_lake(
         spark, tc.path, tc.buckets, tc.partition_fields or None,
         global_index=tc.global_index or None,
+        finalizer_spec=tc.commit_finalizer,
     )
     lake.merge(
         batch,

@@ -66,6 +66,14 @@ WRITE_MODE_DEFAULT = "cow"
 # this many delta files (bounds snapshot-read amplification); 0 disables
 COMPACT_MAX_DELTAS = "engine.table.compact.max-deltas-per-bucket"
 COMPACT_MAX_DELTAS_DEFAULT = 10
+# Commit-publish finalizer plugin (K9 reflective pattern, same
+# "module:function" spec grammar as keygen plugins): the loaded object
+# is called with the table path and returns a commit_log finalizer —
+# how a sync deployment routes every commit publish through an object
+# store's conditional-write API (e.g. the S3 binding,
+# table/s3_finalizer.py + table/s3_facade.py's env-bound factory).
+# Default: unset — POSIX hard-link publish.
+COMMIT_FINALIZER = "engine.table.commit.finalizer"
 
 # Reference's default JSON decode timestampFormat — reproduced verbatim
 # (BinlogSyncHoodieCommand.scala:60); the per-table config map doubles as
@@ -100,6 +108,7 @@ class TableConfig:
     write_mode: str = WRITE_MODE_DEFAULT
     compact_max_deltas: int = COMPACT_MAX_DELTAS_DEFAULT
     global_index: bool = False
+    commit_finalizer: str | None = None
 
 
 def table_options(options: dict[str, str], db: str, table: str) -> dict[str, str]:
@@ -175,6 +184,10 @@ def resolve_table_config(
         global_index=t.get(INDEX_TYPE, options.get(INDEX_TYPE, ""))
         .upper()
         .startswith("GLOBAL_"),
+        commit_finalizer=t.get(
+            COMMIT_FINALIZER, options.get(COMMIT_FINALIZER)
+        )
+        or None,
     )
 
 

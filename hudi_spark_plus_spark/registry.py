@@ -83,12 +83,17 @@ _PINNED = [
     "q-lake-mor",
     "q-lake-point-lookup",
     "q-lake-time-travel",
-    # r12 semantic change (pin until a CORRECTNESS row proves it):
+    # r12 semantic changes (pin until a CORRECTNESS row proves them):
     # - q-emb-ann-index: IvfIndex assignments now PARTITIONED by cell
     #   with search reading snapshot(partitions=probed_cells) — the
     #   VERDICT r11 directive-1 unpruned-scan fix; output is
     #   construction-identical but the whole read path is new
     "q-emb-ann-index",
+    # - q-lake-record-history: audit.py refactored into shared batch
+    #   machinery (_candidate_timeline_files/_read_eras_aligned — the
+    #   directive-7 record_histories base); single-key output is
+    #   construction-identical but the engine path is rewritten
+    "q-lake-record-history",
     # NOT pinned although flagged/changed:
     # - q-lake-clone: clone_table's pin naming + carried_batch_ids are
     #   new metadata the fixture's OUTPUT never observes (verified
@@ -127,6 +132,17 @@ _PINNED = [
     # - ann_index.py build: centroids now land in a unique pinned dir
     #   (ADVICE r11 #1) — build output identical; q-emb-ann-index is
     #   pinned below anyway for the r12 search-path partitioning.
+    # - matview.py gained NdvView (additive class; AggregateView and
+    #   MinMaxView untouched) — q-lake-matview/-avg/-minmax outputs
+    #   unaffected; the NEW q-lake-matview-ndv sorts first as
+    #   never-verified, as does q-lake-record-history-batch.
+    # - sync.py/config.py gained the engine.table.commit.finalizer
+    #   plugin (K9 spec; default UNSET -> POSIX publish, byte-identical
+    #   behavior for every existing sync) and table/ gained s3_facade.py
+    #   (test/bench double, imported by no query path) — the q-cdc
+    #   family re-flags on the table/ blob for these additive surfaces;
+    #   the plugin itself is pinned by the sync-through-facade test and
+    #   the cdc_s3 bench phase.
 ]
 
 

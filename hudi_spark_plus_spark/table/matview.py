@@ -479,3 +479,242 @@ class MinMaxView:
         )
 
 
+
+class NdvView:
+    """Incrementally-maintained per-group approx COUNT(DISTINCT) — the
+    third matview shape (VERDICT r11 directive 6), composing the
+    executor-side HLL machinery of ``table/ndv.py`` with the
+    watermark-in-batch-id exactly-once protocol of the other views.
+
+    COUNT(DISTINCT) is not self-inverting (a departed value may or may
+    not still be contributed by another row), and an HLL sketch cannot
+    subtract — so maintenance is HYBRID, split per group per slice:
+
+    * groups touched ONLY by inserts since the watermark: sketch-UNION
+      — the stored sketch ∪ a sketch of the new rows' values, no source
+      scan at all (the common case for append-mostly sources, and the
+      whole point: refresh cost is O(slice), never O(source));
+    * groups touched by any update/delete: PARTIAL RECOMPUTE from the
+      file-pruned source snapshot (``snapshot_pruned_to_groups``, the
+      MinMaxView machinery) — the only way to shrink a sketch is to
+      rebuild it from the rows that remain.
+
+    One LWW merge commit applies both paths plus tombstones for groups
+    with no remaining rows — upserts and deletes ride the same commit,
+    so there is no GC window (the MinMaxView shape, not the
+    AggregateView one).
+
+    Exactness doctrine (mirrors table/ndv.py): HLL error is the ONLY
+    error — the invariant, held inductively, is that each group's
+    sketch describes exactly its current live rows' values: union adds
+    exactly the inserted values; any u/d forces a rebuild from the
+    snapshot. HLL union is deterministic and associative, so the union
+    path and a recompute agree bit-for-bit on the same value set.
+    NULLs are ignored (SQL COUNT(DISTINCT) semantics): an all-NULL
+    group stores a NULL sketch and reads as 0."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        ndv_cols: list[str],
+        buckets: int = 4,
+    ):
+        if not group_cols:
+            raise ValueError("NdvView requires at least one group col")
+        if not ndv_cols:
+            raise ValueError("NdvView requires at least one distinct col")
+        overlap = set(group_cols) & set(ndv_cols)
+        if overlap:
+            raise ValueError(
+                f"columns cannot be both group and measure: {sorted(overlap)}"
+            )
+        if "cnt" in group_cols or "cnt" in ndv_cols:
+            raise ValueError("'cnt' is the view's count column name")
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.ndv_cols = list(ndv_cols)
+        self.table = LakeTable(spark, path, buckets=buckets)
+        self.last_prune: dict = {}
+
+    def watermark(self) -> int:
+        hi = 0
+        for v in self.table.log.versions():
+            b = self.table.log.read(v).batch_id or ""
+            if b.startswith(_BATCH_PREFIX):
+                try:
+                    hi = max(hi, int(b.rsplit("-", 1)[1]))
+                except ValueError:
+                    continue
+        return hi
+
+    # sketches hash the STRING rendering (same doctrine as table/ndv.py:
+    # one value space regardless of column type, cross-type stable)
+    def _sketch(self, col: str):
+        from hudi_spark_plus_spark.table.ndv import DEFAULT_LG_K
+
+        return F.hll_sketch_agg(
+            F.col(col).cast("string"), F.lit(DEFAULT_LG_K)
+        ).alias(f"ndv_{col}")
+
+    def _nullsafe(self, left: str, right: str):
+        cond = None
+        for c in self.group_cols:
+            e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    def _group_key(self):
+        return F.to_json(
+            F.struct(*self.group_cols), {"ignoreNullFields": "false"}
+        )
+
+    def refresh(self) -> dict:
+        latest = self.source.log.latest()
+        if latest is None:
+            return {"begin": 0, "end": 0, "groups_union": 0,
+                    "groups_recomputed": 0}
+        begin = self.watermark()
+        end = latest.version
+        if end <= begin:
+            return {"begin": begin, "end": begin, "groups_union": 0,
+                    "groups_recomputed": 0}
+        cdc = self.source.incremental_cdc(begin, end)
+        # dirty = any group an update/delete touches: the u after-image
+        # group (its sketch gains a value it may also have LOST — the
+        # before-image value), the u/d before-image groups (they lost
+        # rows). Insert-only groups are everything else the slice's
+        # i-rows touch.
+        dirty = (
+            cdc.where(F.col("_change_op") == "u")
+            .select(*self.group_cols)
+            .unionByName(
+                cdc.where(F.col("_change_op").isin("u", "d")).select(
+                    *[
+                        F.col(f"_before_{c}").alias(c)
+                        for c in self.group_cols
+                    ]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # bounded by the slice's groups
+        )
+        ins = cdc.where(F.col("_change_op") == "i").select(
+            *self.group_cols, *self.ndv_cols
+        )
+        # i-rows of dirty groups ride the recompute (unioning them TOO
+        # would be correct for the sketch but double-count cnt)
+        ins_only = ins.alias("a").join(
+            F.broadcast(dirty.alias("r")), self._nullsafe("a", "r"), "anti"
+        ).select(*self.group_cols, *self.ndv_cols)
+        union_delta = ins_only.groupBy(*self.group_cols).agg(
+            F.count("*").cast("long").alias("cnt"),
+            *[self._sketch(c) for c in self.ndv_cols],
+        )
+        sketch_cols = [f"ndv_{c}" for c in self.ndv_cols]
+        # fold the stored state into the insert-only deltas: the view's
+        # own rows for exactly those groups, via the Bloom-pruned point
+        # lookup (H8) — never a view scan
+        if self.table.schema() is not None:
+            stored = self.table.scan_for_keys(
+                union_delta.select(self._group_key().alias(KEY_COL))
+            ).select(
+                *self.group_cols, "cnt", *sketch_cols
+            )
+            d, s = union_delta.alias("d"), stored.alias("s")
+            union_delta = d.join(
+                F.broadcast(s), self._nullsafe("d", "s"), "left"
+            ).select(
+                *[F.col(f"d.{c}").alias(c) for c in self.group_cols],
+                (
+                    F.col("d.cnt")
+                    + F.coalesce(F.col("s.cnt"), F.lit(0))
+                ).cast("long").alias("cnt"),
+                *[
+                    # union is null-tolerant by hand: hll_union NULLs out
+                    # when either side is NULL, but an absent/all-NULL
+                    # side must act as the identity
+                    F.when(
+                        F.col(f"d.{sc}").isNull(), F.col(f"s.{sc}")
+                    )
+                    .when(F.col(f"s.{sc}").isNull(), F.col(f"d.{sc}"))
+                    .otherwise(F.hll_union(f"d.{sc}", f"s.{sc}"))
+                    .alias(sc)
+                    for sc in sketch_cols
+                ],
+            )
+        # dirty groups: rebuild from the file-pruned snapshot slice
+        self.last_prune = {}
+        recomputed = (
+            self.source.snapshot_pruned_to_groups(
+                dirty, self.group_cols, stats_out=self.last_prune
+            )
+            .groupBy(*self.group_cols)
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                *[self._sketch(c) for c in self.ndv_cols],
+            )
+        )
+        types = dict(recomputed.dtypes)
+        dead = (
+            dirty.alias("a")
+            .join(
+                F.broadcast(recomputed.select(*self.group_cols).alias("r")),
+                self._nullsafe("a", "r"),
+                "anti",
+            )
+            .select(
+                *self.group_cols,
+                F.lit(0).cast("long").alias("cnt"),
+                *[
+                    F.lit(None).cast(types[sc]).alias(sc)
+                    for sc in sketch_cols
+                ],
+            )
+        )
+
+        def keyed(df, op):
+            return df.select(
+                self._group_key().alias(KEY_COL),
+                F.lit(end).cast("long").alias(TS_COL),
+                F.lit(op).alias("_op"),
+                *self.group_cols,
+                "cnt",
+                *sketch_cols,
+            )
+
+        n_union = union_delta.count()
+        n_dirty = dirty.count()
+        batch = (
+            keyed(union_delta, "upsert")
+            .unionByName(keyed(recomputed, "upsert"))
+            .unionByName(keyed(dead, "delete"))
+        )
+        # upserts AND tombstones in ONE commit: watermark, sketches and
+        # emptied groups' deletion are atomic (no GC window)
+        self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
+        dirty.unpersist()
+        return {
+            "begin": begin,
+            "end": end,
+            "groups_union": n_union,
+            "groups_recomputed": n_dirty,
+        }
+
+    def df(self) -> DataFrame:
+        """Current view contents: group_cols + cnt +
+        approx_distinct_<col> (HLL estimate; 0 for an all-NULL group —
+        SQL COUNT(DISTINCT) semantics)."""
+        return self.table.snapshot().select(
+            *self.group_cols,
+            "cnt",
+            *[
+                F.coalesce(
+                    F.hll_sketch_estimate(f"ndv_{c}"), F.lit(0)
+                ).cast("long").alias(f"approx_distinct_{c}")
+                for c in self.ndv_cols
+            ],
+        )

@@ -127,3 +127,86 @@ class TestRecordHistory:
 
     def test_unknown_key_is_empty(self, spark, table):
         assert record_history(table, "no-such-key").collect() == []
+
+
+class TestRecordHistories:
+    """Batch record_history (VERDICT r11 directive 7): the compliance-
+    export shape — histories of a SET of keys from ONE pruned read +
+    one semi-join, files-read bounded by the union of the per-key
+    prunes (never a per-key loop re-reading overlapping files)."""
+
+    def test_batch_equals_union_of_single_key_histories(
+        self, spark, table
+    ):
+        from hudi_spark_plus_spark.table.audit import record_histories
+
+        keys = ["3", "1", "0"]
+        got = [
+            (r["_key"], r["_commit_ver"], r["_ts"], r["_deleted"], r["v"])
+            for r in record_histories(table, keys).collect()
+        ]
+        exp = []
+        for k in sorted(keys):
+            exp += [
+                (k, r["_commit_ver"], r["_ts"], r["_deleted"], r["v"])
+                for r in record_history(table, k).collect()
+            ]
+        assert got == exp
+
+    def test_accepts_a_key_dataframe(self, spark, table):
+        from hudi_spark_plus_spark.table.audit import record_histories
+
+        keys = spark.createDataFrame([("3",), ("1",)], "_key string")
+        got = record_histories(table, keys)
+        assert got.where(F.col("_key") == "3").count() == 4
+        assert got.where(F.col("_key") == "1").count() == 1
+
+    def test_candidate_files_bounded_by_union_of_per_key_prunes(
+        self, spark, tmp_path
+    ):
+        """Plan guard: the batch candidate set must equal the UNION of
+        the per-key candidate sets — and stay strictly smaller than the
+        timeline's file population when the keys miss buckets."""
+        from hudi_spark_plus_spark.table import audit
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+        t.merge(
+            mk(spark, [(str(k), 1, "upsert", k) for k in range(64)]), "b1"
+        )
+        t.merge(mk(spark, [("1", 2, "upsert", 11)]), "b2")
+        keys = ["1", "2"]
+        batch_files = {
+            f.path for f in audit._candidate_timeline_files(t, keys)[0]
+        }
+        union_files = set()
+        for k in keys:
+            union_files |= {
+                f.path for f in audit._candidate_timeline_files(t, [k])[0]
+            }
+        assert batch_files == union_files
+        all_files = set()
+        for v in t.log.versions():
+            all_files.update(f.path for f in t.log.read(v).files)
+        assert len(batch_files) < len(all_files)
+
+    def test_over_cap_degrades_to_semi_join_and_stays_correct(
+        self, spark, table, monkeypatch
+    ):
+        from hudi_spark_plus_spark.table import audit
+        from hudi_spark_plus_spark.table.audit import record_histories
+
+        monkeypatch.setattr(
+            type(table), "SCAN_KEYS_MAX", 1, raising=False
+        )
+        got = [
+            (r["_key"], r["_commit_ver"], r["v"])
+            for r in record_histories(table, ["3", "1"]).collect()
+        ]
+        assert ("3", 4, 333) in got and ("1", 1, 1) in got
+        assert len([g for g in got if g[0] == "3"]) == 4
+
+    def test_empty_and_unknown_keys(self, spark, table):
+        from hudi_spark_plus_spark.table.audit import record_histories
+
+        assert record_histories(table, ["no-such"]).count() == 0
+        assert record_histories(table, []).count() == 0

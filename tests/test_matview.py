@@ -654,3 +654,128 @@ class TestAvgView:
         with pytest.raises(ValueError, match="integral"):
             AggregateView(spark, str(tmp_path / "m2"), t, ["g"],
                           avg_cols=["v"])
+
+
+class TestNdvView:
+    """Per-group approx COUNT(DISTINCT) via HLL sketches (NdvView):
+    insert-only groups maintain by sketch-UNION (no source scan);
+    groups touched by updates/deletes recompute from the file-pruned
+    snapshot (HLL is not invertible). The exactness doctrine mirrors
+    table/ndv.py: HLL error is the ONLY error — the sketch always
+    describes exactly the group's current live values."""
+
+    def _exact(self, src):
+        return {
+            (r["g"], r["cnt"], r["nd"])
+            for r in src.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.countDistinct("v").cast("long").alias("nd"),
+            )
+            .collect()
+        }
+
+    def _got(self, view):
+        return {
+            (r["g"], r["cnt"], r["approx_distinct_v"])
+            for r in view.df().collect()
+        }
+
+    def test_union_and_recompute_paths_track_exact(self, spark, tmp_path, src):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        mv = NdvView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+        r = mv.refresh()
+        # first slice: every group is new — the union path seeds them
+        assert r["groups_recomputed"] == 0 and r["groups_union"] == 2
+        assert self._got(mv) == self._exact(src)
+        # insert-only churn (duplicate value 10 in group a: distinct
+        # must NOT double-count) -> union path only
+        src.merge(mk(spark, [
+            ("k4", 2, "upsert", "a", 10),
+            ("k5", 2, "upsert", "b", 7),
+        ]), "b2")
+        r = mv.refresh()
+        assert r["groups_recomputed"] == 0 and r["groups_union"] == 2
+        assert self._got(mv) == self._exact(src)
+        # update moves a row between groups -> both groups recompute
+        src.merge(mk(spark, [("k2", 3, "upsert", "b", 20)]), "b3")
+        r = mv.refresh()
+        assert r["groups_recomputed"] == 2 and r["groups_union"] == 0
+        assert self._got(mv) == self._exact(src)
+        # delete shrinks a group's distinct set -> recompute, not union
+        src.merge(mk(spark, [("k3", 4, "delete", "b", 5)]), "b4")
+        mv.refresh()
+        assert self._got(mv) == self._exact(src)
+
+    def test_emptied_group_tombstoned_and_reappears(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=4)
+        t.merge(mk(spark, [("k1", 1, "upsert", "solo", 1)]), "b1")
+        mv = NdvView(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+        mv.refresh()
+        t.merge(mk(spark, [("k1", 2, "delete", "solo", 1)]), "b2")
+        mv.refresh()
+        assert self._got(mv) == self._exact(t) == set()
+        t.merge(mk(spark, [("k1", 3, "upsert", "solo", 9)]), "b3")
+        mv.refresh()
+        assert self._got(mv) == {("solo", 1, 1)}
+
+    def test_mixed_insert_and_dirty_groups_in_one_slice(
+        self, spark, tmp_path, src
+    ):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        mv = NdvView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+        mv.refresh()
+        # one slice: inserts into 'c' (union path) AND a delete in 'a'
+        # (recompute path) AND an insert into 'a' (must ride the
+        # recompute, not double-apply through the union path)
+        src.merge(mk(spark, [
+            ("k6", 2, "upsert", "c", 1),
+            ("k7", 2, "upsert", "a", 99),
+            ("k1", 2, "delete", "a", 10),
+        ]), "b2")
+        r = mv.refresh()
+        assert r["groups_union"] == 1 and r["groups_recomputed"] == 1
+        assert self._got(mv) == self._exact(src)
+
+    def test_null_values_ignored_like_sql(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", "a", None),
+                 ("k2", 1, "upsert", "a", 5),
+                 ("k3", 1, "upsert", "n", None)],
+                "_key string, _ts long, _op string, g string, v long",
+            ),
+            "b1",
+        )
+        mv = NdvView(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+        mv.refresh()
+        got = {(r["g"], r["cnt"], r["approx_distinct_v"])
+               for r in mv.df().collect()}
+        # COUNT(DISTINCT) ignores NULLs; an all-NULL group counts 0
+        assert got == {("a", 2, 1), ("n", 1, 0)}
+
+    def test_crash_replay_is_idempotent(self, spark, tmp_path, src):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        mv = NdvView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+        mv.refresh()
+        v = mv.table.log.latest().version
+        mv.refresh()  # no new source changes: no-op
+        assert mv.table.log.latest().version == v
+        assert self._got(mv) == self._exact(src)
+
+    def test_validation(self, spark, tmp_path, src):
+        from hudi_spark_plus_spark.table.matview import NdvView
+
+        with pytest.raises(ValueError, match="group and measure"):
+            NdvView(spark, str(tmp_path / "m1"), src, ["g"], ["g"])
+        with pytest.raises(ValueError, match="at least one"):
+            NdvView(spark, str(tmp_path / "m2"), src, ["g"], [])

@@ -20,123 +20,18 @@ the suite pins:
   through this binding converge to the serializable result.
 """
 
-import http.server
 import os
 import threading
 
 import pytest
 
 from hudi_spark_plus_spark.table.commit_log import CommitConflict
-from hudi_spark_plus_spark.table.s3_finalizer import S3ConditionalPutFinalizer
-
-
-class _S3Facade:
-    """In-process S3 conditional-write façade over a backing directory
-    (reads stay on the table path, like the production deployment
-    note in commit_log.py). ``conflict_budget`` injects that many 409
-    ConditionalRequestConflict rejections before letting PUTs through;
-    ``drop_success_responses`` makes the next N successful PUTs die
-    after the write lands (the lost-2xx trap)."""
-
-    def __init__(self, root: str):
-        store = self
-
-        class Handler(http.server.BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _xml_error(self, status, code):
-                body = (
-                    f'<?xml version="1.0" encoding="UTF-8"?>'
-                    f"<Error><Code>{code}</Code>"
-                    f"<Message>{code}</Message></Error>"
-                ).encode()
-                self.send_response(status)
-                self.send_header("Content-Type", "application/xml")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_PUT(self):
-                rel = self.path.lstrip("/")
-                target = os.path.join(store.root, rel)
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n)
-                with store.lock:
-                    store.puts_seen += 1
-                    if store.puts_seen in store.conflict_attempts:
-                        self._xml_error(409, "ConditionalRequestConflict")
-                        return
-                    if store.conflict_budget > 0:
-                        store.conflict_budget -= 1
-                        self._xml_error(409, "ConditionalRequestConflict")
-                        return
-                    if (
-                        self.headers.get("If-None-Match") == "*"
-                        and os.path.exists(target)
-                    ):
-                        self._xml_error(412, "PreconditionFailed")
-                        return
-                    os.makedirs(os.path.dirname(target), exist_ok=True)
-                    with open(target, "wb") as fh:
-                        fh.write(body)
-                    if store.drop_success_responses > 0:
-                        store.drop_success_responses -= 1
-                        # write landed; response never reaches the client
-                        self.connection.close()
-                        return
-                    if store.gateway_502_after_write > 0:
-                        store.gateway_502_after_write -= 1
-                        # write landed upstream; a gateway in front
-                        # answers 502 — the client must treat it as
-                        # ambiguous, not "nothing was written"
-                        self._xml_error(502, "BadGateway")
-                        return
-                self.send_response(200)
-                self.send_header("ETag", '"%032x"' % (hash(body) & (2**128 - 1)))
-                self.send_header("Content-Length", "0")
-                self.end_headers()
-
-            def do_GET(self):
-                rel = self.path.lstrip("/")
-                target = os.path.join(store.root, rel)
-                if not os.path.exists(target):
-                    self._xml_error(404, "NoSuchKey")
-                    return
-                with open(target, "rb") as fh:
-                    body = fh.read()
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-        self.root = root
-        self.lock = threading.Lock()
-        self.conflict_budget = 0
-        self.drop_success_responses = 0
-        self.gateway_502_after_write = 0
-        self.puts_seen = 0
-        self.conflict_attempts = set()  # 1-based PUT indices to 409
-        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self.port = self.httpd.server_address[1]
-        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
-
-    def finalizer(self, **kw):
-        root, port = self.root, self.port
-        return S3ConditionalPutFinalizer(
-            lambda p: f"http://127.0.0.1:{port}/{os.path.relpath(p, root)}",
-            backoff_base_s=0.01,
-            **kw,
-        )
-
-    def close(self):
-        self.httpd.shutdown()
-        self.httpd.server_close()
+from hudi_spark_plus_spark.table.s3_facade import S3Facade
 
 
 @pytest.fixture()
 def facade(tmp_path):
-    f = _S3Facade(str(tmp_path))
+    f = S3Facade(str(tmp_path))
     yield f
     f.close()
 
@@ -361,3 +256,54 @@ class TestExhaustionAmbiguity:
         with pytest.raises(CommitConflict):
             fin.publish('{"v": "x"}', target)
         assert not os.path.exists(target)
+
+
+class TestSyncFinalizerPlugin:
+    def test_sync_batch_publishes_every_commit_through_facade(
+        self, spark, facade, tmp_path, monkeypatch
+    ):
+        """engine.table.commit.finalizer (K9 plugin spec): a CDC sync
+        configured with the S3 factory must publish EVERY table commit
+        via conditional PUT — and survive an injected 409 storm with
+        the same final state."""
+        from hudi_spark_plus_spark.operators.cdc_queries import (
+            build_envelopes,
+            sync_options,
+        )
+        from hudi_spark_plus_spark.operators.sync import sync_batch
+        from hudi_spark_plus_spark.plans import config as cfg
+        from hudi_spark_plus_spark.table.lake_table import LakeTable
+        from hudi_spark_plus_spark.table.s3_facade import (
+            FACADE_ROOT_ENV,
+            FACADE_URL_ENV,
+        )
+
+        work = str(tmp_path)  # facade root == table root (reads local)
+        monkeypatch.setenv(FACADE_URL_ENV, facade.url)
+        monkeypatch.setenv(FACADE_ROOT_ENV, work)
+        events = spark.createDataFrame(
+            [
+                ("db1", "t_customer", 1, "upsert", i, i, f"a{i}", f"b{i}")
+                for i in range(6)
+            ],
+            "db_name string, table_name string, ts long, op string, "
+            "seq long, key_id long, col_a string, col_b string",
+        )
+        env = build_envelopes(events)
+        opts = sync_options(f"{work}/tables")
+        opts[cfg.COMMIT_FINALIZER] = (
+            "hudi_spark_plus_spark.table.s3_facade:finalizer_from_env"
+        )
+        facade.conflict_budget = 2  # storm: retried through, not aborted
+        status = sync_batch(spark, env, opts, batch_id=0)
+        assert all(v == "ok" for v in status.values()), status
+        assert facade.puts_seen >= 3  # commit publishes crossed HTTP
+        t = LakeTable(spark, f"{work}/tables/db1/ods_db1_t_customer")
+        assert t.snapshot().count() == 6
+        # exactly-once survives the binding: replay no-ops, publishing
+        # nothing new through the store
+        seen = facade.puts_seen
+        sync_batch(spark, env, opts, batch_id=0)
+        assert t.snapshot().count() == 6
+        assert t.log.latest().version == 1
+        assert facade.puts_seen == seen
