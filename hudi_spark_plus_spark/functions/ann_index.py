@@ -72,26 +72,13 @@ from hudi_spark_plus_spark.functions.similarity import (
     _pq_recon_expr,
     pq_encode,
     pq_fit_codebooks,
+    sq_dists,
 )
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
 _PARAMS_FILE = "_ann_params.json"
 _CENTROIDS_DIR = "centroids"
 _CODEBOOKS_DIR = "codebooks"
-
-
-def _sq_dists(mat: np.ndarray, centers: np.ndarray) -> np.ndarray:
-    """(B, C) squared distances via |x|² - 2x·c + |c|² — one matmul.
-    The naive ``((mat[:,None,:] - centers[None,:,:])**2).sum(2)``
-    materializes a (B, C, D) float64 tensor: at a deployment-sized
-    quantizer (n_centroids ~ corpus/target_cell_rows, thousands of
-    cells) that is a per-batch memory cliff (10k-row Arrow batch x 4k
-    cells x 64 dims = 20 GB). The expanded form peaks at (B, C)."""
-    return (
-        (mat * mat).sum(axis=1)[:, None]
-        - 2.0 * (mat @ centers.T)
-        + (centers * centers).sum(axis=1)[None, :]
-    )
 
 
 class IvfIndex:
@@ -281,7 +268,7 @@ class IvfIndex:
             if not len(vecs):
                 return pd.Series([], dtype="int32")
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            d2 = _sq_dists(mat, centers)
+            d2 = sq_dists(mat, centers)
             return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
         return df.withColumn("cell", cell_of(vec_col))
@@ -462,7 +449,7 @@ class IvfIndex:
             if not len(vecs):
                 return pd.Series([], dtype=object)
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            d2 = _sq_dists(mat, centers)
+            d2 = sq_dists(mat, centers)
             order = np.argsort(d2, axis=1)[:, :np_].astype(np.int32)
             return pd.Series(list(order))
 

@@ -36,6 +36,26 @@ NORM_EXPR = (
 )
 
 
+def sq_dists(mat, centers):
+    """(B, C) squared distances via |x|² − 2x·c + |c|² — one matmul in
+    float64. The naive ``((mat[:,None,:] - centers[None,:,:])**2)
+    .sum(2)`` materializes a (B, C, D) float64 tensor: at a
+    deployment-sized quantizer (n_centroids ~ corpus/target_cell_rows,
+    thousands of cells) that is a per-Arrow-batch memory cliff (10k
+    rows × 4k cells × 64 dims = 20 GB). The expanded form peaks at
+    (B, C). Shared by every centroid-assignment/probe kernel here and
+    in ann_index.py."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+    centers = np.asarray(centers, dtype=np.float64)
+    return (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ centers.T)
+        + (centers * centers).sum(axis=1)[None, :]
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -130,7 +150,7 @@ def ivf_topk(
         if not len(vecs):
             return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy())  # (n, dim)
-        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(mat, centers)
         order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
@@ -442,7 +462,7 @@ def pq_fit_codebooks(
         init_idx = rng.choice(len(x), size=n_codes, replace=len(x) < n_codes)
         c = x[init_idx].copy()
         for _ in range(iters):
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d2 = sq_dists(x, c)
             assign = d2.argmin(axis=1)
             for ci in range(n_codes):
                 m = assign == ci
@@ -477,7 +497,7 @@ def pq_encode(
         codes = np.empty((len(mat), n_sub), dtype=np.int32)
         for j in range(n_sub):
             x = mat[:, j * sub : (j + 1) * sub]
-            d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            d2 = sq_dists(x, books[j])
             codes[:, j] = d2.argmin(axis=1).astype(np.int32)
         return pd.Series(list(codes))
 
@@ -651,7 +671,7 @@ def ivfpq_topk(
         if not len(vecs):
             return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy())
-        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(mat, centers)
         return pd.Series(
             list(np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32))
         )

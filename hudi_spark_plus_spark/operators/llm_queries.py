@@ -376,12 +376,13 @@ def q_emb_ann_index(spark, sf_dir):
     )
     work = _tf.mkdtemp(prefix="hsp_annidx_")
     try:
-        # buckets=2: with the cell-partitioned layout (r12) files split
-        # by (cell, key-bucket); cell pruning does the search-side work
-        # and 16 cells x 8 buckets would write 128 files per commit at
-        # fixture scale for nothing
+        # 8 cells x 2 buckets: with the cell-partitioned layout (r12)
+        # files split by (cell, key-bucket) — the oracle construction
+        # is independent of the quantizer size (identical vectors
+        # co-assign under ANY centroids), so fixture file counts stay
+        # small where 16x8 would write 128 files per commit for nothing
         idx = IvfIndex.build(
-            spark, f"{work}/idx", e, n_centroids=16, buckets=2
+            spark, f"{work}/idx", e, n_centroids=8, buckets=2
         )
         idx.add(planted, "b-plant")
         ver = idx.table.log.latest().version
@@ -437,7 +438,7 @@ def q_emb_ann_index_pq(spark, sf_dir):
     work = _tf.mkdtemp(prefix="hsp_annpq_")
     try:
         idx = IvfIndex.build(
-            spark, f"{work}/idx", e, n_centroids=16, buckets=2,
+            spark, f"{work}/idx", e, n_centroids=8, buckets=2,
             pq=True, n_sub=8, n_codes=16,
         )
         if "vec" in idx.assignments().columns:

@@ -143,6 +143,15 @@ _PINNED = [
     #   family re-flags on the table/ blob for these additive surfaces;
     #   the plugin itself is pinned by the sync-through-facade test and
     #   the cdc_s3 bench phase.
+    # - similarity.py distance kernels rewritten to the shared matmul
+    #   sq_dists (the (B,C,D) broadcast memory cliff, float64-pinned):
+    #   flags the one-shot ANN family (q-emb-ann-ivf/-pq/-ivfpq). Their
+    #   oracle constructions are centroid-independent (planted exact
+    #   copies + code-match/exact-re-rank arms) and all six affected
+    #   queries were re-oracled hash-green in-session after the change;
+    #   a numpy equivalence test pins kernel parity (argmin/argsort).
+    #   Not pinned: the pin list is at its ≤10 cap with higher-value
+    #   entries, and the outputs are construction-identical.
 ]
 
 

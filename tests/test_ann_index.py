@@ -357,3 +357,23 @@ class TestOpsTooling:
         }
         got = fresh.search(vecs(spark, rows[5:8]), k=3, nprobe=2).collect()
         assert got
+
+
+def test_sq_dists_matches_naive_broadcast():
+    """The matmul distance kernel (similarity.sq_dists) must agree with
+    the naive (B, C, D) broadcast it replaced — same argmin/argsort,
+    values equal to float tolerance — while peaking at (B, C) memory."""
+    from hudi_spark_plus_spark.functions.similarity import sq_dists
+
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(50, 16)).astype(np.float32)  # float32 input ok
+    centers = rng.normal(size=(7, 16)) * 3
+    naive = (
+        (mat.astype(np.float64)[:, None, :] - centers[None, :, :]) ** 2
+    ).sum(axis=2)
+    got = sq_dists(mat, centers)
+    assert np.allclose(got, naive, atol=1e-9)
+    assert (got.argmin(axis=1) == naive.argmin(axis=1)).all()
+    assert (
+        np.argsort(got, axis=1) == np.argsort(naive, axis=1)
+    ).all()
