@@ -441,8 +441,108 @@ def q_stream_neardup(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_ann_index(spark, sf_dir):
+    """STREAMING maintenance of the persistent ANN index
+    (functions/ann_index.py IvfIndex.add driven from Structured
+    Streaming foreachBatch, exactly-once per stream batch id — the
+    StreamingNearDup move applied to similarity state): the index is
+    built on the natural corpus, then two micro-batches stream in 6
+    exact copies of every query (j=1..3 in batch 0, j=4..6 in batch
+    1); inside each batch the add is immediately REPLAYED with the
+    same stream batch id and must no-op (the crash window of a
+    foreachBatch restart). After the stream, copies j=1 are removed
+    and batch 0 is re-read from its spool and replayed once more —
+    suppressed by batch-id idempotence (and an unsuppressed stale
+    write would lose version-derived LWW anyway, unit-tested in
+    test_ann_index). Search then returns exactly copies j=2..6 per
+    query at sim 1.0, ranked by n_id — the same deterministic
+    construction (and oracle) as q-emb-ann-index, with the mutation
+    lifecycle arriving through a real stream + checkpoint instead of
+    batch calls."""
+    from hudi_spark_plus_spark.functions.ann_index import IvfIndex
+    from hudi_spark_plus_spark.operators.llm_queries import _id_offset
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = _id_offset(e, "vec_id")
+    queries = e.where(F.col("vec_id") < 10)
+
+    def copies(j_lo, j_hi):
+        return (
+            queries.withColumn(
+                "j",
+                F.explode(F.array([F.lit(i) for i in range(j_lo, j_hi)])),
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.col("j") * F.lit(off))
+            .drop("j")
+        )
+
+    work = tempfile.mkdtemp(prefix="hsp_streamann_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{work}/idx", e, n_centroids=8, buckets=2
+        )
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        for i, b in enumerate((copies(1, 4), copies(4, 7))):
+            with open(os.path.join(src_dir, f"batch{i}.json"), "w") as fh:
+                for r in b.collect():  # bounded spool: 30 rows/batch
+                    fh.write(
+                        json.dumps(
+                            {
+                                "vec_id": r["vec_id"],
+                                "embedding": list(r["embedding"]),
+                            }
+                        )
+                        + "\n"
+                    )
+
+        def on_batch(bdf, bid):
+            idx.add(bdf, f"sb{bid}")
+            ver = idx.table.log.latest().version
+            idx.add(bdf, f"sb{bid}")  # in-flight replay: exactly-once
+            if idx.table.log.latest().version != ver:
+                raise AssertionError("replayed stream add committed twice")
+
+        src = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "availableNow stream did not finish within 300s"
+                )
+        finally:
+            q.stop()
+        removed = [
+            int(r["vec_id"]) + off
+            for r in queries.select("vec_id").collect()
+        ]
+        idx.remove(removed, "b-gc")
+        # stale crash-replay of batch 0 AFTER the remove
+        b0 = spark.read.schema("vec_id long, embedding array<double>").json(
+            os.path.join(src_dir, "batch0.json")
+        )
+        idx.add(b0, "sb0")
+        if idx.assignments().where(F.col("id").isin(removed)).count():
+            raise AssertionError("stale stream add resurrected removed ids")
+        out = idx.search(queries, k=5, nprobe=4).orderBy("q_id", "rank")
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_QUERIES = {
     "q-stream-neardup": q_stream_neardup,
+    "q-stream-ann-index": q_stream_ann_index,
     "q-stream-lake-source": q_stream_lake_source,
     "q-stream-static-join": q_stream_static_join,
     "q-stream-stateful-dedup": q_stream_stateful_dedup,
@@ -471,6 +571,21 @@ def _sh_cte(src: str) -> str:
 
 
 STREAM_ORACLES = {
+    # identical construction (and oracle) to q-emb-ann-index: the
+    # surviving copies are j=2..6 per query at sim 1.0, ranked by n_id
+    "q-stream-ann-index": """
+        WITH off AS (
+          SELECT CAST(POWER(10, CEIL(LOG10(MAX(vec_id) + 2))) AS BIGINT) AS o
+          FROM embeddings
+        )
+        SELECT e.vec_id AS q_id,
+               CAST(e.vec_id + (SELECT o FROM off) * j AS BIGINT) AS n_id,
+               CAST(1.0 AS DOUBLE) AS sim,
+               CAST(j - 1 AS INT) AS rank
+        FROM embeddings e, UNNEST(generate_series(2, 6)) AS t(j)
+        WHERE e.vec_id < 10
+        ORDER BY q_id, rank
+    """,
     # full replay INCLUDING the survivor-state construction: batch-0
     # survivors join the probe state for batch 1, so a batch-1 copy of
     # a batch-0 fresh doc pairs iff its source survived batch 0

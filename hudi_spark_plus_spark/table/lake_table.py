@@ -120,6 +120,15 @@ class IncompatibleSchemaChange(ValueError):
 # with key-equality predicates skip row groups server-side.
 _BLOOM_OPTS = {
     f"parquet.bloom.filter.enabled#{KEY_COL}": "true",
+    # ~125 KB bloom per file at this NDV — sized for PACKED files
+    # (compaction output), where row-group key pruning earns it; on
+    # the small files micro-batch ingest writes it is a measured
+    # ~130 KB/file floor that compaction folds away. parquet-mr
+    # 1.16's adaptive bloom (pick the smallest candidate covering the
+    # file's actual NDV) would fix the small-file overhead, but
+    # Spark's writer builds ParquetProperties from its own explicit
+    # key list and silently ignores parquet.bloom.filter.adaptive.*
+    # (verified empirically: byte-identical files with the flag set).
     f"parquet.bloom.filter.expected.ndv#{KEY_COL}": "100000",
 }
 

@@ -779,3 +779,63 @@ class TestNdvView:
             NdvView(spark, str(tmp_path / "m1"), src, ["g"], ["g"])
         with pytest.raises(ValueError, match="at least one"):
             NdvView(spark, str(tmp_path / "m2"), src, ["g"], [])
+
+
+def test_ndv_view_streaming_maintenance_composes(spark, tmp_path, src):
+    """Same deployment shape as the AggregateView streaming test: the
+    foreachBatch that merges the source refreshes the NdvView — the
+    hybrid union/recompute split is per-slice, so it works identically
+    when slices arrive as micro-batches."""
+    import os
+
+    from hudi_spark_plus_spark.table.matview import NdvView
+
+    mv = NdvView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        [("k4", 2, "upsert", "c", 7), ("k5", 2, "upsert", "a", 10)],
+        [("k2", 3, "upsert", "b", 25), ("k3", 3, "delete", "b", 5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "_key string, _ts long, _op string, g string, v long"
+        ).coalesce(1).write.mode("overwrite").json(f"{feed}/b{i}")
+
+    def apply_batch(df, epoch_id):
+        if df.isEmpty():
+            return
+        src.merge(df, batch_id=f"stream-{epoch_id}")
+        mv.refresh()
+
+    stream = (
+        spark.readStream.schema(
+            "_key string, _ts long, _op string, g string, v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{feed}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    mv.refresh()  # cover any trailing batch
+    exp = {
+        (r["g"], r["cnt"], r["nd"])
+        for r in src.snapshot()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.countDistinct("v").cast("long").alias("nd"),
+        )
+        .collect()
+    }
+    got = {
+        (r["g"], r["cnt"], r["approx_distinct_v"])
+        for r in mv.df().collect()
+    }
+    assert got == exp
+    assert mv.watermark() == src.log.latest().version
