@@ -18,15 +18,21 @@ the same move as ``SignatureStore`` for dedup state:
 * **cell assignments are a lake table PARTITIONED BY CELL** with a
   GLOBAL key index (H4 + H11): ``add(df, batch_id)`` assigns cells
   (one Arrow-vectorized pandas_udf against the broadcast centroid
-  matrix) and merges exactly once per ``batch_id`` (H5 — a
-  crash-replayed ingest cannot double-add, and a STALE replayed add
-  cannot resurrect a vector a later ``remove`` tombstoned, because
-  operation timestamps are version-derived LWW); ``remove(ids,
-  batch_id)`` is O(removed) key tombstones, no index rewrite — the
-  tombstone carries no cell (global-index identity is the key ALONE,
-  so the merge consumes the victim's copy in whatever cell partition
-  it lives in). Re-adding an id is an upsert that RELOCATES the
-  record to its new cell partition.
+  matrix) and merges exactly once per ``batch_id`` (H5) — a
+  crash-replayed ingest, including one replayed AFTER a later
+  ``remove``, is suppressed by batch-id idempotence and cannot
+  double-add or resurrect. That suppression is bounded by the vacuum
+  horizon like every batch id (H5's standard caveat: size
+  ``keep_last`` to the ingest pipeline's replay horizon — a replay
+  older than retention is not distinguishable from a new operation).
+  Version-derived ``_ts`` orders DISTINCT operations: a later remove
+  outranks every earlier add's rows, and a genuine re-add outranks
+  the tombstone. ``remove(ids, batch_id)`` is O(removed) key
+  tombstones, no index rewrite — the tombstone carries no cell
+  (global-index identity is the key ALONE, so the merge consumes the
+  victim's copy in whatever cell partition it lives in). Re-adding an
+  id is an upsert that RELOCATES the record to its new cell
+  partition.
 * **search I/O is pruned to the probed cells** (VERDICT r11 directive
   1): queries probe their ``nprobe`` nearest cells, the bounded
   distinct probed-cell set (≤ n_centroids values) prunes the
@@ -528,18 +534,36 @@ class IvfIndex:
             )
             # the candidate set is bounded (≤ refine+matches per query)
             # — broadcast it INTO the raw-vector scan, never shuffle
-            # the corpus
-            cset = raw.join(
+            # the corpus. One materialization of the matched rows so
+            # the anti-probe below does not re-run the corpus scan.
+            matched = raw.join(
                 F.broadcast(cset.drop("_recon")), "n_id"
+            ).localCheckpoint(eager=True)
+            # candidates ABSENT from exact_source (the index outgrew
+            # the corpus table the caller re-ranks against) fall back
+            # to their ADC-reconstructed vector instead of silently
+            # vanishing from the top-k (review r12 #3) — their sim
+            # carries quantization noise, an exact-source gap the
+            # caller owns, but a true neighbor is never dropped.
+            missing = cset.alias("c").join(
+                F.broadcast(
+                    matched.select("n_id", "q_id").alias("m")
+                ),
+                (F.col("c.n_id") == F.col("m.n_id"))
+                & (F.col("c.q_id") == F.col("m.q_id")),
+                "anti",
+            ).select(
+                "q_id", "q_vec", "n_id",
+                F.col("_recon").alias("n_vec"),
             )
-            dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
-            nq = F.expr(NORM_EXPR.format(a="q_vec"))
-            nc = F.expr(NORM_EXPR.format(a="n_vec"))
+            cset = matched.select(
+                "q_id", "q_vec", "n_id", "n_vec"
+            ).unionByName(missing)
         else:
             cset = cset.withColumnRenamed("_recon", "n_vec")
-            dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
-            nq = F.expr(NORM_EXPR.format(a="q_vec"))
-            nc = F.expr(NORM_EXPR.format(a="n_vec"))
+        dot = F.expr(DOT_EXPR.format(a="q_vec", b="n_vec"))
+        nq = F.expr(NORM_EXPR.format(a="q_vec"))
+        nc = F.expr(NORM_EXPR.format(a="n_vec"))
         scored = cset.select(
             "q_id", "n_id", (dot / (nq * nc)).alias("sim_raw")
         )

@@ -354,7 +354,7 @@ def q_emb_ann_index(spark, sf_dir):
     control — 6 exact copies of every query ADDED as one batch
     (exactly-once: the add is REPLAYED and must no-op), copy j=1
     REMOVED (O(removed) tombstones), and the stale add replayed AGAIN
-    (the tombstone must win version-derived LWW, never resurrect).
+    (suppressed by batch-id idempotence, H5 — never a resurrect).
     Search then returns exactly copies j=2..6 per query at sim 1.0
     (identical vector -> identical cell -> own probe set), ranked by
     n_id — deterministic regardless of which other cells probe."""
@@ -391,7 +391,7 @@ def q_emb_ann_index(spark, sf_dir):
             raise AssertionError("replayed add committed twice")
         removed = [int(r["vec_id"]) + off for r in queries.select("vec_id").collect()]
         idx.remove(removed, "b-gc")
-        idx.add(planted, "b-plant")  # STALE replay: tombstones must win
+        idx.add(planted, "b-plant")  # stale replay: H5 suppresses it
         if idx.assignments().where(
             F.col("id").isin(removed)
         ).count():
@@ -414,7 +414,7 @@ def q_emb_ann_index_pq(spark, sf_dir):
     their raw vectors from the corpus (exact_source). Same planted-copy
     lifecycle as q-emb-ann-index — 6 exact copies added (replayed:
     exactly-once no-op), copy j=1 removed, the stale add replayed again
-    (version-derived LWW: tombstone wins) — and the same deterministic
+    (suppressed by batch-id idempotence, H5) — and the same deterministic
     answer: copies j=2..6 per query at sim 1.0, ranked by n_id (exact
     duplicates encode to the query's own codes, so the code-match arm
     makes them candidates regardless of ADC rank; exact re-rank scores
@@ -450,7 +450,7 @@ def q_emb_ann_index_pq(spark, sf_dir):
             raise AssertionError("replayed add committed twice")
         removed = [int(r["vec_id"]) + off for r in queries.select("vec_id").collect()]
         idx.remove(removed, "b-gc")
-        idx.add(planted, "b-plant")  # STALE replay: tombstones must win
+        idx.add(planted, "b-plant")  # stale replay: H5 suppresses it
         if idx.assignments().where(F.col("id").isin(removed)).count():
             raise AssertionError("stale add resurrected removed vectors")
         out = idx.search(

@@ -452,9 +452,9 @@ def q_stream_ann_index(spark, sf_dir):
     same stream batch id and must no-op (the crash window of a
     foreachBatch restart). After the stream, copies j=1 are removed
     and batch 0 is re-read from its spool and replayed once more —
-    suppressed by batch-id idempotence (and an unsuppressed stale
-    write would lose version-derived LWW anyway, unit-tested in
-    test_ann_index). Search then returns exactly copies j=2..6 per
+    suppressed by batch-id idempotence (H5; the suppression horizon
+    is the vacuum retention, the same caveat every batch id carries —
+    ann_index.py module docstring). Search then returns copies j=2..6 per
     query at sim 1.0, ranked by n_id — the same deterministic
     construction (and oracle) as q-emb-ann-index, with the mutation
     lifecycle arriving through a real stream + checkpoint instead of

@@ -40,16 +40,47 @@ Regenerate the baseline with::
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
 import json
+import re
 import sys
 from pathlib import Path
 
+# function-LOCAL imports (`from hudi_spark_plus_spark.x import a, b`
+# inside a query body) bind names at call time, so getattr on the
+# query's module globals can never see them — without this the closure
+# was blind to exactly those dependencies (review r12 #2: the sq_dists
+# kernel rewrite changed pq_topk/ivfpq_topk and q-emb-ann-pq/-ivfpq
+# hashes did not move, defeating the pin guard)
+_LOCAL_IMPORT_RE = re.compile(
+    r"from\s+(hudi_spark_plus_spark[\w.]*)\s+import\s+(\([^)]*\)|[^\n]+)"
+)
+
+
+def _imported_names(spec: str) -> list[str]:
+    """'(a,\n b as c)' / 'a, b  # note' -> bound names."""
+    spec = spec.strip().strip("()")
+    out = []
+    for piece in spec.split(","):
+        piece = piece.split("#", 1)[0].strip()
+        if not piece:
+            continue
+        # fold the SOURCE object (before 'as'): the hash tracks what
+        # the dependency IS, not what the query calls it
+        out.append(piece.split(" as ", 1)[0].strip())
+    return out
+
 
 def _source_closure(fn, seen: set | None = None) -> str:
-    """fn's source + the sources of hudi_spark_plus_spark functions it
-    references by (global) name, recursively; plus repr of simple
-    constants it reads. Deterministic traversal order."""
+    """fn's source + the sources of hudi_spark_plus_spark functions AND
+    classes it references by (global) name OR imports function-locally,
+    recursively; plus repr of simple constants it reads. Classes fold
+    their full source and recurse through their methods' dependencies
+    (review r12 #2 follow-through: q-emb-ann-index's hash must move
+    when IvfIndex — or anything IvfIndex calls — changes, without
+    relying on the coarse q-lake-*/q-cdc-* whole-dir blobs).
+    Deterministic traversal order."""
     if seen is None:
         seen = set()
     key = (getattr(fn, "__module__", ""), getattr(fn, "__qualname__", ""))
@@ -62,25 +93,45 @@ def _source_closure(fn, seen: set | None = None) -> str:
         return ""
     mod = sys.modules.get(fn.__module__)
     parts = [src]
-    code = getattr(fn, "__code__", None)
-    if mod is None or code is None:
+    if mod is None:
         return src
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        if inspect.isclass(fn):
+            for _, meth in sorted(inspect.getmembers(fn, inspect.isfunction)):
+                if getattr(meth, "__module__", "").startswith(
+                    "hudi_spark_plus_spark"
+                ):
+                    parts.append(_source_closure(meth, seen))
+        return "\n".join(parts)
     names = set(code.co_names)
     # constants/functions referenced from nested code objects (lambdas,
     # inner defs) too
     for const in code.co_consts:
         if hasattr(const, "co_names"):
             names.update(const.co_names)
-    for name in sorted(names):
-        obj = getattr(mod, name, None)
+
+    def fold(name: str, obj) -> None:
         if obj is None:
-            continue
-        if inspect.isfunction(obj) and getattr(obj, "__module__", "").startswith(
+            return
+        if (
+            inspect.isfunction(obj) or inspect.isclass(obj)
+        ) and getattr(obj, "__module__", "").startswith(
             "hudi_spark_plus_spark"
         ):
             parts.append(_source_closure(obj, seen))
         elif isinstance(obj, (int, float, str, tuple, frozenset)):
             parts.append(f"{name}={obj!r}")
+
+    for name in sorted(names):
+        fold(name, getattr(mod, name, None))
+    for m in _LOCAL_IMPORT_RE.finditer(src):
+        try:
+            imported = importlib.import_module(m.group(1))
+        except ImportError:
+            continue
+        for nm in _imported_names(m.group(2)):
+            fold(nm, getattr(imported, nm, None))
     return "\n".join(parts)
 
 

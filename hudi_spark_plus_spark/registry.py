@@ -94,6 +94,12 @@ _PINNED = [
     #   directive-7 record_histories base); single-key output is
     #   construction-identical but the engine path is rewritten
     "q-lake-record-history",
+    # - q-emb-ann-pq / q-emb-ann-ivfpq: the sq_dists kernel rewrite
+    #   changed their pq_topk/ivfpq_topk path (review r12 #2 exposed
+    #   that the old closure was blind to it — both re-oracled
+    #   hash-green in-session, pinned for a driver row on current code)
+    "q-emb-ann-pq",
+    "q-emb-ann-ivfpq",
     # NOT pinned although flagged/changed:
     # - q-lake-clone: clone_table's pin naming + carried_batch_ids are
     #   new metadata the fixture's OUTPUT never observes (verified
@@ -145,13 +151,21 @@ _PINNED = [
     #   the cdc_s3 bench phase.
     # - similarity.py distance kernels rewritten to the shared matmul
     #   sq_dists (the (B,C,D) broadcast memory cliff, float64-pinned):
-    #   flags the one-shot ANN family (q-emb-ann-ivf/-pq/-ivfpq). Their
-    #   oracle constructions are centroid-independent (planted exact
-    #   copies + code-match/exact-re-rank arms) and all six affected
-    #   queries were re-oracled hash-green in-session after the change;
-    #   a numpy equivalence test pins kernel parity (argmin/argsort).
-    #   Not pinned: the pin list is at its ≤10 cap with higher-value
-    #   entries, and the outputs are construction-identical.
+    #   flags the one-shot ANN family. Oracle constructions are
+    #   centroid-independent (planted exact copies + code-match/
+    #   exact-re-rank arms); all six affected queries re-oracled
+    #   hash-green in-session, a numpy equivalence test pins kernel
+    #   parity, and q-emb-ann-pq/-ivfpq are pinned above (review r12
+    #   #2: the pre-fix closure missed their function-local imports).
+    # - review r12 batch: snapshot_pruned_to_groups/files_for_* gained
+    #   version= (None = latest, byte-identical default); matview
+    #   recomputes now PIN the watermark version (q-lake-matview-ndv is
+    #   never-verified and sorts first; -minmax/-pruned re-oracled
+    #   hash-green in-session — single-writer fixtures are unaffected
+    #   by the pin, documented not pinned); the pin-lint closure itself
+    #   got deeper (classes + function-local imports), which moves ~80
+    #   hashes WITHOUT semantic change — baseline regenerated, the new
+    #   closure is the guard the old one claimed to be.
 ]
 
 

@@ -1591,7 +1591,7 @@ class LakeTable:
             self.refresh_functional_index(n)
 
     def files_for_values(
-        self, col: str, values, partitions=None
+        self, col: str, values, partitions=None, version: int | None = None
     ) -> tuple[list, list]:
         """(kept, live): the file-pruning decision behind
         ``scan_for_values``, exposed for plan inspection. Unindexed
@@ -1610,9 +1610,11 @@ class LakeTable:
             )
         probes = [self._index_probe_str(v) for v in values]
         if not probes:
-            return [], self.log.live_files()
+            return [], self.log.live_files(version)
         entries = idx["entries"]
-        live = self._prune_partitions(self.log.live_files(), partitions)
+        live = self._prune_partitions(
+            self.log.live_files(version), partitions
+        )
 
         def might_hit(f: FileEntry) -> bool:
             b = entries.get(f.path)
@@ -1685,7 +1687,7 @@ class LakeTable:
     PRUNE_PROBE_CAP = 2000
 
     def files_for_any_value(
-        self, col: str, values
+        self, col: str, values, version: int | None = None
     ) -> tuple[list, list] | None:
         """Best-available FILE pruning for an equality value-SET on
         ``col`` — the partial-recompute feeder (VERDICT r9 #1): a
@@ -1714,7 +1716,7 @@ class LakeTable:
             and all(isinstance(v, (str, int, bool)) for v in non_null)
             and self.secondary_index(col) is not None
         ):
-            return self.files_for_values(col, non_null)
+            return self.files_for_values(col, non_null, version=version)
         # 2. identity partition field — each file's single exact
         # partition value; nulls render as the "default" partition, so
         # null probes prune fine. Floats are skipped (Python str() vs
@@ -1728,7 +1730,7 @@ class LakeTable:
                 else str(v)
                 for v in vals
             }
-            live = self.log.live_files()
+            live = self.log.live_files(version)
             hits = [
                 f for f in live if f.partition is None or f.partition in keep
             ]
@@ -1744,7 +1746,7 @@ class LakeTable:
                 if fld.name == col:
                     phys = self._physical_of(fld)
                     break
-        live = self.log.live_files()
+        live = self.log.live_files(version)
         if not any((f.col_stats or {}).get(phys) for f in live):
             return None
 
@@ -1769,6 +1771,7 @@ class LakeTable:
         group_cols: list[str],
         max_broadcast_groups: int | None = None,
         stats_out: dict | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Snapshot slice holding exactly the ``affected`` groups' rows
         — the scan side of every partial-recompute maintenance path
@@ -1785,7 +1788,16 @@ class LakeTable:
           cardinality a full recompute-shaped plan is the right one).
 
         ``stats_out`` (optional dict) receives {strategy, prune_col,
-        files_kept, files_live, groups} for tests/observability."""
+        files_kept, files_live, groups} for tests/observability.
+
+        ``version`` pins the read to a committed version (time-travel
+        pruning + scan). Maintenance consumers MUST pass their
+        watermark target: a matview refresh that captured ``end`` but
+        recomputes from the unpinned latest snapshot would absorb rows
+        a concurrent writer committed AFTER ``end`` — and the next
+        slice, classified insert-only, would add those rows AGAIN
+        (review r12 #1: permanent cnt drift in NdvView's union path;
+        MinMaxView merely self-healed)."""
         import logging as _logging
 
         cap = (
@@ -1806,7 +1818,7 @@ class LakeTable:
                 strategy="shuffle-semi", prune_col=None,
                 files_kept=None, files_live=None, groups=None,
             )
-            snap = self.snapshot().alias("s")
+            snap = self.snapshot(version=version).alias("s")
             return snap.join(
                 affected.alias("a"),
                 self._group_eq("s", "a", group_cols),
@@ -1818,7 +1830,9 @@ class LakeTable:
         )
         snap = None
         for c in group_cols:
-            pruned = self.files_for_any_value(c, [r[c] for r in rows])
+            pruned = self.files_for_any_value(
+                c, [r[c] for r in rows], version=version
+            )
             if pruned is None:
                 continue
             kept, live = pruned
@@ -1829,7 +1843,7 @@ class LakeTable:
                 snap = self._snapshot_of_files(kept)
                 break
         if snap is None:
-            snap = self.snapshot()
+            snap = self.snapshot(version=version)
         # the semi-join stays even when files pruned: Bloom false
         # positives / widened buckets / coarse stats admit extra rows
         local = self.spark.createDataFrame(rows, affected.schema)

@@ -51,6 +51,34 @@ _BATCH_PREFIX = "mv-"
 _GC_PREFIX = "mvgc-"
 
 
+def _watermark_of(table: LakeTable) -> int:
+    """Highest source version applied to a view — parsed from the
+    view's own commit batch ids (``mv-<begin>-<end>``), so it is atomic
+    with the data. Shared by every view class: the batch-id encoding
+    (and its ``rsplit("-", 1)`` parse contract) must never diverge
+    between views (review r12 #5)."""
+    hi = 0
+    for v in table.log.versions():
+        b = table.log.read(v).batch_id or ""
+        if b.startswith(_BATCH_PREFIX):
+            try:
+                hi = max(hi, int(b.rsplit("-", 1)[1]))
+            except ValueError:
+                continue
+    return hi
+
+
+def _nullsafe_eq(group_cols: list[str], left: str, right: str):
+    """Null-safe group-tuple equality across two aliases — the join
+    condition every affected-group/dead-group probe uses (NULL group
+    values are real groups)."""
+    cond = None
+    for c in group_cols:
+        e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 class AggregateView:
     """An incrementally-maintained COUNT/SUM aggregate of a source
     ``LakeTable``, itself stored as a ``LakeTable`` keyed by the group
@@ -113,17 +141,9 @@ class AggregateView:
     # -- watermark ----------------------------------------------------------
 
     def watermark(self) -> int:
-        """Highest source version applied to the view — parsed from the
-        view's own commit batch ids, so it is atomic with the data."""
-        hi = 0
-        for v in self.table.log.versions():
-            b = self.table.log.read(v).batch_id or ""
-            if b.startswith(_BATCH_PREFIX):
-                try:
-                    hi = max(hi, int(b.rsplit("-", 1)[1]))
-                except ValueError:
-                    continue
-        return hi
+        """Highest source version applied to the view (see
+        ``_watermark_of``)."""
+        return _watermark_of(self.table)
 
     # -- maintenance --------------------------------------------------------
 
@@ -358,18 +378,9 @@ class MinMaxView:
         self.last_prune: dict = {}
 
     def watermark(self) -> int:
-        """Highest source version applied — parsed from the view's own
-        commit batch ids (atomic with the data, same as
-        ``AggregateView``)."""
-        hi = 0
-        for v in self.table.log.versions():
-            b = self.table.log.read(v).batch_id or ""
-            if b.startswith(_BATCH_PREFIX):
-                try:
-                    hi = max(hi, int(b.rsplit("-", 1)[1]))
-                except ValueError:
-                    continue
-        return hi
+        """Highest source version applied to the view (see
+        ``_watermark_of``)."""
+        return _watermark_of(self.table)
 
     def refresh(self) -> dict:
         latest = self.source.log.latest()
@@ -387,7 +398,7 @@ class MinMaxView:
             *[F.col(f"_before_{c}").alias(c) for c in self.group_cols]
         )
         affected = after.unionByName(before).distinct()
-        recomputed = self._recompute_frame(affected)
+        recomputed = self._recompute_frame(affected, version=end)
         measures = ["cnt"] + [
             f"{p}_{c}" for c in self.minmax_cols for p in ("min", "max")
         ]
@@ -433,7 +444,9 @@ class MinMaxView:
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
         return {"begin": begin, "end": end, "groups_touched": n}
 
-    def _recompute_frame(self, affected: DataFrame) -> DataFrame:
+    def _recompute_frame(
+        self, affected: DataFrame, version: int | None = None
+    ) -> DataFrame:
         """Re-aggregate the source snapshot for ONLY the affected
         groups. The scan side is ``snapshot_pruned_to_groups`` (VERDICT
         r9 #1): when a group column has a secondary index, is the
@@ -445,7 +458,8 @@ class MinMaxView:
         ``self.last_prune`` for tests/observability."""
         self.last_prune = {}
         pruned = self.source.snapshot_pruned_to_groups(
-            affected, self.group_cols, stats_out=self.last_prune
+            affected, self.group_cols, stats_out=self.last_prune,
+            version=version,
         )
         return pruned.groupBy(*self.group_cols).agg(
             F.count("*").cast("long").alias("cnt"),
@@ -460,11 +474,7 @@ class MinMaxView:
         )
 
     def _nullsafe(self, left: str, right: str):
-        cond = None
-        for c in self.group_cols:
-            e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
-            cond = e if cond is None else (cond & e)
-        return cond
+        return _nullsafe_eq(self.group_cols, left, right)
 
     def df(self) -> DataFrame:
         """Current view contents: group_cols + cnt + min_/max_<col>."""
@@ -541,15 +551,9 @@ class NdvView:
         self.last_prune: dict = {}
 
     def watermark(self) -> int:
-        hi = 0
-        for v in self.table.log.versions():
-            b = self.table.log.read(v).batch_id or ""
-            if b.startswith(_BATCH_PREFIX):
-                try:
-                    hi = max(hi, int(b.rsplit("-", 1)[1]))
-                except ValueError:
-                    continue
-        return hi
+        """Highest source version applied to the view (see
+        ``_watermark_of``)."""
+        return _watermark_of(self.table)
 
     # sketches hash the STRING rendering (same doctrine as table/ndv.py:
     # one value space regardless of column type, cross-type stable)
@@ -561,11 +565,7 @@ class NdvView:
         ).alias(f"ndv_{col}")
 
     def _nullsafe(self, left: str, right: str):
-        cond = None
-        for c in self.group_cols:
-            e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
-            cond = e if cond is None else (cond & e)
-        return cond
+        return _nullsafe_eq(self.group_cols, left, right)
 
     def _group_key(self):
         return F.to_json(
@@ -646,11 +646,20 @@ class NdvView:
                     for sc in sketch_cols
                 ],
             )
-        # dirty groups: rebuild from the file-pruned snapshot slice
+        # one materialization: the union pipeline (CDC read + stored-
+        # state point lookup + joins) would otherwise execute twice —
+        # once for the stats count, once for the merge (review r12 #6)
+        union_delta = union_delta.localCheckpoint(eager=True)
+        # dirty groups: rebuild from the file-pruned snapshot slice,
+        # PINNED at the captured watermark version — the unpinned
+        # latest snapshot would absorb rows a concurrent writer
+        # committed after `end`, which the next slice's union path
+        # would then add AGAIN (review r12 #1: permanent cnt drift)
         self.last_prune = {}
         recomputed = (
             self.source.snapshot_pruned_to_groups(
-                dirty, self.group_cols, stats_out=self.last_prune
+                dirty, self.group_cols, stats_out=self.last_prune,
+                version=end,
             )
             .groupBy(*self.group_cols)
             .agg(
@@ -697,6 +706,7 @@ class NdvView:
         # emptied groups' deletion are atomic (no GC window)
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
         dirty.unpersist()
+        union_delta.unpersist()
         return {
             "begin": begin,
             "end": end,

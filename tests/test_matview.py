@@ -839,3 +839,49 @@ def test_ndv_view_streaming_maintenance_composes(spark, tmp_path, src):
     }
     assert got == exp
     assert mv.watermark() == src.log.latest().version
+
+
+def test_ndv_recompute_is_pinned_to_watermark_version(
+    spark, tmp_path, src, monkeypatch
+):
+    """Review r12 #1: a refresh that captured end=V must recompute
+    dirty groups from the snapshot AT V — reading the unpinned latest
+    would absorb rows a concurrent writer commits mid-refresh, and the
+    next slice (classifying them insert-only) would union them AGAIN,
+    permanently overcounting cnt. Simulated by landing a concurrent
+    insert inside incremental_cdc, i.e. after the slice is captured
+    and before the recompute action runs."""
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import NdvView
+
+    mv = NdvView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+    mv.refresh()
+    # make 'a' DIRTY at v2 (an update forces the recompute path)
+    src.merge(mk(spark, [("k1", 2, "upsert", "a", 99)]), "b2")
+    real_cdc = LakeTable.incremental_cdc
+
+    def racing(self, begin, end):
+        out = real_cdc(self, begin, end)
+        # concurrent writer lands v3 INSERTS into 'a' mid-refresh
+        self.merge(mk(spark, [("k9", 3, "upsert", "a", 123)]), "b3-race")
+        return out
+
+    monkeypatch.setattr(LakeTable, "incremental_cdc", racing)
+    mv.refresh()  # end=2: the recompute must NOT see v3's row
+    monkeypatch.setattr(LakeTable, "incremental_cdc", real_cdc)
+    mv.refresh()  # v3 arrives through its own slice (union path)
+    exp = {
+        (r["g"], r["cnt"], r["nd"])
+        for r in src.snapshot()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.countDistinct("v").cast("long").alias("nd"),
+        )
+        .collect()
+    }
+    got = {
+        (r["g"], r["cnt"], r["approx_distinct_v"])
+        for r in mv.df().collect()
+    }
+    assert got == exp  # pre-fix: cnt('a') overcounts k9 by one

@@ -116,3 +116,20 @@ def test_oracle_types_and_nonvacuous():
         f"CAST(... AS BIGINT) / CAST(... AS DOUBLE)): {bad_types}"
     )
     assert not vacuous, f"oracles returning 0 rows at sf0.01: {vacuous}"
+
+
+def test_pin_lint_closure_sees_local_imports_and_classes():
+    """Review r12 #2: the closure must fold dependencies reached ONLY
+    through function-local imports (the sq_dists rewrite changed
+    pq_topk and q-emb-ann-pq's hash did not move), and must fold
+    engine CLASSES with their methods' transitive deps (q-emb-ann-index
+    must track IvfIndex and everything IvfIndex calls)."""
+    from hudi_spark_plus_spark.operators.llm_queries import LLM_QUERIES
+    from hudi_spark_plus_spark.pinlint import _source_closure
+
+    pq = _source_closure(LLM_QUERIES["q-emb-ann-pq"])
+    assert "def pq_topk" in pq          # function-local import folded
+    assert "def sq_dists" in pq         # ...and ITS dependency, transitively
+    idx = _source_closure(LLM_QUERIES["q-emb-ann-index"])
+    assert "class IvfIndex" in idx      # class folded
+    assert "def sq_dists" in idx        # via a method's dependency
