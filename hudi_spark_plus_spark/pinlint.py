@@ -39,36 +39,42 @@ Regenerate the baseline with::
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import importlib
 import inspect
 import json
-import re
 import sys
+import textwrap
 from pathlib import Path
 
-# function-LOCAL imports (`from hudi_spark_plus_spark.x import a, b`
-# inside a query body) bind names at call time, so getattr on the
-# query's module globals can never see them — without this the closure
-# was blind to exactly those dependencies (review r12 #2: the sq_dists
-# kernel rewrite changed pq_topk/ivfpq_topk and q-emb-ann-pq/-ivfpq
-# hashes did not move, defeating the pin guard)
-_LOCAL_IMPORT_RE = re.compile(
-    r"from\s+(hudi_spark_plus_spark[\w.]*)\s+import\s+(\([^)]*\)|[^\n]+)"
-)
 
+def _local_imports(src: str) -> list[tuple[str, list[str]]]:
+    """(module, [SOURCE names — before any ``as``]) for every absolute
+    ``from hudi_spark_plus_spark... import ...`` statement in ``src``.
 
-def _imported_names(spec: str) -> list[str]:
-    """'(a,\n b as c)' / 'a, b  # note' -> bound names."""
-    spec = spec.strip().strip("()")
+    Function-LOCAL imports bind names at call time, so getattr on the
+    query's module globals can never see them — without this the
+    closure was blind to exactly those dependencies (review r12 #2: the
+    sq_dists kernel rewrite changed pq_topk/ivfpq_topk and
+    q-emb-ann-pq/-ivfpq hashes did not move, defeating the pin guard).
+    Parsed with ``ast`` rather than a regex over the raw text (ADVICE
+    r12 #4: the regex folded import statements QUOTED inside docstrings
+    and string literals into the closure hash — over-inclusive,
+    spurious baseline churn). The source names are folded (the hash
+    tracks what the dependency IS, not what the query calls it)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
     out = []
-    for piece in spec.split(","):
-        piece = piece.split("#", 1)[0].strip()
-        if not piece:
-            continue
-        # fold the SOURCE object (before 'as'): the hash tracks what
-        # the dependency IS, not what the query calls it
-        out.append(piece.split(" as ", 1)[0].strip())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.ImportFrom)
+            and node.level == 0
+            and (node.module or "").startswith("hudi_spark_plus_spark")
+        ):
+            out.append((node.module, [a.name for a in node.names]))
     return out
 
 
@@ -125,12 +131,12 @@ def _source_closure(fn, seen: set | None = None) -> str:
 
     for name in sorted(names):
         fold(name, getattr(mod, name, None))
-    for m in _LOCAL_IMPORT_RE.finditer(src):
+    for module, imported_names in _local_imports(src):
         try:
-            imported = importlib.import_module(m.group(1))
+            imported = importlib.import_module(module)
         except ImportError:
             continue
-        for nm in _imported_names(m.group(2)):
+        for nm in imported_names:
             fold(nm, getattr(imported, nm, None))
     return "\n".join(parts)
 

@@ -73,99 +73,47 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r12: all ten r11 pins re-greened in CORRECTNESS_r11.json and are
-    # dropped. These five are the last r8-stale greens in the system
-    # (VERDICT r11 directive 4 — the rotation's floor): one more pinned
-    # pass retires the staleness debt entirely (every registry query's
-    # newest green >= r9 after the r12 pass). Drop once re-greened.
-    "q-lake-incremental",
-    "q-lake-incremental-mor",
-    "q-lake-mor",
-    "q-lake-point-lookup",
-    "q-lake-time-travel",
-    # r12 semantic changes (pin until a CORRECTNESS row proves them):
-    # - q-emb-ann-index: IvfIndex assignments now PARTITIONED by cell
-    #   with search reading snapshot(partitions=probed_cells) — the
-    #   VERDICT r11 directive-1 unpruned-scan fix; output is
-    #   construction-identical but the whole read path is new
+    # r13: all nine r12 pins re-greened in CORRECTNESS_r12.json and are
+    # dropped.
+    # VERDICT r12 directive 4 — retire the r9 staleness floor: these
+    # nine are the last r9-stale greens in the system; one pinned pass
+    # moves every registry query's newest green to >= r10. Drop once
+    # re-greened.
+    "q-doc-hash-embed",
+    "q-doc-tfidf",
+    "q-emb-cosine-topk",
+    "q-emb-quantize",
+    "q-lake-dml",
+    "q-lake-evolve",
+    "q-lake-matview",
+    "q-lake-rollback",
+    "q-media-audio",
+    # r13 semantic changes (pin until a CORRECTNESS row proves them):
+    # - IvfIndex lifecycle edits (ADVICE r12 #2 + VERDICT directive 1):
+    #   build now seeds under the reserved id __ann_build__ (a user
+    #   add(df, "build") lands instead of being silently suppressed),
+    #   add/remove reject reserved "__" ids, legacy-layout reopen warns,
+    #   rebuild(migrate=True) carries params + batch-id history. Fixture
+    #   outputs are construction-identical, but the build/add path every
+    #   index fixture runs through is edited:
     "q-emb-ann-index",
-    # - q-lake-record-history: audit.py refactored into shared batch
-    #   machinery (_candidate_timeline_files/_read_eras_aligned — the
-    #   directive-7 record_histories base); single-key output is
-    #   construction-identical but the engine path is rewritten
-    "q-lake-record-history",
-    # - q-emb-ann-pq / q-emb-ann-ivfpq: the sq_dists kernel rewrite
-    #   changed their pq_topk/ivfpq_topk path (review r12 #2 exposed
-    #   that the old closure was blind to it — both re-oracled
-    #   hash-green in-session, pinned for a driver row on current code)
-    "q-emb-ann-pq",
-    "q-emb-ann-ivfpq",
-    # NOT pinned although flagged/changed:
-    # - q-lake-clone: clone_table's pin naming + carried_batch_ids are
-    #   new metadata the fixture's OUTPUT never observes (verified
-    #   hash-green against the oracle in-session); 15 unit tests cover
-    #   the new lifecycle (test_clone.py), and pinning it would push
-    #   the list past the ≤10 cap.
-    # - signature-store family (q-doc-neardup-store/-lifecycle): the
-    #   O_EXCL params-pin fix only alters the create-race failure path.
-    # - the broad q-lake-* family hash-flagged by the lake_table.py
-    #   stats_minmax edit: the change touches only the metadata
-    #   aggregate path those fixtures never call.
-    # - the same family re-flagged by the NEW table/s3_finalizer.py
-    #   (pin-lint folds the whole table/ dir into those hashes): the
-    #   module is imported by nothing in any query path — it is the
-    #   opt-in S3 binding of the commit finalizer, exercised only by
-    #   tests/test_s3_finalizer.py.
-    # - matview.py avg_cols + maintenance.py fsck/vacuum(dry_run):
-    #   additive opt-in surfaces — avg_cols defaults empty (the
-    #   maintained state columns, delta frame, and df() output are
-    #   construction-identical for every existing view), dry_run
-    #   defaults False (real-vacuum path untouched), fsck is new and
-    #   report-only. The NEW q-lake-matview-avg sorts first as
-    #   never-verified; fsck/dry-run are unit-tested ops tooling, not
-    #   query operators.
-    # - table/audit.py (record_history) is a NEW read-only module no
-    #   existing query imports; its q-lake-record-history sorts first
-    #   as never-verified.
-    # r12 ADVICE fixes (family re-flagged by table/ edits, none pinned:
-    # every change is a failure/race path no fixture output observes):
-    # - clone.py: pin record now published atomically + verified-unlink
-    #   in the failure handler (ADVICE r11 #3) — success path identical.
-    # - ndv.py: approx_ndv retries through the reclaimed-parts
-    #   retention race (ADVICE r11 #4) — estimates unchanged.
-    # - s3_finalizer.py: 5xx reclassified ambiguous (ADVICE r11 #2) —
-    #   still imported by no query path.
-    # - ann_index.py build: centroids now land in a unique pinned dir
-    #   (ADVICE r11 #1) — build output identical; q-emb-ann-index is
-    #   pinned below anyway for the r12 search-path partitioning.
-    # - matview.py gained NdvView (additive class; AggregateView and
-    #   MinMaxView untouched) — q-lake-matview/-avg/-minmax outputs
-    #   unaffected; the NEW q-lake-matview-ndv sorts first as
-    #   never-verified, as does q-lake-record-history-batch.
-    # - sync.py/config.py gained the engine.table.commit.finalizer
-    #   plugin (K9 spec; default UNSET -> POSIX publish, byte-identical
-    #   behavior for every existing sync) and table/ gained s3_facade.py
-    #   (test/bench double, imported by no query path) — the q-cdc
-    #   family re-flags on the table/ blob for these additive surfaces;
-    #   the plugin itself is pinned by the sync-through-facade test and
-    #   the cdc_s3 bench phase.
-    # - similarity.py distance kernels rewritten to the shared matmul
-    #   sq_dists (the (B,C,D) broadcast memory cliff, float64-pinned):
-    #   flags the one-shot ANN family. Oracle constructions are
-    #   centroid-independent (planted exact copies + code-match/
-    #   exact-re-rank arms); all six affected queries re-oracled
-    #   hash-green in-session, a numpy equivalence test pins kernel
-    #   parity, and q-emb-ann-pq/-ivfpq are pinned above (review r12
-    #   #2: the pre-fix closure missed their function-local imports).
-    # - review r12 batch: snapshot_pruned_to_groups/files_for_* gained
-    #   version= (None = latest, byte-identical default); matview
-    #   recomputes now PIN the watermark version (q-lake-matview-ndv is
-    #   never-verified and sorts first; -minmax/-pruned re-oracled
-    #   hash-green in-session — single-writer fixtures are unaffected
-    #   by the pin, documented not pinned); the pin-lint closure itself
-    #   got deeper (classes + function-local imports), which moves ~80
-    #   hashes WITHOUT semantic change — baseline regenerated, the new
-    #   closure is the guard the old one claimed to be.
+    "q-emb-ann-index-pq",
+    "q-stream-ann-index",
+    # - NdvView union-path fold now filters tombstoned view rows
+    #   explicitly (ADVICE r12 #1) — identical today by the cnt=0/NULL-
+    #   sketch invariant, but the fold expression changed:
+    "q-lake-matview-ndv",
+    # NOT pinned although hash-flagged (the table/ glob folds matview.py
+    # + s3_facade.py edits into every q-lake-*/q-cdc-* hash):
+    # - s3_facade.py do_GET now reads under store.lock (ADVICE r12 #3):
+    #   a test/bench double imported by no query path.
+    # - the broad q-lake-*/q-cdc-* family: AggregateView/MinMaxView and
+    #   every lake/cdc path are untouched this round; only NdvView's
+    #   fold changed, and its one fixture is pinned above.
+    # - pinlint.py's import scan moved from regex to ast (ADVICE r12
+    #   #4): lint mechanics, not query semantics — baseline regenerated
+    #   in the same commit; fold sets verified unchanged for real
+    #   imports (regression test pins docstring-quoted imports OUT).
 ]
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_spark_plus_spark.table.keygen import KEY_COL, TS_COL
-from hudi_spark_plus_spark.table.lake_table import LakeTable
+from hudi_spark_plus_spark.table.lake_table import DELETED_COL, LakeTable
 
 _BATCH_PREFIX = "mv-"
 _GC_PREFIX = "mvgc-"
@@ -619,11 +619,19 @@ class NdvView:
         # own rows for exactly those groups, via the Bloom-pruned point
         # lookup (H8) — never a view scan
         if self.table.schema() is not None:
+            # scan_for_keys resolves LWW but KEEPS tombstone rows
+            # (_deleted=true); fold only LIVE state — a tombstone that
+            # ever carried a payload (e.g. relocation-style tombstones)
+            # must not count (ADVICE r12 #1: the old code depended
+            # incidentally on dead groups carrying cnt=0/NULL sketches)
             stored = self.table.scan_for_keys(
                 union_delta.select(self._group_key().alias(KEY_COL))
-            ).select(
-                *self.group_cols, "cnt", *sketch_cols
             )
+            if DELETED_COL in stored.columns:
+                stored = stored.where(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+            stored = stored.select(*self.group_cols, "cnt", *sketch_cols)
             d, s = union_delta.alias("d"), stored.alias("s")
             union_delta = d.join(
                 F.broadcast(s), self._nullsafe("d", "s"), "left"
@@ -727,4 +735,371 @@ class NdvView:
                 ).cast("long").alias(f"approx_distinct_{c}")
                 for c in self.ndv_cols
             ],
+        )
+
+
+_J_BATCH_PREFIX = "mvj-"
+_J_GC_PREFIX = "mvjgc-"
+
+
+class JoinView:
+    """Incrementally-maintained COUNT/SUM aggregate of ``fact INNER
+    JOIN dim ON fact.<fact_fk> = dim.<dim_key>`` — the fourth matview
+    shape (VERDICT r12 directive 3): the first reporting view a real
+    user defines is fact×dim (the q05/q06 shape), and a per-refresh
+    full recompute is exactly the 100-TB scan this module exists to
+    avoid.
+
+    Maintenance is DELTA-ALGEBRAIC on both sides, telescoping through
+    the intermediate state ``Agg(fact@fv0 ⋈ dim@dv1)``:
+
+    * **dim step** (fact pinned at its applied watermark ``fv0``): the
+      dim CDC slice ``(dv0, dv1]`` — changes that leave the projected
+      (join key, dim group attrs) tuple unchanged are dropped (they
+      contribute zero). The fact rows whose fk matches a changed dim
+      key are read from the fact snapshot AT ``fv0``, FILE-pruned by
+      fk value (``files_for_any_value``: secondary index > partition >
+      col_stats) and row-pruned by a broadcast semi-join — refresh I/O
+      is O(affected fk values' files), never O(fact). One join of that
+      slice against the broadcast ±dim-images (before-images sign −1,
+      after-images +1) yields the step's contributions:
+      ``Agg(f0 ⋈ d1) − Agg(f0 ⋈ d0)``.
+    * **fact step** (dim pinned at ``dv1``): the fact CDC slice
+      ``(fv0, fv1]`` — after-images +1, before-images −1 — joined to
+      the BROADCAST dim snapshot at ``dv1`` (dims are small by
+      contract and re-broadcast each refresh):
+      ``Agg(f1 ⋈ d1) − Agg(f0 ⋈ d1)``.
+
+    The two steps telescope to the exact delta. ONE delta-sized
+    shuffle aggregates both arms; one Bloom-pruned ``merge_into``
+    (H8) folds them into the view. Both watermarks ride the view's own
+    commit batch id (``mvj-<fv0>-<fv1>-<dv0>-<dv1>``), so a crashed or
+    replayed refresh is exactly-once (H5), and groups netted to zero
+    tombstone in a follow-up ``mvjgc-`` pass with AggregateView's
+    crash-recovery contract. The dim step time-travels the fact table
+    to ``fv0`` — retention must cover the refresh cadence (the same
+    ``incremental_cdc`` caveat; savepoint the watermark to guarantee
+    it).
+
+    Correctness contract (tested + oracled): after any refresh
+    sequence the view equals ``SELECT g..., count(*) cnt, sum(m)...
+    FROM fact JOIN dim ON fact.fk = dim.k GROUP BY g...`` over the
+    CURRENT snapshots — bit-for-bit (integral measures only, same rule
+    as AggregateView). Inner-join multiplicity is honored (a duplicate
+    dim key contributes once per matching pair). Measures come from
+    the FACT side; group columns may come from either side; fact and
+    dim payload column names must be disjoint."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fact: LakeTable,
+        dim: LakeTable,
+        fact_fk: str,
+        dim_key: str,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        buckets: int = 4,
+    ):
+        if not group_cols:
+            raise ValueError("JoinView requires at least one group col")
+        self.spark = spark
+        self.fact = fact
+        self.dim = dim
+        self.fact_fk = fact_fk
+        self.dim_key = dim_key
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols or [])
+        self._sum_state = list(dict.fromkeys(self.sum_cols))
+        overlap = set(self.group_cols) & set(self._sum_state)
+        if overlap:
+            raise ValueError(
+                f"columns cannot be both group and measure: {sorted(overlap)}"
+            )
+        if "cnt" in self.group_cols or "cnt" in self._sum_state:
+            raise ValueError("'cnt' is the view's count column name")
+        fsch, dsch = fact.schema(), dim.schema()
+        if fsch is not None and dsch is not None:
+            f_names = {f.name for f in fsch.fields if not f.name.startswith("_")}
+            d_names = {f.name for f in dsch.fields if not f.name.startswith("_")}
+            shared = f_names & d_names
+            if shared:
+                raise ValueError(
+                    f"fact and dim payload columns must be disjoint "
+                    f"(rename before defining the view): {sorted(shared)}"
+                )
+            if fact_fk not in f_names:
+                raise ValueError(f"fact has no column {fact_fk!r}")
+            if dim_key not in d_names:
+                raise ValueError(f"dim has no column {dim_key!r}")
+            missing = [
+                c for c in self.group_cols if c not in f_names | d_names
+            ]
+            if missing:
+                raise ValueError(f"group columns not in fact∪dim: {missing}")
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            bad = [
+                f.name
+                for f in fsch.fields
+                if f.name in self._sum_state
+                and f.dataType.simpleString() not in integral
+            ]
+            not_fact = [c for c in self._sum_state if c not in f_names]
+            if not_fact:
+                raise ValueError(
+                    f"sum columns must come from the fact side: {not_fact}"
+                )
+            if bad:
+                raise ValueError(
+                    f"sum columns must be integral for an exact view "
+                    f"(float addition is order-dependent): {sorted(bad)} "
+                    "— pre-scale to integer units in the source"
+                )
+        self.table = LakeTable(spark, path, buckets=buckets)
+        # pruning decision of the most recent dim step (observability)
+        self.last_prune: dict = {}
+
+    # -- watermarks ----------------------------------------------------------
+
+    def watermark(self) -> tuple[int, int]:
+        """(fact version, dim version) applied to the view — parsed
+        from the view's own ``mvj-<fv0>-<fv1>-<dv0>-<dv1>`` commit
+        batch ids, so it is atomic with the data (the AggregateView
+        protocol, two-source form)."""
+        best = (0, 0)
+        for v in self.table.log.versions():
+            b = self.table.log.read(v).batch_id or ""
+            if b.startswith(_J_BATCH_PREFIX):
+                parts = b[len(_J_BATCH_PREFIX):].split("-")
+                try:
+                    cand = (int(parts[1]), int(parts[3]))
+                except (ValueError, IndexError):
+                    continue
+                best = max(best, cand)
+        return best
+
+    def _pending_gc(self) -> str | None:
+        """The mvjgc- batch id owed to the NEWEST mvj- commit, or None
+        when its tombstone pass already ran (AggregateView's
+        crash-recovery shape)."""
+        newest = None
+        for v in self.table.log.versions():
+            b = self.table.log.read(v).batch_id or ""
+            if b.startswith(_J_BATCH_PREFIX):
+                newest = b[len(_J_BATCH_PREFIX):]
+        if newest is None:
+            return None
+        gc_id = f"{_J_GC_PREFIX}{newest}"
+        return None if self.table.log.has_batch(gc_id) else gc_id
+
+    # -- maintenance ---------------------------------------------------------
+
+    def _sides(self) -> tuple[list[str], list[str]]:
+        """(dim-side group cols, fact-side group cols) — split by dim
+        schema membership (payload names are disjoint by contract)."""
+        dsch = self.dim.schema()
+        d_names = {f.name for f in dsch.fields} if dsch else set()
+        dim_side = [c for c in self.group_cols if c in d_names]
+        fact_side = [c for c in self.group_cols if c not in d_names]
+        return dim_side, fact_side
+
+    def _next_ts(self) -> int:
+        """Monotone LWW stamp: the view's own next commit version (the
+        two-watermark id has no single scalar; any strictly-increasing
+        stamp orders tombstones vs re-inserts correctly)."""
+        latest = self.table.log.latest()
+        return (latest.version if latest else 0) + 1
+
+    def _signed(self, zero) -> list:
+        """cnt/sum contribution columns for a ±frame carrying _sign."""
+        return [
+            F.col("_sign").cast("long").alias("_c"),
+            *[
+                (
+                    F.col("_sign")
+                    * F.coalesce(F.col(c).cast("long"), zero)
+                ).alias(f"_s_{c}")
+                for c in self._sum_state
+            ],
+        ]
+
+    def _dim_arm(
+        self,
+        fv0: int,
+        dv0: int,
+        dv1: int,
+        dim_side: list[str],
+        fact_side: list[str],
+    ) -> DataFrame | None:
+        """Contributions of dim churn against the fv0-pinned fact:
+        one join of the fk-pruned fact slice against the broadcast
+        ±dim-images. Returns None when no dim change survives the
+        zero-contribution filter."""
+        cdc = self.dim.incremental_cdc(dv0, dv1)
+        proj = [self.dim_key] + dim_side
+        same = None
+        for c in proj:
+            e = F.col(c).eqNullSafe(F.col(f"_before_{c}"))
+            same = e if same is None else (same & e)
+        # an update that leaves (key, group attrs) unchanged nets zero
+        changed = cdc.where((F.col("_change_op") != "u") | ~same)
+        after = changed.where(
+            F.col("_change_op").isin("i", "u")
+        ).select(
+            F.col(self.dim_key).alias("_jk"),
+            *dim_side,
+            F.lit(1).alias("_sign"),
+        )
+        before = changed.where(
+            F.col("_change_op").isin("u", "d")
+        ).select(
+            F.col(f"_before_{self.dim_key}").alias("_jk"),
+            *[F.col(f"_before_{c}").alias(c) for c in dim_side],
+            F.lit(-1).alias("_sign"),
+        )
+        # bounded by the dim slice — dims are small by contract
+        images = (
+            after.unionByName(before)
+            .where(F.col("_jk").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        keys = [
+            r["_jk"] for r in images.select("_jk").distinct().collect()
+        ]
+        if not keys:
+            return None
+        self.last_prune = {}
+        pruned = self.fact.files_for_any_value(
+            self.fact_fk, keys, version=fv0
+        )
+        if pruned is not None:
+            kept, live = pruned
+            self.last_prune = {
+                "strategy": "file-pruned",
+                "files_kept": len(kept),
+                "files_live": len(live),
+            }
+            fact0 = self.fact._snapshot_of_files(kept)
+        else:
+            self.last_prune = {"strategy": "full-scan"}
+            fact0 = self.fact.snapshot(version=fv0)
+        zero = F.lit(0).cast("long")
+        return (
+            fact0.join(
+                F.broadcast(images),
+                F.col(self.fact_fk) == F.col("_jk"),
+            ).select(*fact_side, *dim_side, *self._signed(zero))
+        )
+
+    def _fact_arm(
+        self,
+        fv0: int,
+        fv1: int,
+        dv1: int,
+        dim_side: list[str],
+        fact_side: list[str],
+    ) -> DataFrame:
+        """Contributions of fact churn against the dv1-pinned broadcast
+        dim: ±fact-images joined to dim@dv1 on the fk."""
+        cdc = self.fact.incremental_cdc(fv0, fv1)
+        cols = [self.fact_fk] + fact_side + self._sum_state
+        after = cdc.where(F.col("_change_op").isin("i", "u")).select(
+            *cols, F.lit(1).alias("_sign")
+        )
+        before = cdc.where(F.col("_change_op").isin("u", "d")).select(
+            *[F.col(f"_before_{c}").alias(c) for c in cols],
+            F.lit(-1).alias("_sign"),
+        )
+        fdelta = after.unionByName(before)
+        dsnap = self.dim.snapshot(version=dv1).select(
+            F.col(self.dim_key).alias("_jk"), *dim_side
+        )
+        zero = F.lit(0).cast("long")
+        return fdelta.join(
+            F.broadcast(dsnap), F.col(self.fact_fk) == F.col("_jk")
+        ).select(*fact_side, *dim_side, *self._signed(zero))
+
+    def refresh(self) -> dict:
+        f_latest = self.fact.log.latest()
+        d_latest = self.dim.log.latest()
+        fv1 = f_latest.version if f_latest else 0
+        dv1 = d_latest.version if d_latest else 0
+        fv0, dv0 = self.watermark()
+        noop = {
+            "fact_begin": fv0, "fact_end": fv0,
+            "dim_begin": dv0, "dim_end": dv0, "groups_touched": 0,
+        }
+        if fv1 <= fv0 and dv1 <= dv0:
+            owed = self._pending_gc()
+            if owed is not None:
+                self.table.delete_where(F.col("cnt") == 0, batch_id=owed)
+            return noop
+        dim_side, fact_side = self._sides()
+        arms = []
+        if dv1 > dv0 and fv0 > 0:
+            arm = self._dim_arm(fv0, dv0, dv1, dim_side, fact_side)
+            if arm is not None:
+                arms.append(arm)
+        # dv1 == 0 (dim never committed): the inner join is empty by
+        # definition — nothing to apply, and the watermark must NOT
+        # advance past the unjoined fact slice
+        if fv1 > fv0 and dv1 > 0:
+            arms.append(self._fact_arm(fv0, fv1, dv1, dim_side, fact_side))
+        if not arms:
+            return noop
+        deltas = arms[0]
+        for a in arms[1:]:
+            deltas = deltas.unionByName(a)
+        deltas = deltas.groupBy(*self.group_cols).agg(
+            F.sum("_c").cast("long").alias("cnt"),
+            *[
+                F.sum(f"_s_{c}").cast("long").alias(f"sum_{c}")
+                for c in self._sum_state
+            ],
+        )
+        nonzero = F.col("cnt") != 0
+        for c in self._sum_state:
+            nonzero = nonzero | (F.col(f"sum_{c}") != 0)
+        deltas = deltas.where(nonzero)
+        state_cols = ["cnt"] + [f"sum_{c}" for c in self._sum_state]
+        src = deltas.select(
+            F.to_json(
+                F.struct(*self.group_cols), {"ignoreNullFields": "false"}
+            ).alias(KEY_COL),
+            F.lit(self._next_ts()).cast("long").alias(TS_COL),
+            *self.group_cols,
+            *state_cols,
+        )
+        n = src.count()
+        bid = f"{_J_BATCH_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}"
+        self.table.merge_into(
+            src,
+            {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in state_cols},
+            "insert",
+            batch_id=bid,
+        )
+        self.table.delete_where(
+            F.col("cnt") == 0,
+            batch_id=f"{_J_GC_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}",
+        )
+        return {
+            "fact_begin": fv0, "fact_end": fv1,
+            "dim_begin": dv0, "dim_end": dv1, "groups_touched": n,
+        }
+
+    # -- reads ---------------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """Current view contents: group_cols + cnt + sum_<col>
+        (``cnt == 0`` filtered read-side, same doctrine as
+        AggregateView.df)."""
+        return (
+            self.table.snapshot()
+            .where(F.col("cnt") != 0)
+            .select(
+                *self.group_cols,
+                "cnt",
+                *[f"sum_{c}" for c in self.sum_cols],
+            )
         )

@@ -98,11 +98,17 @@ class S3Facade:
             def do_GET(self):
                 rel = self.path.lstrip("/")
                 target = os.path.join(store.root, rel)
-                if not os.path.exists(target):
-                    self._xml_error(404, "NoSuchKey")
-                    return
-                with open(target, "rb") as fh:
-                    body = fh.read()
+                # read under store.lock (ADVICE r12 #3): do_PUT writes
+                # the backing file under the lock, so an unlocked read
+                # racing another writer's in-flight PUT could observe a
+                # partially written object — a latent flake source in
+                # the concurrent soak tests
+                with store.lock:
+                    if not os.path.exists(target):
+                        self._xml_error(404, "NoSuchKey")
+                        return
+                    with open(target, "rb") as fh:
+                        body = fh.read()
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

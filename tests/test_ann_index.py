@@ -3,17 +3,49 @@ index lifecycle — exactly-once adds, tombstone removes, fixed
 quantizer, time travel — plus recall sanity against brute force.
 """
 
+import json
+import os
+import shutil
+import warnings
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from hudi_spark_plus_spark.functions.ann_index import IvfIndex
+from hudi_spark_plus_spark.functions.ann_index import _PARAMS_FILE, IvfIndex
 from hudi_spark_plus_spark.functions.similarity import cosine_topk
 
 
 def vecs(spark, rows):
     """rows: (id, list[float])"""
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def make_legacy_index(spark, path, rows, n_centroids=4):
+    """Materialize the PRE-r12 on-disk layout: params pin WITHOUT the
+    'buckets' key, assignments UNPARTITIONED (no cell partitioning, no
+    global index), seeded under the pre-fix plain batch id 'build'. A
+    throwaway modern build supplies the quantizer fit; its sidecars are
+    copied so the legacy index is geometrically identical."""
+    fit = IvfIndex.build(
+        spark, path + ".fit", vecs(spark, rows), n_centroids=n_centroids,
+        buckets=4,
+    )
+    os.makedirs(path)
+    params = dict(fit.params)
+    params.pop("buckets")
+    shutil.copytree(
+        os.path.join(fit.path, params["centroids_dir"]),
+        os.path.join(path, params["centroids_dir"]),
+    )
+    with open(os.path.join(path, _PARAMS_FILE), "w") as fh:
+        json.dump(params, fh)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        idx = IvfIndex(spark, path)
+    assert not idx.table.partition_fields
+    idx._add(vecs(spark, rows), "build")
+    return idx
 
 
 def _cluster_data(n_per=30, dim=8, seed=7):
@@ -357,6 +389,90 @@ class TestOpsTooling:
         }
         got = fresh.search(vecs(spark, rows[5:8]), k=3, nprobe=2).collect()
         assert got
+
+    def test_user_batch_id_build_is_not_swallowed(self, spark, index):
+        """ADVICE r12 #2: build used to seed under the plain id 'build',
+        so a later user add(df, 'build') was silently suppressed by H5
+        idempotence and its rows dropped with no error. The seed now
+        uses a reserved namespaced id; 'build' is an ordinary user id,
+        and reserved '__'-ids are rejected loudly."""
+        idx, rows = index
+        n = idx.assignments().count()
+        idx.add(vecs(spark, [(7777, rows[0][1])]), "build")
+        assert idx.assignments().count() == n + 1
+        with pytest.raises(ValueError, match="reserved"):
+            idx.add(vecs(spark, [(7778, rows[0][1])]), "__boom")
+        with pytest.raises(ValueError, match="reserved"):
+            idx.remove([7777], "__boom")
+
+
+class TestLegacyMigration:
+    """VERDICT r12 directive 1: the pre-r12 unpartitioned layout is
+    LOUD on reopen (its search runs the full unpruned snapshot scan)
+    and migratable in one call — rebuild(migrate=True) carries the
+    quantizer params AND the applied batch-id history."""
+
+    def test_legacy_reopen_warns_modern_does_not(
+        self, spark, index, tmp_path
+    ):
+        idx, rows = index
+        legacy_path = str(tmp_path / "legacy")
+        make_legacy_index(spark, legacy_path, rows[:40])
+        with pytest.warns(UserWarning, match="legacy unpartitioned"):
+            IvfIndex(spark, legacy_path)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            IvfIndex(spark, idx.path)  # modern layout: silent
+
+    def test_migrate_partitions_and_carries_batch_history(
+        self, spark, tmp_path
+    ):
+        rows = _cluster_data()
+        legacy = make_legacy_index(
+            spark, str(tmp_path / "legacy"), rows[:100]
+        )
+        extra = vecs(spark, rows[100:])
+        legacy.add(extra, "b-extra")
+        migrated = legacy.rebuild(str(tmp_path / "m"), migrate=True)
+        # new layout: cell-partitioned, pruned search path
+        assert migrated.table.partition_fields == ["cell"]
+        n = migrated.assignments().count()
+        assert n == len(rows)
+        # exactly-once ACROSS the migration: a replay of a batch the
+        # legacy index absorbed must no-op, not double-add
+        v = migrated.table.log.latest().version
+        migrated.add(extra, "b-extra")
+        assert migrated.table.log.latest().version == v
+        assert migrated.assignments().count() == n
+        # search parity with the legacy index while contents match
+        # (nprobe=all, so the re-fitted cell boundaries cannot change
+        # the candidate set)
+        q = vecs(spark, rows[:3])
+        got = sorted(
+            map(tuple, migrated.search(q, k=3, nprobe=4).collect())
+        )
+        want = sorted(
+            map(tuple, legacy.search(q, k=3, nprobe=4).collect())
+        )
+        assert got == want
+        # a genuinely new batch still lands
+        migrated.add(vecs(spark, [(90_000, rows[0][1])]), "b-new")
+        assert migrated.assignments().count() == n + 1
+
+    def test_migrate_without_history_is_plain_rebuild(
+        self, spark, index, tmp_path
+    ):
+        """migrate=True on a MODERN index: the only applied id is the
+        reserved seed, which the new build owns itself — no carry
+        commit is written."""
+        idx, rows = index
+        migrated = idx.rebuild(str(tmp_path / "m2"), migrate=True)
+        ops = {
+            migrated.table.log.read(v).operation
+            for v in migrated.table.log.versions()
+        }
+        assert "ann_migrate_carry" not in ops
+        assert migrated.assignments().count() == len(rows)
 
 
 def test_sq_dists_matches_naive_broadcast():

@@ -780,6 +780,50 @@ class TestNdvView:
         with pytest.raises(ValueError, match="at least one"):
             NdvView(spark, str(tmp_path / "m2"), src, ["g"], [])
 
+    def test_union_fold_ignores_payload_carrying_tombstones(
+        self, spark, tmp_path
+    ):
+        """ADVICE r12 #1: the union-path fold reads stored view state
+        via scan_for_keys, which KEEPS tombstone rows (_deleted=true).
+        Today's writers always tombstone with cnt=0/NULL sketches, so
+        the dependence was incidental — a relocation-style tombstone
+        CARRYING payload must still contribute nothing. Plants one by
+        hand, then drives the union path over its group."""
+        from hudi_spark_plus_spark.table.matview import NdvView
+        from hudi_spark_plus_spark.table.ndv import DEFAULT_LG_K
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        t.merge(mk(spark, [("k1", 1, "upsert", "a", 1)]), "b1")
+        mv = NdvView(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+        mv.refresh()
+        t.merge(mk(spark, [("k1", 2, "delete", "a", 1)]), "b2")
+        mv.refresh()  # group emptied: tombstoned (cnt=0, NULL sketch)
+        # replace it with a payload-carrying tombstone (what a future
+        # relocation-style writer could produce): cnt=7 and a REAL
+        # 3-value sketch ride the delete row
+        wm = mv.watermark()
+        poisoned = spark.sql(
+            f"""SELECT '{{"g":"a"}}' AS _key, {wm}L AS _ts,
+                   'delete' AS _op, 'a' AS g, 7L AS cnt,
+                   hll_sketch_agg(CAST(x AS string), {DEFAULT_LG_K})
+                       AS ndv_v
+                FROM VALUES (101), (102), (103) AS t(x)"""
+        )
+        mv.table.merge(poisoned, batch_id="poison")
+        planted = mv.table.scan_for_keys(
+            spark.sql("""SELECT '{"g":"a"}' AS _key""")
+        )
+        assert planted.where("_deleted AND cnt = 7").count() == 1
+        # insert-only churn on the group -> the UNION path folds stored
+        # state for 'a'; the tombstone's cnt=7 / 3-value sketch must
+        # not leak into the fold
+        t.merge(mk(spark, [
+            ("k2", 3, "upsert", "a", 5),
+            ("k3", 3, "upsert", "a", 5),
+        ]), "b3")
+        mv.refresh()
+        assert self._got(mv) == self._exact(t) == {("a", 2, 1)}
+
 
 def test_ndv_view_streaming_maintenance_composes(spark, tmp_path, src):
     """Same deployment shape as the AggregateView streaming test: the
@@ -885,3 +929,220 @@ def test_ndv_recompute_is_pinned_to_watermark_version(
         for r in mv.df().collect()
     }
     assert got == exp  # pre-fix: cnt('a') overcounts k9 by one
+
+
+class TestJoinView:
+    """Fact×dim incrementally-maintained aggregate (JoinView, VERDICT
+    r12 directive 3): after any churn sequence on EITHER side the view
+    equals a from-scratch GROUP BY over fact JOIN dim, while each
+    refresh reads only CDC slices, a broadcast dim, and the fk-pruned
+    fact files for dim churn."""
+
+    def _mk_fact(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "_key string, _ts long, _op string, "
+            "o_id long, o_custkey long, o_price long",
+        )
+
+    def _mk_dim(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "_key string, _ts long, _op string, "
+            "c_custkey long, c_segment string",
+        )
+
+    def _exact(self, fact, dim):
+        j = fact.snapshot().alias("f").join(
+            dim.snapshot().alias("d"),
+            F.col("f.o_custkey") == F.col("d.c_custkey"),
+        )
+        return {
+            (r["c_segment"], r["cnt"], r["sum_o_price"])
+            for r in j.groupBy("c_segment")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("o_price").cast("long").alias("sum_o_price"),
+            )
+            .collect()
+        }
+
+    def _got(self, view):
+        return {
+            (r["c_segment"], r["cnt"], r["sum_o_price"])
+            for r in view.df().collect()
+        }
+
+    @pytest.fixture()
+    def tables(self, spark, tmp_path):
+        fact = LakeTable(spark, str(tmp_path / "fact"), buckets=4)
+        dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+        dim.merge(self._mk_dim(spark, [
+            ("c1", 1, "upsert", 1, "AUTO"),
+            ("c2", 1, "upsert", 2, "BIKE"),
+            ("c3", 1, "upsert", 3, "AUTO"),
+        ]), "d1")
+        fact.merge(self._mk_fact(spark, [
+            ("o1", 1, "upsert", 101, 1, 10),
+            ("o2", 1, "upsert", 102, 1, 20),
+            ("o3", 1, "upsert", 103, 2, 5),
+            ("o4", 1, "upsert", 104, 3, 7),
+            ("o5", 1, "upsert", 105, 9, 99),  # fk with no dim match
+        ]), "f1")
+        return fact, dim
+
+    def _view(self, spark, tmp_path, fact, dim):
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        return JoinView(
+            spark, str(tmp_path / "mv"), fact, dim,
+            "o_custkey", "c_custkey", ["c_segment"], ["o_price"],
+        )
+
+    def test_seed_and_fact_churn(self, spark, tmp_path, tables):
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        st = mv.refresh()
+        assert st["fact_end"] == 1 and st["dim_end"] == 1
+        assert self._got(mv) == self._exact(fact, dim)
+        # fact churn: update moves an order between customers (groups),
+        # one delete, one insert, one update of a measure
+        fact.merge(self._mk_fact(spark, [
+            ("o1", 2, "upsert", 101, 2, 10),   # AUTO -> BIKE
+            ("o3", 2, "delete", 103, 2, 5),
+            ("o6", 2, "upsert", 106, 3, 4),
+            ("o2", 2, "upsert", 102, 1, 25),   # price 20 -> 25
+        ]), "f2")
+        st = mv.refresh()
+        assert st["groups_touched"] > 0
+        assert self._got(mv) == self._exact(fact, dim)
+
+    def test_dim_churn_reattributes_fact_rows(self, spark, tmp_path, tables):
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        # dim churn: customer 1 moves AUTO->BIKE (both its fact rows
+        # re-attribute), customer 2 deleted (its rows leave the join),
+        # customer 9 appears (o5 JOINS for the first time)
+        dim.merge(self._mk_dim(spark, [
+            ("c1", 2, "upsert", 1, "BIKE"),
+            ("c2", 2, "delete", 2, "BIKE"),
+            ("c9", 2, "upsert", 9, "NEW"),
+        ]), "d2")
+        st = mv.refresh()
+        assert st["dim_end"] == 2 and st["groups_touched"] > 0
+        assert self._got(mv) == self._exact(fact, dim)
+        # emptied group (AUTO had only customer-1/3 rows... check GC on
+        # a group that nets to zero): delete customer 3 too
+        dim.merge(self._mk_dim(spark, [("c3", 3, "delete", 3, "AUTO")]), "d3")
+        mv.refresh()
+        assert self._got(mv) == self._exact(fact, dim)
+        assert "AUTO" not in {g for g, _, _ in self._got(mv)}
+
+    def test_both_sides_churn_in_one_refresh(self, spark, tmp_path, tables):
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        # BOTH sides move before a single refresh: the dim step must
+        # apply against the fv0-pinned fact, the fact step against
+        # dim@dv1 — any other pairing double- or under-counts
+        dim.merge(self._mk_dim(spark, [
+            ("c1", 2, "upsert", 1, "MOVED"),
+            ("c9", 2, "upsert", 9, "NEW"),
+        ]), "d2")
+        fact.merge(self._mk_fact(spark, [
+            ("o2", 2, "delete", 102, 1, 20),   # pre-move AUTO row leaves
+            ("o7", 2, "upsert", 107, 9, 50),   # lands in NEW
+            ("o4", 2, "upsert", 104, 1, 7),    # customer 3 -> 1 (MOVED)
+        ]), "f2")
+        mv.refresh()
+        assert self._got(mv) == self._exact(fact, dim)
+
+    def test_exactly_once_replay_and_noop(self, spark, tmp_path, tables):
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        v = mv.table.log.latest().version
+        mv.refresh()  # nothing changed: no commit
+        assert mv.table.log.latest().version == v
+        assert mv.watermark() == (1, 1)
+        assert self._got(mv) == self._exact(fact, dim)
+
+    def test_dim_update_without_projected_change_is_free(
+        self, spark, tmp_path, tables
+    ):
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        # same segment re-upserted: projected (key, attrs) unchanged —
+        # the dim arm must contribute nothing (and the merge sees no
+        # touched groups)
+        dim.merge(self._mk_dim(spark, [("c1", 2, "upsert", 1, "AUTO")]), "d2")
+        st = mv.refresh()
+        assert st["groups_touched"] == 0
+        assert self._got(mv) == self._exact(fact, dim)
+
+    def test_empty_dim_defers_fact_slice(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        fact = LakeTable(spark, str(tmp_path / "fact"), buckets=2)
+        dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+        fact.merge(self._mk_fact(spark, [
+            ("o1", 1, "upsert", 101, 1, 10),
+        ]), "f1")
+        mv = JoinView(
+            spark, str(tmp_path / "mv"), fact, dim,
+            "o_custkey", "c_custkey", ["c_segment"], ["o_price"],
+        )
+        st = mv.refresh()  # dim never committed: nothing to join
+        assert st["groups_touched"] == 0 and mv.watermark() == (0, 0)
+        dim.merge(self._mk_dim(spark, [("c1", 1, "upsert", 1, "AUTO")]), "d1")
+        mv.refresh()
+        assert self._got(mv) == {("AUTO", 1, 10)}
+
+    def test_validation(self, spark, tmp_path, tables):
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        fact, dim = tables
+        with pytest.raises(ValueError, match="at least one group"):
+            JoinView(spark, str(tmp_path / "m1"), fact, dim,
+                     "o_custkey", "c_custkey", [], ["o_price"])
+        with pytest.raises(ValueError, match="fact side"):
+            JoinView(spark, str(tmp_path / "m2"), fact, dim,
+                     "o_custkey", "c_custkey", ["c_segment"], ["c_custkey"])
+        with pytest.raises(ValueError, match="no column"):
+            JoinView(spark, str(tmp_path / "m3"), fact, dim,
+                     "nope", "c_custkey", ["c_segment"], ["o_price"])
+        with pytest.raises(ValueError, match="group columns not in"):
+            JoinView(spark, str(tmp_path / "m4"), fact, dim,
+                     "o_custkey", "c_custkey", ["nope"], ["o_price"])
+
+    def test_crashed_gc_pass_recovers(self, spark, tmp_path, tables):
+        """A refresh that died between its mvj- merge and its mvjgc-
+        tombstone pass leaves cnt==0 groups; the next (even no-op)
+        refresh must run the owed pass (AggregateView doctrine)."""
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        # empty the BIKE group, but simulate the crash by suppressing
+        # delete_where during the refresh
+        fact.merge(self._mk_fact(spark, [
+            ("o3", 2, "delete", 103, 2, 5),
+        ]), "f2")
+        real = type(mv.table).delete_where
+        calls = {"n": 0}
+
+        def crashy(self_, *a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("crash before gc")
+
+        import unittest.mock as mock
+        with mock.patch.object(type(mv.table), "delete_where", crashy):
+            with pytest.raises(RuntimeError):
+                mv.refresh()
+        assert calls["n"] == 1
+        # cnt==0 row physically present until the owed pass runs
+        assert mv.table.snapshot().where("cnt = 0").count() == 1
+        mv.refresh()  # no new changes: runs the owed gc
+        assert mv.table.snapshot().where("cnt = 0").count() == 0
+        assert self._got(mv) == self._exact(fact, dim)

@@ -133,3 +133,42 @@ def test_pin_lint_closure_sees_local_imports_and_classes():
     idx = _source_closure(LLM_QUERIES["q-emb-ann-index"])
     assert "class IvfIndex" in idx      # class folded
     assert "def sq_dists" in idx        # via a method's dependency
+
+
+def test_pin_lint_import_scan_ignores_quoted_imports():
+    """ADVICE r12 #4: the local-import scan parses the function's AST,
+    so an import statement QUOTED inside a docstring or string literal
+    is not folded into the closure hash (the old regex over raw source
+    folded those — over-inclusive, spurious baseline churn). Real
+    function-local imports — including parenthesized/aliased forms —
+    still fold their SOURCE names."""
+    import inspect
+
+    from hudi_spark_plus_spark.pinlint import _local_imports, _source_closure
+
+    def fake_query():
+        """Doc that QUOTES an import:
+
+            from hudi_spark_plus_spark.functions.similarity import pq_topk
+        """
+        s = (
+            "from hudi_spark_plus_spark.functions.dedup "
+            "import minhash_lsh_pairs"
+        )
+        from hudi_spark_plus_spark.functions.similarity import (
+            pq_encode as enc,
+        )
+        from hudi_spark_plus_spark.functions.similarity import sq_dists
+
+        return sq_dists, enc, s
+
+    got = _local_imports(inspect.getsource(fake_query))
+    assert got == [
+        ("hudi_spark_plus_spark.functions.similarity", ["pq_encode"]),
+        ("hudi_spark_plus_spark.functions.similarity", ["sq_dists"]),
+    ]
+    closure = _source_closure(fake_query)
+    assert "def sq_dists" in closure
+    assert "def pq_encode" in closure   # source name behind the alias
+    assert "def pq_topk" not in closure          # docstring-quoted
+    assert "def minhash_lsh_pairs" not in closure  # string-literal-quoted

@@ -307,3 +307,44 @@ class TestSyncFinalizerPlugin:
         assert t.snapshot().count() == 6
         assert t.log.latest().version == 1
         assert facade.puts_seen == seen
+
+
+class TestGetAtomicity:
+    def test_get_never_observes_partial_put(self, facade):
+        """ADVICE r12 #3: do_GET reads the backing file under
+        store.lock (do_PUT writes under it), so a read-back racing
+        another writer's in-flight PUT always observes COMPLETE
+        objects. Hammer alternating large PUTs against concurrent GETs
+        and assert every observed body is one writer's full payload."""
+        import threading
+        import urllib.request
+
+        url = facade.url + "/atomicity/obj.json"
+        bodies = [b"a" * 512_000, b"b" * 512_000]
+        urllib.request.urlopen(
+            urllib.request.Request(url, data=bodies[0], method="PUT")
+        )
+        stop = threading.Event()
+
+        def put_loop():
+            i = 0
+            while not stop.is_set():
+                i += 1
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        url, data=bodies[i % 2], method="PUT"
+                    )
+                )
+
+        t = threading.Thread(target=put_loop, daemon=True)
+        t.start()
+        try:
+            torn = []
+            for _ in range(25):
+                body = urllib.request.urlopen(url).read()
+                if body not in bodies:
+                    torn.append((len(body), body[:1], body[-1:]))
+            assert not torn, torn
+        finally:
+            stop.set()
+            t.join(timeout=10)
