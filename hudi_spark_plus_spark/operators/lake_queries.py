@@ -1896,6 +1896,167 @@ def q_lake_matview(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_join(spark, sf_dir):
+    """Fact×dim incrementally-maintained JOIN matview (table/matview.py
+    JoinView — VERDICT r12 directive 3) under oracle control: fact =
+    orders-derived rows keyed by o_orderkey (fk ``o_custkey``, integral
+    measure ``o_units = o_orderkey % 97``), dim = customers < SUBSET
+    (c_custkey, c_mktsegment); view = count + sum(o_units) per segment.
+    Seed both sides, refresh; then churn BOTH sides before ONE refresh
+    — fact: %3==2 keys insert, seeded %7==0 delete, surviving %11==3
+    re-point their fk to (o_custkey+7) % SUBSET (some re-attribute to
+    other customers, some leave/enter the dim range); dim: %5==0
+    customers move to 'MOVED', %9==0 delete (their orders leave the
+    join). The single refresh must apply the dim step against the
+    fact snapshot PINNED at the fact watermark and the fact step
+    against dim@latest (the telescoping identity) — any other pairing
+    double- or under-counts. Result must equal a from-scratch GROUP BY
+    over final-fact JOIN final-dim."""
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    o_sub = SUBSET * 4
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        ok = F.col("o_orderkey")
+        base = o.where(ok < o_sub).select(
+            ok.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "o_orderkey",
+            "o_custkey",
+            (ok % 97).cast("long").alias("o_units"),
+        )
+        fact = LakeTable(spark, work + "/fact", buckets=4)
+        fact.merge(base.where(ok % 3 != 2), "f1")
+        dim = LakeTable(spark, work + "/dim", buckets=2)
+        dim.merge(
+            c.where(F.col("c_custkey") < SUBSET).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_mktsegment",
+            ),
+            "d1",
+        )
+        mv = JoinView(
+            spark, work + "/mv", fact, dim,
+            "o_custkey", "c_custkey", ["c_mktsegment"], ["o_units"],
+        )
+        mv.refresh()
+        fact.merge(
+            base.where(
+                (ok % 3 == 2) | (ok % 7 == 0) | (ok % 11 == 3)
+            ).select(
+                "_key",
+                F.lit(2).cast("long").alias("_ts"),
+                F.when((ok % 3 != 2) & (ok % 7 == 0), "delete")
+                .otherwise("upsert")
+                .alias("_op"),
+                "o_orderkey",
+                F.when(
+                    (ok % 3 != 2) & (ok % 7 != 0) & (ok % 11 == 3),
+                    (F.col("o_custkey") + 7) % SUBSET,
+                )
+                .otherwise(F.col("o_custkey"))
+                .alias("o_custkey"),
+                "o_units",
+            ),
+            "f2",
+        )
+        ck = F.col("c_custkey")
+        dim.merge(
+            c.where(
+                (ck < SUBSET) & ((ck % 5 == 0) | (ck % 9 == 0))
+            ).select(
+                ck.cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.when(ck % 9 == 0, "delete")
+                .otherwise("upsert")
+                .alias("_op"),
+                "c_custkey",
+                F.lit("MOVED").alias("c_mktsegment"),
+            ),
+            "d2",
+        )
+        st = mv.refresh()
+        if st["groups_touched"] == 0:
+            raise AssertionError("join matview refresh saw no deltas")
+        out = mv.df().orderBy("c_mktsegment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lake_matview_pctl(spark, sf_dir):
+    """Per-group approx-percentile matview (table/matview.py PctlView
+    — VERDICT r12 directive 7): deterministic mergeable quantile
+    sketches (table/pctl_sketch.py) built executor-side, maintained by
+    the NdvView hybrid (insert-only groups sketch-MERGE, updated/
+    deleted groups recompute from the pinned file-pruned snapshot).
+    Same churn as q-lake-matview — %5 keys MOVE segment, %9 delete,
+    [SUBSET, SUBSET+15) insert as 'NEW' — value = (c_custkey*37) % 101
+    for spread. At fixture scale every group is under the sketch
+    capacity, so the sketches are LOSSLESS and the view must equal
+    DuckDB's exact discrete quantile bit-for-bit (the error-bound
+    machinery past capacity is unit-tested, q16 doctrine)."""
+    from hudi_spark_plus_spark.table.matview import PctlView
+
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        ck = F.col("c_custkey")
+        v = ((ck * 37) % 101).cast("long").alias("v")
+        src = LakeTable(spark, work + "/src", buckets=4)
+        src.merge(
+            c.where(ck < SUBSET).select(
+                ck.cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_mktsegment",
+                v,
+            ),
+            "b1",
+        )
+        mv = PctlView(
+            spark, work + "/mv", src, ["c_mktsegment"], ["v"],
+            quantiles=(0.5, 0.9),
+        )
+        mv.refresh()
+        churn = c.where(
+            (
+                (ck < SUBSET)
+                & ((ck % 9 == 0) | (ck % 5 == 0))
+            )
+            | ((ck >= SUBSET) & (ck < SUBSET + 15))
+        ).select(
+            ck.cast("string").alias("_key"),
+            F.lit(2).cast("long").alias("_ts"),
+            F.when((ck % 9 == 0) & (ck < SUBSET), "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            "c_custkey",
+            F.when(ck >= SUBSET, "NEW")
+            .when(ck % 5 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            v,
+        )
+        src.merge(churn, "b2")
+        st = mv.refresh()
+        if st["groups_union"] + st["groups_recomputed"] == 0:
+            raise AssertionError("pctl matview refresh saw no deltas")
+        out = mv.df().orderBy("c_mktsegment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_record_history(spark, sf_dir):
     """Record-level audit trail (table/audit.py record_history): every
     state a key EVER held across the retained timeline — updates,
@@ -2648,6 +2809,8 @@ LAKE_QUERIES = {
     "q-lake-matview": q_lake_matview,
     "q-lake-matview-avg": q_lake_matview_avg,
     "q-lake-matview-ndv": q_lake_matview_ndv,
+    "q-lake-matview-join": q_lake_matview_join,
+    "q-lake-matview-pctl": q_lake_matview_pctl,
     "q-lake-record-history": q_lake_record_history,
     "q-lake-record-history-batch": q_lake_record_history_batch,
     "q-lake-matview-minmax": q_lake_matview_minmax,
@@ -2865,6 +3028,53 @@ LAKE_ORACLES = {
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd_nationkey
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # join-matview replay: final fact (inserts/deletes/fk re-points
+    # applied) joined to final dim (segment moves + deletes applied) —
+    # the from-scratch GROUP BY the incremental view must equal
+    "q-lake-matview-join": f"""
+        WITH fact AS (
+          SELECT CASE WHEN o_orderkey % 3 <> 2 AND o_orderkey % 7 <> 0
+                           AND o_orderkey % 11 = 3
+                      THEN (o_custkey + 7) % {SUBSET}
+                      ELSE o_custkey END AS fk,
+                 CAST(o_orderkey % 97 AS BIGINT) AS o_units
+          FROM orders
+          WHERE o_orderkey < {SUBSET * 4}
+            AND NOT (o_orderkey % 3 <> 2 AND o_orderkey % 7 = 0)
+        ),
+        dim AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(o_units) AS BIGINT) AS sum_o_units
+        FROM fact JOIN dim ON fk = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # pctl matview replay: lossless-regime sketches == exact discrete
+    # quantile (quantile_disc); NULL-free by construction
+    "q-lake-matview-pctl": f"""
+        WITH final AS (
+          SELECT CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 (c_custkey * 37) % 101 AS v
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, (c_custkey * 37) % 101 AS v
+          FROM customer
+          WHERE c_custkey >= {SUBSET} AND c_custkey < {SUBSET + 15}
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(quantile_disc(v, 0.5) AS DOUBLE) AS p50_v,
+               CAST(quantile_disc(v, 0.9) AS DOUBLE) AS p90_v
         FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     # batch record-history replay: identical churn to the single-key

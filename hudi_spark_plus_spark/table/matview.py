@@ -41,6 +41,7 @@ for exact views, same guidance Hudi gives for precombine math).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1102,4 +1103,264 @@ class JoinView:
                 "cnt",
                 *[f"sum_{c}" for c in self.sum_cols],
             )
+        )
+
+
+class PctlView:
+    """Incrementally-maintained per-group approx PERCENTILES — the
+    fifth matview shape (VERDICT r12 directive 7), completing the
+    reporting aggregate family next to NDV: ``table/pctl_sketch``'s
+    deterministic mergeable quantile sketches composed with the
+    watermark-in-batch-id exactly-once protocol.
+
+    A quantile sketch merges but cannot subtract, so maintenance is
+    the NdvView HYBRID, split per group per slice:
+
+    * groups touched ONLY by inserts: sketch-MERGE — the stored sketch
+      ⊕ a sketch of the new rows' values (``merge_sketch_cols``), no
+      source scan at all (the append-mostly common case);
+    * groups touched by any update/delete: PARTIAL RECOMPUTE from the
+      file-pruned source snapshot PINNED at the captured watermark
+      version (``snapshot_pruned_to_groups(version=end)``) — the only
+      way to shrink a sketch is to rebuild it from the rows that
+      remain.
+
+    One LWW merge commit applies both paths plus tombstones for
+    emptied groups (no GC window — the MinMaxView/NdvView shape).
+    Sketches are built EXECUTOR-SIDE (mapInPandas partials + per-group
+    merge, ``pctl_sketch.group_sketches``); the driver holds group
+    keys and paths only, never a sketch.
+
+    Error doctrine (q16's): sketch rank error is the ONLY error, and
+    it is TRACKED, not assumed — each stored sketch carries its
+    accumulated bound; ``error_bounds()`` exposes it per group, and
+    while every group stays under the sketch capacity ``k`` the
+    sketches are lossless, so ``df()`` equals DuckDB's exact
+    ``quantile_disc`` bit-for-bit (what lets the fixture hash-match an
+    exact SQL oracle). NULL measure values are ignored (SQL percentile
+    semantics): an all-NULL group stores a NULL sketch and reads NULL."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        pctl_cols: list[str],
+        quantiles: tuple = (0.5, 0.95),
+        k: int | None = None,
+        buckets: int = 4,
+    ):
+        from hudi_spark_plus_spark.table.pctl_sketch import DEFAULT_K
+
+        if not group_cols:
+            raise ValueError("PctlView requires at least one group col")
+        if not pctl_cols:
+            raise ValueError("PctlView requires at least one measure col")
+        overlap = set(group_cols) & set(pctl_cols)
+        if overlap:
+            raise ValueError(
+                f"columns cannot be both group and measure: {sorted(overlap)}"
+            )
+        if "cnt" in group_cols or "cnt" in pctl_cols:
+            raise ValueError("'cnt' is the view's count column name")
+        bad_q = [q for q in quantiles if not 0.0 <= q <= 1.0]
+        if bad_q:
+            raise ValueError(f"quantiles must be in [0, 1]: {bad_q}")
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.pctl_cols = list(pctl_cols)
+        self.quantiles = list(quantiles)
+        self.k = DEFAULT_K if k is None else int(k)
+        self.table = LakeTable(spark, path, buckets=buckets)
+        self.last_prune: dict = {}
+
+    def watermark(self) -> int:
+        return _watermark_of(self.table)
+
+    def _nullsafe(self, left: str, right: str):
+        return _nullsafe_eq(self.group_cols, left, right)
+
+    def _group_key(self):
+        return F.to_json(
+            F.struct(*self.group_cols), {"ignoreNullFields": "false"}
+        )
+
+    def _sketch_frame(self, df: DataFrame) -> DataFrame:
+        from hudi_spark_plus_spark.table.pctl_sketch import group_sketches
+
+        return group_sketches(df, self.group_cols, self.pctl_cols, self.k)
+
+    def refresh(self) -> dict:
+        from hudi_spark_plus_spark.table.pctl_sketch import (
+            merge_sketch_cols,
+        )
+
+        latest = self.source.log.latest()
+        if latest is None:
+            return {"begin": 0, "end": 0, "groups_union": 0,
+                    "groups_recomputed": 0}
+        begin = self.watermark()
+        end = latest.version
+        if end <= begin:
+            return {"begin": begin, "end": begin, "groups_union": 0,
+                    "groups_recomputed": 0}
+        cdc = self.source.incremental_cdc(begin, end)
+        # same dirty/insert split as NdvView (sketches can't subtract)
+        dirty = (
+            cdc.where(F.col("_change_op") == "u")
+            .select(*self.group_cols)
+            .unionByName(
+                cdc.where(F.col("_change_op").isin("u", "d")).select(
+                    *[
+                        F.col(f"_before_{c}").alias(c)
+                        for c in self.group_cols
+                    ]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # bounded by the slice's groups
+        )
+        ins = cdc.where(F.col("_change_op") == "i").select(
+            *self.group_cols, *self.pctl_cols
+        )
+        ins_only = ins.alias("a").join(
+            F.broadcast(dirty.alias("r")), self._nullsafe("a", "r"), "anti"
+        ).select(*self.group_cols, *self.pctl_cols)
+        union_delta = self._sketch_frame(ins_only)
+        sketch_cols = [f"pctl_{c}" for c in self.pctl_cols]
+        if self.table.schema() is not None:
+            # stored ⊕ delta fold via the Bloom-pruned point lookup —
+            # LIVE rows only (the NdvView ADVICE r12 #1 doctrine)
+            stored = self.table.scan_for_keys(
+                union_delta.select(self._group_key().alias(KEY_COL))
+            )
+            if DELETED_COL in stored.columns:
+                stored = stored.where(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+            stored = stored.select(*self.group_cols, "cnt", *sketch_cols)
+            merge2 = merge_sketch_cols(self.k)
+            d, s = union_delta.alias("d"), stored.alias("s")
+            union_delta = d.join(
+                F.broadcast(s), self._nullsafe("d", "s"), "left"
+            ).select(
+                *[F.col(f"d.{c}").alias(c) for c in self.group_cols],
+                (
+                    F.col("d.cnt")
+                    + F.coalesce(F.col("s.cnt"), F.lit(0))
+                ).cast("long").alias("cnt"),
+                *[
+                    # fixed operand order (stored ⊕ delta): replays
+                    # reproduce bytes exactly
+                    merge2(F.col(f"s.{sc}"), F.col(f"d.{sc}")).alias(sc)
+                    for sc in sketch_cols
+                ],
+            )
+        union_delta = union_delta.localCheckpoint(eager=True)
+        self.last_prune = {}
+        recomputed = self._sketch_frame(
+            self.source.snapshot_pruned_to_groups(
+                dirty, self.group_cols, stats_out=self.last_prune,
+                version=end,
+            )
+        )
+        types = dict(recomputed.dtypes)
+        dead = (
+            dirty.alias("a")
+            .join(
+                F.broadcast(recomputed.select(*self.group_cols).alias("r")),
+                self._nullsafe("a", "r"),
+                "anti",
+            )
+            .select(
+                *self.group_cols,
+                F.lit(0).cast("long").alias("cnt"),
+                *[
+                    F.lit(None).cast(types[sc]).alias(sc)
+                    for sc in sketch_cols
+                ],
+            )
+        )
+
+        def keyed(df, op):
+            return df.select(
+                self._group_key().alias(KEY_COL),
+                F.lit(end).cast("long").alias(TS_COL),
+                F.lit(op).alias("_op"),
+                *self.group_cols,
+                "cnt",
+                *sketch_cols,
+            )
+
+        n_union = union_delta.count()
+        n_dirty = dirty.count()
+        batch = (
+            keyed(union_delta, "upsert")
+            .unionByName(keyed(recomputed, "upsert"))
+            .unionByName(keyed(dead, "delete"))
+        )
+        self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
+        dirty.unpersist()
+        union_delta.unpersist()
+        return {
+            "begin": begin,
+            "end": end,
+            "groups_union": n_union,
+            "groups_recomputed": n_dirty,
+        }
+
+    def df(self) -> DataFrame:
+        """Current view contents: group_cols + cnt + p<q>_<col> per
+        requested quantile (double; NULL for an all-NULL group)."""
+        from hudi_spark_plus_spark.table.pctl_sketch import quantile_col
+
+        return self.table.snapshot().select(
+            *self.group_cols,
+            "cnt",
+            *[
+                quantile_col(q, self.k)(F.col(f"pctl_{c}")).alias(
+                    f"p{int(round(q * 100)):02d}_{c}"
+                )
+                for q in self.quantiles
+                for c in self.pctl_cols
+            ],
+        )
+
+    def error_bounds(self) -> DataFrame:
+        """Per-group tracked rank-error bound and value count per
+        measure column (q16 doctrine: the error is measured state, not
+        an assumption). err == 0 ⇒ the group's quantiles are exact."""
+        from pyspark.sql.types import LongType
+
+        from hudi_spark_plus_spark.table.pctl_sketch import deserialize
+
+        k = self.k
+
+        def field(name):
+            @F.pandas_udf(LongType())
+            def read_f(col: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        None
+                        if b is None
+                        else deserialize(bytes(b), k)[name]
+                        for b in col
+                    ],
+                    dtype="Int64",
+                )
+
+            return read_f
+
+        return self.table.snapshot().select(
+            *self.group_cols,
+            *[
+                x
+                for c in self.pctl_cols
+                for x in (
+                    field("err")(F.col(f"pctl_{c}")).alias(f"err_{c}"),
+                    field("n")(F.col(f"pctl_{c}")).alias(f"n_{c}"),
+                )
+            ],
         )

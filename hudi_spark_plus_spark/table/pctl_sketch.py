@@ -44,6 +44,8 @@ from __future__ import annotations
 import json
 import math
 
+import pandas as pd
+
 DEFAULT_K = 200
 
 
@@ -131,3 +133,126 @@ def deserialize(b: bytes | None, k: int = DEFAULT_K) -> dict:
     if b is None:
         return empty(k)
     return json.loads(bytes(b).decode())
+
+
+def group_sketches(df, group_cols: list[str], val_cols: list[str],
+                   k: int = DEFAULT_K):
+    """(group_cols..., cnt, pctl_<c> binary ...) — one deterministic
+    quantile sketch per group per value column, plus the group's row
+    count. Two-phase, 100-TB-shaped:
+
+    * phase 1 (``mapInPandas``): per Arrow batch, per group, a PARTIAL
+      sketch — bounded memory, never materializes a group; groups are
+      keyed by the JSON rendering of the group tuple (NULL-safe,
+      type-safe across the pandas boundary);
+    * phase 2 (``applyInPandas`` on the key): ≤ one partial per
+      (batch, group) to merge, each a few KB; partials fold in
+      LEXICOGRAPHIC blob order so the result bytes are independent of
+      Arrow partition arrival order (replay-stable, review r12 #1
+      doctrine).
+
+    NULL measure values are skipped (SQL percentile semantics); an
+    all-NULL group carries a NULL sketch and cnt > 0."""
+    from pyspark.sql import functions as F
+
+    gk = F.to_json(
+        F.struct(*group_cols), {"ignoreNullFields": "false"}
+    ).alias("_gk")
+    src = df.select(gk, *val_cols)
+    schema = (
+        "_gk string, cnt long, "
+        + ", ".join(f"pctl_{c} binary" for c in val_cols)
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            rows = {"_gk": [], "cnt": []}
+            for c in val_cols:
+                rows[f"pctl_{c}"] = []
+            for key, g in pdf.groupby("_gk", dropna=False, sort=False):
+                rows["_gk"].append(key)
+                rows["cnt"].append(len(g))
+                for c in val_cols:
+                    vals = g[c].dropna().tolist()
+                    rows[f"pctl_{c}"].append(
+                        serialize(add_values(empty(k), vals))
+                        if vals
+                        else None
+                    )
+            if rows["_gk"]:
+                yield pd.DataFrame(rows)
+
+    part = src.mapInPandas(partials, schema)
+
+    def merge_group(pdf):
+        out = {"_gk": [pdf["_gk"].iloc[0]], "cnt": [int(pdf["cnt"].sum())]}
+        for c in val_cols:
+            blobs = sorted(
+                bytes(b) for b in pdf[f"pctl_{c}"] if b is not None
+            )
+            if not blobs:
+                out[f"pctl_{c}"] = [None]
+            else:
+                acc = deserialize(blobs[0], k)
+                for b in blobs[1:]:
+                    acc = merge(acc, deserialize(b, k))
+                out[f"pctl_{c}"] = [serialize(acc)]
+        return pd.DataFrame(out)
+
+    merged = part.groupBy("_gk").applyInPandas(merge_group, schema)
+    gschema = df.select(*group_cols).schema
+    return merged.select(
+        F.from_json("_gk", gschema).alias("_g"),
+        "cnt",
+        *[f"pctl_{c}" for c in val_cols],
+    ).select(
+        *[F.col(f"_g.{c}").alias(c) for c in group_cols],
+        "cnt",
+        *[f"pctl_{c}" for c in val_cols],
+    )
+
+
+def merge_sketch_cols(k: int = DEFAULT_K):
+    """Null-tolerant two-column sketch merge as an Arrow-batched
+    pandas_udf (stored ⊕ delta — the union-path fold). NULL acts as
+    the identity; the operand ORDER is fixed by the caller, so folds
+    are byte-deterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def merge2(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None:
+                out.append(None if y is None else bytes(y))
+            elif y is None:
+                out.append(bytes(x))
+            else:
+                out.append(
+                    serialize(
+                        merge(deserialize(bytes(x), k),
+                              deserialize(bytes(y), k))
+                    )
+                )
+        return pd.Series(out)
+
+    return merge2
+
+
+def quantile_col(q: float, k: int = DEFAULT_K):
+    """Sketch-column discrete-quantile reader (pandas_udf, double)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def read_q(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if b is None else quantile(deserialize(bytes(b), k), q)
+                for b in col
+            ],
+            dtype="float64",
+        )
+
+    return read_q

@@ -1146,3 +1146,179 @@ class TestJoinView:
         mv.refresh()  # no new changes: runs the owed gc
         assert mv.table.snapshot().where("cnt = 0").count() == 0
         assert self._got(mv) == self._exact(fact, dim)
+
+
+class TestPctlView:
+    """Per-group approx percentiles via deterministic mergeable
+    quantile sketches (PctlView): while groups stay under the sketch
+    capacity the view is LOSSLESS and must equal the exact discrete
+    quantile; over capacity the tracked rank-error bound governs."""
+
+    def _exact_q(self, src, q):
+        # discrete quantile: value at 1-indexed position ceil(q*n)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("g").orderBy("v")
+        n = Window.partitionBy("g")
+        ranked = (
+            src.snapshot()
+            .where(F.col("v").isNotNull())
+            .select(
+                "g", "v",
+                F.row_number().over(w).alias("_r"),
+                F.count("*").over(n).alias("_n"),
+            )
+        )
+        return {
+            (r["g"], float(r["v"]))
+            for r in ranked.where(
+                F.col("_r") == F.greatest(
+                    F.lit(1), F.ceil(F.lit(q) * F.col("_n"))
+                )
+            ).collect()
+        }
+
+    def _got_q(self, view, col):
+        return {
+            (r["g"], r[col])
+            for r in view.df().collect()
+            if r[col] is not None
+        }
+
+    def test_union_and_recompute_paths_track_exact(
+        self, spark, tmp_path, src
+    ):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        mv = PctlView(
+            spark, str(tmp_path / "mv"), src, ["g"], ["v"],
+            quantiles=(0.5,),
+        )
+        r = mv.refresh()
+        assert r["groups_recomputed"] == 0 and r["groups_union"] == 2
+        assert self._got_q(mv, "p50_v") == self._exact_q(src, 0.5)
+        # insert-only churn -> union path (stored ⊕ delta merge)
+        src.merge(mk(spark, [
+            ("k4", 2, "upsert", "a", 15),
+            ("k5", 2, "upsert", "b", 7),
+            ("k6", 2, "upsert", "b", 9),
+        ]), "b2")
+        r = mv.refresh()
+        assert r["groups_recomputed"] == 0 and r["groups_union"] == 2
+        assert self._got_q(mv, "p50_v") == self._exact_q(src, 0.5)
+        # update + delete -> recompute path (sketches can't subtract)
+        src.merge(mk(spark, [
+            ("k2", 3, "upsert", "b", 21),   # group move a -> b
+            ("k3", 3, "delete", "b", 5),
+        ]), "b3")
+        r = mv.refresh()
+        assert r["groups_recomputed"] == 2
+        assert self._got_q(mv, "p50_v") == self._exact_q(src, 0.5)
+
+    def test_emptied_group_tombstoned_and_counts(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        t.merge(mk(spark, [("k1", 1, "upsert", "solo", 4)]), "b1")
+        mv = PctlView(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+        mv.refresh()
+        assert {(r["g"], r["cnt"]) for r in mv.df().collect()} == {
+            ("solo", 1)
+        }
+        t.merge(mk(spark, [("k1", 2, "delete", "solo", 4)]), "b2")
+        mv.refresh()
+        assert mv.df().count() == 0
+
+    def test_null_values_ignored_like_sql(self, spark, tmp_path):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", "a", None),
+                 ("k2", 1, "upsert", "a", 5),
+                 ("k3", 1, "upsert", "n", None)],
+                "_key string, _ts long, _op string, g string, v long",
+            ),
+            "b1",
+        )
+        mv = PctlView(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+        mv.refresh()
+        got = {(r["g"], r["cnt"], r["p50_v"]) for r in mv.df().collect()}
+        # cnt counts rows; the percentile ignores NULLs; all-NULL -> NULL
+        assert got == {("a", 2, 5.0), ("n", 1, None)}
+
+    def test_lossless_regime_is_exact_and_bounds_are_zero(
+        self, spark, tmp_path
+    ):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        rows = [
+            (f"k{i}", 1, "upsert", f"g{i % 3}", (i * 37) % 101)
+            for i in range(120)
+        ]
+        t.merge(mk(spark, rows), "b1")
+        mv = PctlView(
+            spark, str(tmp_path / "mv"), t, ["g"], ["v"],
+            quantiles=(0.1, 0.5, 0.95),
+        )
+        mv.refresh()
+        for q, col in ((0.1, "p10_v"), (0.5, "p50_v"), (0.95, "p95_v")):
+            assert self._got_q(mv, col) == self._exact_q(t, q), col
+        eb = {r["g"]: (r["err_v"], r["n_v"])
+              for r in mv.error_bounds().collect()}
+        assert all(err == 0 for err, _ in eb.values()), eb
+        assert sum(n for _, n in eb.values()) == 120
+
+    def test_over_capacity_error_within_tracked_bound(
+        self, spark, tmp_path
+    ):
+        """Past capacity the sketch compacts; the estimate's RANK error
+        must stay within the sketch's own accumulated bound (q16
+        doctrine: measured, not assumed)."""
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        t = LakeTable(spark, str(tmp_path / "src"), buckets=2)
+        n = 3000
+        rows = [
+            (f"k{i}", 1, "upsert", "g", (i * 7919) % 65536)
+            for i in range(n)
+        ]
+        t.merge(mk(spark, rows), "b1")
+        mv = PctlView(
+            spark, str(tmp_path / "mv"), t, ["g"], ["v"],
+            quantiles=(0.5,), k=64,
+        )
+        mv.refresh()
+        row = mv.df().collect()[0]
+        eb = mv.error_bounds().collect()[0]
+        assert eb["err_v"] > 0 and eb["n_v"] == n
+        vals = sorted((i * 7919) % 65536 for i in range(n))
+        import bisect
+        est = row["p50_v"]
+        lo = bisect.bisect_left(vals, est)
+        hi = bisect.bisect_right(vals, est)
+        target = max(1, -(-n // 2))
+        dist = min(abs(target - r) for r in range(lo + 1, hi + 1))
+        assert dist <= eb["err_v"], (dist, eb["err_v"])
+
+    def test_crash_replay_is_idempotent(self, spark, tmp_path, src):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        mv = PctlView(spark, str(tmp_path / "mv"), src, ["g"], ["v"])
+        mv.refresh()
+        v = mv.table.log.latest().version
+        mv.refresh()
+        assert mv.table.log.latest().version == v
+
+    def test_validation(self, spark, tmp_path, src):
+        from hudi_spark_plus_spark.table.matview import PctlView
+
+        with pytest.raises(ValueError, match="group and measure"):
+            PctlView(spark, str(tmp_path / "m1"), src, ["g"], ["g"])
+        with pytest.raises(ValueError, match="at least one measure"):
+            PctlView(spark, str(tmp_path / "m2"), src, ["g"], [])
+        with pytest.raises(ValueError, match="quantiles"):
+            PctlView(spark, str(tmp_path / "m3"), src, ["g"], ["v"],
+                     quantiles=(1.5,))
