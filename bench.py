@@ -203,7 +203,7 @@ def bench_cdc(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
 
 
 def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
-    """The COW CDC pass with EVERY commit published through the S3
+    """The CDC pass with EVERY commit published through the S3
     conditional-write binding (S3ConditionalPutFinalizer against the
     in-process façade, wired via the engine.table.commit.finalizer
     plugin — VERDICT r11 stretch 8): rows/s + batch latency side by
@@ -211,7 +211,22 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     per-commit conditional-PUT protocol overhead a real object-store
     deployment pays. The façade is localhost HTTP, so the measured
     delta is protocol round-trips + the read-back machinery, not WAN
-    latency — a lower bound, stated as such in BASELINE.md."""
+    latency — a lower bound, stated as such in BASELINE.md.
+
+    Three sub-phases over the SAME envelope stream (r12 directives
+    5+6):
+
+    * ``cdc_s3`` — COW, fault-free (baseline continuity);
+    * ``cdc_s3_mor`` — MOR delta-append commits: more, smaller
+      commits, the path most exposed to per-commit protocol overhead;
+    * ``cdc_s3_fault`` — COW with a documented deterministic fault
+      schedule injected at the store (per micro-batch b: one 409
+      conflict when b%3==0, one lost-200 when b%4==1, one post-write
+      502 when b%5==2 — ≈78% of batches see ≥1 fault), pricing the
+      retry/read-back protocol under load. Integrity is ASSERTED, not
+      assumed: per-table fsck (no missing files, latest version
+      readable) and snapshot row counts equal to the fault-free pass.
+    """
     import os as _os
 
     from pyspark.sql import functions as F
@@ -223,6 +238,8 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     )
     from hudi_spark_plus_spark.operators.sync import sync_batch
     from hudi_spark_plus_spark.plans import config as cfg
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.maintenance import fsck
     from hudi_spark_plus_spark.table.s3_facade import (
         FACADE_ROOT_ENV,
         FACADE_URL_ENV,
@@ -241,6 +258,7 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
     }
     os.environ[FACADE_URL_ENV] = facade.url
     os.environ[FACADE_ROOT_ENV] = work
+    out: dict = {}
     try:
         for b in range(n_batches):
             build_envelopes(
@@ -249,27 +267,49 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
                 )
             ).coalesce(4).write.mode("overwrite").text(f"{work}/in/b{b}")
         events.unpersist()
-        opts = sync_options(f"{work}/tables-s3")
-        opts[cfg.COMMIT_FINALIZER] = (
-            "hudi_spark_plus_spark.table.s3_facade:finalizer_from_env"
-        )
-        # warm-up (NOT timed), symmetric with bench_cdc's
-        wopts = dict(opts)
-        wopts[cfg.HOODIE_PATH] = f"{work}/warm-s3" + "/{db}/ods_{db}_{table}"
-        sync_batch(spark, spark.read.text(f"{work}/in/b0"), wopts, batch_id=0)
-        shutil.rmtree(f"{work}/warm-s3", ignore_errors=True)
-        puts0 = facade.puts_seen
-        lat: list[float] = []
-        t0 = time.perf_counter()
-        for b in range(n_batches):
-            env = spark.read.text(f"{work}/in/b{b}")
-            bt = time.perf_counter()
-            sync_batch(spark, env, opts, batch_id=b)
-            lat.append(time.perf_counter() - bt)
-        total = time.perf_counter() - t0
-        lat.sort()
-        return {
-            "cdc_s3": {
+
+        def run_pass(tag, mode, faults):
+            opts = sync_options(f"{work}/tables-{tag}")
+            opts[cfg.WRITE_MODE] = mode
+            opts[cfg.COMMIT_FINALIZER] = (
+                "hudi_spark_plus_spark.table.s3_facade:finalizer_from_env"
+            )
+            # warm-up (NOT timed), symmetric with bench_cdc's
+            wopts = dict(opts)
+            wopts[cfg.HOODIE_PATH] = (
+                f"{work}/warm-{tag}" + "/{db}/ods_{db}_{table}"
+            )
+            sync_batch(
+                spark, spark.read.text(f"{work}/in/b0"), wopts, batch_id=0
+            )
+            shutil.rmtree(f"{work}/warm-{tag}", ignore_errors=True)
+            puts0 = facade.puts_seen
+            faults_injected = 0
+            lat: list[float] = []
+            t0 = time.perf_counter()
+            for b in range(n_batches):
+                if faults:
+                    # deterministic, documented schedule (see docstring)
+                    if b % 3 == 0:
+                        facade.conflict_budget += 1
+                        faults_injected += 1
+                    if b % 4 == 1:
+                        facade.drop_success_responses += 1
+                        faults_injected += 1
+                    if b % 5 == 2:
+                        facade.gateway_502_after_write += 1
+                        faults_injected += 1
+                env = spark.read.text(f"{work}/in/b{b}")
+                bt = time.perf_counter()
+                sync_batch(spark, env, opts, batch_id=b)
+                lat.append(time.perf_counter() - bt)
+            total = time.perf_counter() - t0
+            # un-triggered fault budget must not leak into later passes
+            facade.conflict_budget = 0
+            facade.drop_success_responses = 0
+            facade.gateway_502_after_write = 0
+            lat.sort()
+            rec = {
                 "rows": n,
                 "batches": n_batches,
                 "rows_per_s": round(n / total, 1),
@@ -279,7 +319,45 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
                 ),
                 "conditional_puts": facade.puts_seen - puts0,
             }
-        }
+            if faults:
+                rec["faults_injected"] = faults_injected
+            counts = {}
+            for db in ("db1", "db2"):
+                for t in ("t_customer", "t_order"):
+                    p = f"{work}/tables-{tag}/{db}/ods_{db}_{t}"
+                    lake = LakeTable(spark, p)
+                    counts[f"{db}.{t}"] = lake.snapshot().count()
+                    if faults:
+                        audit = fsck(lake)
+                        assert audit["ok"], (p, audit)
+            if faults:
+                # record_history spot-audit: one key's full timeline —
+                # exactly one state per commit version (a lost commit
+                # would truncate it, a duplicated apply would fork it)
+                from hudi_spark_plus_spark.table.audit import (
+                    record_history,
+                )
+
+                lake = LakeTable(
+                    spark, f"{work}/tables-{tag}/db1/ods_db1_t_customer"
+                )
+                key = lake.snapshot().select("_key").first()[0]
+                hist = record_history(lake, key).select(
+                    "_commit_ver"
+                ).collect()
+                vers = [r[0] for r in hist]
+                assert vers and len(vers) == len(set(vers)), vers
+            rec["_counts"] = counts
+            return rec
+
+        out["cdc_s3"] = run_pass("s3", "cow", faults=False)
+        out["cdc_s3_mor"] = run_pass("s3-mor", "mor", faults=False)
+        out["cdc_s3_fault"] = run_pass("s3-fault", "cow", faults=True)
+        # zero lost AND zero duplicated rows under faults: every table
+        # converges to the fault-free pass's exact row counts
+        assert out["cdc_s3_fault"].pop("_counts") == out["cdc_s3"]["_counts"]
+        assert out["cdc_s3_mor"].pop("_counts") == out["cdc_s3"].pop("_counts")
+        return out
     finally:
         for k, v in old_env.items():
             if v is None:
@@ -287,6 +365,74 @@ def bench_cdc_s3(spark, sf_dir: str, rows_per_batch: int = 10_000) -> dict:
             else:
                 _os.environ[k] = v
         facade.close()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_ann_compaction(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """VERDICT r12 stretch 8: streaming-churn maintenance for the ANN
+    assignments table. Deployment-sized index + ``n_batches`` MOR
+    micro-batch adds (delta appends, the streaming-maintenance write
+    shape), then the engine's small-file trigger via
+    ``IvfIndex.maintain()``. Reported: the fixed 20-query search
+    latency BEFORE vs AFTER compaction (median of 3 — read-time delta
+    resolution inside probed cells is what compaction buys back) and
+    the live-file fold."""
+    import statistics
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.functions.ann_index import IvfIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    work = _tf.mkdtemp(prefix="hsp_anncomp_")
+    try:
+        idx = IvfIndex.build(
+            spark, f"{work}/idx", emb,
+            n_centroids=max(8, n // 250), buckets=1,
+        )
+        base = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+        churn = emb.limit(200).localCheckpoint(eager=True)
+        for b in range(n_batches):
+            idx.add(
+                churn.select(
+                    (F.col("vec_id") + base * (b + 1)).alias("vec_id"),
+                    "embedding",
+                ),
+                f"churn-{b}",
+                mode="mor",
+            )
+        queries = emb.orderBy("vec_id").limit(20).localCheckpoint(eager=True)
+
+        def timed_search() -> float:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                idx.search(queries, k=5, nprobe=4).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            return statistics.median(runs)
+
+        pre = timed_search()
+        stats = idx.maintain(max_deltas_per_bucket=2)
+        post = timed_search()
+        queries.unpersist()
+        churn.unpersist()
+        return {
+            "ann_compaction": {
+                "churn_batches": n_batches,
+                "files_before": stats["files_before"],
+                "files_after": stats["files_after"],
+                "search_pre_compact_s": round(pre, 3),
+                "search_post_compact_s": round(post, 3),
+                "post_over_pre": round(post / max(pre, 1e-9), 2),
+            }
+        }
+    finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -687,6 +833,15 @@ def compact_summary(result: dict) -> dict:
         "cdc_rows_per_s": result.get("cdc", {}).get("rows_per_s"),
         "cdc_mor_rows_per_s": result.get("cdc_mor", {}).get("rows_per_s"),
         "cdc_s3_rows_per_s": result.get("cdc_s3", {}).get("rows_per_s"),
+        "cdc_s3_mor_rows_per_s": result.get("cdc_s3_mor", {}).get(
+            "rows_per_s"
+        ),
+        "cdc_s3_fault_rows_per_s": result.get("cdc_s3_fault", {}).get(
+            "rows_per_s"
+        ),
+        "ann_compact_post_over_pre": result.get("ann_compaction", {}).get(
+            "post_over_pre"
+        ),
         "spot10x_max": max((v["ratio"] for v in spot.values()), default=None),
         "queries": q0128,
         "detail": "BENCH.out.json",
@@ -780,6 +935,9 @@ def main() -> None:
         _clear_session_state(spark)
         result.update(bench_cdc_s3(spark, sf_dir))
         checkpoint("cdc_s3")
+        _clear_session_state(spark)
+        result.update(bench_ann_compaction(spark, sf_dir))
+        checkpoint("ann_compaction")
         _clear_session_state(spark)
         queries = bench_queries(spark, sf_dir)
         result["queries"] = queries

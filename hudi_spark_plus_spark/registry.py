@@ -117,6 +117,21 @@ _PINNED = [
 ]
 
 
+def _query_cost() -> dict[str, float]:
+    """Last recorded per-query seconds (BENCH.out.json full record) —
+    the cheap/expensive split (VERDICT r12 stretch 9). Committed with
+    the repo, so the ordering is deterministic per round. Queries with
+    no record (new this round) cost 0.0: they sort first within their
+    staleness tier, which is where a never-benched query belongs."""
+    root = Path(__file__).resolve().parent.parent
+    try:
+        rec = json.loads((root / "BENCH.out.json").read_text())
+        q = rec.get("queries") or {}
+        return {k: float(v) for k, v in q.items()}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
 def _gather(attr_idx: int) -> dict:
     out: dict = {}
     for mod_name, qattr, oattr in _SOURCES:
@@ -127,11 +142,20 @@ def _gather(attr_idx: int) -> dict:
         attr = (qattr, oattr)[attr_idx]
         out.update(getattr(mod, attr, {}))
     last = _last_green_round()
+    cost = _query_cost()
     # stable sort: pinned first, then unverified/red (rank -1), then
-    # oldest green round; registration order breaks ties deterministically
+    # oldest green round. WITHIN a staleness tier, CHEAP queries first
+    # (VERDICT r12 stretch 9): when the driver's ~50-row cap lands
+    # mid-tier, it retires many cheap stale greens instead of a few
+    # expensive ones, so the staleness floor advances faster as the
+    # registry grows. Registration order breaks remaining ties.
     ordered = sorted(
         out,
-        key=lambda k: (-2, 0) if k in _PINNED else (last.get(k, -1), 1),
+        key=lambda k: (
+            (-2, 0, 0.0)
+            if k in _PINNED
+            else (last.get(k, -1), 1, cost.get(k, 0.0))
+        ),
     )
     return {k: out[k] for k in ordered}
 
