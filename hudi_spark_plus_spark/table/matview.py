@@ -801,6 +801,7 @@ class JoinView:
         dim_key: str,
         group_cols: list[str],
         sum_cols: list[str] | None = None,
+        avg_cols: list[str] | None = None,
         buckets: int = 4,
     ):
         if not group_cols:
@@ -812,7 +813,13 @@ class JoinView:
         self.dim_key = dim_key
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
-        self._sum_state = list(dict.fromkeys(self.sum_cols))
+        # AVG over the join is algebraic exactly like AggregateView's:
+        # integer sum + NON-NULL count per measure, one double division
+        # read-side (SQL AVG divides by the non-null count)
+        self.avg_cols = list(avg_cols or [])
+        self._sum_state = list(
+            dict.fromkeys(self.sum_cols + self.avg_cols)
+        )
         overlap = set(self.group_cols) & set(self._sum_state)
         if overlap:
             raise ValueError(
@@ -849,11 +856,12 @@ class JoinView:
             not_fact = [c for c in self._sum_state if c not in f_names]
             if not_fact:
                 raise ValueError(
-                    f"sum columns must come from the fact side: {not_fact}"
+                    f"sum/avg columns must come from the fact side: "
+                    f"{not_fact}"
                 )
             if bad:
                 raise ValueError(
-                    f"sum columns must be integral for an exact view "
+                    f"sum/avg columns must be integral for an exact view "
                     f"(float addition is order-dependent): {sorted(bad)} "
                     "— pre-scale to integer units in the source"
                 )
@@ -913,7 +921,8 @@ class JoinView:
         return (latest.version if latest else 0) + 1
 
     def _signed(self, zero) -> list:
-        """cnt/sum contribution columns for a ±frame carrying _sign."""
+        """cnt/sum/non-null-count contribution columns for a ±frame
+        carrying _sign."""
         return [
             F.col("_sign").cast("long").alias("_c"),
             *[
@@ -922,6 +931,13 @@ class JoinView:
                     * F.coalesce(F.col(c).cast("long"), zero)
                 ).alias(f"_s_{c}")
                 for c in self._sum_state
+            ],
+            *[
+                (
+                    F.col("_sign")
+                    * F.when(F.col(c).isNotNull(), 1).otherwise(0)
+                ).cast("long").alias(f"_n_{c}")
+                for c in self.avg_cols
             ],
         ]
 
@@ -1058,12 +1074,22 @@ class JoinView:
                 F.sum(f"_s_{c}").cast("long").alias(f"sum_{c}")
                 for c in self._sum_state
             ],
+            *[
+                F.sum(f"_n_{c}").cast("long").alias(f"nn_{c}")
+                for c in self.avg_cols
+            ],
         )
         nonzero = F.col("cnt") != 0
         for c in self._sum_state:
             nonzero = nonzero | (F.col(f"sum_{c}") != 0)
+        for c in self.avg_cols:
+            nonzero = nonzero | (F.col(f"nn_{c}") != 0)
         deltas = deltas.where(nonzero)
-        state_cols = ["cnt"] + [f"sum_{c}" for c in self._sum_state]
+        state_cols = (
+            ["cnt"]
+            + [f"sum_{c}" for c in self._sum_state]
+            + [f"nn_{c}" for c in self.avg_cols]
+        )
         src = deltas.select(
             F.to_json(
                 F.struct(*self.group_cols), {"ignoreNullFields": "false"}
@@ -1092,9 +1118,12 @@ class JoinView:
     # -- reads ---------------------------------------------------------------
 
     def df(self) -> DataFrame:
-        """Current view contents: group_cols + cnt + sum_<col>
-        (``cnt == 0`` filtered read-side, same doctrine as
-        AggregateView.df)."""
+        """Current view contents: group_cols + cnt + sum_<col> +
+        avg_<col> (avg = maintained integer sum / maintained non-null
+        count, one deterministic double division; NULL when every
+        joined value in the group is NULL — SQL AVG semantics).
+        ``cnt == 0`` filtered read-side, same doctrine as
+        AggregateView.df."""
         return (
             self.table.snapshot()
             .where(F.col("cnt") != 0)
@@ -1102,6 +1131,14 @@ class JoinView:
                 *self.group_cols,
                 "cnt",
                 *[f"sum_{c}" for c in self.sum_cols],
+                *[
+                    F.when(
+                        F.col(f"nn_{c}") > 0,
+                        F.col(f"sum_{c}").cast("double")
+                        / F.col(f"nn_{c}"),
+                    ).alias(f"avg_{c}")
+                    for c in self.avg_cols
+                ],
             )
         )
 

@@ -1322,3 +1322,222 @@ class TestPctlView:
         with pytest.raises(ValueError, match="quantiles"):
             PctlView(spark, str(tmp_path / "m3"), src, ["g"], ["v"],
                      quantiles=(1.5,))
+
+
+def test_join_view_streaming_maintenance_composes(spark, tmp_path):
+    """Deployment shape for the JOIN view: one foreachBatch merges the
+    FACT table and refreshes the view per micro-batch while the dim
+    churns between batches — refresh() is two-watermark-driven, so
+    stream arrival changes nothing about the telescoping algebra."""
+    import os
+
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    fschema = (
+        "_key string, _ts long, _op string, "
+        "o_id long, o_custkey long, o_price long"
+    )
+    fact = LakeTable(spark, str(tmp_path / "fact"), buckets=2)
+    dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+    dim.merge(
+        spark.createDataFrame(
+            [("c1", 1, "upsert", 1, "A"), ("c2", 1, "upsert", 2, "B")],
+            "_key string, _ts long, _op string, "
+            "c_custkey long, c_segment string",
+        ),
+        "d1",
+    )
+    mv = JoinView(
+        spark, str(tmp_path / "mv"), fact, dim,
+        "o_custkey", "c_custkey", ["c_segment"], ["o_price"],
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        [("o1", 1, "upsert", 101, 1, 10), ("o2", 1, "upsert", 102, 2, 20)],
+        [("o1", 2, "upsert", 101, 2, 15), ("o3", 2, "upsert", 103, 1, 7)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, fschema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{feed}/b{i}")
+
+    def apply_batch(df, epoch_id):
+        if df.isEmpty():
+            return
+        fact.merge(df, batch_id=f"stream-{epoch_id}")
+        # dim churn arriving BETWEEN fact micro-batches
+        if not dim.log.has_batch("d2"):
+            dim.merge(
+                spark.createDataFrame(
+                    [("c1", 2, "upsert", 1, "MOVED")],
+                    "_key string, _ts long, _op string, "
+                    "c_custkey long, c_segment string",
+                ),
+                "d2",
+            )
+        mv.refresh()
+
+    q = (
+        spark.readStream.schema(fschema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{feed}/b*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    mv.refresh()
+    exact = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"])
+        for r in fact.snapshot().alias("f")
+        .join(dim.snapshot().alias("d"),
+              F.col("f.o_custkey") == F.col("d.c_custkey"))
+        .groupBy("c_segment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("o_price").cast("long").alias("sum_o_price"),
+        )
+        .collect()
+    }
+    got = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"])
+        for r in mv.df().collect()
+    }
+    assert got == exact
+
+
+def test_pctl_view_streaming_maintenance_composes(spark, tmp_path, src):
+    """Same deployment shape for PctlView: foreachBatch merges the
+    source and refreshes; the hybrid merge/recompute split is
+    per-slice, so micro-batch arrival changes nothing."""
+    import os
+
+    from hudi_spark_plus_spark.table.matview import PctlView
+
+    mv = PctlView(spark, str(tmp_path / "mv"), src, ["g"], ["v"],
+                  quantiles=(0.5,))
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        [("k4", 2, "upsert", "c", 7), ("k5", 2, "upsert", "a", 12)],
+        [("k2", 3, "upsert", "b", 25), ("k3", 3, "delete", "b", 5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "_key string, _ts long, _op string, g string, v long"
+        ).coalesce(1).write.mode("overwrite").json(f"{feed}/b{i}")
+
+    def apply_batch(df, epoch_id):
+        if df.isEmpty():
+            return
+        src.merge(df, batch_id=f"stream-{epoch_id}")
+        mv.refresh()
+
+    q = (
+        spark.readStream.schema(
+            "_key string, _ts long, _op string, g string, v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{feed}/b*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    mv.refresh()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g").orderBy("v")
+    n = Window.partitionBy("g")
+    exact = {
+        (r["g"], float(r["v"]))
+        for r in src.snapshot()
+        .where(F.col("v").isNotNull())
+        .select(
+            "g", "v",
+            F.row_number().over(w).alias("_r"),
+            F.count("*").over(n).alias("_n"),
+        )
+        .where(F.col("_r") == F.greatest(
+            F.lit(1), F.ceil(F.lit(0.5) * F.col("_n"))))
+        .collect()
+    }
+    got = {
+        (r["g"], r["p50_v"])
+        for r in mv.df().collect()
+        if r["p50_v"] is not None
+    }
+    assert got == exact
+
+
+def test_join_view_avg_tracks_group_by_through_null_churn(spark, tmp_path):
+    """JoinView avg_cols: AVG over the join maintained algebraically
+    (integer sum + non-null count), exact through NULL measures and
+    both-sides churn; an all-NULL group reads avg=NULL while cnt
+    counts rows."""
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    fschema = (
+        "_key string, _ts long, _op string, "
+        "o_id long, o_custkey long, o_price long"
+    )
+    dschema = (
+        "_key string, _ts long, _op string, "
+        "c_custkey long, c_segment string"
+    )
+    fact = LakeTable(spark, str(tmp_path / "fact"), buckets=2)
+    dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+    dim.merge(spark.createDataFrame(
+        [("c1", 1, "upsert", 1, "A"), ("c2", 1, "upsert", 2, "B")],
+        dschema,
+    ), "d1")
+    fact.merge(spark.createDataFrame(
+        [("o1", 1, "upsert", 101, 1, 10),
+         ("o2", 1, "upsert", 102, 1, None),   # NULL measure
+         ("o3", 1, "upsert", 103, 2, None)],  # B all-NULL
+        fschema,
+    ), "f1")
+    mv = JoinView(
+        spark, str(tmp_path / "mv"), fact, dim,
+        "o_custkey", "c_custkey", ["c_segment"],
+        sum_cols=["o_price"], avg_cols=["o_price"],
+    )
+    mv.refresh()
+    got = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"], r["avg_o_price"])
+        for r in mv.df().collect()
+    }
+    # sum state is ±coalesced like AggregateView's: an all-NULL group
+    # reads sum=0 (maintained-state semantics), avg=NULL (SQL AVG)
+    assert got == {("A", 2, 10, 10.0), ("B", 1, 0, None)}
+    # both sides churn: c2 -> segment A (its NULL row re-attributes),
+    # o2's NULL becomes 30, one delete
+    dim.merge(spark.createDataFrame(
+        [("c2", 2, "upsert", 2, "A")], dschema), "d2")
+    fact.merge(spark.createDataFrame(
+        [("o2", 2, "upsert", 102, 1, 30),
+         ("o1", 2, "delete", 101, 1, 10)],
+        fschema,
+    ), "f2")
+    mv.refresh()
+    exact = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"], r["avg_o_price"])
+        for r in fact.snapshot().alias("f")
+        .join(dim.snapshot().alias("d"),
+              F.col("f.o_custkey") == F.col("d.c_custkey"))
+        .groupBy("c_segment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("o_price").cast("long").alias("sum_o_price"),
+            F.avg("o_price").alias("avg_o_price"),
+        )
+        .collect()
+    }
+    got = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"], r["avg_o_price"])
+        for r in mv.df().collect()
+    }
+    assert got == exact == {("A", 2, 30, 30.0)}
