@@ -981,31 +981,51 @@ class JoinView:
             .where(F.col("_jk").isNotNull())
             .localCheckpoint(eager=True)
         )
-        keys = [
-            r["_jk"] for r in images.select("_jk").distinct().collect()
-        ]
-        if not keys:
+        # capped like every other driver collect (SCAN_KEYS_MAX /
+        # MERGE_UNITS_MAX doctrine): past the probe cap this is no
+        # longer a selective dim touch — file pruning and the
+        # broadcast hint both come off, LOUDLY, and the join degrades
+        # to a shuffle against the full fv0 snapshot (the correct plan
+        # at that churn fraction)
+        cap = self.fact.PRUNE_PROBE_CAP
+        key_rows = images.select("_jk").distinct().limit(cap + 1).collect()
+        if not key_rows:
             return None
         self.last_prune = {}
-        pruned = self.fact.files_for_any_value(
-            self.fact_fk, keys, version=fv0
-        )
-        if pruned is not None:
-            kept, live = pruned
-            self.last_prune = {
-                "strategy": "file-pruned",
-                "files_kept": len(kept),
-                "files_live": len(live),
-            }
-            fact0 = self.fact._snapshot_of_files(kept)
-        else:
+        fact0 = None
+        over_cap = len(key_rows) > cap
+        if over_cap:
+            import logging as _logging
+
+            _logging.getLogger(__name__).warning(
+                "JoinView dim step: >%d changed dim keys on %s — "
+                "falling back to a shuffle join over the full pinned "
+                "fact snapshot (file pruning and broadcast are off)",
+                cap, self.fact.path,
+            )
             self.last_prune = {"strategy": "full-scan"}
+        else:
+            keys = [r["_jk"] for r in key_rows]
+            pruned = self.fact.files_for_any_value(
+                self.fact_fk, keys, version=fv0
+            )
+            if pruned is not None:
+                kept, live = pruned
+                self.last_prune = {
+                    "strategy": "file-pruned",
+                    "files_kept": len(kept),
+                    "files_live": len(live),
+                }
+                fact0 = self.fact._snapshot_of_files(kept)
+            else:
+                self.last_prune = {"strategy": "full-scan"}
+        if fact0 is None:
             fact0 = self.fact.snapshot(version=fv0)
         zero = F.lit(0).cast("long")
+        img = images if over_cap else F.broadcast(images)
         return (
             fact0.join(
-                F.broadcast(images),
-                F.col(self.fact_fk) == F.col("_jk"),
+                img, F.col(self.fact_fk) == F.col("_jk")
             ).select(*fact_side, *dim_side, *self._signed(zero))
         )
 

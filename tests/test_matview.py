@@ -1541,3 +1541,58 @@ def test_join_view_avg_tracks_group_by_through_null_churn(spark, tmp_path):
         for r in mv.df().collect()
     }
     assert got == exact == {("A", 2, 30, 30.0)}
+
+
+def test_join_view_dim_churn_over_cap_degrades_loudly(spark, tmp_path):
+    """Past the probe cap the dim step's changed-key set is no longer
+    a selective touch: file pruning and the broadcast hint come off
+    (logged), the join degrades to a shuffle against the full pinned
+    fact snapshot — and the maintained state stays exact."""
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    fschema = (
+        "_key string, _ts long, _op string, "
+        "o_id long, o_custkey long, o_price long"
+    )
+    dschema = (
+        "_key string, _ts long, _op string, "
+        "c_custkey long, c_segment string"
+    )
+    fact = LakeTable(spark, str(tmp_path / "fact"), buckets=2)
+    dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+    dim.merge(spark.createDataFrame(
+        [(f"c{i}", 1, "upsert", i, "A") for i in range(8)], dschema
+    ), "d1")
+    fact.merge(spark.createDataFrame(
+        [(f"o{i}", 1, "upsert", 100 + i, i % 8, i) for i in range(40)],
+        fschema,
+    ), "f1")
+    mv = JoinView(
+        spark, str(tmp_path / "mv"), fact, dim,
+        "o_custkey", "c_custkey", ["c_segment"], ["o_price"],
+    )
+    mv.refresh()
+    # shrink the cap so this dim churn (8 keys) is "over cap"
+    fact.PRUNE_PROBE_CAP = 4
+    dim.merge(spark.createDataFrame(
+        [(f"c{i}", 2, "upsert", i, "MOVED") for i in range(8)], dschema
+    ), "d2")
+    mv.refresh()
+    assert mv.last_prune == {"strategy": "full-scan"}
+    exact = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"])
+        for r in fact.snapshot().alias("f")
+        .join(dim.snapshot().alias("d"),
+              F.col("f.o_custkey") == F.col("d.c_custkey"))
+        .groupBy("c_segment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("o_price").cast("long").alias("sum_o_price"),
+        )
+        .collect()
+    }
+    got = {
+        (r["c_segment"], r["cnt"], r["sum_o_price"])
+        for r in mv.df().collect()
+    }
+    assert got == exact == {("MOVED", 40, 780)}
