@@ -513,8 +513,13 @@ class IvfIndex:
                 for v in self.table.log.versions()
                 for cb in (self.table.log.read(v).carried_batch_ids or ())
             }
-            # the new build already owns its own seeding commit
-            carried = sorted(applied - {_BUILD_BATCH_ID})
+            # the new build already owns its own seeding commit.  The
+            # plain "build" id is the LEGACY seed (pre-reserved-prefix
+            # layouts seeded with it); on such indexes it can only be
+            # the seed — a user batch named "build" could never have
+            # coexisted — so carrying it would re-introduce the silent
+            # add(df, "build") suppression the reserved id fixed.
+            carried = sorted(applied - {_BUILD_BATCH_ID, "build"})
             if carried:
                 # metadata-only commit: full current live set re-cited,
                 # so segments are reused byte-for-byte; only the carried

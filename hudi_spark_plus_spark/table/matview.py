@@ -948,11 +948,15 @@ class JoinView:
         dv1: int,
         dim_side: list[str],
         fact_side: list[str],
+        ckpts: list,
     ) -> DataFrame | None:
         """Contributions of dim churn against the fv0-pinned fact:
         one join of the fk-pruned fact slice against the broadcast
         ±dim-images. Returns None when no dim change survives the
-        zero-contribution filter."""
+        zero-contribution filter. Checkpointed frames are appended to
+        ``ckpts`` for the caller to unpersist once consumed (the
+        NdvView/PctlView discipline — a long-lived streaming driver
+        must not leak checkpoint blocks across micro-batches)."""
         cdc = self.dim.incremental_cdc(dv0, dv1)
         proj = [self.dim_key] + dim_side
         same = None
@@ -981,6 +985,7 @@ class JoinView:
             .where(F.col("_jk").isNotNull())
             .localCheckpoint(eager=True)
         )
+        ckpts.append(images)
         # capped like every other driver collect (SCAN_KEYS_MAX /
         # MERGE_UNITS_MAX doctrine): past the probe cap this is no
         # longer a selective dim touch — file pruning and the
@@ -1074,66 +1079,112 @@ class JoinView:
             return noop
         dim_side, fact_side = self._sides()
         arms = []
-        if dv1 > dv0 and fv0 > 0:
-            arm = self._dim_arm(fv0, dv0, dv1, dim_side, fact_side)
-            if arm is not None:
-                arms.append(arm)
-        # dv1 == 0 (dim never committed): the inner join is empty by
-        # definition — nothing to apply, and the watermark must NOT
-        # advance past the unjoined fact slice
-        if fv1 > fv0 and dv1 > 0:
-            arms.append(self._fact_arm(fv0, fv1, dv1, dim_side, fact_side))
-        if not arms:
-            return noop
-        deltas = arms[0]
-        for a in arms[1:]:
-            deltas = deltas.unionByName(a)
-        deltas = deltas.groupBy(*self.group_cols).agg(
-            F.sum("_c").cast("long").alias("cnt"),
-            *[
-                F.sum(f"_s_{c}").cast("long").alias(f"sum_{c}")
-                for c in self._sum_state
-            ],
-            *[
-                F.sum(f"_n_{c}").cast("long").alias(f"nn_{c}")
-                for c in self.avg_cols
-            ],
-        )
-        nonzero = F.col("cnt") != 0
-        for c in self._sum_state:
-            nonzero = nonzero | (F.col(f"sum_{c}") != 0)
-        for c in self.avg_cols:
-            nonzero = nonzero | (F.col(f"nn_{c}") != 0)
-        deltas = deltas.where(nonzero)
-        state_cols = (
-            ["cnt"]
-            + [f"sum_{c}" for c in self._sum_state]
-            + [f"nn_{c}" for c in self.avg_cols]
-        )
-        src = deltas.select(
-            F.to_json(
-                F.struct(*self.group_cols), {"ignoreNullFields": "false"}
-            ).alias(KEY_COL),
-            F.lit(self._next_ts()).cast("long").alias(TS_COL),
-            *self.group_cols,
-            *state_cols,
-        )
-        n = src.count()
-        bid = f"{_J_BATCH_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}"
-        self.table.merge_into(
-            src,
-            {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in state_cols},
-            "insert",
-            batch_id=bid,
-        )
-        self.table.delete_where(
-            F.col("cnt") == 0,
-            batch_id=f"{_J_GC_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}",
-        )
+        ckpts: list = []
+        try:
+            if dv1 > dv0 and fv0 > 0:
+                arm = self._dim_arm(
+                    fv0, dv0, dv1, dim_side, fact_side, ckpts
+                )
+                if arm is not None:
+                    arms.append(arm)
+            # dv1 == 0 (dim never committed): the inner join is empty
+            # by definition — nothing to apply, and the watermark must
+            # NOT advance past the unjoined fact slice
+            if fv1 > fv0 and dv1 > 0:
+                arms.append(
+                    self._fact_arm(fv0, fv1, dv1, dim_side, fact_side)
+                )
+            if not arms:
+                # The dim slice was EXAMINED and nets zero (every
+                # change filtered as no-contribution, or fv0 == 0 so
+                # the join is empty) — the dim watermark must still
+                # advance, or dim retention eventually drops dv0 off
+                # the timeline and incremental_cdc(dv0, dv1) fails
+                # forever on a view that never materially changed.
+                # Metadata-only commits (live set re-cited, mvj-/mvjgc-
+                # ids declared) advance it without touching data.
+                if dv1 > dv0:
+                    self._commit_watermark(fv0, dv0, dv1)
+                    return {
+                        "fact_begin": fv0, "fact_end": fv0,
+                        "dim_begin": dv0, "dim_end": dv1,
+                        "groups_touched": 0,
+                    }
+                return noop
+            deltas = arms[0]
+            for a in arms[1:]:
+                deltas = deltas.unionByName(a)
+            deltas = deltas.groupBy(*self.group_cols).agg(
+                F.sum("_c").cast("long").alias("cnt"),
+                *[
+                    F.sum(f"_s_{c}").cast("long").alias(f"sum_{c}")
+                    for c in self._sum_state
+                ],
+                *[
+                    F.sum(f"_n_{c}").cast("long").alias(f"nn_{c}")
+                    for c in self.avg_cols
+                ],
+            )
+            nonzero = F.col("cnt") != 0
+            for c in self._sum_state:
+                nonzero = nonzero | (F.col(f"sum_{c}") != 0)
+            for c in self.avg_cols:
+                nonzero = nonzero | (F.col(f"nn_{c}") != 0)
+            # materialize ONCE: the un-checkpointed pipeline (fact CDC
+            # + pinned fact-snapshot join + dim-snapshot join + agg)
+            # would otherwise re-execute for src.count() and for each
+            # of merge_into's consumers (~5 passes over the dominant
+            # fact I/O); the aggregate is bounded by groups touched
+            deltas = deltas.where(nonzero).localCheckpoint(eager=True)
+            ckpts.append(deltas)
+            state_cols = (
+                ["cnt"]
+                + [f"sum_{c}" for c in self._sum_state]
+                + [f"nn_{c}" for c in self.avg_cols]
+            )
+            src = deltas.select(
+                F.to_json(
+                    F.struct(*self.group_cols),
+                    {"ignoreNullFields": "false"},
+                ).alias(KEY_COL),
+                F.lit(self._next_ts()).cast("long").alias(TS_COL),
+                *self.group_cols,
+                *state_cols,
+            )
+            n = src.count()
+            bid = f"{_J_BATCH_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}"
+            self.table.merge_into(
+                src,
+                {
+                    c: F.col(f"t.{c}") + F.col(f"s.{c}")
+                    for c in state_cols
+                },
+                "insert",
+                batch_id=bid,
+            )
+            self.table.delete_where(
+                F.col("cnt") == 0,
+                batch_id=f"{_J_GC_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}",
+            )
+        finally:
+            for c in ckpts:
+                c.unpersist()
         return {
             "fact_begin": fv0, "fact_end": fv1,
             "dim_begin": dv0, "dim_end": dv1, "groups_touched": n,
         }
+
+    def _commit_watermark(self, fv0: int, dv0: int, dv1: int) -> None:
+        """Advance the dim watermark with NO data change: one
+        metadata-only commit declaring the mvj- id (what watermark()
+        parses) and one declaring its mvjgc- id (so _pending_gc owes
+        nothing). Both re-cite the live set byte-for-byte."""
+        for prefix in (_J_BATCH_PREFIX, _J_GC_PREFIX):
+            self.table.log.commit(
+                "mv_watermark",
+                self.table.log.live_files(),
+                batch_id=f"{prefix}{fv0}-{fv0}-{dv0}-{dv1}",
+            )
 
     # -- reads ---------------------------------------------------------------
 
@@ -1224,6 +1275,18 @@ class PctlView:
         bad_q = [q for q in quantiles if not 0.0 <= q <= 1.0]
         if bad_q:
             raise ValueError(f"quantiles must be in [0, 1]: {bad_q}")
+        # df() renders each quantile as p<percent>_<col>; two distinct
+        # quantiles rounding to the same percent (0.9 vs 0.904) would
+        # silently produce duplicate column names — refuse at define
+        # time, not at the first ambiguous read
+        labels = [f"p{int(round(q * 100)):02d}" for q in quantiles]
+        if len(set(labels)) != len(labels):
+            dupes = sorted({l for l in labels if labels.count(l) > 1})
+            raise ValueError(
+                f"quantiles {list(quantiles)} collide on rendered "
+                f"column labels {dupes} (labels are whole percents) — "
+                "pick quantiles at least 0.01 apart or drop one"
+            )
         self.spark = spark
         self.source = source
         self.group_cols = list(group_cols)

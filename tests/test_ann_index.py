@@ -459,6 +459,23 @@ class TestLegacyMigration:
         migrated.add(vecs(spark, [(90_000, rows[0][1])]), "b-new")
         assert migrated.assignments().count() == n + 1
 
+    def test_migrate_does_not_carry_legacy_seed_id(
+        self, spark, tmp_path
+    ):
+        """The legacy plain 'build' id is the SEED of a pre-fix index
+        (a user batch named 'build' could never have coexisted), so
+        migration must NOT carry it — carrying it would silently
+        suppress a post-migration user add(df, "build"), re-opening
+        the exact hole the reserved seed id closed."""
+        rows = _cluster_data()
+        legacy = make_legacy_index(
+            spark, str(tmp_path / "legacy"), rows[:100]
+        )
+        migrated = legacy.rebuild(str(tmp_path / "m"), migrate=True)
+        n = migrated.assignments().count()
+        migrated.add(vecs(spark, [(91_000, rows[0][1])]), "build")
+        assert migrated.assignments().count() == n + 1
+
     def test_migrate_without_history_is_plain_rebuild(
         self, spark, index, tmp_path
     ):

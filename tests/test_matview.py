@@ -1082,6 +1082,52 @@ class TestJoinView:
         assert st["groups_touched"] == 0
         assert self._got(mv) == self._exact(fact, dim)
 
+    def test_zero_contribution_dim_refresh_advances_watermark(
+        self, spark, tmp_path, tables
+    ):
+        """A dim slice that nets zero must still ADVANCE the dim
+        watermark (metadata-only commits): otherwise every refresh
+        re-reads the ever-growing (dv0, dv1] slice, and once dim
+        retention drops dv0 the incremental_cdc read fails forever on
+        a view that never materially changed."""
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        mv.refresh()
+        dim.merge(self._mk_dim(spark, [("c1", 2, "upsert", 1, "AUTO")]), "d2")
+        st = mv.refresh()
+        assert st["groups_touched"] == 0
+        assert mv.watermark() == (1, 2)
+        # the advance is durable and GC owes nothing: the next refresh
+        # with no churn is a pure noop (no new commits)
+        assert mv._pending_gc() is None
+        v = mv.table.log.latest().version
+        assert mv.refresh()["groups_touched"] == 0
+        assert mv.table.log.latest().version == v
+        assert self._got(mv) == self._exact(fact, dim)
+        # and real churn after the metadata advance still applies
+        dim.merge(self._mk_dim(spark, [("c1", 3, "upsert", 1, "MOVED")]), "d3")
+        mv.refresh()
+        assert self._got(mv) == self._exact(fact, dim)
+
+    def test_refresh_unpersists_its_checkpoints(
+        self, spark, tmp_path, tables
+    ):
+        """Long-lived streaming drivers call refresh() per micro-batch:
+        the eagerly-materialized localCheckpoints (dim ±images, the
+        aggregated deltas) must be released when refresh returns, not
+        left to the ContextCleaner."""
+        fact, dim = tables
+        mv = self._view(spark, tmp_path, fact, dim)
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        mv.refresh()
+        dim.merge(self._mk_dim(spark, [("c1", 2, "upsert", 1, "BIKE")]), "d2")
+        fact.merge(self._mk_fact(spark, [
+            ("o8", 2, "upsert", 108, 2, 11),
+        ]), "f2")
+        mv.refresh()
+        assert self._got(mv) == self._exact(fact, dim)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
     def test_empty_dim_defers_fact_slice(self, spark, tmp_path):
         from hudi_spark_plus_spark.table.matview import JoinView
 
@@ -1322,6 +1368,11 @@ class TestPctlView:
         with pytest.raises(ValueError, match="quantiles"):
             PctlView(spark, str(tmp_path / "m3"), src, ["g"], ["v"],
                      quantiles=(1.5,))
+        # distinct quantiles whose rendered p<percent> labels collide
+        # would yield duplicate output columns — refused at define time
+        with pytest.raises(ValueError, match="collide"):
+            PctlView(spark, str(tmp_path / "m4"), src, ["g"], ["v"],
+                     quantiles=(0.9, 0.904))
 
 
 def test_join_view_streaming_maintenance_composes(spark, tmp_path):
