@@ -1991,6 +1991,108 @@ def q_lake_matview_join(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lake_matview_join_minmax(spark, sf_dir):
+    """JoinView MIN/MAX measures under oracle control — the
+    semi-algebraic half of the join-matview aggregate family: same
+    fact/dim construction and two-sided churn as q-lake-matview-join
+    (fact keyed by o_orderkey, fk ``o_custkey``; deletes, fk
+    re-pointing, dim segment moves and deletes), with an extra
+    integral measure ``o_pri = (o_orderkey*13) % 251`` maintained as
+    min/max next to sum(o_units). The churn guarantees BOTH
+    maintenance paths run in the second refresh: gaining groups fold
+    via least/greatest, groups that lose rows (deletes, moves)
+    recompute from the end-state join pruned to the dirty groups —
+    asserted via the refresh stats. Result must equal a from-scratch
+    GROUP BY over final-fact JOIN final-dim."""
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    o_sub = SUBSET * 4
+    work = tempfile.mkdtemp(prefix="hsp_lakeq_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        ok = F.col("o_orderkey")
+        base = o.where(ok < o_sub).select(
+            ok.cast("string").alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            "o_orderkey",
+            "o_custkey",
+            (ok % 97).cast("long").alias("o_units"),
+            ((ok * 13) % 251).cast("long").alias("o_pri"),
+        )
+        fact = LakeTable(spark, work + "/fact", buckets=4)
+        fact.merge(base.where(ok % 3 != 2), "f1")
+        dim = LakeTable(spark, work + "/dim", buckets=2)
+        dim.merge(
+            c.where(F.col("c_custkey") < SUBSET).select(
+                F.col("c_custkey").cast("string").alias("_key"),
+                F.lit(1).cast("long").alias("_ts"),
+                F.lit("upsert").alias("_op"),
+                "c_custkey",
+                "c_mktsegment",
+            ),
+            "d1",
+        )
+        mv = JoinView(
+            spark, work + "/mv", fact, dim,
+            "o_custkey", "c_custkey", ["c_mktsegment"], ["o_units"],
+            minmax_cols=["o_pri"],
+        )
+        st = mv.refresh()
+        if st["groups_recomputed"] != 0:
+            raise AssertionError(
+                "seed refresh is insert-only: nothing may recompute"
+            )
+        fact.merge(
+            base.where(
+                (ok % 3 == 2) | (ok % 7 == 0) | (ok % 11 == 3)
+            ).select(
+                "_key",
+                F.lit(2).cast("long").alias("_ts"),
+                F.when((ok % 3 != 2) & (ok % 7 == 0), "delete")
+                .otherwise("upsert")
+                .alias("_op"),
+                "o_orderkey",
+                F.when(
+                    (ok % 3 != 2) & (ok % 7 != 0) & (ok % 11 == 3),
+                    (F.col("o_custkey") + 7) % SUBSET,
+                )
+                .otherwise(F.col("o_custkey"))
+                .alias("o_custkey"),
+                "o_units",
+                "o_pri",
+            ),
+            "f2",
+        )
+        ck = F.col("c_custkey")
+        dim.merge(
+            c.where(
+                (ck < SUBSET) & ((ck % 5 == 0) | (ck % 9 == 0))
+            ).select(
+                ck.cast("string").alias("_key"),
+                F.lit(2).cast("long").alias("_ts"),
+                F.when(ck % 9 == 0, "delete")
+                .otherwise("upsert")
+                .alias("_op"),
+                "c_custkey",
+                F.lit("MOVED").alias("c_mktsegment"),
+            ),
+            "d2",
+        )
+        st = mv.refresh()
+        if st["groups_touched"] == 0 or st["groups_recomputed"] == 0:
+            raise AssertionError(
+                "churn refresh must exercise both min/max paths "
+                f"(stats: {st})"
+            )
+        out = mv.df().orderBy("c_mktsegment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lake_matview_pctl(spark, sf_dir):
     """Per-group approx-percentile matview (table/matview.py PctlView
     — VERDICT r12 directive 7): deterministic mergeable quantile
@@ -2810,6 +2912,7 @@ LAKE_QUERIES = {
     "q-lake-matview-avg": q_lake_matview_avg,
     "q-lake-matview-ndv": q_lake_matview_ndv,
     "q-lake-matview-join": q_lake_matview_join,
+    "q-lake-matview-join-minmax": q_lake_matview_join_minmax,
     "q-lake-matview-pctl": q_lake_matview_pctl,
     "q-lake-record-history": q_lake_record_history,
     "q-lake-record-history-batch": q_lake_record_history_batch,
@@ -3054,6 +3157,35 @@ LAKE_ORACLES = {
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(o_units) AS BIGINT) AS sum_o_units
+        FROM fact JOIN dim ON fk = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # join matview with min/max measures: same replayed churn as
+    # q-lake-matview-join plus the o_pri extreme columns
+    "q-lake-matview-join-minmax": f"""
+        WITH fact AS (
+          SELECT CASE WHEN o_orderkey % 3 <> 2 AND o_orderkey % 7 <> 0
+                           AND o_orderkey % 11 = 3
+                      THEN (o_custkey + 7) % {SUBSET}
+                      ELSE o_custkey END AS fk,
+                 CAST(o_orderkey % 97 AS BIGINT) AS o_units,
+                 CAST((o_orderkey * 13) % 251 AS BIGINT) AS o_pri
+          FROM orders
+          WHERE o_orderkey < {SUBSET * 4}
+            AND NOT (o_orderkey % 3 <> 2 AND o_orderkey % 7 = 0)
+        ),
+        dim AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer
+          WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(o_units) AS BIGINT) AS sum_o_units,
+               CAST(min(o_pri) AS BIGINT) AS min_o_pri,
+               CAST(max(o_pri) AS BIGINT) AS max_o_pri
         FROM fact JOIN dim ON fk = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

@@ -744,8 +744,9 @@ _J_GC_PREFIX = "mvjgc-"
 
 
 class JoinView:
-    """Incrementally-maintained COUNT/SUM aggregate of ``fact INNER
-    JOIN dim ON fact.<fact_fk> = dim.<dim_key>`` — the fourth matview
+    """Incrementally-maintained COUNT/SUM/AVG/MIN/MAX aggregate of
+    ``fact INNER JOIN dim ON fact.<fact_fk> = dim.<dim_key>`` — the
+    fourth matview
     shape (VERDICT r12 directive 3): the first reporting view a real
     user defines is fact×dim (the q05/q06 shape), and a per-refresh
     full recompute is exactly the 100-TB scan this module exists to
@@ -782,6 +783,16 @@ class JoinView:
     ``incremental_cdc`` caveat; savepoint the watermark to guarantee
     it).
 
+    MIN/MAX measures (``minmax_cols``) are SEMI-algebraic: groups
+    touched only by inserts fold via least/greatest against the
+    stored extremes (no source read); any group a row LEAVES (fact
+    delete/update-out, dim re-attribution) can shrink an extreme, so
+    those groups recompute from the END-state join, file-pruned to
+    the dirty groups (``_minmax_recompute`` — the MinMaxView/NdvView
+    hybrid in two-table form). Both paths land in the ONE watermark
+    merge commit; the ``mm_rec`` column steers the per-row merge
+    action and is meaningless at rest.
+
     Correctness contract (tested + oracled): after any refresh
     sequence the view equals ``SELECT g..., count(*) cnt, sum(m)...
     FROM fact JOIN dim ON fact.fk = dim.k GROUP BY g...`` over the
@@ -802,6 +813,7 @@ class JoinView:
         group_cols: list[str],
         sum_cols: list[str] | None = None,
         avg_cols: list[str] | None = None,
+        minmax_cols: list[str] | None = None,
         buckets: int = 4,
     ):
         if not group_cols:
@@ -817,16 +829,27 @@ class JoinView:
         # integer sum + NON-NULL count per measure, one double division
         # read-side (SQL AVG divides by the non-null count)
         self.avg_cols = list(avg_cols or [])
+        # MIN/MAX is only SEMI-algebraic: inserts merge
+        # (least/greatest with the stored extreme), but a row LEAVING
+        # a group can shrink the extreme — those groups recompute from
+        # the end-state join, pruned to the touched groups (the
+        # MinMaxView/NdvView hybrid, two-table form)
+        self.minmax_cols = list(minmax_cols or [])
         self._sum_state = list(
             dict.fromkeys(self.sum_cols + self.avg_cols)
         )
-        overlap = set(self.group_cols) & set(self._sum_state)
+        measures = set(self._sum_state) | set(self.minmax_cols)
+        overlap = set(self.group_cols) & measures
         if overlap:
             raise ValueError(
                 f"columns cannot be both group and measure: {sorted(overlap)}"
             )
-        if "cnt" in self.group_cols or "cnt" in self._sum_state:
+        if "cnt" in self.group_cols or "cnt" in measures:
             raise ValueError("'cnt' is the view's count column name")
+        if "mm_rec" in self.group_cols or "mm_rec" in measures:
+            raise ValueError(
+                "'mm_rec' is the view's recompute-flag column name"
+            )
         fsch, dsch = fact.schema(), dim.schema()
         if fsch is not None and dsch is not None:
             f_names = {f.name for f in fsch.fields if not f.name.startswith("_")}
@@ -865,9 +888,34 @@ class JoinView:
                     f"(float addition is order-dependent): {sorted(bad)} "
                     "— pre-scale to integer units in the source"
                 )
+            mm_not_fact = [
+                c for c in self.minmax_cols if c not in f_names
+            ]
+            if mm_not_fact:
+                raise ValueError(
+                    f"min/max columns must come from the fact side: "
+                    f"{mm_not_fact}"
+                )
+            mm_ok = {
+                "tinyint", "smallint", "int", "bigint", "string",
+                "boolean", "date",
+            }
+            mm_bad = [
+                f.name
+                for f in fsch.fields
+                if f.name in self.minmax_cols
+                and f.dataType.simpleString() not in mm_ok
+            ]
+            if mm_bad:
+                raise ValueError(
+                    f"min/max columns must be integral/string/date for "
+                    f"an engine-exact view: {sorted(mm_bad)}"
+                )
         self.table = LakeTable(spark, path, buckets=buckets)
         # pruning decision of the most recent dim step (observability)
         self.last_prune: dict = {}
+        # pruning decision of the most recent min/max recompute
+        self.last_rec_prune: dict = {}
 
     # -- watermarks ----------------------------------------------------------
 
@@ -922,7 +970,9 @@ class JoinView:
 
     def _signed(self, zero) -> list:
         """cnt/sum/non-null-count contribution columns for a ±frame
-        carrying _sign."""
+        carrying _sign, plus the raw min/max measure values (signed
+        min/max makes no sense — the aggregation splits them by the
+        row's sign instead)."""
         return [
             F.col("_sign").cast("long").alias("_c"),
             *[
@@ -938,6 +988,9 @@ class JoinView:
                     * F.when(F.col(c).isNotNull(), 1).otherwise(0)
                 ).cast("long").alias(f"_n_{c}")
                 for c in self.avg_cols
+            ],
+            *[
+                F.col(c).alias(f"_m_{c}") for c in self.minmax_cols
             ],
         ]
 
@@ -1045,7 +1098,10 @@ class JoinView:
         """Contributions of fact churn against the dv1-pinned broadcast
         dim: ±fact-images joined to dim@dv1 on the fk."""
         cdc = self.fact.incremental_cdc(fv0, fv1)
-        cols = [self.fact_fk] + fact_side + self._sum_state
+        cols = list(dict.fromkeys(
+            [self.fact_fk] + fact_side + self._sum_state
+            + self.minmax_cols
+        ))
         after = cdc.where(F.col("_change_op").isin("i", "u")).select(
             *cols, F.lit(1).alias("_sign")
         )
@@ -1062,6 +1118,85 @@ class JoinView:
             F.broadcast(dsnap), F.col(self.fact_fk) == F.col("_jk")
         ).select(*fact_side, *dim_side, *self._signed(zero))
 
+    def _minmax_recompute(
+        self,
+        dirty: DataFrame,
+        fv1: int,
+        dv1: int,
+        dim_side: list[str],
+    ) -> DataFrame:
+        """Absolute min/max of the DIRTY groups at the end state
+        (``fact@fv1 ⋈ dim@dv1``) — the only way to shrink an extreme
+        after a row leaves. Pruned like the dim step: the dim snapshot
+        is restricted to the dirty groups' dim-side attributes
+        (broadcast semi-join — dims are small by contract), its keys
+        bound the fact FILE read (``files_for_any_value``, capped at
+        ``PRUNE_PROBE_CAP``), and a broadcast semi-join on the full
+        group tuple trims rows to exactly the dirty groups. Past the
+        cap the fact read degrades LOUDLY to the full fv1 snapshot
+        (the correct plan at that churn fraction)."""
+        dsnap = self.dim.snapshot(version=dv1).select(
+            F.col(self.dim_key).alias("_jk"), *dim_side
+        )
+        if dim_side:
+            dsnap = dsnap.alias("d").join(
+                F.broadcast(
+                    dirty.select(*dim_side).distinct().alias("g")
+                ),
+                _nullsafe_eq(dim_side, "d", "g"),
+                "semi",
+            )
+        cap = self.fact.PRUNE_PROBE_CAP
+        key_rows = (
+            dsnap.select("_jk").distinct().limit(cap + 1).collect()
+        )
+        self.last_rec_prune = {}
+        fact1 = None
+        if len(key_rows) <= cap:
+            keys = [r["_jk"] for r in key_rows]
+            pruned = self.fact.files_for_any_value(
+                self.fact_fk, keys, version=fv1
+            )
+            if pruned is not None:
+                kept, live = pruned
+                self.last_rec_prune = {
+                    "strategy": "file-pruned",
+                    "files_kept": len(kept),
+                    "files_live": len(live),
+                }
+                fact1 = self.fact._snapshot_of_files(kept)
+        else:
+            import logging as _logging
+
+            _logging.getLogger(__name__).warning(
+                "JoinView min/max recompute: >%d dim keys in dirty "
+                "groups on %s — falling back to a full scan of the "
+                "fv1 fact snapshot",
+                cap, self.fact.path,
+            )
+        if fact1 is None:
+            if not self.last_rec_prune:
+                self.last_rec_prune = {"strategy": "full-scan"}
+            fact1 = self.fact.snapshot(version=fv1)
+        joined = fact1.join(
+            F.broadcast(dsnap), F.col(self.fact_fk) == F.col("_jk")
+        )
+        joined = joined.alias("j").join(
+            F.broadcast(dirty.select(*self.group_cols).alias("g")),
+            _nullsafe_eq(self.group_cols, "j", "g"),
+            "semi",
+        )
+        return joined.groupBy(*self.group_cols).agg(
+            *[
+                x
+                for c in self.minmax_cols
+                for x in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ]
+        )
+
     def refresh(self) -> dict:
         f_latest = self.fact.log.latest()
         d_latest = self.dim.log.latest()
@@ -1071,6 +1206,7 @@ class JoinView:
         noop = {
             "fact_begin": fv0, "fact_end": fv0,
             "dim_begin": dv0, "dim_end": dv0, "groups_touched": 0,
+            "groups_recomputed": 0,
         }
         if fv1 <= fv0 and dv1 <= dv0:
             owed = self._pending_gc()
@@ -1108,7 +1244,7 @@ class JoinView:
                     return {
                         "fact_begin": fv0, "fact_end": fv0,
                         "dim_begin": dv0, "dim_end": dv1,
-                        "groups_touched": 0,
+                        "groups_touched": 0, "groups_recomputed": 0,
                     }
                 return noop
             deltas = arms[0]
@@ -1124,12 +1260,42 @@ class JoinView:
                     F.sum(f"_n_{c}").cast("long").alias(f"nn_{c}")
                     for c in self.avg_cols
                 ],
+                # min/max of the INSERTED rows only (merge path); any
+                # negative-sign row marks the group for recompute — a
+                # leaving row can shrink an extreme, which least/
+                # greatest cannot express
+                *[
+                    x
+                    for c in self.minmax_cols
+                    for x in (
+                        F.min(
+                            F.when(F.col("_c") > 0, F.col(f"_m_{c}"))
+                        ).alias(f"min_{c}"),
+                        F.max(
+                            F.when(F.col("_c") > 0, F.col(f"_m_{c}"))
+                        ).alias(f"max_{c}"),
+                    )
+                ],
+                *(
+                    [
+                        F.max(
+                            F.when(F.col("_c") < 0, F.lit(1))
+                            .otherwise(F.lit(0))
+                        ).cast("int").alias("mm_rec")
+                    ]
+                    if self.minmax_cols
+                    else []
+                ),
             )
             nonzero = F.col("cnt") != 0
             for c in self._sum_state:
                 nonzero = nonzero | (F.col(f"sum_{c}") != 0)
             for c in self.avg_cols:
                 nonzero = nonzero | (F.col(f"nn_{c}") != 0)
+            if self.minmax_cols:
+                # an in-place update of a min/max measure nets zero on
+                # every additive column yet can move the extremes
+                nonzero = nonzero | (F.col("mm_rec") == 1)
             # materialize ONCE: the un-checkpointed pipeline (fact CDC
             # + pinned fact-snapshot join + dim-snapshot join + agg)
             # would otherwise re-execute for src.count() and for each
@@ -1142,6 +1308,47 @@ class JoinView:
                 + [f"sum_{c}" for c in self._sum_state]
                 + [f"nn_{c}" for c in self.avg_cols]
             )
+            mm_state = [
+                x
+                for c in self.minmax_cols
+                for x in (f"min_{c}", f"max_{c}")
+            ]
+            nrec = 0
+            if self.minmax_cols:
+                dirty = deltas.where(F.col("mm_rec") == 1)
+                nrec = dirty.count()
+                if nrec:
+                    rec = self._minmax_recompute(
+                        dirty, fv1, dv1, dim_side
+                    )
+                    # splice: dirty groups take the recomputed
+                    # absolutes (NULL for a group emptied at the end
+                    # state — its cnt nets 0 and GC removes it); the
+                    # additive columns stay delta-algebraic either way
+                    keep = (
+                        self.group_cols + state_cols + ["mm_rec"]
+                    )
+                    dirty = (
+                        dirty.drop(*mm_state).alias("x")
+                        .join(
+                            F.broadcast(rec.alias("r")),
+                            _nullsafe_eq(self.group_cols, "x", "r"),
+                            "left",
+                        )
+                        .select(
+                            *[F.col(f"x.{c}") for c in keep],
+                            *[
+                                F.col(f"r.{m}").alias(m)
+                                for m in mm_state
+                            ],
+                        )
+                    )
+                    deltas = (
+                        deltas.where(F.col("mm_rec") == 0)
+                        .unionByName(dirty)
+                        .localCheckpoint(eager=True)
+                    )
+                    ckpts.append(deltas)
             src = deltas.select(
                 F.to_json(
                     F.struct(*self.group_cols),
@@ -1150,15 +1357,41 @@ class JoinView:
                 F.lit(self._next_ts()).cast("long").alias(TS_COL),
                 *self.group_cols,
                 *state_cols,
+                *mm_state,
+                *(["mm_rec"] if self.minmax_cols else []),
             )
             n = src.count()
+            assigns = {
+                c: F.col(f"t.{c}") + F.col(f"s.{c}")
+                for c in state_cols
+            }
+            if self.minmax_cols:
+                rec_flag = F.col("s.mm_rec") == 1
+                for c in self.minmax_cols:
+                    assigns[f"min_{c}"] = F.when(
+                        rec_flag, F.col(f"s.min_{c}")
+                    ).otherwise(
+                        # least/greatest skip NULLs: an all-NULL
+                        # insert slice keeps the stored extreme, a
+                        # NULL stored extreme takes the slice's
+                        F.least(
+                            F.col(f"t.min_{c}"), F.col(f"s.min_{c}")
+                        )
+                    )
+                    assigns[f"max_{c}"] = F.when(
+                        rec_flag, F.col(f"s.max_{c}")
+                    ).otherwise(
+                        F.greatest(
+                            F.col(f"t.max_{c}"), F.col(f"s.max_{c}")
+                        )
+                    )
+                # the flag only steers THIS merge; at rest it is
+                # meaningless state
+                assigns["mm_rec"] = F.lit(0).cast("int")
             bid = f"{_J_BATCH_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}"
             self.table.merge_into(
                 src,
-                {
-                    c: F.col(f"t.{c}") + F.col(f"s.{c}")
-                    for c in state_cols
-                },
+                assigns,
                 "insert",
                 batch_id=bid,
             )
@@ -1172,6 +1405,7 @@ class JoinView:
         return {
             "fact_begin": fv0, "fact_end": fv1,
             "dim_begin": dv0, "dim_end": dv1, "groups_touched": n,
+            "groups_recomputed": nrec,
         }
 
     def _commit_watermark(self, fv0: int, dv0: int, dv1: int) -> None:
@@ -1192,9 +1426,11 @@ class JoinView:
         """Current view contents: group_cols + cnt + sum_<col> +
         avg_<col> (avg = maintained integer sum / maintained non-null
         count, one deterministic double division; NULL when every
-        joined value in the group is NULL — SQL AVG semantics).
-        ``cnt == 0`` filtered read-side, same doctrine as
-        AggregateView.df."""
+        joined value in the group is NULL — SQL AVG semantics) +
+        min_/max_<col> (NULL when every joined value is NULL — SQL
+        MIN/MAX semantics; the ``mm_rec`` maintenance flag is not
+        part of the view). ``cnt == 0`` filtered read-side, same
+        doctrine as AggregateView.df."""
         return (
             self.table.snapshot()
             .where(F.col("cnt") != 0)
@@ -1209,6 +1445,11 @@ class JoinView:
                         / F.col(f"nn_{c}"),
                     ).alias(f"avg_{c}")
                     for c in self.avg_cols
+                ],
+                *[
+                    x
+                    for c in self.minmax_cols
+                    for x in (f"min_{c}", f"max_{c}")
                 ],
             )
         )

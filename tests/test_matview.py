@@ -1082,6 +1082,152 @@ class TestJoinView:
         assert st["groups_touched"] == 0
         assert self._got(mv) == self._exact(fact, dim)
 
+    def _mm_view(self, spark, tmp_path, fact, dim, **kw):
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        return JoinView(
+            spark, str(tmp_path / "mvmm"), fact, dim,
+            "o_custkey", "c_custkey", ["c_segment"], **kw,
+        )
+
+    def _exact_mm(self, fact, dim):
+        j = fact.snapshot().alias("f").join(
+            dim.snapshot().alias("d"),
+            F.col("f.o_custkey") == F.col("d.c_custkey"),
+        )
+        return {
+            (r["c_segment"], r["cnt"], r["min_o_price"], r["max_o_price"])
+            for r in j.groupBy("c_segment")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.min("o_price").alias("min_o_price"),
+                F.max("o_price").alias("max_o_price"),
+            )
+            .collect()
+        }
+
+    def _got_mm(self, view):
+        return {
+            (r["c_segment"], r["cnt"], r["min_o_price"], r["max_o_price"])
+            for r in view.df().collect()
+        }
+
+    def test_minmax_insert_only_merges_without_recompute(
+        self, spark, tmp_path, tables
+    ):
+        """Insert-only churn folds via least/greatest against the
+        stored extremes — NO recompute (the append-mostly common
+        case reads no source files for min/max)."""
+        fact, dim = tables
+        mv = self._mm_view(
+            spark, tmp_path, fact, dim, minmax_cols=["o_price"]
+        )
+        st = mv.refresh()
+        assert st["groups_recomputed"] == 0
+        assert self._got_mm(mv) == self._exact_mm(fact, dim)
+        fact.merge(self._mk_fact(spark, [
+            ("o8", 2, "upsert", 108, 1, 3),    # new AUTO min
+            ("o9", 2, "upsert", 109, 2, 50),   # new BIKE max
+        ]), "f2")
+        st = mv.refresh()
+        assert st["groups_recomputed"] == 0
+        assert self._got_mm(mv) == self._exact_mm(fact, dim)
+
+    def test_minmax_leaving_rows_recompute_and_shrink(
+        self, spark, tmp_path, tables
+    ):
+        """A deleted fact row and a dim re-attribution can SHRINK a
+        group's extremes — those groups recompute from the end-state
+        join (file-pruned), groups only gaining rows stay on the
+        merge path."""
+        fact, dim = tables
+        mv = self._mm_view(
+            spark, tmp_path, fact, dim, minmax_cols=["o_price"]
+        )
+        mv.refresh()
+        # AUTO holds o1(10), o2(20), o4(7): delete the max holder
+        fact.merge(self._mk_fact(spark, [
+            ("o2", 2, "delete", 102, 1, 20),
+        ]), "f2")
+        st = mv.refresh()
+        assert st["groups_recomputed"] >= 1
+        assert mv.last_rec_prune.get("strategy") in (
+            "file-pruned", "full-scan",
+        )
+        assert self._got_mm(mv) == self._exact_mm(fact, dim)
+        # dim churn: c2 moves BIKE->AUTO (BIKE empties — GC'd; AUTO
+        # gains o3's price 5 as its new min via the merge path of the
+        # gaining group, while BIKE's leave marks it dirty)
+        dim.merge(self._mk_dim(spark, [
+            ("c2", 2, "upsert", 2, "AUTO"),
+        ]), "d2")
+        mv.refresh()
+        assert self._got_mm(mv) == self._exact_mm(fact, dim)
+        assert "BIKE" not in {g for g, *_ in self._got_mm(mv)}
+
+    def test_minmax_only_update_moves_extremes(
+        self, spark, tmp_path, tables
+    ):
+        """An in-place update of ONLY a min/max measure nets zero on
+        every additive column (cnt, sums) — the mm_rec flag alone
+        must keep the group in the delta and trigger its recompute."""
+        fact, dim = tables
+        mv = self._mm_view(
+            spark, tmp_path, fact, dim, minmax_cols=["o_price"]
+        )
+        mv.refresh()
+        fact.merge(self._mk_fact(spark, [
+            ("o1", 2, "upsert", 101, 1, 100),  # AUTO 10 -> 100
+        ]), "f2")
+        st = mv.refresh()
+        assert st["groups_recomputed"] >= 1
+        assert self._got_mm(mv) == self._exact_mm(fact, dim)
+        auto = {g: (mn, mx) for g, _, mn, mx in self._got_mm(mv)}
+        assert auto["AUTO"] == (7, 100)
+
+    def test_minmax_composes_with_sum_and_validates(
+        self, spark, tmp_path, tables
+    ):
+        fact, dim = tables
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        mv = JoinView(
+            spark, str(tmp_path / "mvc"), fact, dim,
+            "o_custkey", "c_custkey", ["c_segment"],
+            sum_cols=["o_price"], minmax_cols=["o_price"],
+        )
+        mv.refresh()
+        fact.merge(self._mk_fact(spark, [
+            ("o2", 2, "delete", 102, 1, 20),
+            ("o8", 2, "upsert", 108, 3, 1),
+        ]), "f2")
+        mv.refresh()
+        got = {
+            (r["c_segment"], r["cnt"], r["sum_o_price"],
+             r["min_o_price"], r["max_o_price"])
+            for r in mv.df().collect()
+        }
+        j = fact.snapshot().alias("f").join(
+            dim.snapshot().alias("d"),
+            F.col("f.o_custkey") == F.col("d.c_custkey"),
+        )
+        want = {
+            tuple(r)
+            for r in j.groupBy("c_segment").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("o_price").cast("long").alias("sum_o_price"),
+                F.min("o_price").alias("min_o_price"),
+                F.max("o_price").alias("max_o_price"),
+            ).collect()
+        }
+        assert got == want
+        with pytest.raises(ValueError, match="fact side"):
+            JoinView(
+                spark, str(tmp_path / "mvbad"), fact, dim,
+                "o_custkey", "c_custkey", ["c_segment"],
+                minmax_cols=["c_custkey"],
+            )
+
     def test_zero_contribution_dim_refresh_advances_watermark(
         self, spark, tmp_path, tables
     ):

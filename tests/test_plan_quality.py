@@ -759,6 +759,67 @@ def test_joinview_dim_churn_prunes_fact_files(spark, tmp_path):
     assert got == exact
 
 
+def test_joinview_minmax_recompute_prunes_fact_files(spark, tmp_path):
+    """The min/max recompute reads the END-state fact FILE-pruned to
+    the dirty groups' dim keys (secondary index here) — recompute I/O
+    is the dirty groups' files, never the fact."""
+    from pyspark.sql import functions as F
+
+    from hudi_spark_plus_spark.table.lake_table import LakeTable
+    from hudi_spark_plus_spark.table.matview import JoinView
+
+    fact = LakeTable(spark, str(tmp_path / "fact"), buckets=8)
+    dim = LakeTable(spark, str(tmp_path / "dim"), buckets=2)
+    # one segment per customer: a single leaving row dirties exactly
+    # one group, whose recompute must touch only that fk's files
+    dim.merge(
+        spark.createDataFrame(
+            [(f"c{i}", 1, "upsert", i, f"S{i}") for i in range(40)],
+            "_key string, _ts long, _op string, "
+            "c_custkey long, c_segment string",
+        ),
+        "d1",
+    )
+    fact.merge(
+        spark.createDataFrame(
+            [(f"o{i}", 1, "upsert", 100 + i, i % 40, i) for i in range(400)],
+            "_key string, _ts long, _op string, "
+            "o_id long, o_custkey long, o_price long",
+        ),
+        "f1",
+    )
+    fact.create_secondary_index("o_custkey")
+    mv = JoinView(
+        spark, str(tmp_path / "mv"), fact, dim,
+        "o_custkey", "c_custkey", ["c_segment"],
+        minmax_cols=["o_price"],
+    )
+    st = mv.refresh()
+    assert st["groups_recomputed"] == 0
+    # delete S3's min holder: the group recomputes, file-pruned
+    fact.merge(
+        spark.createDataFrame(
+            [("o3", 2, "delete", 103, 3, 3)],
+            "_key string, _ts long, _op string, "
+            "o_id long, o_custkey long, o_price long",
+        ),
+        "f2",
+    )
+    st = mv.refresh()
+    assert st["groups_recomputed"] == 1
+    assert mv.last_rec_prune.get("strategy") == "file-pruned", (
+        mv.last_rec_prune
+    )
+    assert (
+        mv.last_rec_prune["files_kept"] < mv.last_rec_prune["files_live"]
+    ), mv.last_rec_prune
+    s3 = {
+        (r["cnt"], r["min_o_price"], r["max_o_price"])
+        for r in mv.df().where(F.col("c_segment") == "S3").collect()
+    }
+    assert s3 == {(9, 43, 363)}
+
+
 def test_pctl_sketches_are_executor_side_single_shuffle(spark):
     """VERDICT r12 directive 7 plan guard: quantile sketches are built
     executor-side (mapInPandas partials + per-group applyInPandas
