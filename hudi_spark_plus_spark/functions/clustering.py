@@ -89,6 +89,13 @@ def connected_components(
             .where(F.col("cluster_id") != F.col("old"))
             .count()
         )
+        # the superseded round's label checkpoint is dead once the
+        # changed-count consumed it — release its blocks instead of
+        # piling one checkpoint per round (ckpt.py: DataFrame.unpersist
+        # would be a silent no-op here)
+        from hudi_spark_plus_spark.ckpt import release_local_checkpoint
+
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             return labels.select(F.col("u").alias("node"), "cluster_id")

@@ -331,6 +331,14 @@ class StreamingNearDup:
             self._text_rows(survivors, id_col, text_col), batch_id=batch_id
         )
         self.store.ingest(survivors, id_col, text_col, batch_id)
+        # release the per-batch checkpoints (DataFrame.unpersist is a
+        # no-op for localCheckpoints — ckpt.py): in the streaming
+        # deployment this runs every micro-batch and the blocks would
+        # otherwise accumulate until the ContextCleaner notices.
+        # ``pairs`` is returned to the caller and stays live.
+        from hudi_spark_plus_spark.ckpt import release_all
+
+        release_all((batch_df, survivors))
         return pairs
 
     def prune(self, dead_ids, batch_id: str) -> None:

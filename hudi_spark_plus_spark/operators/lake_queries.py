@@ -1999,11 +1999,15 @@ def q_lake_matview_join_minmax(spark, sf_dir):
     re-pointing, dim segment moves and deletes), with an extra
     integral measure ``o_pri = (o_orderkey*13) % 251`` maintained as
     min/max next to sum(o_units). The churn guarantees BOTH
-    maintenance paths run in the second refresh: gaining groups fold
-    via least/greatest, groups that lose rows (deletes, moves)
-    recompute from the end-state join pruned to the dirty groups —
-    asserted via the refresh stats. Result must equal a from-scratch
-    GROUP BY over final-fact JOIN final-dim."""
+    maintenance paths run in the second refresh — STRUCTURALLY: the
+    inserted fact rows (%3==2) point at ten brand-new synthetic dim
+    customers (key 1_000_000+i, segment 'NEW') that no pre-existing
+    fact row, delete, or re-point can reach, so 'NEW' is a pure-gain
+    group exercising the least/greatest FOLD path while the
+    delete/move churn dirties other groups into the RECOMPUTE path;
+    ``groups_touched > groups_recomputed > 0`` is asserted. Result
+    must equal a from-scratch GROUP BY over final-fact JOIN
+    final-dim."""
     from hudi_spark_plus_spark.table.matview import JoinView
 
     o_sub = SUBSET * 4
@@ -2054,7 +2058,14 @@ def q_lake_matview_join_minmax(spark, sf_dir):
                 .otherwise("upsert")
                 .alias("_op"),
                 "o_orderkey",
+                # inserts land on the synthetic NEW customers — a key
+                # range no pre-existing row, delete, or re-point can
+                # reach, so 'NEW' is a structurally pure-gain group
                 F.when(
+                    ok % 3 == 2,
+                    F.lit(1_000_000) + (F.col("o_custkey") % 10),
+                )
+                .when(
                     (ok % 3 != 2) & (ok % 7 != 0) & (ok % 11 == 3),
                     (F.col("o_custkey") + 7) % SUBSET,
                 )
@@ -2077,14 +2088,24 @@ def q_lake_matview_join_minmax(spark, sf_dir):
                 .alias("_op"),
                 "c_custkey",
                 F.lit("MOVED").alias("c_mktsegment"),
+            ).unionByName(
+                spark.range(10).select(
+                    (F.lit(1_000_000) + F.col("id"))
+                    .cast("string").alias("_key"),
+                    F.lit(2).cast("long").alias("_ts"),
+                    F.lit("upsert").alias("_op"),
+                    (F.lit(1_000_000) + F.col("id")).alias("c_custkey"),
+                    F.lit("NEW").alias("c_mktsegment"),
+                )
             ),
             "d2",
         )
         st = mv.refresh()
-        if st["groups_touched"] == 0 or st["groups_recomputed"] == 0:
+        if not (st["groups_touched"] > st["groups_recomputed"] > 0):
             raise AssertionError(
-                "churn refresh must exercise both min/max paths "
-                f"(stats: {st})"
+                "churn refresh must exercise BOTH min/max paths — a "
+                "pure-gain group on the fold path and dirty groups on "
+                f"the recompute path (stats: {st})"
             )
         out = mv.df().orderBy("c_mktsegment")
         rows = out.collect()
@@ -3164,8 +3185,9 @@ LAKE_ORACLES = {
     # q-lake-matview-join plus the o_pri extreme columns
     "q-lake-matview-join-minmax": f"""
         WITH fact AS (
-          SELECT CASE WHEN o_orderkey % 3 <> 2 AND o_orderkey % 7 <> 0
-                           AND o_orderkey % 11 = 3
+          SELECT CASE WHEN o_orderkey % 3 = 2
+                      THEN 1000000 + (o_custkey % 10)
+                      WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 = 3
                       THEN (o_custkey + 7) % {SUBSET}
                       ELSE o_custkey END AS fk,
                  CAST(o_orderkey % 97 AS BIGINT) AS o_units,
@@ -3180,6 +3202,10 @@ LAKE_ORACLES = {
                       ELSE c_mktsegment END AS c_mktsegment
           FROM customer
           WHERE c_custkey < {SUBSET} AND c_custkey % 9 <> 0
+          UNION ALL
+          SELECT CAST(1000000 + range AS BIGINT) AS c_custkey,
+                 'NEW' AS c_mktsegment
+          FROM range(10)
         )
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,

@@ -103,8 +103,24 @@ _PINNED = [
     #   explicitly (ADVICE r12 #1) — identical today by the cnt=0/NULL-
     #   sketch invariant, but the fold expression changed:
     "q-lake-matview-ndv",
+    # - checkpoint-release sweep (ckpt.py: DataFrame.unpersist is a
+    #   silent no-op for localCheckpoints — the engine now releases the
+    #   wrapped plan-RDD for real). Results are construction-identical,
+    #   but the per-batch/per-round execution paths of these fixtures
+    #   changed (signature-store releases batch state after ingest,
+    #   connected-components releases each superseded round):
+    "q-stream-neardup",
+    "q-doc-dup-clusters",
+    "q-doc-dedup-e2e",
+    "q-emb-dedup-e2e",
     # NOT pinned although hash-flagged (the table/ glob folds matview.py
     # + s3_facade.py edits into every q-lake-*/q-cdc-* hash):
+    # - round-13 late batch: JoinView minmax/mm-neutral/prune-ladder
+    #   edits concern JoinView only, whose three fixtures are
+    #   never-checked this round (auto-front of the rotation);
+    #   NdvView/PctlView gained only the post-commit release_all swap
+    #   and MinMaxView a moved type-set constant — behavior identical,
+    #   and q-lake-matview-ndv is already pinned above.
     # - s3_facade.py do_GET now reads under store.lock (ADVICE r12 #3):
     #   a test/bench double imported by no query path.
     # - the broad q-lake-*/q-cdc-* family: AggregateView/MinMaxView and

@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.ckpt import release_all
 from hudi_spark_plus_spark.table.keygen import KEY_COL, TS_COL
 from hudi_spark_plus_spark.table.lake_table import DELETED_COL, LakeTable
 
@@ -78,6 +79,15 @@ def _nullsafe_eq(group_cols: list[str], left: str, right: str):
         e = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
         cond = e if cond is None else (cond & e)
     return cond
+
+
+# engine-exact MIN/MAX maintenance supports order-comparable types
+# whose comparison semantics Spark and the SQL oracle agree on
+# bit-for-bit (floats are excluded for the same order-dependence
+# reason as SUM)
+_MINMAX_OK_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string", "boolean", "date",
+}
 
 
 class AggregateView:
@@ -359,15 +369,11 @@ class MinMaxView:
         self.minmax_cols = list(minmax_cols)
         sch = source.schema()
         if sch is not None:
-            ok = {
-                "tinyint", "smallint", "int", "bigint", "string",
-                "boolean", "date",
-            }
             bad = [
                 f.name
                 for f in sch.fields
                 if f.name in self.minmax_cols
-                and f.dataType.simpleString() not in ok
+                and f.dataType.simpleString() not in _MINMAX_OK_TYPES
             ]
             if bad:
                 raise ValueError(
@@ -714,8 +720,7 @@ class NdvView:
         # upserts AND tombstones in ONE commit: watermark, sketches and
         # emptied groups' deletion are atomic (no GC window)
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
-        dirty.unpersist()
-        union_delta.unpersist()
+        release_all((dirty, union_delta))
         return {
             "begin": begin,
             "end": end,
@@ -834,7 +839,7 @@ class JoinView:
         # a group can shrink the extreme — those groups recompute from
         # the end-state join, pruned to the touched groups (the
         # MinMaxView/NdvView hybrid, two-table form)
-        self.minmax_cols = list(minmax_cols or [])
+        self.minmax_cols = list(dict.fromkeys(minmax_cols or []))
         self._sum_state = list(
             dict.fromkeys(self.sum_cols + self.avg_cols)
         )
@@ -849,6 +854,28 @@ class JoinView:
         if "mm_rec" in self.group_cols or "mm_rec" in measures:
             raise ValueError(
                 "'mm_rec' is the view's recompute-flag column name"
+            )
+        # rendered STATE names must be unique against each other and
+        # the group columns (a group column literally named "min_x"
+        # next to minmax_cols=["x"] would collide only at the first
+        # refresh otherwise — define-time refusal, PctlView doctrine)
+        rendered = (
+            list(self.group_cols)
+            + ["cnt"]
+            + [f"sum_{c}" for c in self._sum_state]
+            + [f"nn_{c}" for c in self.avg_cols]
+            + [
+                x
+                for c in self.minmax_cols
+                for x in (f"min_{c}", f"max_{c}")
+            ]
+            + (["mm_rec"] if self.minmax_cols else [])
+        )
+        dupes = sorted({n for n in rendered if rendered.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"view column names collide after rendering: {dupes} "
+                "— rename the source columns before defining the view"
             )
         fsch, dsch = fact.schema(), dim.schema()
         if fsch is not None and dsch is not None:
@@ -896,15 +923,11 @@ class JoinView:
                     f"min/max columns must come from the fact side: "
                     f"{mm_not_fact}"
                 )
-            mm_ok = {
-                "tinyint", "smallint", "int", "bigint", "string",
-                "boolean", "date",
-            }
             mm_bad = [
                 f.name
                 for f in fsch.fields
                 if f.name in self.minmax_cols
-                and f.dataType.simpleString() not in mm_ok
+                and f.dataType.simpleString() not in _MINMAX_OK_TYPES
             ]
             if mm_bad:
                 raise ValueError(
@@ -992,6 +1015,7 @@ class JoinView:
             *[
                 F.col(c).alias(f"_m_{c}") for c in self.minmax_cols
             ],
+            *([F.col("_mmn")] if self.minmax_cols else []),
         ]
 
     def _dim_arm(
@@ -1018,11 +1042,15 @@ class JoinView:
             same = e if same is None else (same & e)
         # an update that leaves (key, group attrs) unchanged nets zero
         changed = cdc.where((F.col("_change_op") != "u") | ~same)
+        # dim-churn negatives are always genuine leaves (a dim-attr
+        # move re-attributes every matching fact row), so none are
+        # min/max-neutral
         after = changed.where(
             F.col("_change_op").isin("i", "u")
         ).select(
             F.col(self.dim_key).alias("_jk"),
             *dim_side,
+            F.lit(False).alias("_mmn"),
             F.lit(1).alias("_sign"),
         )
         before = changed.where(
@@ -1030,6 +1058,7 @@ class JoinView:
         ).select(
             F.col(f"_before_{self.dim_key}").alias("_jk"),
             *[F.col(f"_before_{c}").alias(c) for c in dim_side],
+            F.lit(False).alias("_mmn"),
             F.lit(-1).alias("_sign"),
         )
         # bounded by the dim slice — dims are small by contract
@@ -1049,8 +1078,6 @@ class JoinView:
         key_rows = images.select("_jk").distinct().limit(cap + 1).collect()
         if not key_rows:
             return None
-        self.last_prune = {}
-        fact0 = None
         over_cap = len(key_rows) > cap
         if over_cap:
             import logging as _logging
@@ -1062,29 +1089,41 @@ class JoinView:
                 cap, self.fact.path,
             )
             self.last_prune = {"strategy": "full-scan"}
-        else:
-            keys = [r["_jk"] for r in key_rows]
-            pruned = self.fact.files_for_any_value(
-                self.fact_fk, keys, version=fv0
-            )
-            if pruned is not None:
-                kept, live = pruned
-                self.last_prune = {
-                    "strategy": "file-pruned",
-                    "files_kept": len(kept),
-                    "files_live": len(live),
-                }
-                fact0 = self.fact._snapshot_of_files(kept)
-            else:
-                self.last_prune = {"strategy": "full-scan"}
-        if fact0 is None:
             fact0 = self.fact.snapshot(version=fv0)
+        else:
+            fact0, self.last_prune = self._fact_snapshot_pruned(
+                [r["_jk"] for r in key_rows], fv0
+            )
         zero = F.lit(0).cast("long")
         img = images if over_cap else F.broadcast(images)
         return (
             fact0.join(
                 img, F.col(self.fact_fk) == F.col("_jk")
             ).select(*fact_side, *dim_side, *self._signed(zero))
+        )
+
+    def _fact_snapshot_pruned(
+        self, keys: list, version: int
+    ) -> tuple[DataFrame, dict]:
+        """The shared fk-pruning ladder (dim step + min/max
+        recompute): fact snapshot at ``version`` restricted to the
+        files that can hold fk ∈ ``keys`` (``files_for_any_value``:
+        secondary index > partition > col_stats). Returns
+        ``(df, stats)``; a prune miss returns the full snapshot with
+        ``{"strategy": "full-scan"}``."""
+        pruned = self.fact.files_for_any_value(
+            self.fact_fk, keys, version=version
+        )
+        if pruned is not None:
+            kept, live = pruned
+            return self.fact._snapshot_of_files(kept), {
+                "strategy": "file-pruned",
+                "files_kept": len(kept),
+                "files_live": len(live),
+            }
+        return (
+            self.fact.snapshot(version=version),
+            {"strategy": "full-scan"},
         )
 
     def _fact_arm(
@@ -1102,11 +1141,37 @@ class JoinView:
             [self.fact_fk] + fact_side + self._sum_state
             + self.minmax_cols
         ))
+        # an update leaving every view-relevant column unchanged is a
+        # ± pair canceling in every measure — drop it before the join
+        # (the dim arm's no-contribution filter, fact-side form)
+        same_all = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"_before_{c}"))
+            same_all = e if same_all is None else (same_all & e)
+        cdc = cdc.where((F.col("_change_op") != "u") | ~same_all)
+        mmn = F.lit(False)
+        if self.minmax_cols:
+            # an update changing ONLY additive measures cannot move an
+            # extreme (group assignment and min/max values unchanged):
+            # its before-image must not mark the group for recompute —
+            # otherwise every sum-touching upsert stream forces
+            # per-batch file recomputes of groups whose extremes
+            # provably cannot change
+            mm_cols = list(dict.fromkeys(
+                [self.fact_fk] + fact_side + self.minmax_cols
+            ))
+            mm_same = None
+            for c in mm_cols:
+                e = F.col(c).eqNullSafe(F.col(f"_before_{c}"))
+                mm_same = e if mm_same is None else (mm_same & e)
+            mmn = (F.col("_change_op") == "u") & mm_same
+        cdc = cdc.withColumn("_mmn", mmn)
         after = cdc.where(F.col("_change_op").isin("i", "u")).select(
-            *cols, F.lit(1).alias("_sign")
+            *cols, "_mmn", F.lit(1).alias("_sign")
         )
         before = cdc.where(F.col("_change_op").isin("u", "d")).select(
             *[F.col(f"_before_{c}").alias(c) for c in cols],
+            "_mmn",
             F.lit(-1).alias("_sign"),
         )
         fdelta = after.unionByName(before)
@@ -1150,22 +1215,7 @@ class JoinView:
         key_rows = (
             dsnap.select("_jk").distinct().limit(cap + 1).collect()
         )
-        self.last_rec_prune = {}
-        fact1 = None
-        if len(key_rows) <= cap:
-            keys = [r["_jk"] for r in key_rows]
-            pruned = self.fact.files_for_any_value(
-                self.fact_fk, keys, version=fv1
-            )
-            if pruned is not None:
-                kept, live = pruned
-                self.last_rec_prune = {
-                    "strategy": "file-pruned",
-                    "files_kept": len(kept),
-                    "files_live": len(live),
-                }
-                fact1 = self.fact._snapshot_of_files(kept)
-        else:
+        if len(key_rows) > cap:
             import logging as _logging
 
             _logging.getLogger(__name__).warning(
@@ -1174,10 +1224,12 @@ class JoinView:
                 "fv1 fact snapshot",
                 cap, self.fact.path,
             )
-        if fact1 is None:
-            if not self.last_rec_prune:
-                self.last_rec_prune = {"strategy": "full-scan"}
+            self.last_rec_prune = {"strategy": "full-scan"}
             fact1 = self.fact.snapshot(version=fv1)
+        else:
+            fact1, self.last_rec_prune = self._fact_snapshot_pruned(
+                [r["_jk"] for r in key_rows], fv1
+            )
         joined = fact1.join(
             F.broadcast(dsnap), F.col(self.fact_fk) == F.col("_jk")
         )
@@ -1279,8 +1331,10 @@ class JoinView:
                 *(
                     [
                         F.max(
-                            F.when(F.col("_c") < 0, F.lit(1))
-                            .otherwise(F.lit(0))
+                            F.when(
+                                (F.col("_c") < 0) & ~F.col("_mmn"),
+                                F.lit(1),
+                            ).otherwise(F.lit(0))
                         ).cast("int").alias("mm_rec")
                     ]
                     if self.minmax_cols
@@ -1400,8 +1454,7 @@ class JoinView:
                 batch_id=f"{_J_GC_PREFIX}{fv0}-{fv1}-{dv0}-{dv1}",
             )
         finally:
-            for c in ckpts:
-                c.unpersist()
+            release_all(ckpts)
         return {
             "fact_begin": fv0, "fact_end": fv1,
             "dim_begin": dv0, "dim_end": dv1, "groups_touched": n,
@@ -1663,8 +1716,7 @@ class PctlView:
             .unionByName(keyed(dead, "delete"))
         )
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
-        dirty.unpersist()
-        union_delta.unpersist()
+        release_all((dirty, union_delta))
         return {
             "begin": begin,
             "end": end,

@@ -1185,6 +1185,51 @@ class TestJoinView:
         auto = {g: (mn, mx) for g, _, mn, mx in self._got_mm(mv)}
         assert auto["AUTO"] == (7, 100)
 
+    def test_minmax_neutral_update_stays_on_fold_path(
+        self, spark, tmp_path, tables
+    ):
+        """An update changing ONLY an additive measure (or nothing
+        view-relevant) cannot move an extreme — its before-image must
+        NOT dirty the group, or every sum-touching upsert stream
+        forces per-batch file recomputes of groups whose extremes
+        provably cannot change."""
+        from hudi_spark_plus_spark.table.matview import JoinView
+
+        fact, dim = tables
+        # o_id is the additive measure, o_price the extreme: an o_id
+        # change leaves (fk, group, o_price) untouched
+        mv = JoinView(
+            spark, str(tmp_path / "mvn"), fact, dim,
+            "o_custkey", "c_custkey", ["c_segment"],
+            sum_cols=["o_id"], minmax_cols=["o_price"],
+        )
+        mv.refresh()
+        fact.merge(self._mk_fact(spark, [
+            ("o1", 2, "upsert", 999, 1, 10),   # o_id 101 -> 999 only
+        ]), "f2")
+        st = mv.refresh()
+        assert st["groups_recomputed"] == 0
+        assert st["groups_touched"] == 1
+        got = {
+            (r["c_segment"], r["cnt"], r["sum_o_id"],
+             r["min_o_price"], r["max_o_price"])
+            for r in mv.df().collect()
+        }
+        j = fact.snapshot().alias("f").join(
+            dim.snapshot().alias("d"),
+            F.col("f.o_custkey") == F.col("d.c_custkey"),
+        )
+        want = {
+            tuple(r)
+            for r in j.groupBy("c_segment").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("o_id").cast("long").alias("sum_o_id"),
+                F.min("o_price").alias("min_o_price"),
+                F.max("o_price").alias("max_o_price"),
+            ).collect()
+        }
+        assert got == want
+
     def test_minmax_composes_with_sum_and_validates(
         self, spark, tmp_path, tables
     ):
