@@ -27,7 +27,10 @@ def release_local_checkpoint(df, blocking: bool = False) -> bool:
     False for any frame that is not a local checkpoint (safe no-op —
     callers may pass arbitrary frames). After release the frame must
     not be read again: a lazy checkpoint would recompute, an eager one
-    has no lineage left to recompute FROM.
+    has no lineage left to recompute FROM. Spark logs one WARN per
+    release ("was locally checkpointed ... cannot be recomputed after
+    unpersisting") — that irreversibility is exactly the point; the
+    caller is declaring the frame dead.
     """
     try:
         jrdd = df._jdf.queryExecution().logical().rdd()

@@ -1999,15 +1999,19 @@ def q_lake_matview_join_minmax(spark, sf_dir):
     re-pointing, dim segment moves and deletes), with an extra
     integral measure ``o_pri = (o_orderkey*13) % 251`` maintained as
     min/max next to sum(o_units). The churn guarantees BOTH
-    maintenance paths run in the second refresh — STRUCTURALLY: the
-    inserted fact rows (%3==2) point at ten brand-new synthetic dim
+    maintenance paths run in the second refresh — STRUCTURALLY, at
+    every scale factor (the organic delete/move churn is
+    data-dependent: at sf0.1 almost no seeded fact row references a
+    dim custkey < SUBSET, so it alone cannot be relied on to dirty a
+    group): the inserted fact rows (%3==2) point at ten synthetic dim
     customers (key 1_000_000+i, segment 'NEW') that no pre-existing
-    fact row, delete, or re-point can reach, so 'NEW' is a pure-gain
-    group exercising the least/greatest FOLD path while the
-    delete/move churn dirties other groups into the RECOMPUTE path;
-    ``groups_touched > groups_recomputed > 0`` is asserted. Result
-    must equal a from-scratch GROUP BY over final-fact JOIN
-    final-dim."""
+    row, delete, or re-point can reach — a pure-gain group pinning
+    the least/greatest FOLD path — while twenty synthetic seed rows
+    on five 'SYN' dim customers (key 2_000_000+j) lose every i%4==0
+    row in the churn batch — a guaranteed-leave group pinning the
+    RECOMPUTE path. ``groups_touched > groups_recomputed > 0`` is
+    asserted. Result must equal a from-scratch GROUP BY over
+    final-fact JOIN final-dim."""
     from hudi_spark_plus_spark.table.matview import JoinView
 
     o_sub = SUBSET * 4
@@ -2025,8 +2029,23 @@ def q_lake_matview_join_minmax(spark, sf_dir):
             (ok % 97).cast("long").alias("o_units"),
             ((ok * 13) % 251).cast("long").alias("o_pri"),
         )
+        # synthetic SYN block: 20 seed rows over 5 dim customers in a
+        # key range (2_000_000+) nothing organic can touch — the churn
+        # deletes every i%4==0 row, so SYN is a guaranteed-leave group
+        # at ANY scale factor
+        syn_fact = spark.range(20).select(
+            F.concat(F.lit("x"), F.col("id")).alias("_key"),
+            F.lit(1).cast("long").alias("_ts"),
+            F.lit("upsert").alias("_op"),
+            (F.lit(2_000_000) + F.col("id")).alias("o_orderkey"),
+            (F.lit(2_000_000) + F.col("id") % 5).alias("o_custkey"),
+            F.col("id").cast("long").alias("o_units"),
+            ((F.col("id") * 17) % 251).cast("long").alias("o_pri"),
+        )
         fact = LakeTable(spark, work + "/fact", buckets=4)
-        fact.merge(base.where(ok % 3 != 2), "f1")
+        fact.merge(
+            base.where(ok % 3 != 2).unionByName(syn_fact), "f1"
+        )
         dim = LakeTable(spark, work + "/dim", buckets=2)
         dim.merge(
             c.where(F.col("c_custkey") < SUBSET).select(
@@ -2035,6 +2054,15 @@ def q_lake_matview_join_minmax(spark, sf_dir):
                 F.lit("upsert").alias("_op"),
                 "c_custkey",
                 "c_mktsegment",
+            ).unionByName(
+                spark.range(5).select(
+                    (F.lit(2_000_000) + F.col("id"))
+                    .cast("string").alias("_key"),
+                    F.lit(1).cast("long").alias("_ts"),
+                    F.lit("upsert").alias("_op"),
+                    (F.lit(2_000_000) + F.col("id")).alias("c_custkey"),
+                    F.lit("SYN").alias("c_mktsegment"),
+                )
             ),
             "d1",
         )
@@ -2073,6 +2101,18 @@ def q_lake_matview_join_minmax(spark, sf_dir):
                 .alias("o_custkey"),
                 "o_units",
                 "o_pri",
+            ).unionByName(
+                # SYN leaves: delete every i%4==0 synthetic row
+                spark.range(20).where(F.col("id") % 4 == 0).select(
+                    F.concat(F.lit("x"), F.col("id")).alias("_key"),
+                    F.lit(2).cast("long").alias("_ts"),
+                    F.lit("delete").alias("_op"),
+                    (F.lit(2_000_000) + F.col("id")).alias("o_orderkey"),
+                    (F.lit(2_000_000) + F.col("id") % 5)
+                    .alias("o_custkey"),
+                    F.col("id").cast("long").alias("o_units"),
+                    ((F.col("id") * 17) % 251).cast("long").alias("o_pri"),
+                )
             ),
             "f2",
         )
@@ -3195,6 +3235,11 @@ LAKE_ORACLES = {
           FROM orders
           WHERE o_orderkey < {SUBSET * 4}
             AND NOT (o_orderkey % 3 <> 2 AND o_orderkey % 7 = 0)
+          UNION ALL
+          SELECT CAST(2000000 + (range % 5) AS BIGINT) AS fk,
+                 CAST(range AS BIGINT) AS o_units,
+                 CAST((range * 17) % 251 AS BIGINT) AS o_pri
+          FROM range(20) WHERE range % 4 <> 0
         ),
         dim AS (
           SELECT c_custkey,
@@ -3206,6 +3251,10 @@ LAKE_ORACLES = {
           SELECT CAST(1000000 + range AS BIGINT) AS c_custkey,
                  'NEW' AS c_mktsegment
           FROM range(10)
+          UNION ALL
+          SELECT CAST(2000000 + range AS BIGINT) AS c_custkey,
+                 'SYN' AS c_mktsegment
+          FROM range(5)
         )
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS cnt,

@@ -1566,6 +1566,32 @@ class TestPctlView:
                      quantiles=(0.9, 0.904))
 
 
+def test_ndv_and_pctl_refresh_release_their_checkpoints(
+    spark, tmp_path, src
+):
+    """Same invariant as the JoinView test, for the other two
+    checkpoint-using views: a refresh that runs BOTH hybrid paths
+    (union/merge + dirty recompute) must not grow the persistent-RDD
+    set — DataFrame.unpersist is a no-op for localCheckpoints, so the
+    release must go through ckpt.py to count (DESIGN.md round-13)."""
+    from hudi_spark_plus_spark.table.matview import NdvView, PctlView
+
+    ndv = NdvView(spark, str(tmp_path / "mvn"), src, ["g"], ["v"])
+    pctl = PctlView(spark, str(tmp_path / "mvp"), src, ["g"], ["v"])
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    ndv.refresh()
+    pctl.refresh()
+    # dirty one group (update) and insert into another: both paths run
+    src.merge(mk(spark, [
+        ("k1", 2, "upsert", "a", 11),
+        ("k9", 2, "upsert", "b", 7),
+    ]), "b2")
+    st_n = ndv.refresh()
+    st_p = pctl.refresh()
+    assert st_n["groups_recomputed"] >= 1 and st_p["groups_recomputed"] >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
 def test_join_view_streaming_maintenance_composes(spark, tmp_path):
     """Deployment shape for the JOIN view: one foreachBatch merges the
     FACT table and refreshes the view per micro-batch while the dim
