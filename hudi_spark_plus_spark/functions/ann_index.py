@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+from hudi_spark_plus_spark.localdf import local_frame
 from hudi_spark_plus_spark.functions.similarity import (
     DOT_EXPR,
     NORM_EXPR,
@@ -241,7 +242,8 @@ class IvfIndex:
             "centroids_dir": cdir,
             "buckets": buckets,
         }
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
             "cell int, c array<double>",
         ).coalesce(1).write.parquet(os.path.join(path, cdir))
@@ -256,7 +258,8 @@ class IvfIndex:
                     "codebooks_dir": bdir,
                 }
             )
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [
                     (j, ci, [float(x) for x in books[j][ci]])
                     for j in range(n_sub)
@@ -357,8 +360,8 @@ class IvfIndex:
                 f"lifecycle commits (got {batch_id!r})"
             )
         if not isinstance(ids, DataFrame):
-            ids = self.spark.createDataFrame(
-                [(int(i),) for i in ids], "id long"
+            ids = local_frame(
+                self.spark, [(int(i),) for i in ids], "id long"
             )
         payload_type = (
             "array<int>" if self.pq else "array<double>"

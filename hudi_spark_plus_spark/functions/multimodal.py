@@ -33,6 +33,7 @@ import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from hudi_spark_plus_spark.localdf import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -431,7 +432,7 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
                 media_duration_ms(i),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
+    return local_frame(spark, rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
 def encode_media_from_documents(docs: DataFrame) -> DataFrame:

@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.localdf import local_frame
 from hudi_spark_plus_spark.functions.dedup import (
     banded_signatures,
     incremental_neardup_pairs,
@@ -104,8 +105,8 @@ class SignatureStore:
         """The (id, band, band_key) relation probes join against —
         the lake snapshot with engine columns projected away."""
         if not self.table.exists():
-            return self.spark.createDataFrame(
-                [], "id long, band int, band_key long"
+            return local_frame(
+                self.spark, [], "id long, band int, band_key long"
             )
         return self.table.snapshot(version=version).select(
             "id", "band", "band_key"
@@ -187,8 +188,8 @@ class SignatureStore:
         ``dead_ids``: DataFrame with an ``id`` column, or an iterable
         of ids (bounded caller lists)."""
         if not isinstance(dead_ids, DataFrame):
-            dead_ids = self.spark.createDataFrame(
-                [(int(i),) for i in dead_ids], "id long"
+            dead_ids = local_frame(
+                self.spark, [(int(i),) for i in dead_ids], "id long"
             )
         tombs = (
             dead_ids.select(F.col("id").cast("long").alias("id"))
@@ -279,7 +280,7 @@ class StreamingNearDup:
 
     def corpus(self, id_col: str = "id", text_col: str = "text") -> DataFrame:
         if not self.texts.exists():
-            return self.spark.createDataFrame([], "id long, text string").select(
+            return local_frame(self.spark, [], "id long, text string").select(
                 F.col("id").alias(id_col), F.col("text").alias(text_col)
             )
         return self.texts.snapshot().select(
@@ -345,8 +346,8 @@ class StreamingNearDup:
         """GC deleted documents from BOTH state surfaces — O(dead)
         text tombstones + O(dead × bands) signature tombstones."""
         if not isinstance(dead_ids, DataFrame):
-            dead_ids = self.spark.createDataFrame(
-                [(int(i),) for i in dead_ids], "id long"
+            dead_ids = local_frame(
+                self.spark, [(int(i),) for i in dead_ids], "id long"
             )
         latest = self.texts.log.latest()
         ts = (latest.version if latest else 0) + 1

@@ -21,6 +21,8 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hudi_spark_plus_spark.localdf import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -164,7 +166,7 @@ def run_cdc_pipeline(
         # materialize before the temp dir disappears
         result = out.orderBy("db_name", "table_name", "key_id")
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_frame(spark, rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -301,7 +303,7 @@ def q_cdc_4(spark, sf_dir):
             lake.snapshot().select("key_id", "col_w").orderBy("key_id")
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_frame(spark, rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -420,7 +422,7 @@ def q_cdc_partitioned(spark, sf_dir):
             .orderBy("key_id")
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_frame(spark, rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -479,7 +481,7 @@ def q_cdc_transformer(spark, sf_dir):
             .orderBy("key_id")
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_frame(spark, rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -540,7 +542,7 @@ def q_cdc_retention(spark, sf_dir):
             .orderBy("db_name", "table_name", "op")
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_frame(spark, rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -14,6 +14,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.localdf import local_frame
+
 from hudi_spark_plus_spark.sources.loaders import load_table
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
@@ -78,7 +80,7 @@ def _roundtrip(spark, sf_dir, mode: str):
             assert [tuple(r) for r in folded.collect()] == [
                 tuple(r) for r in rows
             ], "MOR compaction changed the logical table"
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -96,7 +98,7 @@ def q_lake_point_lookup(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="hsp_lakeq_")
     try:
         lake = _build_lake(spark, sf_dir, work, "cow")
-        keys = spark.createDataFrame(
+        keys = local_frame(spark, 
             [(str(k),) for k in range(0, SUBSET, 11)], "_key string"
         )
         out = (
@@ -109,7 +111,7 @@ def q_lake_point_lookup(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -131,7 +133,7 @@ def _incremental(spark, sf_dir, mode: str):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -151,7 +153,7 @@ def q_lake_time_travel(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -211,7 +213,7 @@ def q_lake_evolve(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -276,7 +278,7 @@ def q_lake_derived(spark, sf_dir):
             .orderBy("grp")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -338,7 +340,7 @@ def q_lake_rollback(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -409,7 +411,7 @@ def q_lake_zorder(spark, sf_dir):
         # same logical data either way
         n_match = spark.read.parquet(z_dir).where(pred).count()
         assert n_match == o.where(pred).count()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -470,7 +472,7 @@ def q_lake_compact(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -511,7 +513,7 @@ def q_lake_mor_ro(spark, sf_dir):
             "c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal")
         ).orderBy("c_custkey")
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -530,7 +532,7 @@ def q_lake_history(spark, sf_dir):
             .orderBy("version")
         )
         rows = h.collect()
-        return spark.createDataFrame(rows, h.schema)
+        return local_frame(spark, rows, h.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -561,7 +563,7 @@ def q_lake_colstats(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -633,7 +635,7 @@ def q_lake_concurrent(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_frame(spark, rows, snap.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -723,7 +725,7 @@ def q_lake_partitioned(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -811,7 +813,7 @@ def q_lake_overwrite(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -861,7 +863,7 @@ def q_lake_timepart(spark, sf_dir):
             .orderBy("event_id")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -928,7 +930,7 @@ def q_lake_global_index(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -987,7 +989,7 @@ def q_lake_savepoint(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1050,7 +1052,7 @@ def q_lake_cdc_feed(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1116,7 +1118,7 @@ def q_lake_stream_sink(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1188,7 +1190,7 @@ def q_lake_cdc_source(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1281,7 +1283,7 @@ def q_lake_format_write(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1402,7 +1404,7 @@ def q_lake_batch_source(spark, sf_dir):
         )
         out = snap.unionByName(incr).orderBy("mode", "c_custkey")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1456,7 +1458,7 @@ def q_lake_merge_into(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1507,7 +1509,7 @@ def q_lake_dml(spark, sf_dir):
         )
         out = snap.unionByName(incr).orderBy("mode", "c_custkey")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1594,7 +1596,7 @@ def q_lake_bootstrap(spark, sf_dir):
         )
         out = snap.unionByName(incr).orderBy("mode", "c_custkey")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1687,7 +1689,7 @@ def q_lake_secondary_index(spark, sf_dir):
             .orderBy("mode", "c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1753,7 +1755,7 @@ def q_lake_partial_update(spark, sf_dir):
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1813,7 +1815,7 @@ def q_lake_functional_index(spark, sf_dir):
             .orderBy("mode", "o_orderkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1891,7 +1893,7 @@ def q_lake_matview(spark, sf_dir):
             .orderBy("c_mktsegment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1986,7 +1988,7 @@ def q_lake_matview_join(spark, sf_dir):
             raise AssertionError("join matview refresh saw no deltas")
         out = mv.df().orderBy("c_mktsegment")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2149,7 +2151,7 @@ def q_lake_matview_join_minmax(spark, sf_dir):
             )
         out = mv.df().orderBy("c_mktsegment")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2215,7 +2217,7 @@ def q_lake_matview_pctl(spark, sf_dir):
             raise AssertionError("pctl matview refresh saw no deltas")
         out = mv.df().orderBy("c_mktsegment")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2284,7 +2286,7 @@ def q_lake_record_history(spark, sf_dir):
         rows = out.collect()
         if len(rows) != 6:  # 3 + 2 + 1 by construction
             raise AssertionError(f"expected 6 history states, got {len(rows)}")
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2362,7 +2364,7 @@ def q_lake_matview_avg(spark, sf_dir):
             .orderBy("c_mktsegment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2470,7 +2472,7 @@ def q_lake_matview_ndv(spark, sf_dir):
                     f"estimate off by >5%: {r['c_mktsegment']} "
                     f"est={est} exact={r['nd_nationkey']}"
                 )
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2536,7 +2538,7 @@ def q_lake_record_history_batch(spark, sf_dir):
         rows = out.collect()
         if len(rows) != 6:  # 3 + 2 + 1 + 0 by construction
             raise AssertionError(f"expected 6 history states, got {len(rows)}")
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2621,7 +2623,7 @@ def q_lake_matview_minmax(spark, sf_dir):
             .orderBy("c_mktsegment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2688,7 +2690,7 @@ def q_lake_matview_pruned(spark, sf_dir):
             F.col("max_nk").cast("long").alias("max_nk"),
         ).orderBy("c_mktsegment")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2739,7 +2741,7 @@ def q_lake_retype(spark, sf_dir):
         src.merge(churn, "b2")
         out = src.snapshot().select("c_custkey", "nk").orderBy("c_custkey")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2795,7 +2797,7 @@ def q_lake_ndv(spark, sf_dir):
         assert (
             abs(got["estimate"] - exact_name) <= max(1, exact_name * 0.05)
         ), (got, exact_name)
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 ("distinct_name", int(exact_name)),
                 ("distinct_key", int(exact_key)),
@@ -2865,7 +2867,7 @@ def q_lake_clone(spark, sf_dir):
             .orderBy("side", "c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2960,7 +2962,7 @@ def q_lake_meta_agg(spark, sf_dir):
             rows.append((f"{mode}_count", float(sc["count"])))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "metric string, value double"
     ).orderBy("metric")
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.localdf import local_frame
+
 from hudi_spark_plus_spark.functions.chunking import chunk_documents
 from hudi_spark_plus_spark.functions.clustering import dup_clusters
 from hudi_spark_plus_spark.functions.dedup import (
@@ -398,7 +400,7 @@ def q_emb_ann_index(spark, sf_dir):
             raise AssertionError("stale add resurrected removed vectors")
         out = idx.search(queries, k=5, nprobe=4).orderBy("q_id", "rank")
         rows = out.collect()  # materialize before the workdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
 
@@ -458,7 +460,7 @@ def q_emb_ann_index_pq(spark, sf_dir):
             exact_source=e.unionByName(planted),
         ).orderBy("q_id", "rank")
         rows = out.collect()  # materialize before the workdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
 
@@ -1262,7 +1264,7 @@ def q_doc_neardup_store(spark, sf_dir):
             verify_threshold=1.0, max_bucket_size=1_000_000,
         ).orderBy("scope", "new_id", "dup_id")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 

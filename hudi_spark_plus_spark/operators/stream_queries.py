@@ -23,6 +23,8 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from hudi_spark_plus_spark.localdf import local_frame
+
 from hudi_spark_plus_spark.operators.lake_queries import SUBSET as LAKE_SUBSET
 from hudi_spark_plus_spark.sources.loaders import epoch_us, load_table
 from hudi_spark_plus_spark.streaming.stateful import (
@@ -109,7 +111,7 @@ def _run_stream(spark, out_df_fn, src_dir: str, work: str, mode: str):
         rows = result.collect()
         schema = result.schema
         spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -232,7 +234,7 @@ def q_stream_join(spark, sf_dir):
             rows = result.collect()
             schema = result.schema
             spark.catalog.dropTempView(name)
-            return spark.createDataFrame(rows, schema).orderBy(
+            return local_frame(spark, rows, schema).orderBy(
                 "a_id", "b_id"
             )
         finally:
@@ -323,7 +325,7 @@ def q_stream_lake_source(spark, sf_dir):
         out_schema = (
             "c_custkey bigint, deleted int, acctbal double, ver bigint"
         )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             sorted(tuple(r) for r in rows), out_schema
         )
     finally:
@@ -433,7 +435,7 @@ def q_stream_neardup(spark, sf_dir):
                 )
         finally:
             q.stop()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             collected,
             "batch int, new_id long, dup_id long, jac double, scope string",
         ).orderBy("batch", "scope", "new_id", "dup_id")
@@ -535,7 +537,7 @@ def q_stream_ann_index(spark, sf_dir):
             raise AssertionError("stale stream add resurrected removed ids")
         out = idx.search(queries, k=5, nprobe=4).orderBy("q_id", "rank")
         rows = out.collect()  # materialize before the workdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

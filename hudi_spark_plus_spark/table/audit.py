@@ -53,6 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hudi_spark_plus_spark.localdf import local_frame
 from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
 from hudi_spark_plus_spark.table.bootstrap import BOOTSTRAP_KIND
 from hudi_spark_plus_spark.table.keygen import KEY_COL, TS_COL, bucket_expr
@@ -107,8 +108,8 @@ def _candidate_timeline_files(lake: LakeTable, keys, buckets_only=None):
         # xxhash64 the write path uses
         bucket_rows = [
             (r["k"], r["b"])
-            for r in lake.spark.createDataFrame(
-                [(k,) for k in keys], "k string"
+            for r in local_frame(
+                lake.spark, [(k,) for k in keys], "k string"
             )
             .select("k", bucket_expr(F.col("k"), lake.buckets).alias("b"))
             .collect()
@@ -222,8 +223,8 @@ def record_histories(lake: LakeTable, keys) -> DataFrame:
     if not lake.log.versions():
         raise ValueError(f"lake table at {lake.path} has no commits")
     if not isinstance(keys, DataFrame):
-        keys = lake.spark.createDataFrame(
-            [(str(k),) for k in keys], f"{KEY_COL} string"
+        keys = local_frame(
+            lake.spark, [(str(k),) for k in keys], f"{KEY_COL} string"
         )
     first = keys.columns[0]
     key_set = (

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from hudi_spark_plus_spark.localdf import local_frame
 from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
 from hudi_spark_plus_spark.table.bootstrap import (
     BOOTSTRAP_KIND,
@@ -525,7 +526,8 @@ class LakeTable:
                 agg.items(), key=lambda kv: (kv[0] is None, kv[0])
             )
         ]
-        return self.spark.createDataFrame(
+        return local_frame(
+            self.spark,
             rows,
             "partition string, n_files long, n_rows long, "
             "n_delta_files long, n_bytes long",
@@ -793,7 +795,8 @@ class LakeTable:
                     sum(f.rows for f in c.files),
                 )
             )
-        return self.spark.createDataFrame(
+        return local_frame(
+            self.spark,
             rows,
             "version long, operation string, batch_id string, "
             "ts_millis long, n_files long, n_rows long",
@@ -808,7 +811,8 @@ class LakeTable:
              f.bytes, f.min_key, f.max_key)
             for f in self.log.live_files(version)
         ]
-        return self.spark.createDataFrame(
+        return local_frame(
+            self.spark,
             rows,
             "path string, partition string, bucket int, kind string, "
             "rows long, live_rows long, bytes long, min_key string, "
@@ -1846,7 +1850,7 @@ class LakeTable:
             snap = self.snapshot(version=version)
         # the semi-join stays even when files pruned: Bloom false
         # positives / widened buckets / coarse stats admit extra rows
-        local = self.spark.createDataFrame(rows, affected.schema)
+        local = local_frame(self.spark, rows, affected.schema)
         return snap.alias("s").join(
             F.broadcast(local.alias("a")),
             self._group_eq("s", "a", group_cols),

@@ -50,6 +50,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from hudi_spark_plus_spark.localdf import local_frame
 from hudi_spark_plus_spark.table.commit_log import CommitConflict
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
@@ -117,7 +118,8 @@ def _write_part(
         fld = _ndv_field(lake, col)
         phys = lake._physical_of(fld)
         # abs->rel via broadcast join: paths only, never sketch bytes
-        mapping = spark.createDataFrame(
+        mapping = local_frame(
+            spark,
             [(os.path.normpath(lake.log.abs_path(f.path)), f.path) for f in files],
             "abs string, path string",
         )
@@ -261,8 +263,8 @@ def refresh_ndv_sketch(lake: LakeTable, col: str) -> dict:
     ):
         # compact: old parts filtered to live, new files sketched, one part
         old = _read_parts(lake, col, m)
-        live_df = lake.spark.createDataFrame(
-            [(p,) for p in sorted(live_paths)], "path string"
+        live_df = local_frame(
+            lake.spark, [(p,) for p in sorted(live_paths)], "path string"
         )
         kept = old.join(F.broadcast(live_df), "path") if old is not None else None
         part = _write_part(lake, missing, col, extra=kept)
@@ -317,8 +319,8 @@ def _approx_ndv_once(lake: LakeTable, col: str) -> dict:
         trusted.append(f.path)
     parts_union: list[DataFrame] = []
     if trusted:
-        trusted_df = lake.spark.createDataFrame(
-            [(p,) for p in trusted], "path string"
+        trusted_df = local_frame(
+            lake.spark, [(p,) for p in trusted], "path string"
         )
         parts_union.append(
             _read_parts(lake, col, m)
