@@ -78,6 +78,7 @@ from hudi_spark_plus_spark.functions.similarity import (
     DOT_EXPR,
     NORM_EXPR,
     _pq_recon_expr,
+    fit_coarse_centroids,
     pq_encode,
     pq_fit_codebooks,
     sq_dists,
@@ -183,9 +184,6 @@ class IvfIndex:
         additionally fits per-subspace PQ codebooks on the same corpus
         and stores CODES instead of raw vectors (see module
         docstring)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         pfile = os.path.join(path, _PARAMS_FILE)
         already = FileExistsError(
             f"ANN index already built at {path}; a second build "
@@ -197,17 +195,15 @@ class IvfIndex:
         # NEW quantizer fit, the exact cell-space mix the pin guards.
         if os.path.exists(pfile):
             raise already
-        c = corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn("features", array_to_vector("vec"))
-        n = c.count()
-        fit_df = c
-        if n > fit_sample_max:
-            fit_df = c.sample(fraction=min(1.0, fit_sample_max / n), seed=seed)
-        model = KMeans(
-            k=n_centroids, seed=seed, maxIter=8, featuresCol="features"
-        ).fit(fit_df)
-        centers = np.stack(model.clusterCenters())
+        # driver-side seeded Lloyd fit on a bounded sample — see
+        # fit_coarse_centroids for why this replaced the Spark ML fit
+        centers = fit_coarse_centroids(
+            corpus.select(F.col(vec_col).alias("vec")),
+            "vec",
+            n_centroids,
+            seed=seed,
+            fit_sample_max=fit_sample_max,
+        )
         dim = int(centers.shape[1])
         books = None
         if pq:

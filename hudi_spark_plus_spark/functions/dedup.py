@@ -228,14 +228,15 @@ def with_minhash(
         .where(F.col("_sh") != "")  # empty/whitespace-only text -> no shingles
         .select(*other, F.xxhash64("_sh").alias("_h"))
     )
-    agg = exploded.groupBy(*other).agg(
-        *[
-            F.min(F.xxhash64(F.col("_h"), F.lit(j))).alias(f"_m{j}")
-            for j in range(k)
-        ]
-    )
-    return agg.select(
-        *other, F.array(*[F.col(f"_m{j}") for j in range(k)]).alias("minhash")
+    # ONE expression instead of k Column objects: building 64 separate
+    # min(xxhash64(...)) columns plus the k-way F.array costs ~250 py4j
+    # round trips of driver latency PER CALL (~0.4 s before any job
+    # runs); array-of-aggregates is one expr string, same plan, same
+    # codegen (guide §1.2 applies to the driver too: don't schedule
+    # work — here, RPCs — proportional to k)
+    mins = ",".join(f"min(xxhash64(_h, {j}))" for j in range(k))
+    return exploded.groupBy(*other).agg(
+        F.expr(f"array({mins})").alias("minhash")
     )
 
 

@@ -56,6 +56,83 @@ def sq_dists(mat, centers):
     )
 
 
+def fit_coarse_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    fit_sample_max: int = 100_000,
+    iters: int = 8,
+    n_rows: int | None = None,
+):
+    """Seeded Lloyd k-means over a bounded uniform sample, numpy on the
+    driver — the coarse-quantizer fit shared by every IVF path (and the
+    same recipe ``pq_fit_codebooks`` already uses per subspace).
+
+    Replaces the former Spark ML KMeans fit: the fit input is ALREADY
+    sample-bounded, so the distributed fit paid kmeans|| init plus two
+    scheduled jobs per Lloyd iteration (~1.5-3.5 s of fixed scheduler
+    latency at ANY data size) for work that is one bounded collect and
+    ``iters`` numpy matmuls. The sample stays ``fit_sample_max`` rows
+    as the corpus grows, so the driver-side cost is constant in corpus
+    size (guide §1.2: fix the algorithm before the per-task work — a
+    bounded-input fit should not be a distributed job at all).
+    Centroid VALUES differ from Spark ML's (different init); every
+    oracled IVF construction is insensitive to centroid geometry by
+    design (planted exact copies rank by identity, not by which cells
+    the probe visits). Returns an (n_centroids, dim) float64 array.
+
+    ``n_rows``: pass the corpus row count if the caller already knows
+    it (skips one count job)."""
+    import numpy as np
+
+    n = corpus.count() if n_rows is None else n_rows
+    if n == 0:
+        raise ValueError("fit_coarse_centroids: empty corpus")
+    s = corpus.select(vec_col)
+    if n > fit_sample_max:
+        s = s.sample(fraction=min(1.0, fit_sample_max / n), seed=seed)
+    x = np.array([r[0] for r in s.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(x))
+    init_idx = rng.choice(len(x), size=k, replace=False)
+    c = x[init_idx].copy()
+    for _ in range(iters):
+        assign = sq_dists(x, c).argmin(axis=1)
+        for ci in range(k):
+            m = assign == ci
+            if m.any():
+                c[ci] = x[m].mean(axis=0)
+    if k < n_centroids:  # degenerate tiny corpus: pad by repetition
+        c = np.vstack([c, c[np.zeros(n_centroids - k, dtype=int)]])
+    return c
+
+
+def assign_cells(
+    df: DataFrame, vec_col: str, centers, out: str = "cell"
+) -> DataFrame:
+    """Nearest-centroid cell id per row — one Arrow-vectorized kernel
+    against the broadcast centroid matrix (narrow map, no shuffle).
+    The same argmin kernel the probe side uses, so assignment and
+    probing can never disagree on a tie."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    cmat = np.asarray(centers, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            sq_dists(mat, cmat).argmin(axis=1).astype(np.int32)
+        )
+
+    return df.withColumn(out, cell_of(vec_col))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,29 +198,18 @@ def ivf_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import ArrayType, IntegerType
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    ).withColumn("features", array_to_vector("n_vec"))
-    fit_df = c
-    n_corpus = c.count()
-    if n_corpus > fit_sample_max:
-        fit_df = c.sample(
-            fraction=min(1.0, fit_sample_max / n_corpus), seed=seed
-        )
-    # a coarse quantizer only needs rough cells — centroid quality for
-    # nprobe-probing saturates in a few Lloyd iterations, and the fit is
-    # otherwise the dominant job of the whole query
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=8, featuresCol="features"
-    ).fit(fit_df)
-    assigned = model.transform(c).select(
-        "n_id", "n_vec", F.col("prediction").alias("cell")
     )
-    centers = np.stack(model.clusterCenters())  # (n_centroids, dim)
+    # a coarse quantizer only needs rough cells — centroid quality for
+    # nprobe-probing saturates in a few Lloyd iterations; the fit runs
+    # on the driver over a bounded sample (see fit_coarse_centroids)
+    centers = fit_coarse_centroids(
+        c, "n_vec", n_centroids, seed=seed, fit_sample_max=fit_sample_max
+    )
+    assigned = assign_cells(c, "n_vec", centers)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -635,36 +701,25 @@ def ivfpq_topk(
     code, so the planted-duplicate hash oracle applies end-to-end."""
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import ArrayType, IntegerType
     from pyspark.sql.window import Window
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    ).withColumn("features", array_to_vector("n_vec"))
-    n_corpus = c.count()
-    fit_df = c
-    if n_corpus > fit_sample_max:
-        fit_df = c.sample(
-            fraction=min(1.0, fit_sample_max / n_corpus), seed=seed
-        )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=8, featuresCol="features"
-    ).fit(fit_df)
+    )
+    centers = fit_coarse_centroids(
+        c, "n_vec", n_centroids, seed=seed, fit_sample_max=fit_sample_max
+    )
     books = pq_fit_codebooks(
         corpus, vec_col, dim=dim, n_sub=n_sub, n_codes=n_codes,
         seed=seed, fit_sample_max=fit_sample_max,
     )
     assigned = pq_encode(
-        model.transform(c).select(
-            "n_id", "n_vec", F.col("prediction").alias("cell")
-        ),
+        assign_cells(c, "n_vec", centers),
         books,
         "n_vec",
         "n_code",
     ).localCheckpoint()
-    centers = np.stack(model.clusterCenters())
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:

@@ -2847,6 +2847,17 @@ class LakeTable:
         units: set | None = None
         if affected_buckets is not None:
             affected = affected_buckets
+        elif self.log.latest() is None:
+            # empty table: there are no live files to split into
+            # hit/carry, so the batch's distinct-unit set has no
+            # consumer except the write parallelism — skip that Spark
+            # job entirely (every table build pays it otherwise) and
+            # size the write at one task per bucket — the steady-state
+            # write shape (callers loading bulk data into a fresh table
+            # pass parallelism=/insert instead). File layout is
+            # unchanged: files are split by the layout columns' VALUES,
+            # not by task count.
+            affected = set(range(self.buckets))
         elif self.partition_fields and not self.global_index:
             # capped like every other driver collect: a batch touching
             # more than MERGE_UNITS_MAX (partition, bucket) units is no
