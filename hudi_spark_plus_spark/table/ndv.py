@@ -134,12 +134,22 @@ def _write_part(
                     F.col(phys).cast("string"), F.lit(DEFAULT_LG_K)
                 ).alias("s")
             )
-            # input_file_name is a file: URI; normalize to a plain path
+            # input_file_name is a file: URI; normalize to a plain path.
+            # Arrow-serialized scalar UDF (guide §4.3): the node becomes
+            # ArrowEvalPython instead of pickled-row BatchEvalPython —
+            # metadata-cardinality (one row per file) either way, but
+            # the pickled path cost a per-row boundary in the middle of
+            # the sketch job's only stage.
             .withColumn(
                 "abs",
-                F.udf(lambda p: os.path.normpath(
-                    unquote(urlparse(p).path) if p.startswith("file:") else p
-                ))("_f"),
+                F.udf(
+                    lambda p: os.path.normpath(
+                        unquote(urlparse(p).path)
+                        if p.startswith("file:")
+                        else p
+                    ),
+                    useArrow=True,
+                )("_f"),
             )
         )
         # plain (non-broadcast) join on purpose: both sides are one row
