@@ -186,6 +186,10 @@ class AggregateView:
             + [f"sum_{c}" for c in self._sum_state]
             + [f"nn_{c}" for c in self.avg_cols]
         )
+        # materialize ONCE (bounded by the slice's changed groups): the
+        # un-checkpointed CDC-read + delta-agg pipeline would otherwise
+        # re-execute for the stats count, merge_into's key probe, the
+        # merge's affected-unit collect, AND the merge write itself
         src = deltas.select(
             F.to_json(
                 F.struct(*self.group_cols),
@@ -194,7 +198,7 @@ class AggregateView:
             F.lit(end).cast("long").alias(TS_COL),
             *self.group_cols,
             *state_cols,
-        )
+        ).localCheckpoint(eager=True)
         n = src.count()
         self.table.merge_into(
             src,
@@ -207,6 +211,7 @@ class AggregateView:
         self.table.delete_where(
             F.col("cnt") == 0, batch_id=f"{_GC_PREFIX}{begin}-{end}"
         )
+        release_all((src,))
         return {"begin": begin, "end": end, "groups_touched": n}
 
     def _pending_gc(self) -> str | None:
@@ -404,8 +409,19 @@ class MinMaxView:
         before = cdc.where(F.col("_change_op").isin("u", "d")).select(
             *[F.col(f"_before_{c}").alias(c) for c in self.group_cols]
         )
-        affected = after.unionByName(before).distinct()
-        recomputed = self._recompute_frame(affected, version=end)
+        # bounded by the slice's groups; consumed by the recompute's
+        # pruned semi-join, the dead anti-join, and the merge — one
+        # materialization instead of one per consumer
+        affected = (
+            after.unionByName(before).distinct().localCheckpoint(eager=True)
+        )
+        # bounded by the affected groups; without this the pruned
+        # source scan + re-aggregation runs again for the stats count,
+        # the merge's affected-unit collect, the batch's upsert branch,
+        # and the dead branch's broadcast
+        recomputed = self._recompute_frame(
+            affected, version=end
+        ).localCheckpoint(eager=True)
         measures = ["cnt"] + [
             f"{p}_{c}" for c in self.minmax_cols for p in ("min", "max")
         ]
@@ -449,6 +465,7 @@ class MinMaxView:
         # upserts AND tombstones in ONE commit: the watermark, the new
         # aggregates, and the emptied groups' deletion are atomic
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
+        release_all((affected, recomputed))
         return {"begin": begin, "end": end, "groups_touched": n}
 
     def _recompute_frame(
@@ -671,6 +688,10 @@ class NdvView:
         # committed after `end`, which the next slice's union path
         # would then add AGAIN (review r12 #1: permanent cnt drift)
         self.last_prune = {}
+        # NOT checkpointed (measured, r13): materializing the HLL agg
+        # costs more than the repeated pruned-scan branches save at
+        # every tested scale point — unlike the pctl sketches, whose
+        # per-group pandas aggregation dominates its scan
         recomputed = (
             self.source.snapshot_pruned_to_groups(
                 dirty, self.group_cols, stats_out=self.last_prune,
@@ -1674,12 +1695,15 @@ class PctlView:
             )
         union_delta = union_delta.localCheckpoint(eager=True)
         self.last_prune = {}
+        # bounded by the dirty groups; checkpointed for the same reason
+        # as NdvView's recomputed frame (merge unit collect + batch
+        # branch + dead broadcast would each re-run the pruned scan)
         recomputed = self._sketch_frame(
             self.source.snapshot_pruned_to_groups(
                 dirty, self.group_cols, stats_out=self.last_prune,
                 version=end,
             )
-        )
+        ).localCheckpoint(eager=True)
         types = dict(recomputed.dtypes)
         dead = (
             dirty.alias("a")
@@ -1716,7 +1740,7 @@ class PctlView:
             .unionByName(keyed(dead, "delete"))
         )
         self.table.merge(batch, batch_id=f"{_BATCH_PREFIX}{begin}-{end}")
-        release_all((dirty, union_delta))
+        release_all((dirty, union_delta, recomputed))
         return {
             "begin": begin,
             "end": end,
