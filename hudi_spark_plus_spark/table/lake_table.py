@@ -2845,9 +2845,12 @@ class LakeTable:
         # job) degrades to bucket-granular pruning — correct, just less
         # selective.
         units: set | None = None
+        probe_rows: list | None = None
+        prev = self.log.latest()
+        non_global_part = bool(self.partition_fields) and not self.global_index
         if affected_buckets is not None:
             affected = affected_buckets
-        elif self.log.latest() is None:
+        elif prev is None:
             # empty table: there are no live files to split into
             # hit/carry, so the batch's distinct-unit set has no
             # consumer except the write parallelism — skip that Spark
@@ -2858,31 +2861,64 @@ class LakeTable:
             # unchanged: files are split by the layout columns' VALUES,
             # not by task count.
             affected = set(range(self.buckets))
-        elif self.partition_fields and not self.global_index:
-            # capped like every other driver collect: a batch touching
-            # more than MERGE_UNITS_MAX (partition, bucket) units is no
-            # longer a selective merge, so unit pruning degrades to
-            # bucket granularity (correct, less selective) instead of
-            # collecting an unbounded unit list
-            rows = (
-                batch.select(PARTITION_COL, BUCKET_COL)
-                .distinct()
-                .limit(self.MERGE_UNITS_MAX + 1)
-                .collect()
-            )
-            if len(rows) > self.MERGE_UNITS_MAX:
-                affected = {
-                    r[0]
-                    for r in batch.select(BUCKET_COL).distinct().collect()
-                }
-            else:
-                units = {(r[0], r[1]) for r in rows}
-                affected = {b for _, b in units}
         else:
-            affected = {
-                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-            }
-        prev = self.log.latest()
+            # Fused collect (guide §1.2: one pass over the batch plan,
+            # not one per consumer): when the Bloom probe below is
+            # going to collect the batch's distinct (key, bucket) pairs
+            # ANYWAY (COW merge into a table where some probe-eligible
+            # bucket holds several live files), collect keys + layout
+            # in ONE job and derive the affected units from the same
+            # rows — otherwise the units collect and the probe collect
+            # each re-execute the caller's whole batch plan. Same cap
+            # as the probe; past it both degrade exactly as before
+            # (bucket-granular units, probe skipped).
+            if mode == "cow" and self._probe_would_gate(prev.files):
+                sel = [KEY_COL, BUCKET_COL] + (
+                    [PARTITION_COL] if non_global_part else []
+                )
+                rows = (
+                    batch.select(*sel)
+                    .distinct()
+                    .limit(self.MERGE_PROBE_MAX_KEYS + 1)
+                    .collect()
+                )
+                if len(rows) <= self.MERGE_PROBE_MAX_KEYS:
+                    probe_rows = [(r[0], r[1]) for r in rows]
+                    if non_global_part:
+                        u = {(r[2], r[1]) for r in rows}
+                        if len(u) > self.MERGE_UNITS_MAX:
+                            affected = {b for _, b in u}
+                        else:
+                            units = u
+                            affected = {b for _, b in u}
+                    else:
+                        affected = {r[1] for r in rows}
+        if affected_buckets is None and prev is not None and probe_rows is None:
+            if non_global_part:
+                # capped like every other driver collect: a batch
+                # touching more than MERGE_UNITS_MAX (partition, bucket)
+                # units is no longer a selective merge, so unit pruning
+                # degrades to bucket granularity (correct, less
+                # selective) instead of collecting an unbounded unit
+                # list
+                rows = (
+                    batch.select(PARTITION_COL, BUCKET_COL)
+                    .distinct()
+                    .limit(self.MERGE_UNITS_MAX + 1)
+                    .collect()
+                )
+                if len(rows) > self.MERGE_UNITS_MAX:
+                    affected = {
+                        r[0]
+                        for r in batch.select(BUCKET_COL).distinct().collect()
+                    }
+                else:
+                    units = {(r[0], r[1]) for r in rows}
+                    affected = {b for _, b in units}
+            else:
+                affected = {
+                    r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+                }
         if mode == "mor" and prev is not None:
             if any(f.kind == BOOTSTRAP_KIND for f in prev.files):
                 # a delta lands in its key's hash bucket, but a stale
@@ -2923,7 +2959,9 @@ class LakeTable:
         delta_buckets = {f.bucket for f in hit if f.kind == "delta"}
         forced = [f for f in hit if f.bucket in delta_buckets]
         kept, skipped = self._bloom_prune_hit_files(
-            batch, [f for f in hit if f.bucket not in delta_buckets]
+            batch,
+            [f for f in hit if f.bucket not in delta_buckets],
+            probe_rows=probe_rows,
         )
         hit = forced + kept
         carry += skipped
@@ -3329,14 +3367,42 @@ class LakeTable:
     # granular COW pruning; past it pruning degrades to bucket level
     MERGE_UNITS_MAX = 100_000
 
+    def _probe_would_gate(self, files: list) -> bool:
+        """Driver-metadata-only preview of ``_bloom_prune_hit_files``'s
+        gate over a candidate live set: True when a COW merge into this
+        state could probe (some bloom-carrying, non-delta-bucket bucket
+        holds more than one live file, or a bloom-carrying bootstrap
+        file exists). A True here lets ``_merge_once`` fuse the probe's
+        key collect with the affected-unit collect into one Spark job;
+        a conservative False only costs falling back to the two
+        separate collects (the pre-r13 behavior)."""
+        if not any(f.bloom for f in files):
+            return False
+        delta_buckets = {f.bucket for f in files if f.kind == "delta"}
+        cand = [f for f in files if f.bucket not in delta_buckets]
+        if any(f.kind == BOOTSTRAP_KIND for f in cand):
+            return True
+        per_bucket: dict[int, int] = {}
+        for f in cand:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            if per_bucket[f.bucket] > 1:
+                return True
+        return False
+
     def _bloom_prune_hit_files(
-        self, batch: DataFrame, hit: list[FileEntry]
+        self,
+        batch: DataFrame,
+        hit: list[FileEntry],
+        probe_rows: list | None = None,
     ) -> tuple[list[FileEntry], list[FileEntry]]:
         """(files to merge-read, files to carry untouched). The probe
         collects the batch's distinct (key, bucket) pairs — bounded by
         micro-batch size, NOT table size — hashes them once, and tests
         each affected file's manifest bloom. False positives only cost
         an extra file read; false negatives cannot occur.
+        ``probe_rows``: the (key, bucket) pairs when the caller already
+        collected them (the merge's fused unit+probe collect) — skips
+        this method's own Spark job.
 
         Gate: only probe when some affected bucket holds MORE than one
         live file. In the steady one-file-per-bucket COW state the merge
@@ -3353,14 +3419,16 @@ class LakeTable:
             per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
         if not has_boot and all(n <= 1 for n in per_bucket.values()):
             return hit, []
-        rows = (
-            batch.select(KEY_COL, BUCKET_COL)
-            .distinct()
-            .limit(self.MERGE_PROBE_MAX_KEYS + 1)
-            .collect()
-        )
-        if len(rows) > self.MERGE_PROBE_MAX_KEYS:
-            return hit, []
+        rows = probe_rows
+        if rows is None:
+            rows = (
+                batch.select(KEY_COL, BUCKET_COL)
+                .distinct()
+                .limit(self.MERGE_PROBE_MAX_KEYS + 1)
+                .collect()
+            )
+            if len(rows) > self.MERGE_PROBE_MAX_KEYS:
+                return hit, []
         hashes_by_bucket: dict[int, list] = {}
         all_hashes: list = []
         for k, b in rows:

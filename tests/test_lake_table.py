@@ -2610,3 +2610,102 @@ class TestRetypeRewrite:
             for r in t.scan_for_values("n", ["42"]).collect()
         ]
         assert got == [("k2", "42")]
+
+
+class TestFusedUnitProbeCollect:
+    """r13 optimization: when the Bloom probe could fire, the merge
+    collects the batch's distinct keys + layout in ONE Spark job and
+    derives the affected units from the same rows, instead of the
+    units collect and the probe collect each re-executing the whole
+    batch plan. These tests pin (a) the fusion firing exactly when the
+    probe gate could, (b) unchanged merge semantics either way."""
+
+    def _spy(self, monkeypatch):
+        seen = {}
+        orig = LakeTable._bloom_prune_hit_files
+
+        def spy(table, batch, hit, probe_rows=None):
+            seen["probe_rows"] = probe_rows
+            return orig(table, batch, hit, probe_rows=probe_rows)
+
+        monkeypatch.setattr(LakeTable, "_bloom_prune_hit_files", spy)
+        return seen
+
+    def test_fused_rows_feed_probe_on_multi_file_bucket(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = LakeTable(spark, str(tmp_path / "tf"), buckets=1)
+        t.insert(
+            mkbatch(spark, [(f"a{i}", 1, "upsert", "x") for i in range(4)])
+            .drop("_op"),
+            "b0",
+        )
+        t.insert(
+            mkbatch(spark, [(f"b{i}", 1, "upsert", "y") for i in range(4)])
+            .drop("_op"),
+            "b1",
+        )
+        assert t._probe_would_gate(t.log.live_files())
+        seen = self._spy(monkeypatch)
+        t.merge(mkbatch(spark, [("a0", 5, "upsert", "z")]), "b2")
+        assert seen["probe_rows"] is not None, (
+            "multi-file bloom'd bucket: the probe must be fed by the "
+            "fused collect, not its own second batch execution"
+        )
+        assert ("a0", 0) in {tuple(r) for r in seen["probe_rows"]}
+        got = snap_dict(t)
+        assert got["a0"] == (5, "z") and len(got) == 8
+
+    def test_no_fusion_in_steady_single_file_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = LakeTable(spark, str(tmp_path / "ts"), buckets=2)
+        t.insert(
+            mkbatch(spark, [(f"k{i}", 1, "upsert", "x") for i in range(6)])
+            .drop("_op"),
+            "b0",
+        )
+        assert not t._probe_would_gate(t.log.live_files())
+        seen = self._spy(monkeypatch)
+        t.merge(mkbatch(spark, [("k0", 5, "upsert", "z")]), "b1")
+        assert seen["probe_rows"] is None, (
+            "steady one-file-per-bucket state: no key collect at all "
+            "(the probe could never fire, so fusing would only add a "
+            "wider driver transfer)"
+        )
+        assert snap_dict(t)["k0"] == (5, "z")
+
+    def test_fused_units_still_prune_partitions(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = LakeTable(
+            spark, str(tmp_path / "tp"), buckets=1, partition_fields=["val"]
+        )
+        t.insert(
+            mkbatch(spark, [(f"a{i}", 1, "upsert", "p1") for i in range(3)])
+            .drop("_op"),
+            "b0",
+        )
+        t.insert(
+            mkbatch(
+                spark,
+                [(f"b{i}", 1, "upsert", "p1") for i in range(3)]
+                + [("c0", 1, "upsert", "p2")],
+            ).drop("_op"),
+            "b1",
+        )
+        other = {
+            f.path for f in t.log.live_files() if f.partition == "p2"
+        }
+        assert other
+        seen = self._spy(monkeypatch)
+        t.merge(mkbatch(spark, [("a0", 5, "upsert", "p1")]), "b2")
+        assert seen["probe_rows"] is not None
+        after = {f.path for f in t.log.live_files()}
+        assert other <= after, (
+            "the untouched partition's files must carry by reference — "
+            "the fused rows must preserve (partition, bucket) unit "
+            "pruning"
+        )
+        got = snap_dict(t)
+        assert got["a0"] == (5, "p1") and len(got) == 7
