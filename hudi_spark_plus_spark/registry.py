@@ -113,8 +113,37 @@ _PINNED = [
     "q-doc-dup-clusters",
     "q-doc-dedup-e2e",
     "q-emb-dedup-e2e",
+    # - r13 optimization session: NDV path-normalization UDF is now
+    #   Arrow-serialized (ArrowEvalPython — same lambda, same per-file
+    #   cardinality):
+    "q-lake-ndv",
+    # - r13 optimization session: matview refreshes checkpoint their
+    #   bounded delta frames once (AggregateView src, MinMaxView
+    #   affected+recomputed, PctlView recomputed) — values identical,
+    #   execution path of every refresh changed:
+    "q-lake-matview-avg",
+    "q-lake-matview-minmax",
+    "q-lake-matview-pctl",
+    "q-lake-matview-pruned",
+    "q-lake-derived",
+    # - r13 optimization session: the merge fuses the affected-unit
+    #   collect with the Bloom-probe collect when the probe could fire
+    #   (lake_table._merge_once + _probe_would_gate). Every lake/cdc
+    #   query funnels through merge; these four pin the distinct
+    #   surfaces (bloom point-lookup, partitioned units, global index,
+    #   merge_into composition) plus q-doc-neardup-store above the
+    #   multi-file-bucket ingest shape the fusion targets:
+    "q-doc-neardup-store",
+    "q-lake-point-lookup",
+    "q-lake-partitioned",
+    "q-lake-global-index",
+    "q-lake-merge-into",
     # NOT pinned although hash-flagged (the table/ glob folds matview.py
-    # + s3_facade.py edits into every q-lake-*/q-cdc-* hash):
+    # + s3_facade.py edits into every q-lake-*/q-cdc-* hash; the r13
+    # optimization session's lake_table.py merge edit folds into the
+    # same family — the fused path's semantics are pinned by the five
+    # representatives above + TestFusedUnitProbeCollect + two full
+    # 155-query oracle passes green on the exact diff):
     # - round-13 late batch: JoinView minmax/mm-neutral/prune-ladder
     #   edits concern JoinView only, whose three fixtures are
     #   never-checked this round (auto-front of the rotation);
