@@ -143,7 +143,11 @@ _PINNED = [
     # optimization session's lake_table.py merge edit folds into the
     # same family — the fused path's semantics are pinned by the five
     # representatives above + TestFusedUnitProbeCollect + two full
-    # 155-query oracle passes green on the exact diff):
+    # 155-query oracle passes green on the exact diff; the session's
+    # bloom build/probe vectorization (bloom.py bulk_add +
+    # ndarray might_contain_any, BIT-identical by construction and by
+    # test_bloom_bulk) rides the same representatives + another full
+    # 155-query oracle pass green on its exact diff):
     # - round-13 late batch: JoinView minmax/mm-neutral/prune-ladder
     #   edits concern JoinView only, whose three fixtures are
     #   never-checked this round (auto-front of the rotation);

@@ -621,11 +621,18 @@ class LakeBatchReader(DataSourceReader):
             if not keys:
                 return True
         if f.bloom:
-            from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+            from hudi_spark_plus_spark.table.bloom import (
+                KeyBloom,
+                hash_key,
+                pairs_array,
+            )
 
-            if not KeyBloom.from_b64(f.bloom).might_contain_any(
-                hash_key(k) for k in keys
-            ):
+            # hash each pushed key once across every probed file
+            cache = self.__dict__.setdefault("_key_pair_cache", {})
+            pairs = pairs_array(
+                [cache.setdefault(k, hash_key(k)) for k in keys]
+            )
+            if not KeyBloom.from_b64(f.bloom).might_contain_any(pairs):
                 return True
         return False
 
@@ -942,11 +949,11 @@ class LakeBatchReader(DataSourceReader):
             # probe consumed bootstrap files with THIS slice's changed
             # keys: min/max prefilter, then the manifest key Bloom —
             # only hits are read (false positives cost a file read)
-            from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+            from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_pairs
 
             keys = [k for k in t[_KEY].to_pylist() if k is not None]
             lo, hi = (min(keys), max(keys)) if keys else (None, None)
-            hashes = [hash_key(k) for k in keys]
+            hashes = hash_pairs(keys)
             for path, bloom, mn, mx in partition.boot_candidates:
                 if mn is not None and hi is not None and mn > hi:
                     continue

@@ -595,7 +595,11 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             project_logical,
             resolve_latest_arrow,
         )
-        from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+        from hudi_spark_plus_spark.table.bloom import (
+            KeyBloom,
+            hash_key,
+            pairs_array,
+        )
         from hudi_spark_plus_spark.table.commit_log import CommitLog
         from hudi_spark_plus_spark.table.keygen import KEY_COL, TS_COL
         from hudi_spark_plus_spark.table.lake_table import (
@@ -612,6 +616,8 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
             if f.bucket in sbuckets
         ]
 
+        pair_cache: dict[str, tuple[int, int]] = {}
+
         def may_hit(f):
             if f.kind == "delta":
                 return True  # delta rows need resolution context
@@ -621,9 +627,11 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
                 if not ks:
                     return False
             if f.bloom:
-                return KeyBloom.from_b64(f.bloom).might_contain_any(
-                    hash_key(k) for k in ks
+                # hash each key once across every probed file
+                pairs = pairs_array(
+                    [pair_cache.setdefault(k, hash_key(k)) for k in ks]
                 )
+                return KeyBloom.from_b64(f.bloom).might_contain_any(pairs)
             return True
 
         read = [f for f in cand if may_hit(f)]

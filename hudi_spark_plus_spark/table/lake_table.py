@@ -51,7 +51,7 @@ from pyspark.sql.types import (
 )
 
 from hudi_spark_plus_spark.localdf import local_frame
-from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key
+from hudi_spark_plus_spark.table.bloom import KeyBloom, hash_key, pairs_array
 from hudi_spark_plus_spark.table.bootstrap import (
     BOOTSTRAP_KIND,
     collect_bootstrap_entries,
@@ -297,9 +297,7 @@ def _collect_file_entries(
             pf = pq.ParquetFile(f)
             bf = KeyBloom.sized(pf.metadata.num_rows)
             for rb in pf.iter_batches(columns=[KEY_COL]):
-                for k in rb.column(0).to_pylist():
-                    if k is not None:
-                        bf.add(k)
+                bf.bulk_add(rb.column(0).to_pylist())
             blooms[f] = bf.to_b64()
     by_rel = {os.path.relpath(f, table_path): b for f, b in blooms.items()}
     for e in entries:
@@ -1200,24 +1198,25 @@ class LakeTable:
             )
         keys = [r[0] for r in rows]
         lo, hi = (min(keys), max(keys)) if keys else (None, None)
-        hashes_by_bucket: dict[int, list] = {}
-        all_hashes: list = []
+        by_bucket: dict[int, list] = {}
         for k, b in rows:
-            h = hash_key(k)
-            hashes_by_bucket.setdefault(b, []).append(h)
-            all_hashes.append(h)
+            by_bucket.setdefault(b, []).append(hash_key(k))
+        # hash once per key, probe many files vectorized (ndarray path)
+        hashes_by_bucket = {b: pairs_array(v) for b, v in by_bucket.items()}
+        all_hashes = pairs_array([h for v in by_bucket.values() for h in v])
+        _EMPTY = pairs_array([])
 
-        def _probe_hashes(f: FileEntry) -> list:
+        def _probe_hashes(f: FileEntry):
             # bootstrap files (bucket=-1, unrouted rows) may hold any
             # key: probe with the full set, min/max + Bloom still prune
             if f.kind == BOOTSTRAP_KIND:
                 return all_hashes
-            return hashes_by_bucket.get(f.bucket, [])
+            return hashes_by_bucket.get(f.bucket, _EMPTY)
 
         files = [
             f
             for f in live
-            if _probe_hashes(f)
+            if len(_probe_hashes(f)) > 0
             and (f.min_key is None or hi is None or f.min_key <= hi)
             and (f.max_key is None or lo is None or f.max_key >= lo)
             and (
@@ -3429,12 +3428,13 @@ class LakeTable:
             )
             if len(rows) > self.MERGE_PROBE_MAX_KEYS:
                 return hit, []
-        hashes_by_bucket: dict[int, list] = {}
-        all_hashes: list = []
+        by_bucket: dict[int, list] = {}
         for k, b in rows:
-            h = hash_key(k)
-            hashes_by_bucket.setdefault(b, []).append(h)
-            all_hashes.append(h)
+            by_bucket.setdefault(b, []).append(hash_key(k))
+        # hash once per key, probe many files vectorized (ndarray path)
+        hashes_by_bucket = {b: pairs_array(v) for b, v in by_bucket.items()}
+        all_hashes = pairs_array([h for v in by_bucket.values() for h in v])
+        _EMPTY = pairs_array([])
         keep: list[FileEntry] = []
         skipped: list[FileEntry] = []
         for f in hit:
@@ -3443,11 +3443,13 @@ class LakeTable:
             pairs = (
                 all_hashes
                 if f.kind == BOOTSTRAP_KIND
-                else hashes_by_bucket.get(f.bucket, [])
+                else hashes_by_bucket.get(f.bucket, _EMPTY)
             )
             if f.bloom is None:
                 keep.append(f)
-            elif pairs and KeyBloom.from_b64(f.bloom).might_contain_any(pairs):
+            elif len(pairs) > 0 and KeyBloom.from_b64(
+                f.bloom
+            ).might_contain_any(pairs):
                 keep.append(f)
             else:
                 skipped.append(f)
