@@ -56,6 +56,29 @@ def sq_dists(mat, centers):
     )
 
 
+def int8_gemm(a, b):
+    """Exact integer ``a @ b.T`` for int8-quantized matrices via float32
+    BLAS. numpy integer matmuls never dispatch to BLAS (measured ~200x
+    slower than SGEMM at batch x eval-set shapes); for
+    ``quantize_embeddings`` outputs every product is <= 127^2 and every
+    partial sum <= 78 * 127^2 < 2^24, so each intermediate is an integer
+    float32 represents exactly and the SGEMM result casts back loss-free.
+    Inputs outside that envelope (wider dims/values — never produced by
+    the quantizer, but deserialized or caller-built matrices could be
+    anything) fall back to the exact integer matmul."""
+    import numpy as np
+
+    if (
+        a.shape[1] <= 78
+        and (not a.size or np.abs(a).max() <= 127)
+        and (not b.size or np.abs(b).max() <= 127)
+    ):
+        return (a.astype(np.float32) @ b.astype(np.float32).T).astype(
+            np.int64
+        )
+    return a @ b.T
+
+
 def fit_coarse_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -885,7 +908,7 @@ def semdedup(
         if not len(qv):
             return pd.Series([], dtype="int32")
         m = np.array(qv.tolist(), dtype=np.int64)
-        dots = m @ cmat.T  # exact int64
+        dots = int8_gemm(m, cmat)  # exact int64 via SGEMM
         mag = (dots * dots * 1_000_000) // cn2
         keys = np.where(dots >= 0, mag, -mag)
         # argmax returns the FIRST maximum: ties resolve to the lowest
@@ -925,9 +948,18 @@ def semdedup(
         removed = np.zeros(rows, dtype=bool)
         block = 1024
         cols = np.arange(rows)[None, :]
+        # hoist int8_gemm's envelope check + SGEMM operand out of the
+        # block loop — the per-block gram is the quadratic cost here
+        exact_f32 = m.shape[1] <= 78 and (
+            not m.size or np.abs(m).max() <= 127
+        )
+        mf = m.astype(np.float32) if exact_f32 else m
         for s in range(0, rows, block):
             e = min(s + block, rows)
-            g = m[s:e] @ m.T  # (block, rows) exact int64
+            if exact_f32:  # exact int64 via SGEMM (see int8_gemm)
+                g = (mf[s:e] @ mf.T).astype(np.int64)
+            else:
+                g = m[s:e] @ m.T  # (block, rows) exact int64
             sim = (g > 0) & (
                 (g * g) * 10_000 >= t2 * (n2[s:e, None] * n2[None, :])
             )
@@ -1016,7 +1048,7 @@ def semantic_decontaminate(
             return pd.Series([], dtype="int64")
         m = np.array(qv.tolist(), dtype=np.int64)
         n2 = (m * m).sum(axis=1)
-        dots = m @ emat.T
+        dots = int8_gemm(m, emat)
         hit = (dots > 0) & (
             dots * dots * 10000 >= t2 * n2[:, None] * en2[None, :]
         )
