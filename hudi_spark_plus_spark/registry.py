@@ -138,6 +138,16 @@ _PINNED = [
     "q-lake-partitioned",
     "q-lake-global-index",
     "q-lake-merge-into",
+    # - r13 optimization session: the integer similarity kernels
+    #   (semdedup assignment + within-cluster gram,
+    #   semantic_decontaminate scoring) now compute their int64 dots
+    #   through float32 BLAS (similarity.int8_gemm) — bit-identical by
+    #   arithmetic argument + test_int8_gemm + a full oracle pass on
+    #   the exact diff, but the kernel inside these fixtures'
+    #   ArrowEvalPython nodes changed (q-emb-dedup-e2e, the third
+    #   consumer, is already pinned above):
+    "q-emb-decontaminate",
+    "q-emb-semdedup",
     # NOT pinned although hash-flagged (the table/ glob folds matview.py
     # + s3_facade.py edits into every q-lake-*/q-cdc-* hash; the r13
     # optimization session's lake_table.py merge edit folds into the
