@@ -73,107 +73,39 @@ def _last_green_round() -> dict[str, int]:
 # code, and regenerate tests/query_source_hashes.json (the pin-lint
 # baseline, hudi_spark_plus_spark/pinlint.py) in the same commit.
 _PINNED = [
-    # r13: all nine r12 pins re-greened in CORRECTNESS_r12.json and are
-    # dropped.
-    # VERDICT r12 directive 4 — retire the r9 staleness floor: these
-    # nine are the last r9-stale greens in the system; one pinned pass
-    # moves every registry query's newest green to >= r10. Drop once
-    # re-greened.
-    "q-doc-hash-embed",
-    "q-doc-tfidf",
-    "q-emb-cosine-topk",
-    "q-emb-quantize",
-    "q-lake-dml",
-    "q-lake-evolve",
-    "q-lake-matview",
-    "q-lake-rollback",
-    "q-media-audio",
-    # r13 semantic changes (pin until a CORRECTNESS row proves them):
-    # - IvfIndex lifecycle edits (ADVICE r12 #2 + VERDICT directive 1):
-    #   build now seeds under the reserved id __ann_build__ (a user
-    #   add(df, "build") lands instead of being silently suppressed),
-    #   add/remove reject reserved "__" ids, legacy-layout reopen warns,
-    #   rebuild(migrate=True) carries params + batch-id history. Fixture
-    #   outputs are construction-identical, but the build/add path every
-    #   index fixture runs through is edited:
+    # r14: ALL 30 r13 pins re-greened in CORRECTNESS_r13.json (50/50
+    # hash-green) and are dropped.
+    # VERDICT r13 directive 2 — the IVF ANN family must be driver-
+    # re-hashed on the r13 numpy-quantizer code (the r13 sample greened
+    # the index trio but missed the one-shot trio; all six are pinned so
+    # CORRECTNESS_r14 closes the family in one pass):
+    "q-emb-ann-ivf",
+    "q-emb-ann-ivfpq",
+    "q-emb-ann-pq",
     "q-emb-ann-index",
     "q-emb-ann-index-pq",
     "q-stream-ann-index",
-    # - NdvView union-path fold now filters tombstoned view rows
-    #   explicitly (ADVICE r12 #1) — identical today by the cnt=0/NULL-
-    #   sketch invariant, but the fold expression changed:
-    "q-lake-matview-ndv",
-    # - checkpoint-release sweep (ckpt.py: DataFrame.unpersist is a
-    #   silent no-op for localCheckpoints — the engine now releases the
-    #   wrapped plan-RDD for real). Results are construction-identical,
-    #   but the per-batch/per-round execution paths of these fixtures
-    #   changed (signature-store releases batch state after ingest,
-    #   connected-components releases each superseded round):
-    "q-stream-neardup",
-    "q-doc-dup-clusters",
-    "q-doc-dedup-e2e",
-    "q-emb-dedup-e2e",
-    # - r13 optimization session: NDV path-normalization UDF is now
-    #   Arrow-serialized (ArrowEvalPython — same lambda, same per-file
-    #   cardinality):
-    "q-lake-ndv",
-    # - r13 optimization session: matview refreshes checkpoint their
-    #   bounded delta frames once (AggregateView src, MinMaxView
-    #   affected+recomputed, PctlView recomputed) — values identical,
-    #   execution path of every refresh changed:
-    "q-lake-matview-avg",
-    "q-lake-matview-minmax",
-    "q-lake-matview-pctl",
-    "q-lake-matview-pruned",
-    "q-lake-derived",
-    # - r13 optimization session: the merge fuses the affected-unit
-    #   collect with the Bloom-probe collect when the probe could fire
-    #   (lake_table._merge_once + _probe_would_gate). Every lake/cdc
-    #   query funnels through merge; these four pin the distinct
-    #   surfaces (bloom point-lookup, partitioned units, global index,
-    #   merge_into composition) plus q-doc-neardup-store above the
-    #   multi-file-bucket ingest shape the fusion targets:
+    # r14 optimization session — the COW merge path changed (lake_table
+    # _merge_once): merged projection built as one selectExpr (same
+    # expression trees), empty-batch fast path (zero-row merges publish
+    # their commit without the join/write), units collect via
+    # collect_set, parallel footer stats, committer v2 (session.py).
+    # Every lake/cdc query funnels through merge; these pin the distinct
+    # surfaces (bloom point-lookup, partitioned units, global index,
+    # merge_into composition, MOR, DML delete_where incl. the empty-GC
+    # fast path, schema evolution through the new projection, plus the
+    # multi-file-bucket ingest shape):
     "q-doc-neardup-store",
     "q-lake-point-lookup",
     "q-lake-partitioned",
     "q-lake-global-index",
     "q-lake-merge-into",
-    # - r13 optimization session: the integer similarity kernels
-    #   (semdedup assignment + within-cluster gram,
-    #   semantic_decontaminate scoring) now compute their int64 dots
-    #   through float32 BLAS (similarity.int8_gemm) — bit-identical by
-    #   arithmetic argument + test_int8_gemm + a full oracle pass on
-    #   the exact diff, but the kernel inside these fixtures'
-    #   ArrowEvalPython nodes changed (q-emb-dedup-e2e, the third
-    #   consumer, is already pinned above):
-    "q-emb-decontaminate",
-    "q-emb-semdedup",
-    # NOT pinned although hash-flagged (the table/ glob folds matview.py
-    # + s3_facade.py edits into every q-lake-*/q-cdc-* hash; the r13
-    # optimization session's lake_table.py merge edit folds into the
-    # same family — the fused path's semantics are pinned by the five
-    # representatives above + TestFusedUnitProbeCollect + two full
-    # 155-query oracle passes green on the exact diff; the session's
-    # bloom build/probe vectorization (bloom.py bulk_add +
-    # ndarray might_contain_any, BIT-identical by construction and by
-    # test_bloom_bulk) rides the same representatives + another full
-    # 155-query oracle pass green on its exact diff):
-    # - round-13 late batch: JoinView minmax/mm-neutral/prune-ladder
-    #   edits concern JoinView only, whose three fixtures are
-    #   never-checked this round (auto-front of the rotation);
-    #   NdvView/PctlView gained only the post-commit release_all swap
-    #   and MinMaxView a moved type-set constant — behavior identical,
-    #   and q-lake-matview-ndv is already pinned above.
-    # - s3_facade.py do_GET now reads under store.lock (ADVICE r12 #3):
-    #   a test/bench double imported by no query path.
-    # - the broad q-lake-*/q-cdc-* family: AggregateView/MinMaxView and
-    #   every lake/cdc path are untouched this round; only NdvView's
-    #   fold changed, and its one fixture is pinned above.
-    # - pinlint.py's import scan moved from regex to ast (ADVICE r12
-    #   #4): lint mechanics, not query semantics — baseline regenerated
-    #   in the same commit; fold sets verified unchanged for real
-    #   imports (regression test pins docstring-quoted imports OUT).
+    "q-lake-mor",
+    "q-lake-dml",
+    "q-lake-evolve",
+    "q-lake-matview",
 ]
+
 
 
 def _query_cost() -> dict[str, float]:

@@ -100,6 +100,15 @@ _SPARK_TYPE_BY_NAME = {
 }
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for a SQL expression string (the
+    selectExpr fast path): embedded backticks double, everything else —
+    spaces, keywords, unicode — is safe inside the quotes. Dotted names
+    are as unsupported here as they are in the ``F.col(f"b.{c}")`` form
+    this replaced (a dot already meant struct access there)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _widened_type(a: str, b: str) -> str | None:
     """Common read-compatible supertype of two Spark dtype strings, or
     None when the change is incompatible."""
@@ -267,6 +276,14 @@ def _collect_file_entries(
         stats = dict(
             sc.parallelize(found, n_tasks).mapPartitions(scan).collect()
         )
+    elif len(found) > 1:
+        # driver path, but not driver-SERIAL: pyarrow footer reads
+        # release the GIL, so a small thread pool overlaps the per-file
+        # I/O (~7 ms each); same function per file, same dict
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(found))) as pool:
+            stats = dict(zip(found, pool.map(_footer_stats, found)))
     else:
         stats = {f: _footer_stats(f) for f in found}
     for f in found:
@@ -292,13 +309,27 @@ def _collect_file_entries(
     if key_files and spark is not None and total_rows > BLOOM_DISTRIBUTED_MIN_ROWS:
         blooms = _distributed_blooms(spark, base)
     else:
-        blooms = {}
-        for f in key_files:
+        def _file_bloom(f: str) -> str:
             pf = pq.ParquetFile(f)
             bf = KeyBloom.sized(pf.metadata.num_rows)
             for rb in pf.iter_batches(columns=[KEY_COL]):
                 bf.bulk_add(rb.column(0).to_pylist())
-            blooms[f] = bf.to_b64()
+            return bf.to_b64()
+
+        if len(key_files) > 1:
+            # same thread-pool overlap as the footer reads above: the
+            # key-column decode is pyarrow (GIL-released) and the bloom
+            # math is numpy; per-file results are independent
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(key_files))
+            ) as pool:
+                blooms = dict(
+                    zip(key_files, pool.map(_file_bloom, key_files))
+                )
+        else:
+            blooms = {f: _file_bloom(f) for f in key_files}
     by_rel = {os.path.relpath(f, table_path): b for f, b in blooms.items()}
     for e in entries:
         e.bloom = by_rel.get(e.path)
@@ -2915,9 +2946,52 @@ class LakeTable:
                     units = {(r[0], r[1]) for r in rows}
                     affected = {b for _, b in units}
             else:
-                affected = {
-                    r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-                }
+                # collect_set instead of distinct().collect(): one
+                # partial-agg job whose driver transfer is the bucket-id
+                # SET (bounded by self.buckets — never row-shaped), ~25%
+                # faster per commit than the distinct's exchange +
+                # row collect at micro-batch sizes, identical set
+                affected = set(
+                    batch.agg(
+                        F.collect_set(BUCKET_COL).alias("b")
+                    ).first()[0]
+                )
+        # Empty-batch fast path (guide §1.2 — don't compute things you
+        # throw away): the units/probe collect above already EXECUTED the
+        # batch plan and saw zero rows, so the merge join would read
+        # nothing and the write would produce no files — today that costs
+        # a second full execution of the batch plan (the write's batch
+        # side), a join analysis, an empty write job, and the output-
+        # committer round trip, all to publish a commit that carries
+        # every live file unchanged. Publish that commit directly. The
+        # schema still evolves exactly as an empty batch evolves it
+        # today (additive columns + type widening come from the batch's
+        # DTYPES, not its rows — ``_empty_merge_schema_json`` runs the
+        # same widening rules and raises the same errors). Skipped when
+        # live bootstrap files exist: an empty merge must still convert
+        # bloom-less bootstrap files into bucketed state (they are hit
+        # candidates for ANY key set).
+        if (
+            mode == "cow"
+            and prev is not None
+            and affected_buckets is None
+            and not affected
+            and not units
+            and self.schema() is not None
+            and not any(f.kind == BOOTSTRAP_KIND for f in prev.files)
+        ):
+            next_ver = prev.version + 1
+            self.log.commit(
+                "merge",
+                list(prev.files),
+                batch_id=batch_id,
+                schema_json=self._empty_merge_schema_json(batch, next_ver),
+                buckets=self.buckets,
+                expected_version=next_ver,
+                partition_fields=self.partition_fields or None,
+                global_index=self.global_index or None,
+            )
+            return
         if mode == "mor" and prev is not None:
             if any(f.kind == BOOTSTRAP_KIND for f in prev.files):
                 # a delta lands in its key's hash bucket, but a stale
@@ -3035,41 +3109,54 @@ class LakeTable:
                     F.col(f"s.{PARTITION_COL}") == F.col(f"b.{PARTITION_COL}")
                 )
             j = s.join(b, join_cond, "full_outer")
-            batch_wins = F.col(f"b.{KEY_COL}").isNotNull() & (
-                F.col(f"s.{KEY_COL}").isNull()
-                | (F.col(f"b.{TS_COL}") >= F.col(f"s.{TS_COL}"))
+            # The merged projection is built as ONE selectExpr of SQL
+            # strings instead of per-column F.when(...).otherwise(...)
+            # Column objects: the expression trees are identical (CASE
+            # WHEN == CaseWhen, same casts, same coalesce), but the
+            # Column-object construction cost ~4 py4j round trips per
+            # payload column per commit (~80 ms measured at 7 columns vs
+            # ~16 ms for the parsed strings — guide §1.2 applied to
+            # driver RPCs, the with_minhash fix's shape). The bucket
+            # column folds into the same projection as the inlined
+            # expression CollapseProject would have produced from the
+            # former post-select withColumn — the optimized plan is
+            # unchanged.
+            wins = (
+                f"(b.{_bq(KEY_COL)} IS NOT NULL AND (s.{_bq(KEY_COL)} "
+                f"IS NULL OR b.{_bq(TS_COL)} >= s.{_bq(TS_COL)}))"
             )
-            merged = j.select(
+            merged_key = (
+                f"CASE WHEN {wins} THEN b.{_bq(KEY_COL)} "
+                f"ELSE s.{_bq(KEY_COL)} END"
+            )
+            merged = j.selectExpr(
                 *[
-                    F.when(batch_wins, F.col(f"b.{c}"))
-                    .otherwise(F.col(f"s.{c}"))
-                    .alias(c)
+                    f"CASE WHEN {wins} THEN b.{_bq(c)} "
+                    f"ELSE s.{_bq(c)} END AS {_bq(c)}"
                     for c in payload_cols
                 ],
                 # tombstone: winning delete, or carried-over prior tombstone
-                F.when(batch_wins, F.col(f"b.{OP_COL}") == DELETE_OP)
-                .otherwise(F.coalesce(F.col(f"s.{DELETED_COL}"), F.lit(False)))
-                .alias(DELETED_COL),
+                f"CASE WHEN {wins} THEN (b.{_bq(OP_COL)} = '{DELETE_OP}') "
+                f"ELSE coalesce(s.{_bq(DELETED_COL)}, false) "
+                f"END AS {_bq(DELETED_COL)}",
                 # record-level commit version (the _hoodie_commit_time
                 # analogue): batch winners stamp the new version; rows
                 # merely carried through a bucket rewrite KEEP theirs, so
                 # incremental() can return exactly the changed records
-                F.when(batch_wins, F.lit(next_ver).cast("long"))
-                .otherwise(F.col(f"s.{COMMIT_VER_COL}"))
-                .alias(COMMIT_VER_COL),
+                f"CASE WHEN {wins} THEN CAST({next_ver} AS BIGINT) "
+                f"ELSE s.{_bq(COMMIT_VER_COL)} END AS {_bq(COMMIT_VER_COL)}",
+                f"CAST(pmod(xxhash64({merged_key}), {self.buckets}) AS INT) "
+                f"AS {_bq(BUCKET_COL)}",
             )
         else:
             merged = batch.select(
                 *payload_cols,
                 (F.col(OP_COL) == DELETE_OP).alias(DELETED_COL),
                 F.lit(next_ver).cast("long").alias(COMMIT_VER_COL),
+                bucket_expr(F.col(KEY_COL), self.buckets).alias(BUCKET_COL),
             )
 
-        merged = self._with_part(
-            merged.withColumn(
-                BUCKET_COL, bucket_expr(F.col(KEY_COL), self.buckets)
-            )
-        )
+        merged = self._with_part(merged)
         schema_json = self._commit_schema_json(merged, next_ver)
         absd, rel = self.log.new_data_subdir()
         n = parallelism or max(
@@ -3137,7 +3224,17 @@ class LakeTable:
         full = self._stored_schema()
         if full is None:
             return self._payload_schema_json(df)
-        d_types = dict(df.dtypes)
+        return self._commit_schema_json_fields(df.schema.fields, full, next_ver)
+
+    def _commit_schema_json_fields(
+        self, out_fields: list[StructField], full: StructType, next_ver: int
+    ) -> str:
+        """Core of ``_commit_schema_json`` over the would-be-written
+        frame's schema FIELDS — shared with the empty-batch fast path,
+        which derives the same fields driver-side without building the
+        merge plan."""
+        d_types = {f.name: f.dataType.simpleString() for f in out_fields}
+        by_name = {f.name: f for f in out_fields}
         used_phys = {self._physical_of(f) for f in full.fields}
         fields: list[StructField] = []
         for f in full.fields:
@@ -3155,7 +3252,8 @@ class LakeTable:
                 fields.append(f)
         have = {f.name for f in fields}
         skip = {OP_COL, BUCKET_COL, PARTITION_COL}
-        for c in df.columns:
+        for f in out_fields:
+            c = f.name
             if c in have or c in skip:
                 continue
             md: dict = {}
@@ -3164,8 +3262,57 @@ class LakeTable:
                 phys = f"{c}_v{next_ver}"
                 md = {"physical": phys}
             used_phys.add(phys)
-            fields.append(StructField(c, df.schema[c].dataType, True, md))
+            fields.append(StructField(c, by_name[c].dataType, True, md))
         return StructType(fields).json()
+
+    def _empty_merge_schema_json(self, batch: DataFrame, next_ver: int) -> str:
+        """Commit schema for a COW merge whose batch produced ZERO rows —
+        the schema the full merge plan would have committed, derived
+        driver-side. An empty batch still evolves the schema exactly as
+        a non-empty one does (evolution reads the batch's DTYPES, never
+        its rows): additive columns append, widenable type changes widen
+        the stored type, and incompatible changes raise the same
+        ``IncompatibleSchemaChange``. Mirrors ``_merge_once``'s payload
+        union + widening loop over ``(batch, active schema)`` and feeds
+        the same ``_commit_schema_json_fields`` the merged frame's
+        schema would have fed."""
+        full = self._stored_schema()
+        stored = self.schema()
+        b_fields = {f.name: f for f in batch.schema.fields}
+        meta = (OP_COL, BUCKET_COL, PARTITION_COL, DELETED_COL, COMMIT_VER_COL)
+        payload = [c for c in batch.columns if c not in meta]
+        for f in stored.fields:
+            if f.name not in payload and f.name not in (
+                BUCKET_COL, DELETED_COL, COMMIT_VER_COL,
+            ):
+                payload.append(f.name)
+        s_types = {f.name: f for f in stored.fields}
+        out: list[StructField] = []
+        for c in payload:
+            bf, sf = b_fields.get(c), s_types.get(c)
+            if bf is None:
+                out.append(StructField(c, sf.dataType, True))
+            elif sf is None:
+                out.append(StructField(c, bf.dataType, True))
+            else:
+                bt, st = bf.dataType.simpleString(), sf.dataType.simpleString()
+                if bt == st:
+                    out.append(StructField(c, sf.dataType, True))
+                else:
+                    target = _widened_type(bt, st)
+                    if target is None:
+                        raise IncompatibleSchemaChange(
+                            f"column {c!r} of table at {self.path}: "
+                            f"stored type {st} and incoming type "
+                            f"{bt} have no widening; rewrite the "
+                            "table to change types incompatibly"
+                        )
+                    out.append(
+                        StructField(c, _SPARK_TYPE_BY_NAME[target], True)
+                    )
+        out.append(StructField(DELETED_COL, BooleanType(), True))
+        out.append(StructField(COMMIT_VER_COL, LongType(), True))
+        return self._commit_schema_json_fields(out, full, next_ver)
 
     def _apply_physical(self, df: DataFrame, schema_json: str) -> DataFrame:
         """Rename logical -> physical columns per the schema about to be

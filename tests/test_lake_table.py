@@ -2709,3 +2709,178 @@ class TestFusedUnitProbeCollect:
         )
         got = snap_dict(t)
         assert got["a0"] == (5, "p1") and len(got) == 7
+
+
+class TestEmptyMergeFastPath:
+    """r14 optimization: a COW merge whose batch produced ZERO rows
+    publishes its commit directly — the units/probe collect already
+    executed the batch plan and saw nothing, so the join, the second
+    batch-plan execution inside the write, the empty write job, and the
+    committer round trip are all skipped. The commit itself must be
+    indistinguishable from the slow path's: version bump, batch_id
+    recorded, every live file carried by reference, and the SAME schema
+    evolution an empty batch applies today (dtypes, not rows)."""
+
+    def _spy_read(self, monkeypatch):
+        called = {"n": 0}
+        orig = LakeTable._read_files
+
+        def spy(table, files, schema=None):
+            called["n"] += 1
+            return orig(table, files, schema=schema)
+
+        monkeypatch.setattr(LakeTable, "_read_files", spy)
+        return called
+
+    def _empty(self, spark, schema="_key string, _ts long, _op string, val string"):
+        return spark.createDataFrame([], schema)
+
+    def test_empty_merge_is_a_pure_version_bump(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a"), ("k2", 1, "upsert", "b")]), "b0")
+        before_files = [f.path for f in t.log.live_files()]
+        before_schema = t.log.latest().schema_json
+        called = self._spy_read(monkeypatch)
+        t.merge(self._empty(spark), "b1")
+        assert called["n"] == 0, "empty merge must not build the join"
+        c = t.log.latest()
+        assert c.version == 2 and c.operation == "merge"
+        assert t.log.has_batch("b1")
+        assert [f.path for f in t.log.live_files()] == before_files
+        assert c.schema_json == before_schema
+        assert snap_dict(t) == {"k1": (1, "a"), "k2": (1, "b")}
+
+    def test_empty_delete_where_fast(self, spark, tmp_path, monkeypatch):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        called = self._spy_read(monkeypatch)
+        t.delete_where(F.col("val") == "nope", batch_id="gc1")
+        assert called["n"] <= 1, (
+            "an unmatched predicate delete must execute its scan once "
+            "(the units collect), never a second time for the write"
+        )
+        assert t.log.latest().version == 2
+        assert snap_dict(t) == {"k1": (1, "a")}
+
+    def test_empty_batch_still_evolves_schema(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        t.merge(
+            self._empty(
+                spark,
+                "_key string, _ts long, _op string, val string, extra bigint",
+            ),
+            "b1",
+        )
+        sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+        assert sch["extra"] == "bigint"
+        # the evolved column is writable and readable afterwards
+        t.merge(
+            spark.createDataFrame(
+                [("k2", 2, "upsert", "c", 7)],
+                "_key string, _ts long, _op string, val string, extra bigint",
+            ),
+            "b2",
+        )
+        rows = {r["_key"]: r["extra"] for r in t.snapshot().collect()}
+        assert rows == {"k1": None, "k2": 7}
+
+    def test_empty_batch_widens_types(self, spark, tmp_path):
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 5)],
+                "_key string, _ts long, _op string, n int",
+            ),
+            "b0",
+        )
+        t.merge(
+            self._empty(spark, "_key string, _ts long, _op string, n bigint"),
+            "b1",
+        )
+        sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+        assert sch["n"] == "bigint"
+
+    def test_empty_batch_incompatible_type_still_raises(
+        self, spark, tmp_path
+    ):
+        from hudi_spark_plus_spark.table.lake_table import (
+            IncompatibleSchemaChange,
+        )
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        with pytest.raises(IncompatibleSchemaChange, match="'val'"):
+            t.merge(
+                self._empty(spark, "_key string, _ts long, _op string, val bigint"),
+                "b1",
+            )
+
+    def test_schema_json_matches_slow_path(self, spark, tmp_path):
+        """The fast path's driver-derived commit schema must be byte-
+        identical to what the merge plan's frame would have committed —
+        proven by committing the same empty evolution through BOTH
+        paths (two tables, fast path disabled on one via a live
+        bootstrap-free monkeypatch-less trick: a nonempty sibling key
+        keeps the slow path) and comparing the resulting schema JSON."""
+        mk = lambda p: LakeTable(spark, str(p), buckets=2)  # noqa: E731
+        ta, tb = mk(tmp_path / "a"), mk(tmp_path / "b")
+        seed = [("k1", 1, "upsert", "a")]
+        ta.merge(mkbatch(spark, seed), "b0")
+        tb.merge(mkbatch(spark, seed), "b0")
+        wide = "_key string, _ts long, _op string, val string, extra smallint"
+        # fast path: zero rows
+        ta.merge(spark.createDataFrame([], wide), "b1")
+        # slow path: one REAL row through the full merge plan
+        tb.merge(
+            spark.createDataFrame([("k1", 2, "upsert", "a", 3)], wide), "b1"
+        )
+        assert ta.log.latest().schema_json == tb.log.latest().schema_json
+
+    def test_partitioned_empty_merge(self, spark, tmp_path, monkeypatch):
+        t = LakeTable(
+            spark, str(tmp_path / "t"), buckets=2, partition_fields=["val"]
+        )
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "p1")]), "b0")
+        before = [f.path for f in t.log.live_files()]
+        called = self._spy_read(monkeypatch)
+        t.merge(self._empty(spark), "b1")
+        assert called["n"] == 0
+        assert [f.path for f in t.log.live_files()] == before
+        assert t.log.latest().version == 2
+
+    def test_bootstrap_table_keeps_slow_path(self, spark, tmp_path, monkeypatch):
+        """Live bootstrap files disqualify the fast path: an empty merge
+        must still run the candidate machinery that converts (or bloom-
+        carries) them."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "ext"
+        src.mkdir()
+        pq.write_table(
+            pa.table({"id": [1, 2], "v": ["x", "y"]}), src / "f1.parquet"
+        )
+        from hudi_spark_plus_spark.table.bootstrap import BOOTSTRAP_KIND
+
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.bootstrap(str(src), key_fields=["id"])
+
+        assert any(f.kind == BOOTSTRAP_KIND for f in t.log.live_files())
+        called = self._spy_read(monkeypatch)
+        t.merge(self._empty(spark, "_key string, _ts long, _op string, v string"), "b1")
+        assert called["n"] >= 1, (
+            "bootstrap state must keep the full merge path on empty "
+            "batches (conversion/bloom-carry semantics)"
+        )
+        assert t.snapshot().count() == 2
+
+    def test_mor_empty_merge_unchanged(self, spark, tmp_path):
+        """MOR mode is outside the fast path: behavior pinned."""
+        t = LakeTable(spark, str(tmp_path / "t"), buckets=2)
+        t.merge(mkbatch(spark, [("k1", 1, "upsert", "a")]), "b0")
+        t.merge(self._empty(spark), "b1", mode="mor")
+        assert t.log.latest().version == 2
+        assert snap_dict(t) == {"k1": (1, "a")}
