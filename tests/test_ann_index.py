@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from hudi_spark_plus_spark.functions.ann_index import _PARAMS_FILE, IvfIndex
 from hudi_spark_plus_spark.functions.similarity import cosine_topk
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def vecs(spark, rows):
     """rows: (id, list[float])"""

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from hudi_spark_plus_spark.table.audit import record_history
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def mk(spark, rows):
     return spark.createDataFrame(

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from hudi_spark_plus_spark.table.clone import clone_table
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def mkbatch(spark, rows):
     """rows: (key, ts, op, val)"""

@@ -7,6 +7,8 @@ import threading
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 from hudi_spark_plus_spark.table.commit_log import (
     CommitConflict,
     CommitLog,
@@ -380,6 +382,7 @@ from hudi_spark_plus_spark.table.commit_log import (
     CommitConflict, HttpConditionalPutFinalizer,
 )
 from hudi_spark_plus_spark.table.lake_table import LakeTable
+
 fin = HttpConditionalPutFinalizer(
     lambda p: f"http://127.0.0.1:{port}/" + os.path.relpath(p, table_path)
 )

@@ -14,9 +14,12 @@ try:
 except ImportError:  # pragma: no cover
     HAS_HYPOTHESIS = False
 
-pytestmark = pytest.mark.skipif(
-    not HAS_HYPOTHESIS, reason="hypothesis not installed"
-)
+pytestmark = [
+    pytest.mark.slow,  # full-tier suite (see pytest.ini)
+    pytest.mark.skipif(
+        not HAS_HYPOTHESIS, reason="hypothesis not installed"
+    ),
+]
 
 # small word pool -> frequent exact dups and shared lines
 word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "y"])

@@ -16,6 +16,8 @@ import pytest
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 from hudi_spark_plus_spark.table.maintenance import fsck, vacuum
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def mk(spark, rows):
     return spark.createDataFrame(

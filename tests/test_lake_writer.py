@@ -12,6 +12,8 @@ import pytest
 from hudi_spark_plus_spark.sources import lake_reader
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def _df(spark, rows):
     return spark.createDataFrame(

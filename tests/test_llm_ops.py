@@ -25,6 +25,8 @@ from hudi_spark_plus_spark.operators.llm_queries import LLM_ORACLES, LLM_QUERIES
 from hudi_spark_plus_spark.sources.loaders import load_table
 from tests.harness import compare, duck_connection
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):

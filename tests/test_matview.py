@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 from hudi_spark_plus_spark.table.matview import AggregateView
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def mk(spark, rows):
     return spark.createDataFrame(

@@ -24,6 +24,8 @@ except ImportError:  # pragma: no cover
 from hudi_spark_plus_spark.table.commit_log import FileEntry
 from hudi_spark_plus_spark.table.lake_table import LakeTable
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def mkbatch(spark, rows):
     """rows: (key, ts, op, num, name)"""

@@ -7,6 +7,8 @@ import pytest
 
 from hudi_spark_plus_spark.operators.relational import q01, q05, q10, q17
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def plan_of(df):
     return df._jdf.queryExecution().executedPlan().toString()

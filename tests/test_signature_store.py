@@ -17,6 +17,8 @@ from hudi_spark_plus_spark.functions.dedup import (
 )
 from hudi_spark_plus_spark.functions.signature_store import SignatureStore
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def docs(spark, rows):
     """rows: (id, text)"""

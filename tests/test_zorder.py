@@ -15,6 +15,8 @@ from hudi_spark_plus_spark.table.zorder import (
     zorder_write,
 )
 
+pytestmark = pytest.mark.slow  # full-tier suite (see pytest.ini)
+
 
 def test_interleave_roundtrip(spark):
     """Morton interleave/deinterleave are exact inverses (K3 parity:
