@@ -176,10 +176,23 @@ class SignatureStore:
         """Append the documents' signatures, exactly once per
         ``batch_id``: a replayed crash-recovery call is a no-op commit,
         so state rows can never duplicate (a doubled signature would
-        make every later probe self-match through the duplicate)."""
-        self.table.merge(
-            self._sig_rows(df, id_col, text_col), batch_id=batch_id
+        make every later probe self-match through the duplicate).
+
+        The signature frame is materialized ONCE before the merge
+        (bounded by batch x bands rows BY DESIGN): the un-checkpointed
+        minhash + banding pipeline would otherwise re-execute for the
+        merge's affected-unit collect AND the merge write — the same
+        one-materialization-per-bounded-delta doctrine the matview
+        refreshes apply (guide §1.2)."""
+        from hudi_spark_plus_spark.ckpt import release_all
+
+        rows = self._sig_rows(df, id_col, text_col).localCheckpoint(
+            eager=True
         )
+        try:
+            self.table.merge(rows, batch_id=batch_id)
+        finally:
+            release_all((rows,))
 
     def prune(self, dead_ids, batch_id: str) -> None:
         """GC deleted documents' signatures by KEY — the keys are

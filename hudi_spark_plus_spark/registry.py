@@ -96,6 +96,10 @@ _PINNED = [
     # fast path, schema evolution through the new projection, plus the
     # multi-file-bucket ingest shape):
     "q-doc-neardup-store",
+    # r14: SignatureStore.ingest materializes its bounded signature
+    # frame once before the merge (values identical; the per-batch
+    # execution path of the streaming fixture changed):
+    "q-stream-neardup",
     "q-lake-point-lookup",
     "q-lake-partitioned",
     "q-lake-global-index",
